@@ -1,0 +1,158 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-corpus operators for large-scale training-data pipelines (beyond the
+  * reference's scope; designed for the 100 TB case — every op is a shuffle
+  * on a hash/group key with no driver-side collection).
+  */
+object TextOps {
+
+  /** Exact deduplication: one representative row (minimum `idCol`) per
+    * distinct value of `keyCols`. Equivalent to hash-groupBy dedup; the
+    * shuffle key is the text hash, so skew on duplicated boilerplate is
+    * bounded by the min-aggregation being partial (map-side combine). */
+  def dedupExact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    val keep = df.groupBy(keyCols.map(col): _*).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Per-document quality/shape statistics, all codegen'd column expressions
+    * (no UDFs): char count, whitespace-token count, alpha/digit/upper/punct
+    * ratios, mean token length. */
+  def textStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val len = length(t).cast(DoubleType)
+    def ratio(pattern: String): Column =
+      when(len > 0, length(regexp_replace(t, pattern, "")).cast(DoubleType) / len).otherwise(0.0)
+    df.withColumn("n_chars", length(t))
+      .withColumn("n_tokens", size(split(trim(t), "\\s+")))
+      .withColumn("alpha_ratio", ratio("[^A-Za-z]"))
+      .withColumn("digit_ratio", ratio("[^0-9]"))
+      .withColumn("upper_ratio", ratio("[^A-Z]"))
+      .withColumn("space_ratio", ratio("[^ ]"))
+      .withColumn("mean_token_len",
+        when(col("n_tokens") > 0, (length(regexp_replace(t, "\\s+", "")).cast(DoubleType)) / col("n_tokens"))
+          .otherwise(0.0))
+  }
+
+  /** Whitespace+punctuation token count approximating a BPE-ish pre-tokenizer:
+    * words and standalone punctuation both count. */
+  def tokenCount(df: DataFrame, textCol: String, out: String = "n_tokens_bpe"): DataFrame =
+    df.withColumn(out, size(filter(
+      split(regexp_replace(col(textCol), "([\\p{Punct}])", " $1 "), "\\s+"),
+      x => length(x) > 0)))
+
+  /** Character n-gram shingles of a normalized text, as a distinct array —
+    * building block for MinHash / Jaccard dedup. */
+  def shingles(textCol: Column, n: Int): Column = {
+    val norm = lower(regexp_replace(textCol, "\\s+", " "))
+    array_distinct(transform(
+      sequence(lit(0), greatest(length(norm) - n, lit(0)) - 1),
+      i => norm.substr(i + 1, lit(n))))
+  }
+
+  /** MinHash signature of the shingle set using k independent hash families
+    * h_i(x) = (a_i·hash64(x) + b_i) mod p. Deterministic (seeded). */
+  def minHashSignature(df: DataFrame, textCol: String, numHashes: Int = 64,
+                       shingleSize: Int = 5, out: String = "minhash"): DataFrame = {
+    val p = 2305843009213693951L // 2^61 - 1
+    val rnd = new scala.util.Random(42)
+    val coeffs = Array.fill(numHashes)((math.abs(rnd.nextLong()) % (p - 1)) + 1,
+      math.abs(rnd.nextLong()) % p)
+    val sh = shingles(col(textCol), shingleSize)
+    val sig = transform(
+      lit(coeffs.map(_._1)),
+      (a, i) => array_min(transform(sh,
+        x => pmod(pmod(xxhash64(x), lit(p)) * a + element_at(lit(coeffs.map(_._2)), i + 1), lit(p)))))
+    df.withColumn(out, sig)
+  }
+
+  /** MinHash-LSH near-duplicate candidate pairs: band the signature, shuffle
+    * on (band index, band hash), emit intra-bucket pairs. Scales as
+    * sum(bucket²) per band — the classic LSH trade-off; band count tunes
+    * recall vs cost. */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val withSig = minHashSignature(df, textCol, numHashes, shingleSize)
+      .select(col(idCol), col("minhash"))
+    val banded = withSig.select(col(idCol), posexplode(transform(
+      sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(concat_ws("_", slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, a("band") === b("band") && a("bucket") === b("bucket") &&
+        a(idCol) < b(idCol))
+      .select(a(idCol).as("id_a"), b(idCol).as("id_b"))
+      .distinct()
+  }
+
+  /** Exact Jaccard similarity of shingle sets for candidate pairs — the
+    * verify step after LSH. `pairs` has (id_a, id_b). */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
+                    shingleSize: Int = 5, threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(col(idCol), shingles(col(textCol), shingleSize).as("_sh"))
+    val j = pairs
+      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("_sh", "_sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("_sh", "_sh_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast(DoubleType) /
+          size(array_union(col("_sh_a"), col("_sh_b"))))
+      .drop("_sh_a", "_sh_b")
+    j.filter(col("jaccard") >= threshold)
+  }
+
+  /** SimHash (64-bit) over shingles: sign-sum of per-feature hash bits.
+    * Near-dups have small Hamming distance. */
+  def simHash(df: DataFrame, textCol: String, shingleSize: Int = 5,
+              out: String = "simhash"): DataFrame = {
+    val sh = shingles(col(textCol), shingleSize)
+    val hashes = transform(sh, x => xxhash64(x))
+    // for each of 64 bits: sum(+1/-1) over feature hashes, take the sign bit
+    val sig = (0 until 64).map { b =>
+      when(aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
+        lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    df.withColumn(out, sig)
+  }
+
+  /** Rolling-hash document fingerprint (winnowing-style): min xxhash64 of
+    * each w-gram window — cheap content fingerprint for clustering. */
+  def fingerprint(df: DataFrame, textCol: String, out: String = "fingerprint"): DataFrame =
+    df.withColumn(out, xxhash64(lower(regexp_replace(col(textCol), "\\s+", " "))))
+
+  /** Language-ID heuristic: script detection (CJK) + stopword voting for
+    * latin-script European languages. Pure column expressions. */
+  def languageId(df: DataFrame, textCol: String, out: String = "lang_pred"): DataFrame = {
+    val t = lower(col(textCol))
+    def hits(words: Seq[String]): Column =
+      words.map(w => when(t.contains(s" $w "), 1).otherwise(0)).reduce(_ + _)
+    val en = hits(Seq("the", "and", "of", "to", "is", "that", "with"))
+    val de = hits(Seq("der", "die", "und", "das", "ist", "nicht", "ein"))
+    val es = hits(Seq("el", "la", "los", "que", "es", "una", "para"))
+    val fr = hits(Seq("le", "la", "les", "est", "une", "dans", "pour"))
+    val zhChars = length(regexp_replace(col(textCol), "[^\\u4e00-\\u9fff]", ""))
+    df.withColumn(out,
+      when(zhChars > 0, "zh")
+        .when(de >= en && de >= es && de >= fr && de > 0, "de")
+        .when(es >= en && es >= fr && es > 0, "es")
+        .when(fr >= en && fr > 0, "fr")
+        .otherwise("en"))
+  }
+
+  /** Composite quality score in [0,1] from textStats-style signals. */
+  def qualityScore(df: DataFrame, textCol: String, out: String = "quality_score"): DataFrame = {
+    val stats = textStats(df, textCol)
+    val lenScore = least(col("n_chars").cast(DoubleType) / 200.0, lit(1.0))
+    val alphaScore = col("alpha_ratio")
+    val tokenScore = when(col("mean_token_len").between(2.0, 12.0), 1.0).otherwise(0.5)
+    stats.withColumn(out, round((lenScore * 0.4 + alphaScore * 0.4 + tokenScore * 0.2), 6))
+  }
+}
