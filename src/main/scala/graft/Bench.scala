@@ -1,24 +1,86 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Benchmark main: headline operators at SPARK_GRAFT_SF_DIR (default sf0.1).
+  * Prints ONE JSON line {"metric","value","unit","queries","sf"}.
+  *
+  * Mix: relational shell (q1/q3), many-series forecasting (1500 per-user
+  * series at sf0.1 — the reference's M4/M5-style per-series workload,
+  * BASELINE.md), backtesting, gap filling, stats, and the LLM-pipeline ops
+  * (MinHash near-dup, brute-force ANN).
+  */
 object Bench {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Per-user daily series — ~1,500 series at sf0.1 (M4-Daily-like shape). */
+  private def userSeries(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("user_id").as("g"), col("ts").cast(DateType).as("ds"))
+      .agg(sum("value").as("y"))
+
+  private def benchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> SparkEntry.queries("q1_pricing_summary"),
+    "q3_segment_revenue" -> SparkEntry.queries("q3_segment_revenue"),
+    "ts_fill_gaps_users" -> ((s, dir) =>
+      ops.TsPrep.fillGapsBy(userSeries(s, dir), "g", "ds", "y", "1d")),
+    "ts_stats_users" -> ((s, dir) =>
+      ops.TsStatsOp.statsBy(userSeries(s, dir), "g", "ds", "y", "1d")),
+    "fc_snaive_users" -> ((s, dir) =>
+      ops.TsForecastOp.forecastBy(userSeries(s, dir), "g", "ds", "y",
+        "SeasonalNaive", 14, "1d", Map("seasonal_period" -> "7"))),
+    "fc_theta_users" -> ((s, dir) =>
+      ops.TsForecastOp.forecastBy(userSeries(s, dir), "g", "ds", "y", "Theta", 14, "1d")),
+    "fc_autoets_users" -> ((s, dir) =>
+      ops.TsForecastOp.forecastBy(userSeries(s, dir), "g", "ds", "y",
+        "AutoETS", 14, "1d", Map("seasonal_period" -> "7"))),
+    "backtest_snaive_users" -> ((s, dir) =>
+      ops.TsCvOp.backtestAutoBy(userSeries(s, dir), "g", "ds", "y", 7, 2, "1d",
+        Map("method" -> "SeasonalNaive", "seasonal_period" -> "7"), "rmse")),
+    "dedup_minhash" -> ((s, dir) =>
+      llm.TextOps.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text")),
+    "ann_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      llm.SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", 10)
+    }),
+  )
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // warm up the JVM/codegen paths once so timings reflect steady state
+    t(spark, sfDir, "events").count()
+
+    val results = benchQueries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).write.mode("overwrite").format("noop").save() }
+      catch {
+        case _: Throwable =>
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -67,7 +67,10 @@ object SparkEntry {
       "g", "ds", "y", "SeasonalNaive", 7, "1d", Map("seasonal_period" -> "7"))
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queriesV1 ++ SparkEntryV2.queries
+
+  private def queriesV1: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ relational shell
     "q1_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -187,7 +190,9 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = oracleSqlV1 ++ SparkEntryV2.oracleSql
+
+  private def oracleSqlV1: Map[String, String] = Map(
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(round(sum(CAST(round(l_quantity, 6) AS DECIMAL(28,6))), 2) AS DOUBLE) AS sum_qty,

@@ -1,0 +1,356 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.kernels.Conformal
+import graft.llm.TextOps
+import graft.ops.{Hierarchy, Series, TsChangepointOp, TsCvOp, TsForecastOp, TsStatsOp}
+
+/** Second batch of driver queries: stats/quality, CV/backtest, hierarchy,
+  * conformal, changepoints, language-ID, and rows-only model-coverage runs.
+  * Same exactness rules as SparkEntry (decimal-exact sums, round 6 / CI 4).
+  */
+object SparkEntryV2 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  private def exactSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(round(c, 6).cast(DecimalType(28, 6))).cast(DoubleType)
+
+  private def dailyEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type").as("g"), col("ts").cast(DateType).as("ds"))
+      .agg(exactSum(col("value")).as("y"))
+
+  private val ExactSumY = "CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)"
+  private val SeriesCte =
+    s"WITH s AS (SELECT event_type AS g, CAST(ts AS DATE) AS ds, $ExactSumY AS y FROM events GROUP BY 1, 2)"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------ statistics
+    "ts_stats_by" -> ((s, dir) => {
+      TsStatsOp.statsBy(dailyEvents(s, dir), "g", "ds", "y", "1d")
+        .select(col("g"), col("length"), col("n_nulls"), col("n_zeros"), col("n_positive"),
+          col("n_negative"), col("n_unique_values"), col("is_constant"),
+          round(col("mean"), 6).as("mean"), round(col("median"), 6).as("median"),
+          round(col("std_dev"), 6).as("std_dev"), round(col("variance"), 4).as("variance"),
+          round(col("min"), 6).as("min"), round(col("max"), 6).as("max"),
+          round(col("range"), 6).as("range"), round(col("sum"), 4).as("sum"),
+          round(col("skewness"), 6).as("skewness"), round(col("kurtosis"), 6).as("kurtosis"),
+          round(col("trimmed_mean"), 6).as("trimmed_mean"),
+          round(col("coef_variation"), 6).as("coef_variation"),
+          round(col("q1"), 6).as("q1"), round(col("q3"), 6).as("q3"),
+          round(col("iqr"), 6).as("iqr"),
+          round(col("autocorr_lag1"), 6).as("autocorr_lag1"),
+          col("expected_length"), col("n_gaps"))
+    }),
+    // full 36-field output — exercised rows-only (entropy/stability/plateau
+    // etc. have no SQL equivalent)
+    "ts_stats_full_by" -> ((s, dir) =>
+      TsStatsOp.statsBy(dailyEvents(s, dir), "g", "ds", "y", "1d")),
+    "ts_stats_summary" -> ((s, dir) =>
+      TsStatsOp.statsSummary(TsStatsOp.statsBy(dailyEvents(s, dir), "g", "ds", "y", "1d"))
+        .select(col("n_series"), round(col("avg_length"), 6).as("avg_length"),
+          col("min_length"), col("max_length"), col("total_nulls"), col("total_nans"))),
+    "ts_quality_report" -> ((s, dir) =>
+      TsStatsOp.qualityReport(
+        TsStatsOp.statsBy(dailyEvents(s, dir), "g", "ds", "y", "1d"), 10)),
+    "ts_data_quality_by" -> ((s, dir) =>
+      TsStatsOp.dataQualityBy(dailyEvents(s, dir), "g", "ds", "y")),
+    // ------------------------------------------------ cross-validation
+    "ts_cv_folds_by" -> ((s, dir) =>
+      TsCvOp.cvFoldsBy(dailyEvents(s, dir), "g", "ds", "y", 3, 7)
+        .select(col("g"), col("ds"), round(col("y"), 6).as("y"), col("fold_id"), col("split"))),
+    "ts_backtest_snaive" -> ((s, dir) =>
+      TsCvOp.backtestAutoBy(dailyEvents(s, dir), "g", "ds", "y", 7, 2, "1d",
+        Map("method" -> "SeasonalNaive", "seasonal_period" -> "7"), "rmse")
+        .select(col("fold_id"), col("g"), col("ds"),
+          round(col("yhat"), 6).as("yhat"), round(col("actual"), 6).as("actual"),
+          round(col("error"), 6).as("error"), round(col("abs_error"), 6).as("abs_error"),
+          round(col("yhat_lower"), 4).as("yhat_lower"), round(col("yhat_upper"), 4).as("yhat_upper"),
+          col("model_name"), round(col("fold_metric_score"), 6).as("fold_metric_score"))),
+    "ts_check_leakage" -> ((s, dir) => {
+      val folds = TsCvOp.cvFoldsBy(dailyEvents(s, dir), "g", "ds", "y", 1, 7)
+      TsCvOp.checkLeakage(folds.withColumn("_is_test", col("split") === "test"),
+        "g", "ds", "_is_test")
+    }),
+    // ------------------------------------------------ hierarchy
+    "ts_aggregate_hierarchy" -> ((s, dir) => {
+      val h = t(s, dir, "events").select(
+        col("event_type").as("id1"),
+        (col("user_id") % 10).cast(StringType).as("id2"),
+        col("ts").cast(DateType).as("ds"),
+        round(col("value"), 6).cast(DecimalType(28, 6)).as("v"))
+      Hierarchy.aggregateHierarchy(h, "ds", "v", Seq("id1", "id2"))
+        .select(col("level"), col("unique_id"), col("ds"), col("v").cast(DoubleType).as("v"))
+    }),
+    "ts_combine_split_keys" -> ((s, dir) => {
+      val combined = Hierarchy.combineKeys(
+        t(s, dir, "events").select(col("event_type").as("id1"),
+          (col("user_id") % 10).cast(StringType).as("id2"),
+          col("ts").cast(DateType).as("ds"), round(col("value"), 6).as("v")),
+        "ds", "v", Seq("id1", "id2"))
+      Hierarchy.splitKeys(combined, "unique_id", 2)
+        .groupBy(col("id_part_1"), col("id_part_2"))
+        .agg(count(lit(1)).as("n"))
+    }),
+    // ------------------------------------------------ conformal
+    "ts_conformal_quantile_by" -> ((s, dir) => {
+      val w = Window.partitionBy(col("g")).orderBy(col("ds"))
+      val qUdf = udf((rs: Seq[Double]) => Conformal.conformalQuantile(rs.toArray, 0.1))
+      dailyEvents(s, dir).withColumn("r", col("y") - lag(col("y"), 1).over(w))
+        .filter(col("r").isNotNull)
+        .groupBy(col("g")).agg(collect_list(col("r")).as("_rs"))
+        .select(col("g"), round(qUdf(col("_rs")), 6).as("q"))
+    }),
+    // ------------------------------------------------ text / language
+    "lang_id" -> ((s, dir) =>
+      TextOps.languageId(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("lang_pred"))),
+    // ------------------------------------------------ rows-only coverage:
+    // near-dup detection (engine-specific hashes — no SQL oracle)
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      TextOps.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text")),
+    "dedup_simhash" -> ((s, dir) =>
+      TextOps.simHash(t(s, dir, "documents"), "text").select(col("doc_id"), col("simhash"))),
+    "dedup_embedding" -> ((s, dir) =>
+      // synthetic embeddings are near-orthogonal: use coarse buckets + a low
+      // similarity floor so the candidate path is actually exercised
+      graft.llm.SimilarityOps.lshNearPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
+        64, 0.1, nBits = 6).select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))),
+    // rows-only coverage: per-model forecasts (optimizer-driven kernels)
+    "fc_ses" -> ((s, dir) => TsForecastOp.forecastBy(
+      dailyEvents(s, dir), "g", "ds", "y", "SES", 7, "1d")),
+    "fc_ses_optimized" -> ((s, dir) => TsForecastOp.forecastBy(
+      dailyEvents(s, dir), "g", "ds", "y", "SESOptimized", 7, "1d")),
+    "fc_holt" -> ((s, dir) => TsForecastOp.forecastBy(
+      dailyEvents(s, dir), "g", "ds", "y", "Holt", 7, "1d")),
+    "fc_holt_winters" -> ((s, dir) => TsForecastOp.forecastBy(
+      dailyEvents(s, dir), "g", "ds", "y", "HoltWinters", 7, "1d",
+      Map("seasonal_period" -> "7"))),
+    "fc_seasonal_es" -> ((s, dir) => TsForecastOp.forecastBy(
+      dailyEvents(s, dir), "g", "ds", "y", "SeasonalES", 7, "1d",
+      Map("seasonal_period" -> "7"))),
+    "fc_swa" -> ((s, dir) => TsForecastOp.forecastBy(
+      dailyEvents(s, dir), "g", "ds", "y", "SeasonalWindowAverage", 7, "1d",
+      Map("seasonal_period" -> "7"))),
+    "fc_theta" -> ((s, dir) => TsForecastOp.forecastBy(
+      dailyEvents(s, dir), "g", "ds", "y", "Theta", 7, "1d")),
+    "fc_dynamic_theta" -> ((s, dir) => TsForecastOp.forecastBy(
+      dailyEvents(s, dir), "g", "ds", "y", "DynamicTheta", 7, "1d")),
+    "fc_ets" -> ((s, dir) => TsForecastOp.forecastBy(
+      dailyEvents(s, dir), "g", "ds", "y", "ETS", 7, "1d",
+      Map("seasonal_period" -> "7", "model" -> "AAA"))),
+    "fc_autoets" -> ((s, dir) => TsForecastOp.forecastBy(
+      dailyEvents(s, dir), "g", "ds", "y", "AutoETS", 7, "1d",
+      Map("seasonal_period" -> "7"))),
+    "fc_croston" -> ((s, dir) => TsForecastOp.forecastBy(
+      dailyEvents(s, dir), "g", "ds", "y", "CrostonClassic", 7, "1d")),
+    "fc_tsb" -> ((s, dir) => TsForecastOp.forecastBy(
+      dailyEvents(s, dir), "g", "ds", "y", "TSB", 7, "1d")),
+    // rows-only: changepoints
+    "ts_changepoints_bocpd_by" -> ((s, dir) =>
+      TsChangepointOp.detectChangepointsBy(dailyEvents(s, dir), "g", "ds", "y")),
+    "ts_changepoints_pelt_by" -> ((s, dir) =>
+      TsChangepointOp.peltBy(dailyEvents(s, dir), "g", "ds", "y")),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ts_stats_by" -> (SeriesCte +
+      """, base AS (
+        |  SELECT g, count(*) AS length, 0 AS n_nulls,
+        |    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n_zeros,
+        |    sum(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS n_positive,
+        |    sum(CASE WHEN y < 0 THEN 1 ELSE 0 END) AS n_negative,
+        |    count(DISTINCT y) AS n_unique_values,
+        |    count(DISTINCT y) = 1 AS is_constant,
+        |    avg(y) AS mean, quantile_cont(y, 0.5) AS median,
+        |    stddev_samp(y) AS std_dev, var_samp(y) AS variance,
+        |    min(y) AS min, max(y) AS max, max(y) - min(y) AS range, sum(y) AS sum,
+        |    quantile_cont(y, 0.25) AS q1, quantile_cont(y, 0.75) AS q3,
+        |    CASE WHEN abs(avg(y)) > 2.220446049250313e-16
+        |         THEN stddev_samp(y) / abs(avg(y)) END AS coef_variation,
+        |    CAST((max(ds) - min(ds)) + 1 AS BIGINT) AS expected_length
+        |  FROM s GROUP BY g),
+        |moments AS (
+        |  SELECT s.g,
+        |    sum(pow(s.y - b.mean, 3)) / max(b.length) AS m3,
+        |    sum(pow(s.y - b.mean, 4)) / max(b.length) AS m4,
+        |    max(b.length) AS n, max(b.std_dev) AS sd
+        |  FROM s JOIN base b ON s.g = b.g GROUP BY s.g),
+        |trimmed AS (
+        |  SELECT g, avg(y) AS trimmed_mean FROM (
+        |    SELECT g, y, row_number() OVER (PARTITION BY g ORDER BY y) AS rn,
+        |           count(*) OVER (PARTITION BY g) AS n FROM s)
+        |  WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1) GROUP BY g),
+        |acf AS (
+        |  SELECT q.g,
+        |    sum(CASE WHEN q.prev IS NOT NULL THEN (q.y - b.mean) * (q.prev - b.mean) ELSE 0 END)
+        |      / sum((q.y - b.mean) * (q.y - b.mean)) AS autocorr_lag1
+        |  FROM (SELECT g, y, lag(y) OVER (PARTITION BY g ORDER BY ds) AS prev FROM s) q
+        |  JOIN base b ON q.g = b.g GROUP BY q.g),
+        |gaps AS (
+        |  SELECT g, sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS n_gaps FROM (
+        |    SELECT g, ds - lag(ds) OVER (PARTITION BY g ORDER BY ds) AS d FROM s)
+        |  WHERE d IS NOT NULL GROUP BY g)
+        |SELECT b.g, b.length, b.n_nulls, b.n_zeros, b.n_positive, b.n_negative,
+        |  b.n_unique_values, b.is_constant,
+        |  round(b.mean, 6) AS mean, round(b.median, 6) AS median,
+        |  round(b.std_dev, 6) AS std_dev, round(b.variance, 4) AS variance,
+        |  round(b.min, 6) AS min, round(b.max, 6) AS max, round(b.range, 6) AS range,
+        |  round(b.sum, 4) AS sum,
+        |  round(m.m3 / pow(m.sd, 3) * sqrt(m.n * (m.n - 1)) / (m.n - 2), 6) AS skewness,
+        |  round((m.n - 1.0) / ((m.n - 2.0) * (m.n - 3.0)) *
+        |        ((m.n + 1.0) * (m.m4 / pow(m.sd, 4) - 3.0) + 6.0), 6) AS kurtosis,
+        |  round(t.trimmed_mean, 6) AS trimmed_mean,
+        |  round(b.coef_variation, 6) AS coef_variation,
+        |  round(b.q1, 6) AS q1, round(b.q3, 6) AS q3, round(b.q3 - b.q1, 6) AS iqr,
+        |  round(a.autocorr_lag1, 6) AS autocorr_lag1,
+        |  b.expected_length, g2.n_gaps
+        |FROM base b JOIN moments m ON b.g = m.g JOIN trimmed t ON b.g = t.g
+        |JOIN acf a ON b.g = a.g JOIN gaps g2 ON b.g = g2.g""".stripMargin),
+    "ts_stats_summary" -> (SeriesCte +
+      """, per AS (SELECT g, count(*) AS length FROM s GROUP BY g)
+        |SELECT count(*) AS n_series, round(avg(length), 6) AS avg_length,
+        |  min(length) AS min_length, max(length) AS max_length,
+        |  CAST(0 AS HUGEINT) AS total_nulls, CAST(0 AS HUGEINT) AS total_nans
+        |FROM per""".stripMargin),
+    "ts_quality_report" -> (SeriesCte +
+      """, per AS (SELECT g, count(*) AS length, count(DISTINCT y) = 1 AS is_constant
+        |           FROM s GROUP BY g)
+        |SELECT sum(CASE WHEN length >= 10 AND NOT is_constant THEN 1 ELSE 0 END) AS n_passed,
+        |  CAST(0 AS HUGEINT) AS n_nan_issues, CAST(0 AS HUGEINT) AS n_missing_issues,
+        |  sum(CASE WHEN is_constant THEN 1 ELSE 0 END) AS n_constant,
+        |  count(*) AS n_total
+        |FROM per""".stripMargin),
+    "ts_cv_folds_by" -> (SeriesCte +
+      """, b AS (
+        |  SELECT g, ds, y, row_number() OVER (PARTITION BY g ORDER BY ds) - 1 AS pos,
+        |         count(*) OVER (PARTITION BY g) AS n FROM s),
+        |f AS (SELECT b.*, fold, greatest(n - 21, 1) - 1 + (fold - 1) * 7 AS te
+        |      FROM b, (SELECT unnest(range(1, 4)) AS fold) fl)
+        |SELECT g, ds, round(y, 6) AS y, fold AS fold_id,
+        |  CASE WHEN pos <= te THEN 'train' ELSE 'test' END AS split
+        |FROM f
+        |WHERE n >= 2 AND te + 7 < n
+        |  AND (pos <= te OR (pos > te AND pos <= te + 7))""".stripMargin),
+    "ts_backtest_snaive" -> (SeriesCte +
+      """, b AS (
+        |  SELECT g, ds, y, row_number() OVER (PARTITION BY g ORDER BY ds) - 1 AS pos,
+        |         count(*) OVER (PARTITION BY g) AS n FROM s),
+        |c AS (SELECT g, n, fold, greatest(n - 14, 1) - 1 + (fold - 1) * 7 AS te
+        |      FROM (SELECT DISTINCT g, n FROM b) gb, (SELECT unnest(range(1, 3)) AS fold) fl
+        |      WHERE n >= 2 AND greatest(n - 14, 1) - 1 + (fold - 1) * 7 + 7 < n),
+        |sg AS (SELECT c.g, c.fold, stddev_pop(b.y) AS sigma
+        |       FROM c JOIN b ON b.g = c.g AND b.pos <= c.te GROUP BY c.g, c.fold),
+        |tst AS (SELECT c.g, c.fold, c.te, b.ds, b.y AS actual, b.pos - c.te AS step
+        |        FROM c JOIN b ON b.g = c.g AND b.pos > c.te AND b.pos <= c.te + 7),
+        |prd AS (SELECT t.g, t.fold, t.ds, t.actual, t.step, b2.y AS yhat, sg.sigma
+        |        FROM tst t
+        |        JOIN b b2 ON b2.g = t.g AND b2.pos = t.te - 6 + ((t.step - 1) % 7)
+        |        JOIN sg ON sg.g = t.g AND sg.fold = t.fold),
+        |fm AS (SELECT fold, sqrt(avg((actual - yhat) * (actual - yhat))) AS fms
+        |       FROM prd GROUP BY fold)
+        |SELECT p.fold AS fold_id, p.g, p.ds, round(p.yhat, 6) AS yhat,
+        |  round(p.actual, 6) AS actual, round(p.actual - p.yhat, 6) AS error,
+        |  round(abs(p.actual - p.yhat), 6) AS abs_error,
+        |  round(p.yhat - 1.96 * p.sigma * sqrt(p.step), 4) AS yhat_lower,
+        |  round(p.yhat + 1.96 * p.sigma * sqrt(p.step), 4) AS yhat_upper,
+        |  'SeasonalNaive' AS model_name, round(fm.fms, 6) AS fold_metric_score
+        |FROM prd p JOIN fm ON fm.fold = p.fold""".stripMargin),
+    "ts_check_leakage" -> (SeriesCte +
+      """, b AS (
+        |  SELECT g, ds, y, row_number() OVER (PARTITION BY g ORDER BY ds) - 1 AS pos,
+        |         count(*) OVER (PARTITION BY g) AS n FROM s),
+        |f AS (SELECT *, greatest(n - 7, 1) - 1 AS te FROM b),
+        |rows_tagged AS (
+        |  SELECT g, ds, CASE WHEN pos > te THEN TRUE ELSE FALSE END AS is_test
+        |  FROM f WHERE n >= 2 AND te + 7 < n AND pos <= te + 7),
+        |mt AS (SELECT g, min(CASE WHEN is_test THEN ds END) AS min_test FROM rows_tagged GROUP BY g)
+        |SELECT r.g, sum(CASE WHEN NOT r.is_test AND mt.min_test IS NOT NULL
+        |                     AND r.ds >= mt.min_test THEN 1 ELSE 0 END) AS n_leaked_rows,
+        |  count(*) AS n_rows,
+        |  sum(CASE WHEN NOT r.is_test AND mt.min_test IS NOT NULL
+        |           AND r.ds >= mt.min_test THEN 1 ELSE 0 END) > 0 AS has_leakage
+        |FROM rows_tagged r JOIN mt ON r.g = mt.g GROUP BY r.g""".stripMargin),
+    "ts_aggregate_hierarchy" ->
+      """WITH h AS (SELECT event_type AS id1, CAST(user_id % 10 AS VARCHAR) AS id2,
+        |                  CAST(ts AS DATE) AS ds,
+        |                  CAST(round(value, 6) AS DECIMAL(28,6)) AS v FROM events)
+        |SELECT 0 AS level, 'AGGREGATED|AGGREGATED' AS unique_id, ds, CAST(sum(v) AS DOUBLE) AS v
+        |FROM h GROUP BY ds
+        |UNION ALL
+        |SELECT 1, id1 || '|AGGREGATED', ds, CAST(sum(v) AS DOUBLE) FROM h GROUP BY id1, ds
+        |UNION ALL
+        |SELECT 2, id1 || '|' || id2, ds, CAST(sum(v) AS DOUBLE) FROM h GROUP BY id1, id2, ds""".stripMargin,
+    "ts_combine_split_keys" ->
+      """SELECT id_part_1, id_part_2, count(*) AS n FROM (
+        |  SELECT string_split(event_type || '|' || CAST(user_id % 10 AS VARCHAR), '|')[1] AS id_part_1,
+        |         string_split(event_type || '|' || CAST(user_id % 10 AS VARCHAR), '|')[2] AS id_part_2
+        |  FROM events)
+        |GROUP BY id_part_1, id_part_2""".stripMargin,
+    "ts_conformal_quantile_by" -> (SeriesCte +
+      """, w AS (SELECT g, y - lag(y) OVER (PARTITION BY g ORDER BY ds) AS r FROM s),
+        |o AS (SELECT g, abs(r) AS a,
+        |        row_number() OVER (PARTITION BY g ORDER BY abs(r)) - 1 AS rn,
+        |        count(*) OVER (PARTITION BY g) AS n
+        |      FROM w WHERE r IS NOT NULL),
+        |lv AS (SELECT g, n, least(1.0, ceil((n + 1) * 0.9) / n) * (n - 1) AS idx
+        |       FROM (SELECT DISTINCT g, n FROM o) dn)
+        |SELECT o.g,
+        |  round(max(CASE WHEN o.rn = CAST(floor(lv.idx) AS BIGINT) THEN o.a END)
+        |          * (1 - (max(lv.idx) - floor(max(lv.idx)))) +
+        |        max(CASE WHEN o.rn = least(CAST(floor(lv.idx) AS BIGINT) + 1, lv.n - 1) THEN o.a END)
+        |          * (max(lv.idx) - floor(max(lv.idx))), 6) AS q
+        |FROM o JOIN lv ON o.g = lv.g GROUP BY o.g""".stripMargin),
+    "lang_id" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) > 0 THEN 'zh'
+        |    WHEN de >= en AND de >= es AND de >= fr AND de > 0 THEN 'de'
+        |    WHEN es >= en AND es >= fr AND es > 0 THEN 'es'
+        |    WHEN fr >= en AND fr > 0 THEN 'fr'
+        |    ELSE 'en'
+        |  END AS lang_pred
+        |FROM (
+        |  SELECT doc_id, text,
+        |    (CASE WHEN lower(text) LIKE '% the %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% and %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% of %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% to %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% is %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% that %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% with %' THEN 1 ELSE 0 END) AS en,
+        |    (CASE WHEN lower(text) LIKE '% der %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% die %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% und %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% das %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% ist %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% nicht %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% ein %' THEN 1 ELSE 0 END) AS de,
+        |    (CASE WHEN lower(text) LIKE '% el %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% la %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% los %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% que %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% es %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% una %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% para %' THEN 1 ELSE 0 END) AS es,
+        |    (CASE WHEN lower(text) LIKE '% le %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% la %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% les %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% est %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% une %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% dans %' THEN 1 ELSE 0 END +
+        |     CASE WHEN lower(text) LIKE '% pour %' THEN 1 ELSE 0 END) AS fr
+        |  FROM documents)""".stripMargin,
+  )
+}

@@ -60,7 +60,9 @@ object TextOps {
     * h_i(x) = (a_i·hash64(x) + b_i) mod p. Deterministic (seeded). */
   def minHashSignature(df: DataFrame, textCol: String, numHashes: Int = 64,
                        shingleSize: Int = 5, out: String = "minhash"): DataFrame = {
-    val p = 2305843009213693951L // 2^61 - 1
+    // 2^31 - 1 (Mersenne prime): (p-1)² fits in a signed 64-bit long, so the
+    // affine hash needs no 128-bit modular multiply
+    val p = 2147483647L
     val rnd = new scala.util.Random(42)
     val coeffs = Array.fill(numHashes)((math.abs(rnd.nextLong()) % (p - 1)) + 1,
       math.abs(rnd.nextLong()) % p)
@@ -85,11 +87,11 @@ object TextOps {
       sequence(lit(0), lit(bands - 1)),
       b => xxhash64(concat_ws("_", slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.as("a")
-    val b = banded.as("b")
-    a.join(b, a("band") === b("band") && a("bucket") === b("bucket") &&
-        a(idCol) < b(idCol))
-      .select(a(idCol).as("id_a"), b(idCol).as("id_b"))
+    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = banded.select(col(idCol).as("id_b"), col("band").as("_band_b"), col("bucket").as("_bucket_b"))
+    a.join(b, col("band") === col("_band_b") && col("bucket") === col("_bucket_b") &&
+        col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
   }
 

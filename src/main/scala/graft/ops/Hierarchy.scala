@@ -1,0 +1,58 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-key hierarchy operators (reference src/table_functions/
+  * ts_combine_keys.cpp, ts_split_keys.cpp, ts_aggregate_hierarchy.cpp,
+  * ts_validate_separator.cpp).
+  */
+object Hierarchy {
+
+  /** ts_combine_keys (ts_combine_keys.cpp:134-141): join N id columns into a
+    * single `unique_id` with a separator; output (unique_id, date, value). */
+  def combineKeys(df: DataFrame, dsCol: String, yCol: String, idCols: Seq[String],
+                  separator: String = "|"): DataFrame =
+    df.select(concat_ws(separator, idCols.map(c => col(c).cast("string")): _*).as("unique_id"),
+      col(dsCol), col(yCol))
+
+  /** ts_split_keys (ts_split_keys.cpp:213-233): split `unique_id` back into
+    * parts. Part columns named id_part_1..N (or the provided names). */
+  def splitKeys(df: DataFrame, uniqueIdCol: String, nParts: Int,
+                separator: String = "|", partNames: Seq[String] = Nil): DataFrame = {
+    val names = if (partNames.nonEmpty) partNames else (1 to nParts).map(i => s"id_part_$i")
+    require(names.length == nParts, "one name per part")
+    val parts = split(col(uniqueIdCol), java.util.regex.Pattern.quote(separator))
+    names.zipWithIndex.foldLeft(df) { case (d, (n, i)) => d.withColumn(n, parts.getItem(i)) }
+  }
+
+  /** ts_aggregate_hierarchy (ts_aggregate_hierarchy.cpp:15-30): N id columns
+    * → N+1 prefix-aggregation levels per date. Level 0 = grand total with all
+    * parts 'AGGREGATED'; level k keeps the first k ids. Values summed.
+    * Implemented as Spark `rollup` (exactly the prefix hierarchy) with
+    * AGGREGATED fill — one shuffle, no N-fold union. */
+  def aggregateHierarchy(df: DataFrame, dsCol: String, yCol: String,
+                         idCols: Seq[String], separator: String = "|"): DataFrame = {
+    val rolled = df.rollup(col(dsCol) +: idCols.map(col): _*)
+      .agg(sum(col(yCol)).as(yCol))
+      // rollup emits the all-null grand total (no dsCol) row too — drop it
+      .filter(col(dsCol).isNotNull)
+    val level = idCols.map(c => when(col(c).isNotNull, 1).otherwise(0)).reduce(_ + _)
+    val filled = idCols.map(c => coalesce(col(c).cast("string"), lit("AGGREGATED")))
+    rolled.select(
+      level.as("level"),
+      concat_ws(separator, filled: _*).as("unique_id"),
+      col(dsCol), col(yCol))
+  }
+
+  /** ts_validate_separator (ts_validate_separator.cpp:266): count key values
+    * containing the separator (must be 0 for round-trippable keys). */
+  def validateSeparator(df: DataFrame, idCols: Seq[String], separator: String = "|"): DataFrame = {
+    val offending: Column = idCols.map(c =>
+      when(col(c).cast("string").contains(separator), 1).otherwise(0)).reduce(_ + _)
+    df.agg(
+      sum(when(offending > 0, 1).otherwise(0)).as("n_invalid_rows"),
+      count(lit(1)).as("n_total"))
+      .withColumn("is_valid", col("n_invalid_rows") === 0)
+  }
+}

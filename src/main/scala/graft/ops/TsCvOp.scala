@@ -1,0 +1,218 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.kernels.Forecast
+import graft.types.Frequency
+
+/** Cross-validation / backtesting operators.
+  *
+  * Fold semantics are position-based PER GROUP (0-indexed over each group's
+  * date-sorted rows), matching _ts_cv_folds_native
+  * (ts_cv_folds_native.cpp:523-650): initial train size defaults so the last
+  * fold's test window ends at the data end; `skip_length` defaults to the
+  * horizon; `window_type` ∈ expanding | fixed | sliding; folds that don't fit
+  * are dropped (`clip_horizon` keeps partially-fitting last tests).
+  *
+  * Spark shape: row_number + count windows give (pos, n) per row; rows are
+  * multiplied by the fold ids they belong to via explode — fully distributed,
+  * no per-group materialization or driver-side boundary computation.
+  */
+object TsCvOp {
+
+  final case class CvParams(
+      gap: Long = 0, embargo: Long = 0, windowType: String = "expanding",
+      minTrainSize: Long = 1, initialTrainSize: Long = -1, skipLength: Long = -1,
+      clipHorizon: Boolean = false)
+
+  val validCvKeys: Set[String] = Set("gap", "embargo", "window_type", "min_train_size",
+    "initial_train_size", "skip_length", "clip_horizon")
+
+  def parseCvParams(params: Map[String, String]): CvParams = {
+    val unknown = params.keySet -- validCvKeys
+    if (unknown.nonEmpty)
+      throw new IllegalArgumentException(
+        s"ts_cv_folds_by: Unknown parameter(s): ${unknown.toSeq.sorted.mkString(", ")}. " +
+          s"Valid: ${validCvKeys.toSeq.sorted.mkString(", ")}")
+    CvParams(
+      gap = params.getOrElse("gap", "0").toLong,
+      embargo = params.getOrElse("embargo", "0").toLong,
+      windowType = params.getOrElse("window_type", "expanding"),
+      minTrainSize = params.getOrElse("min_train_size", "1").toLong,
+      initialTrainSize = params.getOrElse("initial_train_size", "-1").toLong,
+      skipLength = params.getOrElse("skip_length", "-1").toLong,
+      clipHorizon = params.get("clip_horizon").exists(_.toBoolean))
+  }
+
+  /** ts_cv_folds_by: rows tagged (fold_id, split ∈ train|test). */
+  def cvFoldsBy(df: DataFrame, groupCol: String, dsCol: String, yCol: String,
+                nFolds: Int, horizon: Int, params: Map[String, String] = Map.empty): DataFrame = {
+    val p = parseCvParams(params)
+    require(Set("expanding", "fixed", "sliding").contains(p.windowType),
+      s"window_type must be expanding|fixed|sliding, got '${p.windowType}'")
+    val isFixed = p.windowType == "fixed" || p.windowType == "sliding"
+    val skip = if (p.skipLength > 0) p.skipLength else horizon.toLong
+
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(dsCol))
+    val wAll = Window.partitionBy(col(groupCol))
+    val base = df
+      .withColumn("_pos", row_number().over(w) - 1)
+      .withColumn("_n", count(lit(1)).over(wAll))
+      .filter(col("_n") >= 2)
+      .filter(if (isFixed) col("_n") >= p.minTrainSize else lit(true))
+
+    val init: Column =
+      if (p.initialTrainSize > 0) lit(p.initialTrainSize)
+      else {
+        val auto = greatest(col("_n") - lit(horizon.toLong * nFolds), lit(1L))
+        if (isFixed) greatest(auto, lit(p.minTrainSize)) else auto
+      }
+
+    val folded = base
+      .withColumn("_fold", explode(sequence(lit(1L), lit(nFolds.toLong))))
+      .withColumn("_train_end", init - 1 + (col("_fold") - 1) * lit(skip))
+      .withColumn("_test_start", col("_train_end") + 1 + lit(p.gap))
+      .withColumn("_test_end", least(col("_test_start") + lit(horizon - 1), col("_n") - 1))
+
+    val foldValid =
+      (if (isFixed) col("_train_end") + 1 >= p.minTrainSize else lit(true)) &&
+        (if (p.clipHorizon) col("_test_start") < col("_n")
+         else col("_test_start") + lit(horizon - 1) < col("_n"))
+
+    val trainStart: Column =
+      if (isFixed) greatest(col("_train_end") + 1 - p.minTrainSize, lit(0L)) else lit(0L)
+    val isTrain = col("_pos") >= trainStart && col("_pos") <= col("_train_end")
+    val isTest = col("_pos") >= col("_test_start") && col("_pos") <= col("_test_end")
+
+    folded.filter(foldValid && (isTrain || isTest))
+      .select(col(groupCol), col(dsCol), col(yCol),
+        col("_fold").as("fold_id"),
+        when(isTrain, "train").otherwise("test").as("split"))
+  }
+
+  /** Forecast step row used by the CV path. */
+  final case class CvFcStep(step: Int, yhat: Double, yhat_lower: Double,
+                            yhat_upper: Double, model_name: String)
+
+  /** ts_cv_forecast_by: fit per (fold, group) on train rows, predict at the
+    * existing test-row dates (horizon = test-row count). Output preserves all
+    * fold rows: (fold_id, group, ds, y, split, yhat, yhat_lower, yhat_upper,
+    * model_name) (ts_cv_forecast_native.cpp:461-485). */
+  def cvForecastBy(folds: DataFrame, groupCol: String, dsCol: String, yCol: String,
+                   method: String, params: Map[String, String] = Map.empty): DataFrame = {
+    val opts = Forecast.optionsFromParams(method, 1, params)
+    val dsType = folds.schema(dsCol).dataType
+
+    val train = folds.filter(col("split") === "train")
+    val test = folds.filter(col("split") === "test")
+
+    val testCounts = test.groupBy(col("fold_id"), col(groupCol))
+      .agg(count(lit(1)).cast(IntegerType).as("_h"))
+
+    val gathered = train
+      .filter(col(dsCol).isNotNull)
+      .groupBy(col("fold_id"), col(groupCol))
+      .agg(sort_array(collect_list(struct(
+        Series.toMicros(col(dsCol), dsType).as("t"),
+        coalesce(col(yCol).cast(DoubleType), lit(Double.NaN)).as("v"),
+        col(yCol).isNull.as("nu")))).as("_s"))
+      .join(testCounts, Seq("fold_id", groupCol))
+
+    val fcUdf = udf((vs: Seq[Double], nu: Seq[Boolean], h: Int) => {
+      try {
+        val out = Forecast.forecast(vs.toArray, nu.map(!_).toArray, opts.copy(horizon = h))
+        Some((0 until out.point.length).map(i =>
+          CvFcStep(i + 1, out.point(i), out.lower(i), out.upper(i), out.modelName)))
+      } catch {
+        case _: Forecast.InsufficientData | _: Forecast.ComputationError => None
+      }
+    })
+
+    val preds = gathered
+      .select(col("fold_id"), col(groupCol),
+        explode(fcUdf(col("_s.v"), col("_s.nu"), col("_h"))).as("_p"))
+      .select(col("fold_id"), col(groupCol), col("_p.step").as("_step"),
+        col("_p.yhat").as("yhat"), col("_p.yhat_lower").as("yhat_lower"),
+        col("_p.yhat_upper").as("yhat_upper"), col("_p.model_name").as("model_name"))
+
+    val wTest = Window.partitionBy(col("fold_id"), col(groupCol)).orderBy(col(dsCol))
+    val testWithStep = test.withColumn("_step", row_number().over(wTest))
+      .join(preds, Seq("fold_id", groupCol, "_step"), "left")
+      .drop("_step")
+    val trainOut = train
+      .withColumn("yhat", lit(null).cast(DoubleType))
+      .withColumn("yhat_lower", lit(null).cast(DoubleType))
+      .withColumn("yhat_upper", lit(null).cast(DoubleType))
+      .withColumn("model_name", lit(null).cast(StringType))
+
+    trainOut.unionByName(testWithStep)
+      .select(col("fold_id"), col(groupCol), col(dsCol), col(yCol), col("split"),
+        col("yhat"), col("yhat_lower"), col("yhat_upper"), col("model_name"))
+  }
+
+  /** Per-fold metric (across all groups, ts_backtest_native.cpp:280-350,
+    * :876-886): mae | mse | rmse | mape | smape | coverage. */
+  private def foldMetric(metric: String, w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    val err = col("actual") - col("yhat")
+    metric match {
+      case "mae" => avg(abs(err)).over(w)
+      case "mse" => avg(err * err).over(w)
+      case "rmse" => sqrt(avg(err * err).over(w))
+      case "mape" => avg(when(col("actual") =!= 0, abs(err / col("actual")))).over(w) * 100.0
+      case "smape" => avg(when(abs(col("actual")) + abs(col("yhat")) =!= 0,
+        lit(2.0) * abs(err) / (abs(col("actual")) + abs(col("yhat"))))).over(w) * 100.0
+      case "coverage" => avg(when(col("actual") >= col("yhat_lower") &&
+        col("actual") <= col("yhat_upper"), 1.0).otherwise(0.0)).over(w)
+      case other => throw new IllegalArgumentException(
+        s"Unknown metric '$other' (mae|mse|rmse|mape|smape|coverage)")
+    }
+  }
+
+  /** ts_backtest_auto_by: folds → per-(fold,group) fit/predict → error columns
+    * + per-fold metric. Output (fold_id, group, ds, yhat, actual, error,
+    * abs_error, yhat_lower, yhat_upper, model_name, fold_metric_score)
+    * (ts_backtest_native.cpp:447-478). */
+  def backtestAutoBy(df: DataFrame, groupCol: String, dsCol: String, yCol: String,
+                     horizon: Int, nFolds: Int, frequency: String = "1d",
+                     params: Map[String, String] = Map.empty, metric: String = "rmse"): DataFrame = {
+    val (cvKeys, fcKeys) = params.partition { case (k, _) => validCvKeys.contains(k) }
+    val folds = cvFoldsBy(df, groupCol, dsCol, yCol, nFolds, horizon, cvKeys)
+    val method = fcKeys.getOrElse("method", "AutoETS")
+    val fc = cvForecastBy(folds, groupCol, dsCol, yCol, method, fcKeys - "method")
+    val test = fc.filter(col("split") === "test" && col("yhat").isNotNull)
+      .withColumn("actual", col(yCol).cast(DoubleType))
+      .withColumn("error", col("actual") - col("yhat"))
+      .withColumn("abs_error", abs(col("error")))
+    val wFold = Window.partitionBy(col("fold_id"))
+    test
+      .withColumn("fold_metric_score", foldMetric(metric, wFold))
+      .select(col("fold_id"), col(groupCol), col(dsCol), col("yhat"), col("actual"),
+        col("error"), col("abs_error"), col("yhat_lower"), col("yhat_upper"),
+        col("model_name"), col("fold_metric_score"))
+  }
+
+  /** ts_check_leakage (ts_macros.cpp:1319): per-group counts of train rows
+    * dated after the first test row. */
+  def checkLeakage(df: DataFrame, groupCol: String, dsCol: String, isTestCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+    df.withColumn("_min_test", min(when(col(isTestCol), col(dsCol))).over(w))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(!col(isTestCol) && col("_min_test").isNotNull &&
+          col(dsCol) >= col("_min_test"), 1).otherwise(0)).as("n_leaked_rows"),
+        count(lit(1)).as("n_rows"))
+      .withColumn("has_leakage", col("n_leaked_rows") > 0)
+  }
+
+  /** ts_estimate_backtest_memory (metrics.cpp:1081-1111): rough MB estimate. */
+  def estimateBacktestMemory(nSeries: Long, seriesLength: Long, folds: Int, horizon: Int): Double = {
+    // per-group buffering of one series + fold outputs, 8 bytes per double,
+    // ~4 working copies — mirrors the reference's coarse O(group) contract
+    val perSeries = seriesLength * 8.0 * 4.0
+    val outputs = folds.toLong * horizon * 11 * 8.0
+    (nSeries * 0.0 + perSeries + nSeries * outputs) / 1e6
+  }
+}
