@@ -56,22 +56,51 @@ object TextOps {
       i => norm.substr(i + 1, lit(n))))
   }
 
+  /** Deterministic 64-bit shingle hashes of normalized text (pure Scala —
+    * a single compiled pass; the expression-tree version re-extracted all
+    * substrings once per hash family, a 60x slowdown at sf0.01). */
+  private[llm] def shingleHashSet(text: String, n: Int): Array[Long] = {
+    val norm = text.toLowerCase.replaceAll("\\s+", " ")
+    if (norm.length < n) return Array.empty
+    val seen = new java.util.HashSet[Long]()
+    val out = Array.newBuilder[Long]
+    var i = 0
+    while (i + n <= norm.length) {
+      val sh = norm.substring(i, i + n)
+      val h1 = scala.util.hashing.MurmurHash3.stringHash(sh, 0x9747b28c)
+      val h2 = scala.util.hashing.MurmurHash3.stringHash(sh, 0x85ebca6b)
+      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      if (seen.add(h)) out += h
+      i += 1
+    }
+    out.result()
+  }
+
   /** MinHash signature of the shingle set using k independent hash families
-    * h_i(x) = (a_i·hash64(x) + b_i) mod p. Deterministic (seeded). */
+    * h_i(x) = (a_i*hash(x) + b_i) mod p with p = 2^31-1. Deterministic. */
   def minHashSignature(df: DataFrame, textCol: String, numHashes: Int = 64,
                        shingleSize: Int = 5, out: String = "minhash"): DataFrame = {
-    // 2^31 - 1 (Mersenne prime): (p-1)² fits in a signed 64-bit long, so the
-    // affine hash needs no 128-bit modular multiply
     val p = 2147483647L
     val rnd = new scala.util.Random(42)
-    val coeffs = Array.fill(numHashes)((math.abs(rnd.nextLong()) % (p - 1)) + 1,
-      math.abs(rnd.nextLong()) % p)
-    val sh = shingles(col(textCol), shingleSize)
-    val sig = transform(
-      lit(coeffs.map(_._1)),
-      (a, i) => array_min(transform(sh,
-        x => pmod(pmod(xxhash64(x), lit(p)) * a + element_at(lit(coeffs.map(_._2)), i + 1), lit(p)))))
-    df.withColumn(out, sig)
+    val as = Array.fill(numHashes)((math.abs(rnd.nextLong()) % (p - 1)) + 1)
+    val bs = Array.fill(numHashes)(math.abs(rnd.nextLong()) % p)
+    val sigUdf = udf((text: String) => {
+      val hs = shingleHashSet(if (text == null) "" else text, shingleSize)
+      val sig = Array.fill(numHashes)(p)
+      var j = 0
+      while (j < hs.length) {
+        val base = java.lang.Long.remainderUnsigned(hs(j), p)
+        var i = 0
+        while (i < numHashes) {
+          val v = (base * as(i) + bs(i)) % p
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+        j += 1
+      }
+      sig
+    })
+    df.withColumn(out, sigUdf(col(textCol)))
   }
 
   /** MinHash-LSH near-duplicate candidate pairs: band the signature, shuffle
@@ -114,15 +143,24 @@ object TextOps {
     * Near-dups have small Hamming distance. */
   def simHash(df: DataFrame, textCol: String, shingleSize: Int = 5,
               out: String = "simhash"): DataFrame = {
-    val sh = shingles(col(textCol), shingleSize)
-    val hashes = transform(sh, x => xxhash64(x))
-    // for each of 64 bits: sum(+1/-1) over feature hashes, take the sign bit
-    val sig = (0 until 64).map { b =>
-      when(aggregate(hashes, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1L).otherwise(-1L)) > 0,
-        lit(1L << b)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    df.withColumn(out, sig)
+    val simUdf = udf((text: String) => {
+      val hs = shingleHashSet(if (text == null) "" else text, shingleSize)
+      val counts = new Array[Int](64)
+      var j = 0
+      while (j < hs.length) {
+        var b = 0
+        while (b < 64) {
+          if (((hs(j) >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        j += 1
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+      sig
+    })
+    df.withColumn(out, simUdf(col(textCol)))
   }
 
   /** Rolling-hash document fingerprint (winnowing-style): min xxhash64 of
