@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{TsDecompositionOp, TsFeaturesOp, TsForecastOp, TsPrep}
+
+/** Third batch: decomposition/detrend/periods/peaks, features, the remaining
+  * model zoo (ARIMA/AutoARIMA, MSTL/MFLES/TBATS, Laplace, intermittent
+  * variants), and fill-forward. */
+object SparkEntryV3 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  private def exactSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(round(c, 6).cast(DecimalType(28, 6))).cast(DoubleType)
+
+  private def dailyEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type").as("g"), col("ts").cast(DateType).as("ds"))
+      .agg(exactSum(col("value")).as("y"))
+
+  private def purchaseSeries(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events").filter(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("g"), col("ts").cast(DateType).as("ds"))
+      .agg(exactSum(col("value")).as("y"))
+
+  private val ExactSumY = "CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)"
+  private val SeriesCte =
+    s"WITH s AS (SELECT event_type AS g, CAST(ts AS DATE) AS ds, $ExactSumY AS y FROM events GROUP BY 1, 2)"
+  private val PurchaseCte =
+    s"WITH p AS (SELECT user_id AS g, CAST(ts AS DATE) AS ds, $ExactSumY AS y FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)"
+
+  private def fcQuery(method: String, params: Map[String, String] = Map.empty):
+      (SparkSession, String) => DataFrame =
+    (s, dir) => TsForecastOp.forecastBy(dailyEvents(s, dir), "g", "ds", "y",
+      method, 7, "1d", params)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------ detrend (oracle: linear)
+    "ts_detrend_linear_by" -> ((s, dir) =>
+      TsDecompositionOp.detrendBy(dailyEvents(s, dir), "g", "ds", "y", "linear")
+        .select(col("g"), col("ds"), round(col("y"), 6).as("y"),
+          round(col("trend"), 6).as("trend"),
+          round(col("detrended"), 6).as("detrended"), col("method"))),
+    "ts_detrend_auto_by" -> ((s, dir) =>
+      TsDecompositionOp.detrendBy(dailyEvents(s, dir), "g", "ds", "y", "auto")),
+    // ------------------------------------------------ decomposition / periods / peaks
+    "ts_mstl_decomposition_by" -> ((s, dir) =>
+      TsDecompositionOp.mstlDecompositionBy(dailyEvents(s, dir), "g", "ds", "y", Seq(7))),
+    "ts_detect_periods_fft_by" -> ((s, dir) =>
+      TsDecompositionOp.detectPeriodsBy(dailyEvents(s, dir), "g", "ds", "y", "fft",
+        minConfidence = Some(0.0))),
+    "ts_detect_periods_acf_by" -> ((s, dir) =>
+      TsDecompositionOp.detectPeriodsBy(dailyEvents(s, dir), "g", "ds", "y", "acf",
+        minConfidence = Some(0.0))),
+    "ts_detect_periods_autoperiod_by" -> ((s, dir) =>
+      TsDecompositionOp.detectPeriodsBy(dailyEvents(s, dir), "g", "ds", "y", "autoperiod",
+        minConfidence = Some(0.0))),
+    "ts_detect_peaks_by" -> ((s, dir) =>
+      TsDecompositionOp.detectPeaksBy(dailyEvents(s, dir), "g", "ds", "y")),
+    "ts_analyze_peak_timing_by" -> ((s, dir) =>
+      TsDecompositionOp.analyzePeakTimingBy(dailyEvents(s, dir), "g", "ds", "y", 7.0)),
+    // ------------------------------------------------ features
+    "ts_features_by" -> ((s, dir) =>
+      TsFeaturesOp.featuresBy(dailyEvents(s, dir), "g", "ds", "y",
+        Seq("length", "sum", "mean", "minimum", "maximum", "range", "median",
+          "quantile_0.25", "quantile_0.75", "count_above_mean", "count_below_mean",
+          "first_value", "last_value", "mean_change", "mean_abs_change",
+          "absolute_sum_of_changes", "count_unique"))
+        .select(col("g"), col("length"), round(col("sum"), 4).as("sum"),
+          round(col("mean"), 6).as("mean"), round(col("minimum"), 6).as("minimum"),
+          round(col("maximum"), 6).as("maximum"), round(col("range"), 6).as("range"),
+          round(col("median"), 6).as("median"),
+          round(col("`quantile_0.25`"), 6).as("q25"),
+          round(col("`quantile_0.75`"), 6).as("q75"),
+          col("count_above_mean"), col("count_below_mean"),
+          round(col("first_value"), 6).as("first_value"),
+          round(col("last_value"), 6).as("last_value"),
+          round(col("mean_change"), 6).as("mean_change"),
+          round(col("mean_abs_change"), 6).as("mean_abs_change"),
+          round(col("absolute_sum_of_changes"), 4).as("absolute_sum_of_changes"),
+          col("count_unique"))),
+    "ts_features_full_by" -> ((s, dir) =>
+      TsFeaturesOp.featuresBy(dailyEvents(s, dir), "g", "ds", "y")),
+    // ------------------------------------------------ fill forward (oracle)
+    "ts_fill_forward_by" -> ((s, dir) =>
+      TsPrep.fillForwardBy(purchaseSeries(s, dir), "g", "ds", "y", "2024-02-10", "1d")
+        .select(col("g"), col("ds"), round(col("y"), 6).as("y"))),
+    // ------------------------------------------------ remaining model zoo (rows-only)
+    "fc_arima" -> fcQuery("ARIMA"),
+    "fc_autoarima" -> fcQuery("AutoARIMA", Map("seasonal_period" -> "7")),
+    "fc_mstl" -> fcQuery("MSTL", Map("seasonal_periods" -> "7")),
+    "fc_mfles" -> fcQuery("MFLES", Map("seasonal_periods" -> "7")),
+    "fc_tbats" -> fcQuery("TBATS", Map("seasonal_periods" -> "7")),
+    "fc_laplace" -> fcQuery("Laplace", Map("seasonal_period" -> "7")),
+    "fc_autotheta" -> fcQuery("AutoTheta"),
+    "fc_optimized_theta" -> fcQuery("OptimizedTheta"),
+    "fc_dynamic_optimized_theta" -> fcQuery("DynamicOptimizedTheta"),
+    "fc_croston_optimized" -> fcQuery("CrostonOptimized"),
+    "fc_croston_sba" -> fcQuery("CrostonSBA"),
+    "fc_adida" -> fcQuery("ADIDA"),
+    "fc_imapa" -> fcQuery("IMAPA"),
+    "fc_ses_seasonal_opt" -> fcQuery("SeasonalESOptimized", Map("seasonal_period" -> "7")),
+    // single-series API (rows-only: LIST outputs)
+    "ts_forecast_single" -> ((s, dir) =>
+      TsForecastOp.forecastSingle(
+        dailyEvents(s, dir).filter(col("g") === "click"), "ds", "y", "Naive", 5)),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ts_detrend_linear_by" -> (SeriesCte +
+      """, b AS (SELECT g, ds, y, row_number() OVER (PARTITION BY g ORDER BY ds) - 1 AS t
+        |         FROM s),
+        |m AS (SELECT g, avg(y) AS ym, avg(t) AS tm FROM b GROUP BY g),
+        |reg AS (SELECT b.g,
+        |          sum((b.t - m.tm) * (b.y - m.ym)) / sum((b.t - m.tm) * (b.t - m.tm)) AS slope,
+        |          max(m.ym) AS ym, max(m.tm) AS tm
+        |        FROM b JOIN m ON b.g = m.g GROUP BY b.g)
+        |SELECT b.g, b.ds, round(b.y, 6) AS y,
+        |  round(r.ym + r.slope * (b.t - r.tm), 6) AS trend,
+        |  round(b.y - (r.ym + r.slope * (b.t - r.tm)), 6) AS detrended,
+        |  'linear' AS method
+        |FROM b JOIN reg r ON b.g = r.g""".stripMargin),
+    "ts_features_by" -> (SeriesCte +
+      """, w AS (SELECT g, y, lag(y) OVER (PARTITION BY g ORDER BY ds) AS prev,
+        |         first_value(y) OVER (PARTITION BY g ORDER BY ds
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS fv,
+        |         last_value(y) OVER (PARTITION BY g ORDER BY ds
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
+        |       FROM s),
+        |m AS (SELECT g, avg(y) AS mean FROM s GROUP BY g)
+        |SELECT w.g, count(*) AS length,
+        |  round(sum(w.y), 4) AS sum, round(avg(w.y), 6) AS mean,
+        |  round(min(w.y), 6) AS minimum, round(max(w.y), 6) AS maximum,
+        |  round(max(w.y) - min(w.y), 6) AS range,
+        |  round(quantile_cont(w.y, 0.5), 6) AS median,
+        |  round(quantile_cont(w.y, 0.25), 6) AS q25,
+        |  round(quantile_cont(w.y, 0.75), 6) AS q75,
+        |  CAST(sum(CASE WHEN w.y > m.mean THEN 1 ELSE 0 END) AS DOUBLE) AS count_above_mean,
+        |  CAST(sum(CASE WHEN w.y < m.mean THEN 1 ELSE 0 END) AS DOUBLE) AS count_below_mean,
+        |  round(max(w.fv), 6) AS first_value, round(max(w.lv), 6) AS last_value,
+        |  round((max(w.lv) - max(w.fv)) / (count(*) - 1), 6) AS mean_change,
+        |  round(avg(abs(w.y - w.prev)), 6) AS mean_abs_change,
+        |  round(sum(CASE WHEN w.prev IS NOT NULL THEN abs(w.y - w.prev) ELSE 0 END), 4)
+        |    AS absolute_sum_of_changes,
+        |  CAST(count(DISTINCT w.y) AS DOUBLE) AS count_unique
+        |FROM w JOIN m ON w.g = m.g
+        |GROUP BY w.g""".stripMargin),
+    "ts_fill_forward_by" -> (PurchaseCte +
+      """, mx AS (SELECT g, max(ds) AS last_ds FROM p GROUP BY g),
+        |ext AS (
+        |  SELECT g, CAST(unnest(generate_series(CAST(last_ds + 1 AS TIMESTAMP),
+        |           TIMESTAMP '2024-02-10 00:00:00', INTERVAL 1 DAY)) AS DATE) AS ds,
+        |         CAST(NULL AS DOUBLE) AS y
+        |  FROM mx WHERE last_ds < DATE '2024-02-10')
+        |SELECT g, ds, round(y, 6) AS y FROM p
+        |UNION ALL SELECT g, ds, y FROM ext""".stripMargin),
+  )
+}

@@ -197,6 +197,24 @@ object Forecast {
       case "IMAPA" => (imapa(clean, h), "IMAPA", None, None)
       case "ETS" => Ets.forecastEts(clean, h, period, opts.etsSpec)
       case "AutoETS" => Ets.autoEts(clean, h, period, opts.modelPool)
+      case "ARIMA" => Arima.forecastArima(clean, h)
+      case "AutoARIMA" => Arima.autoArima(clean, h, period)
+      case "MSTL" | "AutoMSTL" =>
+        (MultiSeasonal.mstlForecast(clean, h,
+          if (opts.seasonalPeriods.nonEmpty) opts.seasonalPeriods else Seq(period)),
+          if (opts.model == "AutoMSTL") "AutoMSTL" else "MSTL", None, None)
+      case "MFLES" | "AutoMFLES" =>
+        (MultiSeasonal.mflesForecast(clean, h,
+          if (opts.seasonalPeriods.nonEmpty) opts.seasonalPeriods else Seq(period)),
+          if (opts.model == "AutoMFLES") "AutoMFLES" else "MFLES", None, None)
+      case "TBATS" | "AutoTBATS" =>
+        (MultiSeasonal.tbatsForecast(clean, h,
+          if (opts.seasonalPeriods.nonEmpty) opts.seasonalPeriods else Seq(period)),
+          if (opts.model == "AutoTBATS") "AutoTBATS" else "TBATS", None, None)
+      case "AutoTheta" =>
+        (theta(clean, h, period, dynamic = true, optimizeTheta = true), "AutoTheta", None, None)
+      case "Laplace" =>
+        (MultiSeasonal.laplaceForecast(clean, h, period), "Laplace", None, None)
       case other =>
         throw new InvalidModel(s"Model '$other' is not implemented yet")
     }

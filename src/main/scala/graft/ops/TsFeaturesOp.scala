@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.kernels.{Features, Imputation}
+
+/** Feature-extraction operators (reference ts_features.cpp:55 — one output
+  * column per feature, named from the catalog; ts_features_list catalog fn
+  * :160-173). The output schema is computed at plan time from the requested
+  * feature list (dynamic-schema contract, SURVEY.md §2.10). */
+object TsFeaturesOp {
+
+  /** ts_features_by: one wide row per group with one column per requested
+    * feature (default: the full 117-feature catalog). */
+  def featuresBy(df: DataFrame, groupCol: String, dsCol: String, yCol: String,
+                 features: Seq[String] = Features.allNames): DataFrame = {
+    val unknown = features.filterNot(Features.allNames.contains)
+    require(unknown.isEmpty, s"Unknown feature(s): ${unknown.mkString(", ")}")
+    val fUdf = udf((vs: Seq[Double], nu: Seq[Boolean]) => {
+      val clean = Imputation.fillInterpolate(vs.toArray, nu.map(!_).toArray)
+      if (clean.exists(_.isNaN)) None
+      else {
+        val all = Features.extract(clean)
+        Some(features.map(all(_)))
+      }
+    })
+    val gathered = Series.gather(df, groupCol, dsCol, yCol)
+      .select(col(groupCol), fUdf(col("_vs"), col("_nu")).as("_f"))
+      .filter(col("_f").isNotNull)
+    val cols = col(groupCol) +: features.zipWithIndex.map { case (name, i) =>
+      element_at(col("_f"), i + 1).as(name)
+    }
+    gathered.select(cols: _*)
+  }
+
+  /** ts_features_list: the feature catalog as a one-column table. */
+  def featuresList(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Features.allNames.toDF("feature_name")
+  }
+}
