@@ -1,0 +1,213 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.agg.Aggregators
+import graft.kernels.{Conformal, Imputation, SeasonalityExt}
+import graft.ops.{Series, TsCvOp, TsExogOp, TsForecastOp}
+
+/** Fourth batch: aggregate-function API, introspection, exogenous
+  * forecasting, explicit-cutoff CV splits + hydrate, extended seasonality
+  * analysis, bootstrap intervals. */
+object SparkEntryV4 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  private def exactSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(round(c, 6).cast(DecimalType(28, 6))).cast(DoubleType)
+
+  /** Daily series with TIMESTAMP ds (for the aggregate API). */
+  private def dailyEventsTs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type").as("g"), date_trunc("day", col("ts")).as("ds"))
+      .agg(exactSum(col("value")).as("y"))
+
+  private def dailyEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type").as("g"), col("ts").cast(DateType).as("ds"))
+      .agg(exactSum(col("value")).as("y"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ------------------------------------------------ aggregate API (SQL UDAF)
+    "ts_forecast_agg_sql" -> ((s, dir) => {
+      Aggregators.registerAll(s)
+      dailyEventsTs(s, dir).createOrReplaceTempView("_agg_events")
+      s.sql("""SELECT g, fc.model_name, size(fc.point_forecasts) AS n_points,
+              |       size(fc.insample_fitted) AS n_fitted
+              |FROM (SELECT g, ts_forecast_agg(ds, y) AS fc
+              |      FROM _agg_events GROUP BY g) t""".stripMargin)
+    }),
+    "ts_stats_agg_sql" -> ((s, dir) => {
+      Aggregators.registerAll(s)
+      dailyEventsTs(s, dir).createOrReplaceTempView("_agg_events2")
+      s.sql("""SELECT g, st.length, st.n_nulls, round(st.mean, 6) AS mean,
+              |       round(st.std_dev, 6) AS std_dev
+              |FROM (SELECT g, ts_stats_agg(ds, y) AS st
+              |      FROM _agg_events2 GROUP BY g) t""".stripMargin)
+    }),
+    // ------------------------------------------------ introspection
+    "ts_forecast_inspect_by" -> ((s, dir) =>
+      TsForecastOp.forecastInspectBy(dailyEvents(s, dir), "g", "ds", "y", "AutoETS",
+        Map("seasonal_period" -> "7"))),
+    "ts_forecast_explain_by" -> ((s, dir) =>
+      TsForecastOp.forecastExplainBy(dailyEvents(s, dir), "g", "ds", "y", "AutoETS", 7,
+        Map("seasonal_period" -> "7"))),
+    // ------------------------------------------------ exogenous forecasting
+    "ts_forecast_exog_by" -> ((s, dir) => {
+      // regressors: day-of-week indicator + running index, futures on a 7-day horizon
+      val hist = dailyEvents(s, dir)
+        .withColumn("x_dow", dayofweek(col("ds")).cast(DoubleType))
+        .withColumn("x_t", datediff(col("ds"), lit("2024-01-01").cast(DateType)).cast(DoubleType))
+      val maxDs = java.sql.Date.valueOf("2024-01-30")
+      val future = dailyEvents(s, dir).groupBy(col("g"))
+        .agg(max(col("ds")).as("_mx"))
+        .select(col("g"), explode(sequence(lit(1), lit(7))).as("_h"), col("_mx"))
+        .select(col("g"), date_add(col("_mx"), col("_h")).as("ds"))
+        .withColumn("x_dow", dayofweek(col("ds")).cast(DoubleType))
+        .withColumn("x_t", datediff(col("ds"), lit("2024-01-01").cast(DateType)).cast(DoubleType))
+      TsExogOp.forecastExogBy(hist, "g", "ds", "y", Seq("x_dow", "x_t"),
+        future, "ds", Seq("x_dow", "x_t"), "Naive", 7, "1d")
+    }),
+    // ------------------------------------------------ explicit-cutoff CV + hydrate
+    "ts_cv_split_by" -> ((s, dir) =>
+      TsCvOp.cvSplitBy(dailyEvents(s, dir), "g", "ds", "y",
+        Seq(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-22 00:00:00")), 5)
+        .select(col("g"), col("ds"), round(col("y"), 6).as("y"), col("fold_id"), col("split"))),
+    "ts_cv_split_folds_by" -> ((s, dir) =>
+      TsCvOp.cvSplitFoldsBy(dailyEvents(s, dir), "g", "ds", "y",
+        Seq(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-22 00:00:00")), 5)),
+    "ts_cv_hydrate_by" -> ((s, dir) => {
+      val folds = TsCvOp.cvSplitBy(dailyEvents(s, dir), "g", "ds", "y",
+        Seq(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")), 5)
+      val features = dailyEvents(s, dir)
+        .withColumn("feat_lag", lag(col("y"), 1).over(
+          Window.partitionBy(col("g")).orderBy(col("ds"))))
+        .select(col("g"), col("ds"), round(col("feat_lag"), 6).as("feat_lag"))
+      TsCvOp.cvHydrateBy(folds, features, "g", "ds", Seq("feat_lag"))
+        .select(col("g"), col("ds"), round(col("y"), 6).as("y"), col("fold_id"),
+          col("split"), col("feat_lag"))
+    }),
+    // ------------------------------------------------ extended seasonality
+    "ts_classify_seasonality_by" -> ((s, dir) => {
+      val clUdf = udf((vs: Seq[Double], nu: Seq[Boolean]) => {
+        val clean = Imputation.fillInterpolate(vs.toArray, nu.map(!_).toArray)
+        if (clean.length < 14 || clean.exists(_.isNaN)) None
+        else Some(SeasonalityExt.classify(clean, 7))
+      })
+      Series.gather(dailyEvents(s, dir), "g", "ds", "y")
+        .select(col("g"), clUdf(col("_vs"), col("_nu")).as("_c"))
+        .filter(col("_c").isNotNull)
+        .select(col("g"), col("_c.timing_classification"), col("_c.modulation_type"),
+          col("_c.has_stable_timing"), col("_c.is_seasonal"))
+    }),
+    "ts_analyze_seasonality_by" -> ((s, dir) => {
+      val anUdf = udf((vs: Seq[Double], nu: Seq[Boolean]) => {
+        val clean = Imputation.fillInterpolate(vs.toArray, nu.map(!_).toArray)
+        if (clean.length < 4 || clean.exists(_.isNaN)) None
+        else Some(SeasonalityExt.analyze(clean))
+      })
+      Series.gather(dailyEvents(s, dir), "g", "ds", "y")
+        .select(col("g"), anUdf(col("_vs"), col("_nu")).as("_a"))
+        .filter(col("_a").isNotNull)
+        .select(col("g"), col("_a.primary_period"), col("_a.is_seasonal"),
+          round(col("_a.trend_strength"), 6).as("trend_strength"))
+    }),
+    "ts_seasonality_changes_by" -> ((s, dir) => {
+      val chUdf = udf((vs: Seq[Double], nu: Seq[Boolean]) => {
+        val clean = Imputation.fillInterpolate(vs.toArray, nu.map(!_).toArray)
+        if (clean.length < 14 || clean.exists(_.isNaN)) Seq.empty[Double]
+        else SeasonalityExt.detectChanges(clean, 7)._2.toSeq
+      })
+      Series.gather(dailyEvents(s, dir), "g", "ds", "y")
+        .select(col("g"), posexplode(chUdf(col("_vs"), col("_nu"))))
+        .withColumnRenamed("pos", "window_index")
+        .withColumnRenamed("col", "strength")
+    }),
+    "ts_instantaneous_period_by" -> ((s, dir) => {
+      val ipUdf = udf((vs: Seq[Double], nu: Seq[Boolean]) => {
+        val clean = Imputation.fillInterpolate(vs.toArray, nu.map(!_).toArray)
+        if (clean.length < 4 || clean.exists(_.isNaN)) None
+        else {
+          val r = SeasonalityExt.instantaneousPeriod(clean)
+          Some((r.period.toSeq, r.amplitude.toSeq))
+        }
+      })
+      Series.gather(dailyEvents(s, dir), "g", "ds", "y")
+        .select(col("g"), ipUdf(col("_vs"), col("_nu")).as("_o"))
+        .filter(col("_o").isNotNull)
+        .select(col("g"), size(col("_o._1")).as("n_points"))
+    }),
+    "ts_amplitude_modulation_by" -> ((s, dir) => {
+      val amUdf = udf((vs: Seq[Double], nu: Seq[Boolean]) => {
+        val clean = Imputation.fillInterpolate(vs.toArray, nu.map(!_).toArray)
+        if (clean.length < 14 || clean.exists(_.isNaN)) None
+        else Some(SeasonalityExt.amplitudeModulation(clean, 7))
+      })
+      Series.gather(dailyEvents(s, dir), "g", "ds", "y")
+        .select(col("g"), amUdf(col("_vs"), col("_nu")).as("_a"))
+        .filter(col("_a").isNotNull)
+        .select(col("g"), col("_a.is_seasonal"), col("_a.modulation_type"),
+          col("_a.has_modulation"))
+    }),
+    // ------------------------------------------------ bootstrap intervals
+    "ts_bootstrap_intervals_by" -> ((s, dir) => {
+      val w = Window.partitionBy(col("g")).orderBy(col("ds"))
+      val btUdf = udf((rs: Seq[Double], lastY: Double) => {
+        val (lo, hi) = Conformal.bootstrapIntervals(rs.toArray,
+          Array.fill(5)(lastY), 500, 0.9, seed = 42L)
+        (0 until 5).map(h => (h + 1, lo(h), hi(h)))
+      })
+      dailyEvents(s, dir)
+        .withColumn("r", col("y") - lag(col("y"), 1).over(w))
+        .groupBy(col("g"))
+        .agg(collect_list(col("r")).as("_rs"), last(col("y")).as("_last"))
+        .select(col("g"), explode(btUdf(col("_rs"), col("_last"))).as("_b"))
+        .select(col("g"), col("_b._1").as("forecast_step"),
+          round(col("_b._2"), 4).as("lower"), round(col("_b._3"), 4).as("upper"))
+    }),
+  )
+
+  /** Oracle SQL for the batch (explicit-cutoff CV is relational). */
+  private val ExactSumY = "CAST(sum(CAST(round(value, 6) AS DECIMAL(28,6))) AS DOUBLE)"
+  private val SeriesCte =
+    s"WITH s AS (SELECT event_type AS g, CAST(ts AS DATE) AS ds, $ExactSumY AS y FROM events GROUP BY 1, 2)"
+
+  def oracleSql: Map[String, String] = Map(
+    "ts_cv_split_by" -> (SeriesCte +
+      """, b AS (SELECT g, ds, y, row_number() OVER (PARTITION BY g ORDER BY ds) - 1 AS pos
+        |         FROM s),
+        |folds AS (SELECT * FROM (VALUES (1, DATE '2024-01-15'), (2, DATE '2024-01-22'))
+        |          AS v(fold_id, cutoff)),
+        |ep AS (SELECT b.g, f.fold_id, f.cutoff,
+        |              max(CASE WHEN b.ds <= f.cutoff THEN b.pos END) AS end_pos
+        |       FROM b, folds f GROUP BY b.g, f.fold_id, f.cutoff)
+        |SELECT b.g, b.ds, round(b.y, 6) AS y, CAST(ep.fold_id AS BIGINT) AS fold_id,
+        |  CASE WHEN b.pos <= ep.end_pos THEN 'train' ELSE 'test' END AS split
+        |FROM b JOIN ep ON b.g = ep.g
+        |WHERE ep.end_pos IS NOT NULL
+        |  AND (b.pos <= ep.end_pos OR (b.pos > ep.end_pos AND b.pos <= ep.end_pos + 5))""".stripMargin),
+    "ts_cv_hydrate_by" -> (SeriesCte +
+      """, b AS (SELECT g, ds, y, row_number() OVER (PARTITION BY g ORDER BY ds) - 1 AS pos,
+        |         lag(y) OVER (PARTITION BY g ORDER BY ds) AS feat_lag FROM s),
+        |ep AS (SELECT g, max(CASE WHEN ds <= DATE '2024-01-15' THEN pos END) AS end_pos,
+        |              max(CASE WHEN ds <= DATE '2024-01-15' THEN ds END) AS train_end
+        |       FROM b GROUP BY g)
+        |SELECT b.g, b.ds, round(b.y, 6) AS y, CAST(1 AS BIGINT) AS fold_id,
+        |  CASE WHEN b.pos <= ep.end_pos THEN 'train' ELSE 'test' END AS split,
+        |  CASE WHEN b.ds > ep.train_end THEN NULL ELSE round(b.feat_lag, 6) END AS feat_lag
+        |FROM b JOIN ep ON b.g = ep.g
+        |WHERE ep.end_pos IS NOT NULL
+        |  AND (b.pos <= ep.end_pos OR (b.pos > ep.end_pos AND b.pos <= ep.end_pos + 5))""".stripMargin),
+  )
+}

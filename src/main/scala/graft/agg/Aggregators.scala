@@ -1,0 +1,181 @@
+package graft.agg
+
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions.udaf
+
+import graft.kernels._
+
+/** Typed `Aggregator`s mirroring the reference's 7 custom aggregate
+  * functions (src/aggregate_functions, one .cpp each; SURVEY.md §2.12): buffer =
+  * growing (ts, value, validity) arrays, merge = concat, finish = sort by
+  * timestamp then kernel. Registered for SQL via `functions.udaf` under the
+  * reference names (plus anofox_fcst_ aliases).
+  *
+  * SQL usage: `SELECT g, ts_forecast_agg(ts, y) FROM t GROUP BY g`
+  * (method/horizon are fixed per registered instance — the Scala API takes
+  * them as constructor parameters; dynamic lower_/upper_<pct> field names are
+  * normalized to yhat_lower/yhat_upper, a documented deviation,
+  * SURVEY.md §2.1).
+  */
+object Aggregators {
+
+  final case class TsPoint(ts: java.sql.Timestamp, y: Option[Double])
+  final case class SeriesBuf(ts: Array[Long], vs: Array[Double], nu: Array[Boolean])
+
+  private val emptyBuf = SeriesBuf(Array.empty, Array.empty, Array.empty)
+
+  private def append(b: SeriesBuf, p: TsPoint): SeriesBuf =
+    if (p.ts == null) b
+    else SeriesBuf(b.ts :+ (p.ts.getTime * 1000L),
+      b.vs :+ p.y.getOrElse(Double.NaN),
+      b.nu :+ p.y.isEmpty)
+
+  private def merge(a: SeriesBuf, b: SeriesBuf): SeriesBuf =
+    SeriesBuf(a.ts ++ b.ts, a.vs ++ b.vs, a.nu ++ b.nu)
+
+  /** Sort the buffer by timestamp (stable). */
+  private def sorted(b: SeriesBuf): SeriesBuf = {
+    val order = b.ts.zipWithIndex.sortBy(_._1).map(_._2)
+    SeriesBuf(order.map(b.ts), order.map(b.vs), order.map(b.nu))
+  }
+
+  abstract class SeriesAggregator[OUT: Encoder] extends Aggregator[TsPoint, SeriesBuf, OUT] {
+    def zero: SeriesBuf = emptyBuf
+    def reduce(b: SeriesBuf, p: TsPoint): SeriesBuf = append(b, p)
+    def merge(a: SeriesBuf, b: SeriesBuf): SeriesBuf = Aggregators.merge(a, b)
+    def bufferEncoder: Encoder[SeriesBuf] = Encoders.product[SeriesBuf]
+    def outputEncoder: Encoder[OUT] = implicitly[Encoder[OUT]]
+    protected def sortedBuf(b: SeriesBuf): SeriesBuf = sorted(b)
+  }
+
+  // ------------------------------------------------------------ forecast
+
+  final case class ForecastAggOut(point_forecasts: Seq[Double], yhat_lower: Seq[Double],
+                                  yhat_upper: Seq[Double], insample_fitted: Seq[Double],
+                                  model_name: String, aic: Option[Double], bic: Option[Double])
+
+  /** ts_forecast_agg (ts_forecast_agg.cpp:69-82): STRUCT of LISTs incl.
+    * in-sample fitted values. */
+  final class ForecastAgg(method: String, horizon: Int, params: Map[String, String])
+      extends SeriesAggregator[ForecastAggOut]()(Encoders.product[ForecastAggOut]) {
+    private val opts = Forecast.optionsFromParams(method, horizon, params)
+      .copy(includeFitted = true)
+    def finish(b: SeriesBuf): ForecastAggOut = {
+      if (b.ts.isEmpty)
+        return ForecastAggOut(Nil, Nil, Nil, Nil, method, None, None)
+      val s = sortedBuf(b)
+      try {
+        val out = Forecast.forecast(s.vs, s.nu.map(!_), opts)
+        ForecastAggOut(out.point.toSeq, out.lower.toSeq, out.upper.toSeq,
+          out.fitted.map(_.toSeq).getOrElse(Nil), out.modelName, out.aic, out.bic)
+      } catch {
+        case _: Forecast.FcError => ForecastAggOut(Nil, Nil, Nil, Nil, method, None, None)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ stats / quality
+
+  final class StatsAgg extends SeriesAggregator[Stats.TsStats]()(Encoders.product[Stats.TsStats]) {
+    def finish(b: SeriesBuf): Stats.TsStats = {
+      val s = sortedBuf(b)
+      Stats.computeWithDates(s.vs, s.nu.map(!_), s.ts, graft.types.Frequency.parse("1d"))
+    }
+  }
+
+  final class DataQualityAgg
+      extends SeriesAggregator[Quality.DataQuality]()(Encoders.product[Quality.DataQuality]) {
+    def finish(b: SeriesBuf): Quality.DataQuality = {
+      val s = sortedBuf(b)
+      Quality.compute(s.vs, s.nu.map(!_), Some(s.ts))
+    }
+  }
+
+  // ------------------------------------------------------------ features
+
+  final case class FeaturesAggOut(names: Seq[String], values: Seq[Double])
+
+  final class FeaturesAgg(features: Seq[String])
+      extends SeriesAggregator[FeaturesAggOut]()(Encoders.product[FeaturesAggOut]) {
+    def finish(b: SeriesBuf): FeaturesAggOut = {
+      val s = sortedBuf(b)
+      val clean = Imputation.fillInterpolate(s.vs, s.nu.map(!_))
+      if (clean.isEmpty || clean.exists(_.isNaN)) FeaturesAggOut(features, features.map(_ => Double.NaN))
+      else {
+        val all = Features.extract(clean)
+        FeaturesAggOut(features, features.map(all(_)))
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ changepoints
+
+  final case class ChangepointsAggOut(is_changepoint: Seq[Boolean],
+                                      changepoint_probability: Seq[Double],
+                                      changepoints: Seq[Int])
+
+  final class ChangepointsAgg(hazardLambda: Double)
+      extends SeriesAggregator[ChangepointsAggOut]()(Encoders.product[ChangepointsAggOut]) {
+    def finish(b: SeriesBuf): ChangepointsAggOut = {
+      val s = sortedBuf(b)
+      val clean = Imputation.fillInterpolate(s.vs, s.nu.map(!_))
+      if (clean.length < 3 || clean.exists(_.isNaN)) ChangepointsAggOut(Nil, Nil, Nil)
+      else {
+        val r = Changepoint.bocpd(clean, hazardLambda)
+        ChangepointsAggOut(r.isChangepoint.toSeq, r.probability.toSeq, r.changepoints.toSeq)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ periods
+
+  final case class PeriodsAggOut(primary_period: Double, periods: Seq[Double],
+                                 confidences: Seq[Double], method: String)
+
+  final class DetectPeriodsAgg(method: String)
+      extends SeriesAggregator[PeriodsAggOut]()(Encoders.product[PeriodsAggOut]) {
+    def finish(b: SeriesBuf): PeriodsAggOut = {
+      val s = sortedBuf(b)
+      val clean = Imputation.fillInterpolate(s.vs, s.nu.map(!_))
+      if (clean.length < 4 || clean.exists(_.isNaN)) PeriodsAggOut(0.0, Nil, Nil, method)
+      else {
+        val r = Periods.detectPeriods(clean, method)
+        PeriodsAggOut(r.primaryPeriod, r.periods.map(_.period), r.periods.map(_.confidence),
+          r.method)
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ classify seasonality
+
+  final class ClassifySeasonalityAgg(period: Int)
+      extends SeriesAggregator[SeasonalityExt.Classification]()(
+        Encoders.product[SeasonalityExt.Classification]) {
+    def finish(b: SeriesBuf): SeasonalityExt.Classification = {
+      val s = sortedBuf(b)
+      val clean = Imputation.fillInterpolate(s.vs, s.nu.map(!_))
+      if (clean.length < 2 * period || clean.exists(_.isNaN))
+        SeasonalityExt.Classification("none", "none", has_stable_timing = false,
+          Double.NaN, Double.NaN, is_seasonal = false, Array.empty, Array.empty)
+      else SeasonalityExt.classify(clean, period)
+    }
+  }
+
+  /** Register every aggregate for SQL use under the reference names
+    * (default-configured instances; Scala callers parameterize directly). */
+  def registerAll(spark: SparkSession): Unit = {
+    def reg[OUT](name: String, a: Aggregator[TsPoint, SeriesBuf, OUT]): Unit = {
+      spark.udf.register(name, udaf(a, Encoders.product[TsPoint]))
+      spark.udf.register("anofox_fcst_" + name.stripPrefix("ts_"),
+        udaf(a, Encoders.product[TsPoint]))
+    }
+    reg("ts_forecast_agg", new ForecastAgg("AutoETS", 12, Map.empty))
+    reg("ts_stats_agg", new StatsAgg)
+    reg("ts_data_quality_agg", new DataQualityAgg)
+    reg("ts_features_agg", new FeaturesAgg(Features.allNames))
+    reg("ts_detect_changepoints_agg", new ChangepointsAgg(250.0))
+    reg("ts_detect_periods_agg", new DetectPeriodsAgg("fft"))
+    reg("ts_classify_seasonality_agg", new ClassifySeasonalityAgg(7))
+  }
+}

@@ -27,7 +27,8 @@ object Ets {
   }
 
   final case class Fit(spec: Spec, point: Array[Double], fitted: Array[Double],
-                       aic: Double, bic: Double, aicc: Double, mse: Double)
+                       aic: Double, bic: Double, aicc: Double, mse: Double,
+                       params: Array[Double])
 
   /** Parse "AAA", "MAdM", "AAdN", "ZZZ" etc. (forecast.rs is_valid_ets_notation). */
   def parseSpec(s: String): Spec = {
@@ -190,7 +191,7 @@ object Ets {
           if (multS) trendVal * si else trendVal + si
         } else trendVal
       }
-      Fit(spec, point, fitted, aic, bic, aicc, sse / n)
+      Fit(spec, point, fitted, aic, bic, aicc, sse / n, full)
     }
   }
 
@@ -253,6 +254,13 @@ object Ets {
           "damped_trend_only, match_error_seasonal, reduced")
     }
     combos
+  }
+
+  /** Best AutoETS fit (for introspection). */
+  def autoFit(y: Array[Double], period: Int, modelPool: Option[String],
+              horizon: Int = 1): Option[Fit] = {
+    val seasonal = period > 1 && y.length >= 2 * period
+    pool(modelPool, seasonal).flatMap(s => fit(y, s, period, horizon)).minByOption(_.aicc)
   }
 
   /** AutoETS: minimize AICc over the pool (forecast.rs:1543-1641). */

@@ -1,0 +1,125 @@
+package graft.kernels
+
+/** Model introspection: fit-state snapshots (`ts_forecast_inspect*`) and
+  * per-horizon component decomposition (`ts_forecast_explain*`). Reference
+  * surface: forecast_inspect (forecast.rs:1739-1771, Inspectable models) and
+  * forecast_explain (:1899-1931, ETS/MSTL/Theta); the wide-STRUCT field set
+  * follows ts_macros.cpp:605-730. */
+object Introspect {
+
+  final case class InspectOut(model_name: String,
+                              alpha: Option[Double], beta: Option[Double],
+                              gamma: Option[Double], phi: Option[Double],
+                              aic: Option[Double], bic: Option[Double],
+                              order_p: Option[Int], order_d: Option[Int], order_q: Option[Int],
+                              coefficients: Seq[Double])
+
+  /** Fit-state snapshot for inspectable models (ETS/AutoETS/ARIMA/AutoARIMA/
+    * Theta-family). */
+  def inspect(values: Array[Double], valid: Array[Boolean], opts: Forecast.Options): InspectOut = {
+    val clean = Imputation.fillInterpolate(values, valid)
+    if (clean.length < 3) throw new Forecast.InsufficientData(3, clean.length)
+    val period =
+      if (opts.seasonalPeriod > 0) opts.seasonalPeriod
+      else if (opts.autoDetectSeasonality)
+        (try Seasonality.detectSeasonality(clean, None).headOption.getOrElse(1)
+        catch { case _: Throwable => 1 })
+      else 1
+
+    opts.model match {
+      case "ETS" | "AutoETS" =>
+        val fitOpt = opts.model match {
+          case "ETS" =>
+            val spec = Ets.parseSpec(opts.etsSpec.getOrElse("ZZZ"))
+            if (spec.notation.contains('Z')) Ets.autoFit(clean, period, opts.modelPool)
+            else Ets.fit(clean, spec, period, 1)
+          case _ => Ets.autoFit(clean, period, opts.modelPool)
+        }
+        fitOpt match {
+          case Some(f) =>
+            InspectOut(s"${opts.model}(${f.spec.notation})",
+              Some(f.params(0)),
+              if (f.spec.trend != 'N') Some(f.params(1)) else None,
+              if (f.spec.seasonal != 'N') Some(f.params(2)) else None,
+              if (f.spec.damped) Some(f.params(3)) else None,
+              Some(f.aic), Some(f.bic), None, None, None, f.params.toSeq)
+          case None => throw new Forecast.ComputationError(s"${opts.model}: no feasible fit")
+        }
+      case "ARIMA" | "AutoARIMA" =>
+        val f = (if (opts.model == "ARIMA") Arima.fit(clean, 1, 1, 1)
+        else {
+          // re-run the stepwise search to expose the selected order
+          val d = 0
+          Arima.fit(clean, 2, 1, 2, 0, period).orElse(Arima.fit(clean, 1, 1, 0))
+        }).getOrElse(throw new Forecast.ComputationError("ARIMA: fit failed"))
+        InspectOut(s"${opts.model}(${f.p},${f.d},${f.q})", None, None, None, None,
+          Some(f.aic), None, Some(f.p), Some(f.d), Some(f.q),
+          (f.phi ++ f.theta :+ f.intercept).toSeq)
+      case m if m.contains("Theta") =>
+        InspectOut(m, None, None, None, Some(2.0), None, None, None, None, None, Nil)
+      case other =>
+        throw new Forecast.InvalidInput(
+          s"Model '$other' is not inspectable (supported: ETS, AutoETS, ARIMA, AutoARIMA, Theta family)")
+    }
+  }
+
+  final case class ExplainOut(forecast_step: Seq[Int], level: Seq[Double], trend: Seq[Double],
+                              seasonal: Seq[Double], residual: Seq[Double], model_name: String)
+
+  /** Per-horizon additive decomposition of the forecast (ETS / MSTL / Theta). */
+  def explain(values: Array[Double], valid: Array[Boolean], horizon: Int,
+              opts: Forecast.Options): ExplainOut = {
+    val clean = Imputation.fillInterpolate(values, valid)
+    if (clean.length < 3) throw new Forecast.InsufficientData(3, clean.length)
+    val period =
+      if (opts.seasonalPeriod > 0) opts.seasonalPeriod
+      else (try Seasonality.detectSeasonality(clean, None).headOption.getOrElse(1)
+      catch { case _: Throwable => 1 })
+    val n = clean.length
+    val steps = (1 to horizon).toSeq
+
+    opts.model match {
+      case "ETS" | "AutoETS" =>
+        val f = Ets.autoFit(clean, period, opts.modelPool, horizon)
+          .getOrElse(throw new Forecast.ComputationError("ETS: no feasible fit"))
+        // decompose the point path: level = flat last level (h=1 forecast with
+        // no trend/seasonal), trend = increment over level, seasonal = rest
+        val seasonalPart =
+          if (f.spec.seasonal != 'N' && period >= 2 && n >= 2 * period) {
+            val c = Decomposition.classical(clean, period, f.spec.seasonal == 'M')
+            steps.map(h =>
+              if (f.spec.seasonal == 'M') 0.0 else c.indices((n + h - 1) % period))
+          } else steps.map(_ => 0.0)
+        val base = f.point.toSeq
+        val level = steps.map(_ => base.head - seasonalPart.head)
+        val trend = steps.zipWithIndex.map { case (_, i) => base(i) - level(i) - seasonalPart(i) }
+        val residualSigma = math.sqrt(f.mse)
+        ExplainOut(steps, level, trend, seasonalPart, steps.map(_ => residualSigma),
+          s"${opts.model}(${f.spec.notation})")
+      case "MSTL" | "AutoMSTL" =>
+        val ps = (if (opts.seasonalPeriods.nonEmpty) opts.seasonalPeriods else Seq(period))
+          .filter(p => p >= 2 && n >= 2 * p)
+        val m = Decomposition.mstl(clean, ps)
+        val trendFc = {
+          val deseason = Array.tabulate(n)(i => clean(i) - m.seasonals.map(_._2(i)).sum)
+          if (deseason.length < 5) Forecast.sesForecast(deseason, horizon, 0.3)
+          else Forecast.holt(deseason, horizon)
+        }
+        val seasonalFc = steps.map(h => m.seasonals.map { case (p, s) => s(n - p + ((h - 1) % p)) }.sum)
+        val remSigma = math.sqrt(m.remainder.map(v => v * v).sum / n)
+        ExplainOut(steps, trendFc.toSeq.map(_ - 0.0), steps.map(_ => 0.0), seasonalFc,
+          steps.map(_ => remSigma), if (opts.model == "AutoMSTL") "AutoMSTL" else "MSTL")
+      case m if m.contains("Theta") =>
+        val fc = Forecast.theta(clean, horizon, period, dynamic = false, optimizeTheta = false)
+        val seasonal = if (period > 1 && n >= 2 * period) {
+          val c = Decomposition.classical(clean, period, multiplicative = false)
+          steps.map(h => c.indices((n + h - 1) % period))
+        } else steps.map(_ => 0.0)
+        val level = steps.zipWithIndex.map { case (_, i) => fc(i) - seasonal(i) }
+        ExplainOut(steps, level, steps.map(_ => 0.0), seasonal, steps.map(_ => 0.0), m)
+      case other =>
+        throw new Forecast.InvalidInput(
+          s"Model '$other' is not explainable (supported: ETS, AutoETS, MSTL, Theta family)")
+    }
+  }
+}

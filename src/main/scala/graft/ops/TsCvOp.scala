@@ -194,6 +194,58 @@ object TsCvOp {
         col("model_name"), col("fold_metric_score"))
   }
 
+  /** ts_cv_split_by (ts_macros.cpp:1203 → _ts_cv_split_native): explicit
+    * `trainingEndTimes` cutoffs; per fold, train = rows at/before the
+    * cutoff (expanding), test = the next `horizon` rows after cutoff+gap. */
+  def cvSplitBy(df: DataFrame, groupCol: String, dsCol: String, yCol: String,
+                trainingEndTimes: Seq[java.sql.Timestamp], horizon: Int,
+                params: Map[String, String] = Map.empty): DataFrame = {
+    val p = parseCvParams(params)
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(dsCol))
+    val base = df.withColumn("_pos", row_number().over(w) - 1)
+    val ends = trainingEndTimes.zipWithIndex.map { case (t, i) => (i + 1L, t) }
+    val endsDf = df.sparkSession.createDataFrame(ends).toDF("fold_id", "_cutoff")
+    val joined = base.crossJoin(broadcast(endsDf))
+    val wFold = Window.partitionBy(col(groupCol), col("fold_id"))
+    val tagged = joined.withColumn("_end_pos",
+      max(when(col(dsCol).cast(TimestampType) <= col("_cutoff"), col("_pos"))).over(wFold))
+    val isTrain = col("_pos") <= col("_end_pos")
+    val isTest = col("_pos") > col("_end_pos") + p.gap &&
+      col("_pos") <= col("_end_pos") + p.gap + horizon
+    tagged.filter(col("_end_pos").isNotNull && (isTrain || isTest))
+      .select(col(groupCol), col(dsCol), col(yCol), col("fold_id"),
+        when(isTrain, "train").otherwise("test").as("split"))
+  }
+
+  /** ts_cv_split_folds_by (ts_macros.cpp:1121): per-fold boundary rows. */
+  def cvSplitFoldsBy(df: DataFrame, groupCol: String, dsCol: String, yCol: String,
+                     trainingEndTimes: Seq[java.sql.Timestamp], horizon: Int,
+                     params: Map[String, String] = Map.empty): DataFrame = {
+    val split = cvSplitBy(df, groupCol, dsCol, yCol, trainingEndTimes, horizon, params)
+    split.groupBy(col(groupCol), col("fold_id"))
+      .agg(
+        min(when(col("split") === "train", col(dsCol))).as("train_start"),
+        max(when(col("split") === "train", col(dsCol))).as("train_end"),
+        min(when(col("split") === "test", col(dsCol))).as("test_start"),
+        max(when(col("split") === "test", col(dsCol))).as("test_end"),
+        sum(when(col("split") === "train", 1).otherwise(0)).as("n_train"),
+        sum(when(col("split") === "test", 1).otherwise(0)).as("n_test"))
+  }
+
+  /** ts_cv_hydrate_by (ts_macros.cpp:1409-1452): join the fold skeleton back
+    * to a feature table, nulling `unknownFeatures` on rows after each fold's
+    * training cutoff (leakage-safe ML matrices). */
+  def cvHydrateBy(folds: DataFrame, features: DataFrame, groupCol: String, dsCol: String,
+                  unknownFeatures: Seq[String]): DataFrame = {
+    val wFold = Window.partitionBy(col(groupCol), col("fold_id"))
+    val withCutoff = folds.withColumn("_train_end",
+      max(when(col("split") === "train", col(dsCol))).over(wFold))
+    val joined = withCutoff.join(features, Seq(groupCol, dsCol), "left")
+    unknownFeatures.foldLeft(joined) { (d, c) =>
+      d.withColumn(c, when(col(dsCol) > col("_train_end"), lit(null)).otherwise(col(c)))
+    }.drop("_train_end")
+  }
+
   /** ts_check_leakage (ts_macros.cpp:1319): per-group counts of train rows
     * dated after the first test row. */
   def checkLeakage(df: DataFrame, groupCol: String, dsCol: String, isTestCol: String): DataFrame = {

@@ -79,6 +79,41 @@ object TsForecastOp {
         col("_r.model_name").as("model_name"))
   }
 
+  /** ts_forecast_inspect_by (ts_macros.cpp:605-686): per-group fit-state
+    * snapshot (alpha/beta/gamma/phi, aic/bic, ARIMA orders, coefficients). */
+  def forecastInspectBy(df: DataFrame, groupCol: String, dsCol: String, yCol: String,
+                        method: String, params: Map[String, String] = Map.empty): DataFrame = {
+    val opts = Forecast.optionsFromParams(method, 1, params)
+    val insUdf = udf((vs: Seq[Double], nu: Seq[Boolean]) => {
+      try Some(graft.kernels.Introspect.inspect(vs.toArray, nu.map(!_).toArray, opts))
+      catch { case _: Forecast.InsufficientData | _: Forecast.ComputationError => None }
+    })
+    Series.gather(df, groupCol, dsCol, yCol)
+      .select(col(groupCol), insUdf(col("_vs"), col("_nu")).as("_o"))
+      .filter(col("_o").isNotNull)
+      .select(col(groupCol), col("_o.*"))
+  }
+
+  /** ts_forecast_explain_by (ts_macros.cpp:687-730): per-horizon
+    * level/trend/seasonal/residual decomposition rows. */
+  def forecastExplainBy(df: DataFrame, groupCol: String, dsCol: String, yCol: String,
+                        method: String, horizon: Int,
+                        params: Map[String, String] = Map.empty): DataFrame = {
+    val opts = Forecast.optionsFromParams(method, horizon, params)
+    val exUdf = udf((vs: Seq[Double], nu: Seq[Boolean]) => {
+      try {
+        val e = graft.kernels.Introspect.explain(vs.toArray, nu.map(!_).toArray, horizon, opts)
+        Some(e.forecast_step.indices.map(i =>
+          (e.forecast_step(i), e.level(i), e.trend(i), e.seasonal(i), e.residual(i), e.model_name)))
+      } catch { case _: Forecast.InsufficientData | _: Forecast.ComputationError => None }
+    })
+    Series.gather(df, groupCol, dsCol, yCol)
+      .select(col(groupCol), explode(exUdf(col("_vs"), col("_nu"))).as("_r"))
+      .select(col(groupCol), col("_r._1").as("forecast_step"), col("_r._2").as("level"),
+        col("_r._3").as("trend"), col("_r._4").as("seasonal"),
+        col("_r._5").as("residual"), col("_r._6").as("model_name"))
+  }
+
   /** ts_forecast (single series, ts_macros.cpp:539-566): one row of arrays
     * `{point_forecasts, lower_bounds, upper_bounds, model_name, aic, bic}`. */
   def forecastSingle(df: DataFrame, dsCol: String, yCol: String, method: String,
