@@ -160,6 +160,30 @@ object SparkEntryV4 {
         .select(col("g"), col("_a.is_seasonal"), col("_a.modulation_type"),
           col("_a.has_modulation"))
     }),
+    // ------------------------------------------------ multimodal plumbing
+    "mm_decode_images" -> ((s, dir) => {
+      val media = graft.llm.MultimodalOps.demoMediaTable(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.llm.MultimodalOps.decodeImages(media, "payload")
+        .select(col("doc_id"), col("width"), col("height"),
+          round(col("mean_luma"), 6).as("mean_luma"),
+          col("media_meta.size_bytes").as("size_bytes"))
+    }),
+    "mm_embed_and_ann" -> ((s, dir) => {
+      // full pipeline: payload → stub embedding → LSH near-pairs
+      val media = graft.llm.MultimodalOps.demoMediaTable(
+        t(s, dir, "documents"), "doc_id", "text")
+      val emb = graft.llm.MultimodalOps.extractEmbeddings(media, "payload", dim = 32)
+      graft.llm.SimilarityOps.lshNearPairs(emb, "doc_id", "embedding", 32, 0.0, nBits = 4)
+        .groupBy().agg(count(lit(1)).as("n_candidate_pairs"))
+    }),
+    "mm_frame_sampling" -> ((s, dir) => {
+      val media = graft.llm.MultimodalOps.demoMediaTable(
+          t(s, dir, "documents"), "doc_id", "text")
+        .withColumn("duration_ms", (length(col("payload")) * 10).cast(LongType))
+      graft.llm.MultimodalOps.sampleFrameOffsets(media, "duration_ms", 4)
+        .select(col("doc_id"), col("frame_offset_ms"))
+    }),
     // ------------------------------------------------ bootstrap intervals
     "ts_bootstrap_intervals_by" -> ((s, dir) => {
       val w = Window.partitionBy(col("g")).orderBy(col("ds"))

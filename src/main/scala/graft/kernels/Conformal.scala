@@ -102,6 +102,107 @@ object Conformal {
       "target_coverage" -> (1.0 - alpha))
   }
 
+  // ---------------------------------------------------------------- learn/apply v2
+
+  /** Calibration profile (conformal.rs Learn/Apply v2, :7-28 doc, learn
+    * :735): per-alpha symmetric scores or per-tail margins, reusable across
+    * forecasts. strategy ∈ split | cv | adaptive (cv = K-fold averaged
+    * scores; adaptive = exponentially-weighted recent residuals). */
+  final case class CalibrationProfile(method: String, strategy: String,
+                                      alphas: Array[Double],
+                                      lowerMargins: Array[Double],
+                                      upperMargins: Array[Double],
+                                      nCalibration: Int)
+
+  def conformalLearn(residuals: Array[Double], alphas: Array[Double],
+                     method: String = "symmetric", strategy: String = "split",
+                     cvFolds: Int = 5, adaptiveHalfLife: Double = 20.0): CalibrationProfile = {
+    require(residuals.nonEmpty, "residuals must not be empty")
+    require(alphas.nonEmpty, "alphas must not be empty")
+    val m = method.toLowerCase
+    val s = strategy.toLowerCase
+    require(Seq("symmetric", "asymmetric").contains(m), s"method ∈ symmetric|asymmetric, got $method")
+    require(Seq("split", "cv", "adaptive").contains(s), s"strategy ∈ split|cv|adaptive, got $strategy")
+
+    def weights: Array[Double] = s match {
+      case "adaptive" =>
+        val n = residuals.length
+        Array.tabulate(n)(i => math.pow(0.5, (n - 1 - i) / adaptiveHalfLife))
+      case _ => Array.fill(residuals.length)(1.0)
+    }
+
+    def weightedQuantile(xs: Array[Double], ws: Array[Double], q: Double): Double = {
+      val order = xs.zip(ws).sortBy(_._1)
+      val total = ws.sum
+      var acc = 0.0
+      var i = 0
+      while (i < order.length) {
+        acc += order(i)._2
+        if (acc >= q * total) return order(i)._1
+        i += 1
+      }
+      order.last._1
+    }
+
+    def marginsFor(res: Array[Double], ws: Array[Double]): (Array[Double], Array[Double]) = {
+      val lows = new Array[Double](alphas.length)
+      val ups = new Array[Double](alphas.length)
+      var i = 0
+      while (i < alphas.length) {
+        val a = alphas(i)
+        if (m == "symmetric") {
+          val abs = res.map(math.abs)
+          val n = abs.length.toDouble
+          val level = math.min(1.0, math.ceil((n + 1.0) * (1.0 - a)) / n)
+          val q = weightedQuantile(abs, ws, level)
+          lows(i) = q; ups(i) = q
+        } else {
+          val aHalf = a / 2.0
+          val posIdx = res.indices.filter(res(_) > 0.0)
+          val negIdx = res.indices.filter(res(_) < 0.0)
+          def tail(idx: Seq[Int], xs: Int => Double): Double =
+            if (idx.isEmpty) 0.0
+            else {
+              val v = idx.map(xs).toArray
+              val w = idx.map(ws).toArray
+              val n = v.length.toDouble
+              weightedQuantile(v, w, math.min(1.0, math.ceil((n + 1.0) * (1.0 - aHalf)) / n))
+            }
+          ups(i) = tail(posIdx, res(_))
+          lows(i) = tail(negIdx, j => math.abs(res(j)))
+        }
+        i += 1
+      }
+      (lows, ups)
+    }
+
+    val (lows, ups) = s match {
+      case "cv" =>
+        // K-fold: average the per-fold margins
+        val k = math.min(cvFolds, residuals.length)
+        val folds = residuals.indices.groupBy(_ % k).values.toSeq
+        val parts = folds.map { hold =>
+          val res = hold.map(residuals).toArray
+          marginsFor(res, Array.fill(res.length)(1.0))
+        }
+        (alphas.indices.map(i => parts.map(_._1(i)).sum / parts.length).toArray,
+          alphas.indices.map(i => parts.map(_._2(i)).sum / parts.length).toArray)
+      case _ => marginsFor(residuals, weights)
+    }
+    CalibrationProfile(m, s, alphas, lows, ups, residuals.length)
+  }
+
+  /** Apply a learned profile: per-alpha interval stacks (alphas.length ×
+    * horizon lower/upper arrays). */
+  def conformalApply(forecasts: Array[Double], profile: CalibrationProfile):
+      (Array[Array[Double]], Array[Array[Double]]) = {
+    val lower = profile.alphas.indices.map(i =>
+      forecasts.map(_ - profile.lowerMargins(i))).toArray
+    val upper = profile.alphas.indices.map(i =>
+      forecasts.map(_ + profile.upperMargins(i))).toArray
+    (lower, upper)
+  }
+
   // ---------------------------------------------------------------- bootstrap
 
   /** Deterministic xorshift64* PRNG — stable across JVM versions. */
