@@ -27,8 +27,8 @@ object TsExogOp {
     require(xregCols.length == futureXregCols.length,
       "xreg_cols and future_xreg_cols must have the same arity")
     val opts = Forecast.optionsFromParams(method, horizon, params)
-    val freq = Frequency.parse(frequency)
     val dsType = df.schema(dsCol).dataType
+    val freq = Frequency.parse(frequency).forIntegerDs(Series.isIntegerDs(dsType))
 
     val hist = df.filter(col(dsCol).isNotNull)
       .groupBy(col(groupCol))

@@ -61,8 +61,8 @@ object TsForecastOp {
     // eager data-independent validation (abort, not skip)
     if (!opts.autoDetectSeasonality && opts.seasonalPeriod > 1)
       Forecast.canonicalModel(method) // throws InvalidModel on bad name
-    val freq = Frequency.parse(frequency)
     val dsType = df.schema(dsCol).dataType
+    val freq = Frequency.parse(frequency).forIntegerDs(Series.isIntegerDs(dsType))
 
     val fc = udf((ts: Seq[Long], vs: Seq[Double], nu: Seq[Boolean]) =>
       runKernel(ts, vs, nu, opts, freq))

@@ -17,6 +17,7 @@ object TsStatsOp {
   def statsBy(df: DataFrame, groupCol: String, dsCol: String, yCol: String,
               frequency: String): DataFrame = {
     val freq = Frequency.parse(frequency)
+      .forIntegerDs(Series.isIntegerDs(df.schema(dsCol).dataType))
     val statsUdf = udf((ts: Seq[Long], vs: Seq[Double], nu: Seq[Boolean]) =>
       Stats.computeWithDates(vs.toArray, nu.map(!_).toArray, ts.toArray, freq))
     Series.gather(df, groupCol, dsCol, yCol)

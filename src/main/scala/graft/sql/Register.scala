@@ -1,0 +1,110 @@
+package graft.sql
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.udf
+
+import graft.agg.Aggregators
+import graft.functions.TsFunctions
+import graft.kernels._
+
+/** One-call SQL registration (`LoadInternal` analogue,
+  * src/anofox_forecast_extension.cpp:16-206): every scalar function and
+  * aggregate under its reference name plus the `anofox_fcst_` alias
+  * (ts_macros.cpp:2186-2196). Table-macro equivalents are the Scala
+  * transformers in graft.ops — Spark has no SQL table-valued UDFs to attach
+  * them to, which SURVEY.md §2.12 records as the accepted parity bar. */
+object Register {
+
+  private def arr(xs: Seq[java.lang.Double]): Array[Double] =
+    xs.map(x => if (x == null) Double.NaN else x.doubleValue()).toArray
+
+  def registerAll(spark: SparkSession): Unit = {
+    TsFunctions.registerAll(spark)
+    Aggregators.registerAll(spark)
+
+    def reg(name: String, f: org.apache.spark.sql.expressions.UserDefinedFunction): Unit = {
+      spark.udf.register(name, f)
+      spark.udf.register("anofox_fcst_" + name.stripPrefix("ts_"), f)
+    }
+
+    // seasonality / periods
+    reg("ts_detect_seasonality", udf((vs: Seq[java.lang.Double]) =>
+      Seasonality.detectSeasonality(arr(vs).filterNot(_.isNaN), None).toSeq))
+    reg("ts_estimate_period_fft", udf((vs: Seq[java.lang.Double]) =>
+      Periods.estimatePeriodFft(arr(vs).filterNot(_.isNaN)).period))
+    reg("ts_estimate_period_acf", udf((vs: Seq[java.lang.Double]) =>
+      Periods.estimatePeriodAcf(arr(vs).filterNot(_.isNaN)).period))
+    reg("ts_autoperiod", udf((vs: Seq[java.lang.Double]) =>
+      Periods.autoperiod(arr(vs).filterNot(_.isNaN)).period))
+    reg("ts_cfd_autoperiod", udf((vs: Seq[java.lang.Double]) =>
+      Periods.cfdAutoperiod(arr(vs).filterNot(_.isNaN)).period))
+    reg("ts_lomb_scargle", udf((vs: Seq[java.lang.Double]) =>
+      Periods.lombScargle(arr(vs).filterNot(_.isNaN)).period))
+    reg("ts_aic_period", udf((vs: Seq[java.lang.Double]) =>
+      Periods.aicPeriod(arr(vs).filterNot(_.isNaN)).period))
+    reg("ts_ssa_period", udf((vs: Seq[java.lang.Double]) =>
+      Periods.ssaPeriod(arr(vs).filterNot(_.isNaN)).period))
+    reg("ts_stl_period", udf((vs: Seq[java.lang.Double]) =>
+      Periods.stlPeriod(arr(vs).filterNot(_.isNaN)).period))
+    reg("ts_matrix_profile_period", udf((vs: Seq[java.lang.Double]) =>
+      Periods.matrixProfilePeriod(arr(vs).filterNot(_.isNaN)).period))
+    reg("ts_sazed_period", udf((vs: Seq[java.lang.Double]) =>
+      Periods.sazedPeriod(arr(vs).filterNot(_.isNaN)).period))
+    reg("ts_detect_periods", udf((vs: Seq[java.lang.Double], method: String) =>
+      Periods.detectPeriods(arr(vs).filterNot(_.isNaN), method).primaryPeriod))
+    reg("ts_seasonal_strength", udf((vs: Seq[java.lang.Double], period: Int) =>
+      Decomposition.seasonalStrengthAt(arr(vs).filterNot(_.isNaN), period)))
+
+    // conformal / bootstrap
+    reg("ts_conformal_quantile", udf((rs: Seq[java.lang.Double], alpha: Double) =>
+      Conformal.conformalQuantile(arr(rs).filterNot(_.isNaN), alpha)))
+    reg("ts_conformal_intervals", udf((fc: Seq[java.lang.Double], q: Double) => {
+      val (lo, hi) = Conformal.conformalIntervals(arr(fc), q)
+      (lo.toSeq, hi.toSeq)
+    }))
+    reg("ts_conformal_predict", udf(
+      (rs: Seq[java.lang.Double], fc: Seq[java.lang.Double], alpha: Double) => {
+        val (lo, hi, q) = Conformal.conformalPredict(arr(rs).filterNot(_.isNaN), arr(fc), alpha)
+        (lo.toSeq, hi.toSeq, q)
+      }))
+    reg("ts_conformal_predict_asymmetric", udf(
+      (rs: Seq[java.lang.Double], fc: Seq[java.lang.Double], alpha: Double) => {
+        val (lo, hi, q) = Conformal.conformalPredictAsymmetric(
+          arr(rs).filterNot(_.isNaN), arr(fc), alpha)
+        (lo.toSeq, hi.toSeq, q)
+      }))
+    reg("ts_bootstrap_intervals", udf(
+      (rs: Seq[java.lang.Double], fc: Seq[java.lang.Double], nPaths: Int, coverage: Double, seed: Long) => {
+        val (lo, hi) = Conformal.bootstrapIntervals(arr(rs).filterNot(_.isNaN), arr(fc),
+          nPaths, coverage, seed)
+        (lo.toSeq, hi.toSeq)
+      }))
+    reg("ts_mean_interval_width", TsFunctions.tsMeanIntervalWidth)
+
+    // detrend / decomposition / changepoints on arrays
+    reg("ts_detrend", udf((vs: Seq[java.lang.Double], method: String) => {
+      val r = Detrend.detrend(arr(vs), method)
+      (r.trend.toSeq, r.detrended.toSeq, r.method)
+    }))
+    reg("ts_detect_changepoints", udf((vs: Seq[java.lang.Double]) =>
+      Changepoint.pelt(arr(vs).filterNot(_.isNaN)).toSeq))
+    reg("ts_detect_changepoints_bocpd", udf((vs: Seq[java.lang.Double], hazard: Double) => {
+      val r = Changepoint.bocpd(arr(vs).filterNot(_.isNaN), hazard)
+      (r.isChangepoint.toSeq, r.probability.toSeq)
+    }))
+
+    // forecasting on arrays (the _ts_forecast_scalar shape)
+    reg("ts_forecast_values", udf((vs: Seq[java.lang.Double], method: String, horizon: Int) => {
+      val values = arr(vs)
+      val valid = vs.map(_ != null).toArray
+      val out = Forecast.forecast(values, valid, Forecast.Options(
+        model = Forecast.canonicalModel(method), horizon = horizon))
+      (out.point.toSeq, out.lower.toSeq, out.upper.toSeq, out.modelName)
+    }))
+
+    // memory estimation parity helper (metrics.cpp:1081)
+    reg("ts_estimate_backtest_memory", udf(
+      (nSeries: Long, seriesLength: Long, folds: Int, horizon: Int) =>
+        graft.ops.TsCvOp.estimateBacktestMemory(nSeries, seriesLength, folds, horizon)))
+  }
+}

@@ -25,6 +25,12 @@ object FreqType {
 
 final case class Frequency(tpe: FreqType, n: Long, micros: Long, isRaw: Boolean) {
 
+  /** Raw-integer frequencies mean "n days" on date/timestamp columns but
+    * "n raw steps" on integer date columns (ParsedFrequency.is_raw contract,
+    * ts_fill_gaps_native.hpp:20-24). */
+  def forIntegerDs(isIntegerDs: Boolean): Frequency =
+    if (isRaw && isIntegerDs) copy(micros = n) else this
+
   /** Date of `base + step * this`, in epoch micros (UTC). */
   def advance(baseMicros: Long, step: Long): Long = tpe match {
     case FreqType.Fixed => baseMicros + step * micros
