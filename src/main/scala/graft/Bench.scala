@@ -55,6 +55,38 @@ object Bench {
     }),
   )
 
+  /** Holdout MASE per model: train = all but the last 7 days of each user
+    * series, test = those 7 days; scale = in-sample naive MAE (BASELINE.md
+    * M4-style protocol at testdata scale). */
+  private def accuracy(spark: SparkSession, dir: String): Map[String, Double] = {
+    import org.apache.spark.sql.expressions.Window
+    val series = userSeries(spark, dir).cache()
+    val cutoff = series.agg(date_sub(max(col("ds")), 7)).collect()(0).getDate(0)
+    val train = series.filter(col("ds") <= lit(cutoff))
+    val test = series.filter(col("ds") > lit(cutoff))
+    val w = Window.partitionBy(col("g")).orderBy(col("ds"))
+    val scale = train.withColumn("_prev", lag(col("y"), 1).over(w))
+      .groupBy(col("g")).agg(avg(abs(col("y") - col("_prev"))).as("_scale"))
+      .filter(col("_scale") > 0)
+    val models = Seq(
+      ("Naive", Map.empty[String, String]),
+      ("SeasonalNaive", Map("seasonal_period" -> "7")),
+      ("Theta", Map.empty[String, String]),
+      ("HoltWinters", Map("seasonal_period" -> "7")),
+      ("AutoETS", Map("seasonal_period" -> "7")),
+      ("AutoARIMA", Map("seasonal_period" -> "7")))
+    val out = models.map { case (m, params) =>
+      val fc = ops.TsForecastOp.forecastBy(train, "g", "ds", "y", m, 7, "1d", params)
+      val mase = fc.join(test, Seq("g", "ds"))
+        .groupBy(col("g")).agg(avg(abs(col("y") - col("yhat"))).as("_mae"))
+        .join(scale, Seq("g"))
+        .agg(avg(col("_mae") / col("_scale"))).collect()(0).getDouble(0)
+      m -> mase
+    }.toMap
+    series.unpersist()
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -80,7 +112,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val acc = accuracy(spark, sfDir)
+      .map { case (k, v) => "\"" + k + f"\":$v%.4f" }.mkString("{", ",", "}")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"mase_holdout7":$acc,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
