@@ -151,7 +151,7 @@ object Arima {
                     p: Int = 1, d: Int = 1, q: Int = 1):
       (Array[Double], String, Option[Double], Option[Double]) = {
     fit(values, p, d, q) match {
-      case Some(f) => (forecast(values, f, horizon), s"ARIMA($p,$d,$q)", Some(f.aic), None)
+      case Some(f) => (forecast(values, f, horizon), "ARIMA", Some(f.aic), None)
       case None => throw new Forecast.ComputationError(s"ARIMA($p,$d,$q) fit failed")
     }
   }

@@ -212,10 +212,12 @@ object Ets {
       } yield f
       if (fits.isEmpty) throw new Forecast.ComputationError("ETS: no feasible model for this series")
       val best = fits.minBy(_.aicc)
-      (best.point, s"ETS(${best.spec.notation})", Some(best.aic), Some(best.bic))
+      // fixed-spec models report the plain name (ts_native_model_names.test);
+      // the selected spec is surfaced via Introspect
+      (best.point, "ETS", Some(best.aic), Some(best.bic))
     } else {
       fit(y, parsed, period, horizon) match {
-        case Some(f) => (f.point, s"ETS(${f.spec.notation})", Some(f.aic), Some(f.bic))
+        case Some(f) => (f.point, "ETS", Some(f.aic), Some(f.bic))
         case None => throw new Forecast.ComputationError(
           s"ETS($raw) is infeasible for this series (non-positive data with multiplicative " +
             "components, or series shorter than two seasons)")

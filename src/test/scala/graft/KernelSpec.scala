@@ -206,7 +206,7 @@ class ForecastKernelSpec extends AnyFunSuite {
     val season = Array(5.0, -2.0, -3.0, 0.0)
     val y = Array.tabulate(48)(i => 50.0 + 0.5 * i + season(i % 4))
     val (point, name, aic, _) = Ets.forecastEts(y, 4, 4, Some("AAA"))
-    assert(name == "ETS(AAA)")
+    assert(name == "ETS")
     assert(aic.isDefined)
     (0 until 4).foreach { h =>
       val expected = 50.0 + 0.5 * (48 + h) + season((48 + h) % 4)
