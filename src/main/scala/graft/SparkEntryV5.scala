@@ -70,6 +70,13 @@ object SparkEntryV5 {
     "text_quality_score" -> ((s, dir) =>
       TextOps.qualityScore(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("quality_score"))),
+    "ts_validate_timestamps_by" -> ((s, dir) => {
+      val expected = (1 to 30).map(d =>
+        java.sql.Timestamp.valueOf(f"2024-01-$d%02d 00:00:00"))
+      TsPrep.validateTimestampsBy(dailyEvents(s, dir), "g", "ds", expected)
+        .select(col("g"), col("is_valid"), col("n_expected"), col("n_found"),
+          col("n_missing"))
+    }),
     // rows-only: the registered-SQL scalar surface end-to-end
     "sql_function_surface" -> ((s, dir) => {
       graft.sql.Register.registerAll(s)
@@ -117,6 +124,19 @@ object SparkEntryV5 {
         |  src.dt > TIMESTAMP '2024-01-20 00:00:00' AS is_unknown,
         |  lk.last_known AS last_known_date
         |FROM src LEFT JOIN lk ON src.g = lk.g""".stripMargin),
+    "ts_validate_timestamps_by" -> (SeriesCte +
+      """, src AS (SELECT DISTINCT g, date_trunc('second', CAST(ds AS TIMESTAMP)) AS dt FROM s),
+        |expected AS (SELECT date_trunc('second',
+        |  CAST(unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |       TIMESTAMP '2024-01-30 00:00:00', INTERVAL 1 DAY)) AS TIMESTAMP)) AS edt),
+        |groups AS (SELECT DISTINCT g FROM src),
+        |ae AS (SELECT g.g, e.edt FROM groups g CROSS JOIN expected e),
+        |v AS (SELECT ae.g, ae.edt, s2.dt IS NOT NULL AS found
+        |      FROM ae LEFT JOIN src s2 ON ae.g = s2.g AND ae.edt = s2.dt)
+        |SELECT g, bool_and(found) AS is_valid, count(*) AS n_expected,
+        |  CAST(sum(CASE WHEN found THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+        |  CAST(sum(CASE WHEN NOT found THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        |FROM v GROUP BY g""".stripMargin),
     "ts_fill_unknown_by" -> (SeriesCte +
       """, src AS (SELECT g, date_trunc('second', CAST(ds AS TIMESTAMP)) AS ds,
         |                  round(y, 6) AS y FROM s)
