@@ -194,9 +194,13 @@ object SparkEntryV4 {
       })
       dailyEvents(s, dir)
         .withColumn("r", col("y") - lag(col("y"), 1).over(w))
+        .filter(col("r").isNotNull)
         .groupBy(col("g"))
-        .agg(collect_list(col("r")).as("_rs"), last(col("y")).as("_last"))
-        .select(col("g"), explode(btUdf(col("_rs"), col("_last"))).as("_b"))
+        // date-ordered residuals + max_by anchor: the seeded bootstrap is
+        // index-addressed, so input order must be deterministic
+        .agg(sort_array(collect_list(struct(col("ds"), col("r")))).as("_rs0"),
+          max_by(col("y"), col("ds")).as("_last"))
+        .select(col("g"), explode(btUdf(col("_rs0.r"), col("_last"))).as("_b"))
         .select(col("g"), col("_b._1").as("forecast_step"),
           round(col("_b._2"), 4).as("lower"), round(col("_b._3"), 4).as("upper"))
     }),

@@ -168,9 +168,9 @@ object Arima {
     d
   }
 
-  /** Hyndman-Khandakar stepwise AutoARIMA. */
-  def autoArima(values: Array[Double], horizon: Int, period: Int = 1):
-      (Array[Double], String, Option[Double], Option[Double]) = {
+  /** The stepwise search itself — also used by introspection so the
+    * inspected model is exactly the one that forecast. */
+  def autoFit(values: Array[Double], period: Int = 1): Option[Fit] = {
     val seasonalD =
       if (period > 1 && values.length >= 2 * period + 4 &&
         Decomposition.seasonalStrengthAt(values, period) > 0.64) 1 else 0
@@ -184,26 +184,38 @@ object Arima {
         if (p < 0 || q < 0 || p > 5 || q > 5) None
         else fit(values, p, d, q, seasonalD, period))
 
-    var best = Seq((2, 2), (0, 0), (1, 0), (0, 1))
+    val startOpt = Seq((2, 2), (0, 0), (1, 0), (0, 1))
       .flatMap { case (p, q) => tryFit(p, q) }
       .minByOption(_.aicc)
-      .getOrElse(return fallbackDrift(values, horizon))
-
-    var improved = true
-    while (improved) {
-      improved = false
-      val neighbors = Seq((best.p + 1, best.q), (best.p - 1, best.q),
-        (best.p, best.q + 1), (best.p, best.q - 1),
-        (best.p + 1, best.q + 1), (best.p - 1, best.q - 1))
-      neighbors.flatMap { case (p, q) => tryFit(p, q) }
-        .filter(_.aicc < best.aicc)
-        .minByOption(_.aicc)
-        .foreach { f => best = f; improved = true }
+    startOpt.map { start =>
+      var best = start
+      var improved = true
+      while (improved) {
+        improved = false
+        val neighbors = Seq((best.p + 1, best.q), (best.p - 1, best.q),
+          (best.p, best.q + 1), (best.p, best.q - 1),
+          (best.p + 1, best.q + 1), (best.p - 1, best.q - 1))
+        neighbors.flatMap { case (p, q) => tryFit(p, q) }
+          .filter(_.aicc < best.aicc)
+          .minByOption(_.aicc)
+          .foreach { f => best = f; improved = true }
+      }
+      best
     }
-    val name =
-      if (seasonalD > 0) s"AutoARIMA(${best.p},${best.d},${best.q})(0,$seasonalD,0)[$period]"
-      else s"AutoARIMA(${best.p},${best.d},${best.q})"
-    (forecast(values, best, horizon), name, Some(best.aic), None)
+  }
+
+  /** Hyndman-Khandakar stepwise AutoARIMA. */
+  def autoArima(values: Array[Double], horizon: Int, period: Int = 1):
+      (Array[Double], String, Option[Double], Option[Double]) = {
+    autoFit(values, period) match {
+      case Some(best) =>
+        val name =
+          if (best.seasonalD > 0)
+            s"AutoARIMA(${best.p},${best.d},${best.q})(0,${best.seasonalD},0)[${best.period}]"
+          else s"AutoARIMA(${best.p},${best.d},${best.q})"
+        (forecast(values, best, horizon), name, Some(best.aic), None)
+      case None => fallbackDrift(values, horizon)
+    }
   }
 
   private def fallbackDrift(values: Array[Double], horizon: Int):

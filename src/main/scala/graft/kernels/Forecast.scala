@@ -105,9 +105,9 @@ object Forecast {
       mse: Option[Double])
 
   /** Valid params keys for the MAP-style API (ts_forecast_native.cpp:270-306). */
-  val validParamKeys: Set[String] = Set("seasonal_period", "confidence_level", "model",
-    "window", "seasonal_periods", "model_pool", "alpha", "beta", "gamma", "theta",
-    "include_fitted", "include_residuals", "laplace_variant", "laplace_seasonal_batch_init")
+  val validParamKeys: Set[String] = Set("model", "seasonal_period", "seasonal_periods",
+    "confidence_level", "window", "model_pool", "laplace_variant",
+    "laplace_seasonal_batch_init", "include_fitted", "include_residuals")
 
   def optionsFromParams(method: String, horizon: Int, params: Map[String, String]): Options = {
     val unknown = params.keySet -- validParamKeys

@@ -47,11 +47,8 @@ object Introspect {
         }
       case "ARIMA" | "AutoARIMA" =>
         val f = (if (opts.model == "ARIMA") Arima.fit(clean, 1, 1, 1)
-        else {
-          // re-run the stepwise search to expose the selected order
-          val d = 0
-          Arima.fit(clean, 2, 1, 2, 0, period).orElse(Arima.fit(clean, 1, 1, 0))
-        }).getOrElse(throw new Forecast.ComputationError("ARIMA: fit failed"))
+        else Arima.autoFit(clean, period)) // same search the forecast runs
+          .getOrElse(throw new Forecast.ComputationError("ARIMA: fit failed"))
         InspectOut(s"${opts.model}(${f.p},${f.d},${f.q})", None, None, None, None,
           Some(f.aic), None, Some(f.p), Some(f.d), Some(f.q),
           (f.phi ++ f.theta :+ f.intercept).toSeq)

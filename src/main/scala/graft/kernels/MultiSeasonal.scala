@@ -164,8 +164,24 @@ object MultiSeasonal {
       val b = Linalg.olsSolve(x, y.drop(1))
       (b(0), b(1))
     }
-    // damped Holt leaf
+    // damped Holt leaf: fixed (0.3, 0.1) recursion with its OWN one-step
+    // predictions, so its likelihood weight reflects its own accuracy
     val dampedFc = Forecast.holt(y, horizon)
+    val holtOneStep: Array[Double] = {
+      val out = new Array[Double](n)
+      var l = y(0)
+      var b = if (n > 1) y(1) - y(0) else 0.0
+      out(0) = y(0)
+      var t = 1
+      while (t < n) {
+        out(t) = l + b
+        val lNew = 0.3 * y(t) + 0.7 * (l + b)
+        b = 0.1 * (lNew - l) + 0.9 * b
+        l = lNew
+        t += 1
+      }
+      out
+    }
     val drift = if (n > 1) (y(n - 1) - y(0)) / (n - 1) else 0.0
 
     val leaves = Seq(
@@ -173,7 +189,7 @@ object MultiSeasonal {
       Leaf("drift", t => if (t == 0) y(0) else y(t - 1) + drift, h => y(n - 1) + drift * (h + 1)),
       Leaf("ar1", t => if (t == 0) y(0) else arC + arPhi * y(t - 1),
         h => { var v = y(n - 1); var k = 0; while (k <= h) { v = arC + arPhi * v; k += 1 }; v }),
-      Leaf("holt", t => if (t == 0) y(0) else emaLevels(t - 1), h => dampedFc(h)))
+      Leaf("holt", t => holtOneStep(t), h => dampedFc(h)))
 
     val maes = leaves.map { leaf =>
       var s = 0.0

@@ -32,6 +32,9 @@ object SimilarityOps {
     val q = queries.select(col(idCol).as("qid"), col(vecCol).cast(ArrayType(DoubleType)).as("_qv"))
     val pairs = c.crossJoin(broadcast(q))
       .withColumn("sim", cosine(col("_qv"), col("_cv")))
+      // zero-norm vectors give NaN cosine; Spark sorts NaN above every real
+      // value desc, which would steal top-k slots
+      .filter(!isnan(col("sim")))
       .select(col("qid"), col("vid"), col("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
     pairs.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k).drop("_rk")

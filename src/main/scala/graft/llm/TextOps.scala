@@ -86,6 +86,8 @@ object TextOps {
     val bs = Array.fill(numHashes)(math.abs(rnd.nextLong()) % p)
     val sigUdf = udf((text: String) => {
       val hs = shingleHashSet(if (text == null) "" else text, shingleSize)
+      if (hs.isEmpty) Array.empty[Long] // no shingles → no signature (else every
+      else {                            // short doc would collide in every band
       val sig = Array.fill(numHashes)(p)
       var j = 0
       while (j < hs.length) {
@@ -99,6 +101,7 @@ object TextOps {
         j += 1
       }
       sig
+      }
     })
     df.withColumn(out, sigUdf(col(textCol)))
   }
@@ -111,6 +114,7 @@ object TextOps {
                       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 5): DataFrame = {
     val rowsPerBand = numHashes / bands
     val withSig = minHashSignature(df, textCol, numHashes, shingleSize)
+      .filter(size(col("minhash")) > 0)
       .select(col(idCol), col("minhash"))
     val banded = withSig.select(col(idCol), posexplode(transform(
       sequence(lit(0), lit(bands - 1)),

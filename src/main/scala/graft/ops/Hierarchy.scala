@@ -33,12 +33,17 @@ object Hierarchy {
     * AGGREGATED fill — one shuffle, no N-fold union. */
   def aggregateHierarchy(df: DataFrame, dsCol: String, yCol: String,
                          idCols: Seq[String], separator: String = "|"): DataFrame = {
+    // grouping() bits distinguish rollup subtotal NULLs from genuine NULL id
+    // values, so real-NULL keys aren't silently merged into subtotals
+    val gCols = idCols.map(c => grouping(col(c)).as(s"_g_$c")) :+
+      grouping(col(dsCol)).as("_g_ds")
     val rolled = df.rollup(col(dsCol) +: idCols.map(col): _*)
-      .agg(sum(col(yCol)).as(yCol))
-      // rollup emits the all-null grand total (no dsCol) row too — drop it
-      .filter(col(dsCol).isNotNull)
-    val level = idCols.map(c => when(col(c).isNotNull, 1).otherwise(0)).reduce(_ + _)
-    val filled = idCols.map(c => coalesce(col(c).cast("string"), lit("AGGREGATED")))
+      .agg(sum(col(yCol)).as(yCol), gCols: _*)
+      .filter(col("_g_ds") === 0) // drop only the all-rolled grand-total row
+    val level = idCols.map(c => lit(1) - col(s"_g_$c")).reduce(_ + _)
+    val filled = idCols.map(c =>
+      when(col(s"_g_$c") === 1, lit("AGGREGATED"))
+        .otherwise(coalesce(col(c).cast("string"), lit(""))))
     rolled.select(
       level.as("level"),
       concat_ws(separator, filled: _*).as("unique_id"),

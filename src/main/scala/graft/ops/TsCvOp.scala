@@ -179,11 +179,10 @@ object TsCvOp {
                      horizon: Int, nFolds: Int, frequency: String = "1d",
                      params: Map[String, String] = Map.empty, metric: String = "rmse"): DataFrame = {
     val (cvKeys, fcKeys) = params.partition { case (k, _) => validCvKeys.contains(k) }
-    // the fold plan is traversed three times downstream (train gather, test
-    // tagging, horizon counts) — persist it so the window/explode stage runs
-    // once; size is bounded by rows × folds
+    // NOTE the fold plan is traversed three times downstream; callers doing
+    // repeated backtests over the same folds should persist the folds
+    // DataFrame themselves (a library-held persist has no release point)
     val folds = cvFoldsBy(df, groupCol, dsCol, yCol, nFolds, horizon, cvKeys)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val method = fcKeys.getOrElse("method", "AutoETS")
     val fc = cvForecastBy(folds, groupCol, dsCol, yCol, method, fcKeys - "method")
     val test = fc.filter(col("split") === "test" && col("yhat").isNotNull)

@@ -58,9 +58,12 @@ object StreamingForecast {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (key: String, rows: Iterator[InPoint], state: GroupState[SeriesState]) =>
           val prev = state.getOption.getOrElse(SeriesState(Array.empty, Array.empty))
-          val incoming = rows.toArray.sortBy(_.tsMicros)
-          val ts = (prev.ts ++ incoming.map(_.tsMicros)).takeRight(maxHistory)
-          val vs = (prev.vs ++ incoming.map(_.value)).takeRight(maxHistory)
+          val incoming = rows.toArray
+          // merge + re-sort so late/out-of-order events land in time order
+          val merged = (prev.ts.zip(prev.vs) ++ incoming.map(p => (p.tsMicros, p.value)))
+            .sortBy(_._1).takeRight(maxHistory)
+          val ts = merged.map(_._1)
+          val vs = merged.map(_._2)
           state.update(SeriesState(ts, vs))
           if (vs.length < 3) Iterator.empty
           else {
