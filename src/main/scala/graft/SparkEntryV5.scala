@@ -56,6 +56,35 @@ object SparkEntryV5 {
     "ts_mase_by" -> ((s, dir) => metricInput(s, dir)
       .select(col("g"),
         round(TsFunctions.tsMase(col("_s.a"), col("_s.p"), col("_s.a"), lit(1)), 6).as("mase"))),
+    "ts_rmae_by" -> ((s, dir) => {
+      val w = Window.partitionBy(col("g")).orderBy(col("ds"))
+      dailyEvents(s, dir)
+        .withColumn("p1", lag(col("y"), 1).over(w))
+        .withColumn("p2", lag(col("y"), 7).over(w))
+        .groupBy(col("g"))
+        .agg(sort_array(collect_list(struct(col("ds"),
+          coalesce(col("y"), lit(Double.NaN)).as("a"),
+          coalesce(col("p1"), lit(Double.NaN)).as("x"),
+          coalesce(col("p2"), lit(Double.NaN)).as("z")))).as("_s"))
+        .select(col("g"),
+          round(TsFunctions.tsRmae(col("_s.a"), col("_s.x"), col("_s.z")), 6).as("rmae"))
+    }),
+    "ts_quantile_loss_by" -> ((s, dir) => metricInput(s, dir)
+      .select(col("g"),
+        round(TsFunctions.tsQuantileLoss(col("_s.a"), col("_s.p"), lit(0.9)), 6).as("ql"))),
+    "ts_coverage_by" -> ((s, dir) => {
+      val w = Window.partitionBy(col("g")).orderBy(col("ds"))
+      dailyEvents(s, dir)
+        .withColumn("lo", lag(col("y"), 1).over(w) - 500.0)
+        .withColumn("hi", lag(col("y"), 1).over(w) + 500.0)
+        .groupBy(col("g"))
+        .agg(sort_array(collect_list(struct(col("ds"),
+          coalesce(col("y"), lit(Double.NaN)).as("a"),
+          coalesce(col("lo"), lit(Double.NaN)).as("l"),
+          coalesce(col("hi"), lit(Double.NaN)).as("u")))).as("_s"))
+        .select(col("g"),
+          round(TsFunctions.tsCoverage(col("_s.a"), col("_s.l"), col("_s.u")), 6).as("coverage"))
+    }),
     "ts_mark_unknown_by" -> ((s, dir) =>
       TsPrep.markUnknownBy(dailyEvents(s, dir), "g", "ds", "2024-01-20 00:00:00")
         .select(col("g"), col("ds"), round(col("y"), 6).as("y"),
@@ -116,6 +145,25 @@ object SparkEntryV5 {
         |        FROM w GROUP BY g)
         |SELECT mae.g, round(mae.m / scale.sc, 6) AS mase
         |FROM mae JOIN scale ON mae.g = scale.g""".stripMargin),
+    "ts_rmae_by" -> (SeriesCte +
+      """, w AS (SELECT g, y, lag(y) OVER (PARTITION BY g ORDER BY ds) AS p1,
+        |              lag(y, 7) OVER (PARTITION BY g ORDER BY ds) AS p2 FROM s)
+        |SELECT g,
+        |  round(avg(CASE WHEN p1 IS NOT NULL THEN abs(y - p1) END)
+        |        / avg(CASE WHEN p2 IS NOT NULL THEN abs(y - p2) END), 6) AS rmae
+        |FROM w GROUP BY g""".stripMargin),
+    "ts_quantile_loss_by" -> (SeriesCte +
+      """, w AS (SELECT g, y, lag(y) OVER (PARTITION BY g ORDER BY ds) AS pred FROM s)
+        |SELECT g, round(avg(CASE WHEN pred IS NOT NULL THEN
+        |  CASE WHEN y - pred >= 0 THEN 0.9 * (y - pred)
+        |       ELSE (0.9 - 1.0) * (y - pred) END END), 6) AS ql
+        |FROM w GROUP BY g""".stripMargin),
+    "ts_coverage_by" -> (SeriesCte +
+      """, w AS (SELECT g, y, lag(y) OVER (PARTITION BY g ORDER BY ds) AS prev FROM s)
+        |SELECT g, round(avg(CASE WHEN prev IS NOT NULL THEN
+        |  CASE WHEN y >= prev - 500.0 AND y <= prev + 500.0 THEN 1.0 ELSE 0.0 END END), 6)
+        |  AS coverage
+        |FROM w GROUP BY g""".stripMargin),
     "ts_mark_unknown_by" -> (SeriesCte +
       """, src AS (SELECT g, ds, y, date_trunc('second', CAST(ds AS TIMESTAMP)) AS dt FROM s),
         |lk AS (SELECT g, max(dt) AS last_known FROM src
