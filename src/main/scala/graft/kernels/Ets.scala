@@ -138,7 +138,8 @@ object Ets {
   }
 
   /** Fit one concrete spec; returns None if infeasible on this data. */
-  def fit(y: Array[Double], spec: Spec, m: Int, horizon: Int): Option[Fit] = {
+  def fit(y: Array[Double], spec: Spec, m: Int, horizon: Int,
+          optimIter: Int = 300): Option[Fit] = {
     val n = y.length
     if (spec.seasonal != 'N' && (m < 2 || n < 2 * m)) return None
     if ((spec.error == 'M' || spec.trend == 'M' || spec.seasonal == 'M') && y.exists(_ <= 0.0)) return None
@@ -167,7 +168,7 @@ object Ets {
     if (spec.seasonal != 'N') put(2)
     if (spec.damped) put(3)
 
-    val best = Optim.nelderMead(v => likelihood(y, spec, m, expand(v)), x0r, lor, hir, maxIter = 300)
+    val best = Optim.nelderMead(v => likelihood(y, spec, m, expand(v)), x0r, lor, hir, maxIter = optimIter)
     val full = expand(best)
     val phi = if (spec.damped) full(3) else 1.0
     run(y, spec, m, full(0), full(1), full(2), phi).map { case (sse, sumLogMu, fitted, l, b, s) =>
@@ -269,7 +270,10 @@ object Ets {
   def autoEts(y: Array[Double], horizon: Int, period: Int, modelPool: Option[String]):
       (Array[Double], String, Option[Double], Option[Double]) = {
     val seasonal = period > 1 && y.length >= 2 * period
-    val fits = pool(modelPool, seasonal).flatMap(s => fit(y, s, period, horizon))
+    // two-stage: cheap optimizer budget to rank the pool, full budget to
+    // refit the winner — same selection quality at a fraction of the cost
+    val scan = pool(modelPool, seasonal).flatMap(s => fit(y, s, period, horizon, optimIter = 100))
+    val fits = scan.sortBy(_.aicc).take(3).flatMap(f => fit(y, f.spec, period, horizon))
     if (fits.isEmpty) {
       // degenerate series (constant etc.) → SES-style fallback, mirroring the
       // reference's catch_unwind fallback path (forecast.rs:1630-1641)
