@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.TextOps
+import graft.ops.{Hierarchy, TsPrep, TsStatsOp}
+
+/** Sixth batch: calendar-frequency gap filling (the month-arithmetic path,
+  * oracle-checked), separator validation, Jaccard near-dup verification, and
+  * the data-quality rollup. */
+object SparkEntryV6 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  private def exactSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    sum(round(c, 6).cast(DecimalType(28, 6))).cast(DoubleType)
+
+  /** Monthly revenue per order priority with months 3/4 removed → calendar
+    * gaps for the monthly fill path. */
+  private def monthlySeries(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .filter(!month(col("o_orderdate")).isin(3, 4))
+      .groupBy(col("o_orderpriority").as("g"),
+        date_trunc("month", col("o_orderdate")).cast(DateType).as("ds"))
+      .agg(exactSum(col("o_totalprice")).as("y"))
+
+  private val MonthlyCte =
+    """WITH p AS (
+      |  SELECT o_orderpriority AS g,
+      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS ds,
+      |         CAST(sum(CAST(round(o_totalprice, 6) AS DECIMAL(28,6))) AS DOUBLE) AS y
+      |  FROM orders WHERE month(o_orderdate) NOT IN (3, 4) GROUP BY 1, 2)""".stripMargin
+
+  private def dailyEvents(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "events")
+      .groupBy(col("event_type").as("g"), col("ts").cast(DateType).as("ds"))
+      .agg(exactSum(col("value")).as("y"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_fill_gaps_monthly_by" -> ((s, dir) =>
+      TsPrep.fillGapsBy(monthlySeries(s, dir), "g", "ds", "y", "1mo")
+        .select(col("g"), col("ds"), round(col("y"), 4).as("y"))),
+    "ts_validate_separator" -> ((s, dir) =>
+      Hierarchy.validateSeparator(
+        t(s, dir, "events").select(col("event_type").as("id1"),
+          col("user_id").cast(StringType).as("id2")),
+        Seq("id1", "id2"))),
+    "ts_data_quality_summary" -> ((s, dir) =>
+      TsStatsOp.dataQualitySummary(dailyEvents(s, dir), "g", "ds", "y")),
+    // LSH candidates verified by exact shingle Jaccard (rows-only: hashes)
+    "dedup_jaccard_verify" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val pairs = TextOps.minHashLshPairs(docs, "doc_id", "text", bands = 32)
+      TextOps.jaccardVerify(pairs, docs, "doc_id", "text", threshold = 0.05)
+        .groupBy().agg(count(lit(1)).as("n_verified_pairs"),
+          round(avg(col("jaccard")), 6).as("avg_jaccard"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ts_fill_gaps_monthly_by" -> (MonthlyCte +
+      """, w AS (SELECT g, ds, y, lag(ds) OVER (PARTITION BY g ORDER BY ds) AS prev FROM p),
+        |gaps AS (
+        |  SELECT g, CAST(unnest(generate_series(
+        |    CAST(prev AS TIMESTAMP) + INTERVAL 1 MONTH,
+        |    CAST(ds AS TIMESTAMP) - INTERVAL 1 MONTH,
+        |    INTERVAL 1 MONTH)) AS DATE) AS ds, CAST(NULL AS DOUBLE) AS y
+        |  FROM w
+        |  WHERE prev IS NOT NULL
+        |    AND (year(ds) * 12 + month(ds)) - (year(prev) * 12 + month(prev)) > 1)
+        |SELECT g, ds, round(y, 4) AS y FROM p
+        |UNION ALL SELECT g, ds, y FROM gaps""".stripMargin),
+    "ts_validate_separator" ->
+      """SELECT CAST(sum(CASE WHEN contains(event_type, '|')
+        |                  OR contains(CAST(user_id AS VARCHAR), '|')
+        |             THEN 1 ELSE 0 END) AS HUGEINT) AS n_invalid_rows,
+        |  count(*) AS n_total,
+        |  sum(CASE WHEN contains(event_type, '|')
+        |            OR contains(CAST(user_id AS VARCHAR), '|')
+        |      THEN 1 ELSE 0 END) = 0 AS is_valid
+        |FROM events""".stripMargin,
+  )
+}
