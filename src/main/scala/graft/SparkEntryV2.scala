@@ -167,10 +167,10 @@ object SparkEntryV2 {
   def oracleSql: Map[String, String] = Map(
     "ts_stats_by" -> (SeriesCte +
       """, base AS (
-        |  SELECT g, count(*) AS length, 0 AS n_nulls,
-        |    sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS n_zeros,
-        |    sum(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS n_positive,
-        |    sum(CASE WHEN y < 0 THEN 1 ELSE 0 END) AS n_negative,
+        |  SELECT g, count(*) AS length, CAST(0 AS BIGINT) AS n_nulls,
+        |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zeros,
+        |    CAST(sum(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+        |    CAST(sum(CASE WHEN y < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
         |    count(DISTINCT y) AS n_unique_values,
         |    count(DISTINCT y) = 1 AS is_constant,
         |    avg(y) AS mean, quantile_cont(y, 0.5) AS median,
@@ -199,7 +199,7 @@ object SparkEntryV2 {
         |  FROM (SELECT g, y, lag(y) OVER (PARTITION BY g ORDER BY ds) AS prev FROM s) q
         |  JOIN base b ON q.g = b.g GROUP BY q.g),
         |gaps AS (
-        |  SELECT g, sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS n_gaps FROM (
+        |  SELECT g, CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps FROM (
         |    SELECT g, ds - lag(ds) OVER (PARTITION BY g ORDER BY ds) AS d FROM s)
         |  WHERE d IS NOT NULL GROUP BY g)
         |SELECT b.g, b.length, b.n_nulls, b.n_zeros, b.n_positive, b.n_negative,
@@ -222,14 +222,14 @@ object SparkEntryV2 {
       """, per AS (SELECT g, count(*) AS length FROM s GROUP BY g)
         |SELECT count(*) AS n_series, round(avg(length), 6) AS avg_length,
         |  min(length) AS min_length, max(length) AS max_length,
-        |  CAST(0 AS HUGEINT) AS total_nulls, CAST(0 AS HUGEINT) AS total_nans
+        |  CAST(0 AS BIGINT) AS total_nulls, CAST(0 AS BIGINT) AS total_nans
         |FROM per""".stripMargin),
     "ts_quality_report" -> (SeriesCte +
       """, per AS (SELECT g, count(*) AS length, count(DISTINCT y) = 1 AS is_constant
         |           FROM s GROUP BY g)
-        |SELECT sum(CASE WHEN length >= 10 AND NOT is_constant THEN 1 ELSE 0 END) AS n_passed,
-        |  CAST(0 AS HUGEINT) AS n_nan_issues, CAST(0 AS HUGEINT) AS n_missing_issues,
-        |  sum(CASE WHEN is_constant THEN 1 ELSE 0 END) AS n_constant,
+        |SELECT CAST(sum(CASE WHEN length >= 10 AND NOT is_constant THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+        |  CAST(0 AS BIGINT) AS n_nan_issues, CAST(0 AS BIGINT) AS n_missing_issues,
+        |  CAST(sum(CASE WHEN is_constant THEN 1 ELSE 0 END) AS BIGINT) AS n_constant,
         |  count(*) AS n_total
         |FROM per""".stripMargin),
     "ts_cv_folds_by" -> (SeriesCte +
@@ -276,8 +276,8 @@ object SparkEntryV2 {
         |  SELECT g, ds, CASE WHEN pos > te THEN TRUE ELSE FALSE END AS is_test
         |  FROM f WHERE n >= 2 AND te + 7 < n AND pos <= te + 7),
         |mt AS (SELECT g, min(CASE WHEN is_test THEN ds END) AS min_test FROM rows_tagged GROUP BY g)
-        |SELECT r.g, sum(CASE WHEN NOT r.is_test AND mt.min_test IS NOT NULL
-        |                     AND r.ds >= mt.min_test THEN 1 ELSE 0 END) AS n_leaked_rows,
+        |SELECT r.g, CAST(sum(CASE WHEN NOT r.is_test AND mt.min_test IS NOT NULL
+        |                     AND r.ds >= mt.min_test THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked_rows,
         |  count(*) AS n_rows,
         |  sum(CASE WHEN NOT r.is_test AND mt.min_test IS NOT NULL
         |           AND r.ds >= mt.min_test THEN 1 ELSE 0 END) > 0 AS has_leakage

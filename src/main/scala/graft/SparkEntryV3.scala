@@ -110,10 +110,19 @@ object SparkEntryV3 {
     "fc_adida" -> fcQuery("ADIDA"),
     "fc_imapa" -> fcQuery("IMAPA"),
     "fc_ses_seasonal_opt" -> fcQuery("SeasonalESOptimized", Map("seasonal_period" -> "7")),
-    // single-series API (rows-only: LIST outputs)
+    // single-series API — arrays posexploded to scalar rows (the driver's
+    // sort-then-hash cannot order LIST columns)
     "ts_forecast_single" -> ((s, dir) =>
       TsForecastOp.forecastSingle(
-        dailyEvents(s, dir).filter(col("g") === "click"), "ds", "y", "Naive", 5)),
+        dailyEvents(s, dir).filter(col("g") === "click"), "ds", "y", "Naive", 5)
+        .select(col("model_name"),
+          posexplode(arrays_zip(col("point_forecasts"), col("lower_bounds"),
+            col("upper_bounds"))).as(Seq("_pos", "_z")))
+        .select((col("_pos") + 1).cast(LongType).as("h"),
+          round(col("_z.point_forecasts"), 6).as("yhat"),
+          round(col("_z.lower_bounds"), 4).as("yhat_lower"),
+          round(col("_z.upper_bounds"), 4).as("yhat_upper"),
+          col("model_name"))),
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -138,7 +147,7 @@ object SparkEntryV3 {
         |           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lv
         |       FROM s),
         |m AS (SELECT g, avg(y) AS mean FROM s GROUP BY g)
-        |SELECT w.g, count(*) AS length,
+        |SELECT w.g, CAST(count(*) AS DOUBLE) AS length,
         |  round(sum(w.y), 4) AS sum, round(avg(w.y), 6) AS mean,
         |  round(min(w.y), 6) AS minimum, round(max(w.y), 6) AS maximum,
         |  round(max(w.y) - min(w.y), 6) AS range,
@@ -164,5 +173,16 @@ object SparkEntryV3 {
         |  FROM mx WHERE last_ds < DATE '2024-02-10')
         |SELECT g, ds, round(y, 6) AS y FROM p
         |UNION ALL SELECT g, ds, y FROM ext""".stripMargin),
+    // Naive single-series: yhat = last value, bounds = yhat ± 1.96·σ_pop·√h
+    // (kernels/Forecast.scala:244-262). σ rounds at 4 decimals (cross-engine
+    // stddev differs ~1e-14).
+    "ts_forecast_single" -> (SeriesCte +
+      """, c AS (SELECT ds, y FROM s WHERE g = 'click'),
+        |p AS (SELECT arg_max(y, ds) AS lastv, stddev_pop(y) AS se FROM c)
+        |SELECT CAST(h AS BIGINT) AS h, round(lastv, 6) AS yhat,
+        |  round(lastv - 1.96 * se * sqrt(h), 4) AS yhat_lower,
+        |  round(lastv + 1.96 * se * sqrt(h), 4) AS yhat_upper,
+        |  'Naive' AS model_name
+        |FROM p, (SELECT unnest(range(1, 6)) AS h) hs""".stripMargin),
   )
 }

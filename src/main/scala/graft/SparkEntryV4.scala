@@ -57,7 +57,9 @@ object SparkEntryV4 {
     // ------------------------------------------------ introspection
     "ts_forecast_inspect_by" -> ((s, dir) =>
       TsForecastOp.forecastInspectBy(dailyEvents(s, dir), "g", "ds", "y", "AutoETS",
-        Map("seasonal_period" -> "7"))),
+        Map("seasonal_period" -> "7"))
+        // LIST column → JSON string: the driver sorts rows over all columns
+        .withColumn("coefficients", to_json(col("coefficients")))),
     "ts_forecast_explain_by" -> ((s, dir) =>
       TsForecastOp.forecastExplainBy(dailyEvents(s, dir), "g", "ds", "y", "AutoETS", 7,
         Map("seasonal_period" -> "7"))),

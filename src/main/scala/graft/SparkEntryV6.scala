@@ -81,7 +81,7 @@ object SparkEntryV6 {
     "ts_validate_separator" ->
       """SELECT CAST(sum(CASE WHEN contains(event_type, '|')
         |                  OR contains(CAST(user_id AS VARCHAR), '|')
-        |             THEN 1 ELSE 0 END) AS HUGEINT) AS n_invalid_rows,
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid_rows,
         |  count(*) AS n_total,
         |  sum(CASE WHEN contains(event_type, '|')
         |            OR contains(CAST(user_id AS VARCHAR), '|')

@@ -29,8 +29,8 @@ object TextOps {
     val len = length(t).cast(DoubleType)
     def ratio(pattern: String): Column =
       when(len > 0, length(regexp_replace(t, pattern, "")).cast(DoubleType) / len).otherwise(0.0)
-    df.withColumn("n_chars", length(t))
-      .withColumn("n_tokens", size(split(trim(t), "\\s+")))
+    df.withColumn("n_chars", length(t).cast(LongType))
+      .withColumn("n_tokens", size(split(trim(t), "\\s+")).cast(LongType))
       .withColumn("alpha_ratio", ratio("[^A-Za-z]"))
       .withColumn("digit_ratio", ratio("[^0-9]"))
       .withColumn("upper_ratio", ratio("[^A-Z]"))
@@ -45,7 +45,7 @@ object TextOps {
   def tokenCount(df: DataFrame, textCol: String, out: String = "n_tokens_bpe"): DataFrame =
     df.withColumn(out, size(filter(
       split(regexp_replace(col(textCol), "([\\p{Punct}])", " $1 "), "\\s+"),
-      x => length(x) > 0)))
+      x => length(x) > 0)).cast(LongType))
 
   /** Character n-gram shingles of a normalized text, as a distinct array —
     * building block for MinHash / Jaccard dedup. */

@@ -33,6 +33,21 @@ def main(sf_dir, out_dir):
         if len(s) != len(d):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(s)} duck={len(d)}"
             continue
+        # the driver's hash compare is dtype-sensitive (int64 vs float64 vs
+        # int32 all hash differently) — enforce the same strictness here
+        dt_bad = [f"{c}: spark={s[c].dtype} duck={d[c].dtype}"
+                  for c in s.columns if s[c].dtype != d[c].dtype]
+        if dt_bad:
+            results[name] = "DTYPE_MISMATCH " + "; ".join(dt_bad)
+            continue
+        # any array/list column kills the driver's pandas sort — flag it
+        obj_arrays = [c for c in s.columns
+                      if s[c].dtype == object and len(s) > 0
+                      and any(hasattr(v, '__len__') and not isinstance(v, (str, bytes))
+                              for v in s[c].dropna().head(5))]
+        if obj_arrays:
+            results[name] = f"UNSORTABLE_ARRAY_COLS {obj_arrays} (driver harness would error)"
+            continue
         s = s.sort_values(by=list(s.columns)).reset_index(drop=True)
         d = d.sort_values(by=list(d.columns)).reset_index(drop=True)
         mismatch = None
