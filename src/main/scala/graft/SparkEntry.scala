@@ -85,17 +85,24 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
     }),
     "q3_segment_revenue" -> ((s, dir) => {
+      // Scale shape: the fact table (lineitem) is pre-aggregated to one row
+      // per l_orderkey BEFORE any join (partial agg = map-side combine), and
+      // the small cust⋈ord keyset is the explicitly-broadcast build side —
+      // lineitem is never eligible for an AQE broadcast and never shuffled
+      // beyond its own groupBy key.
       val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val ord = t(s, dir, "orders")
         .filter(col("o_orderdate") < lit("1997-01-01").cast(TimestampType))
-      val li = t(s, dir, "lineitem")
-        .filter(col("l_shipdate") > lit("1997-01-01").cast(TimestampType))
-      broadcast(cust)
+      val keyset = broadcast(cust)
         .join(ord, col("c_custkey") === col("o_custkey"))
-        .join(li, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("o_orderkey"))
+        .select(col("o_orderkey"))
+      val liAgg = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-01-01").cast(TimestampType))
+        .groupBy(col("l_orderkey"))
         .agg(exactSum2(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
         .filter(col("revenue") > 100000)
+      liAgg.join(broadcast(keyset), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("revenue"))
     }),
     // ------------------------------------------------ data preparation
     "ts_diff_by" -> ((s, dir) => {

@@ -1,7 +1,8 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -23,11 +24,37 @@ object SimilarityOps {
     dot / (na * nb)
   }
 
+  /** Bounded-heap top-k accumulator over (vid, sim) pairs: keeps at most 2k
+    * candidates per partial state, compacting by (sim desc, vid asc). Memory
+    * is O(k) per group and partial states combine map-side, so the Q×N pair
+    * stream is reduced during the scan instead of being fully sorted — the
+    * window-sort alternative materializes and sorts every pair per query,
+    * which does not survive a 100× corpus scale-up. */
+  private final class TopKAggregator(k: Int)
+      extends Aggregator[(Long, Double), scala.collection.mutable.ArrayBuffer[(Long, Double)], Seq[(Long, Double)]] {
+    private def compact(b: scala.collection.mutable.ArrayBuffer[(Long, Double)]) =
+      if (b.length <= 2 * k) b
+      else b.sortBy(t => (-t._2, t._1)).take(k)
+    def zero: scala.collection.mutable.ArrayBuffer[(Long, Double)] =
+      scala.collection.mutable.ArrayBuffer.empty
+    def reduce(b: scala.collection.mutable.ArrayBuffer[(Long, Double)], a: (Long, Double)) =
+      compact(b += a)
+    def merge(a: scala.collection.mutable.ArrayBuffer[(Long, Double)],
+              b: scala.collection.mutable.ArrayBuffer[(Long, Double)]) = compact(a ++= b)
+    def finish(b: scala.collection.mutable.ArrayBuffer[(Long, Double)]): Seq[(Long, Double)] =
+      b.sortBy(t => (-t._2, t._1)).take(k).toSeq
+    def bufferEncoder: Encoder[scala.collection.mutable.ArrayBuffer[(Long, Double)]] =
+      org.apache.spark.sql.Encoders.kryo[scala.collection.mutable.ArrayBuffer[(Long, Double)]]
+    def outputEncoder: Encoder[Seq[(Long, Double)]] = ExpressionEncoder()
+  }
+
   /** Brute-force cosine top-k: for each query row, the k nearest corpus rows.
-    * The query side is broadcast (small); per-query ranking uses a window —
-    * fine when |queries| is modest. Output: (qid, vid, sim). */
+    * The query side is broadcast (small); the corpus is scanned once and
+    * reduced through a bounded-heap Aggregator (no per-query full sort).
+    * Ties break by vid ascending. Output: (qid, vid, sim). */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                      k: Int): DataFrame = {
+    val vidType = corpus.schema(idCol).dataType
     val c = corpus.select(col(idCol).as("vid"), col(vecCol).cast(ArrayType(DoubleType)).as("_cv"))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).cast(ArrayType(DoubleType)).as("_qv"))
     val pairs = c.crossJoin(broadcast(q))
@@ -35,9 +62,12 @@ object SimilarityOps {
       // zero-norm vectors give NaN cosine; Spark sorts NaN above every real
       // value desc, which would steal top-k slots
       .filter(!isnan(col("sim")))
-      .select(col("qid"), col("vid"), col("sim"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
-    pairs.withColumn("_rk", row_number().over(w)).filter(col("_rk") <= k).drop("_rk")
+      .select(col("qid"), col("vid").cast(LongType).as("vid"), col("sim"))
+    val topk = udaf(new TopKAggregator(k), ExpressionEncoder[(Long, Double)]())
+    pairs.groupBy(col("qid"))
+      .agg(topk(col("vid"), col("sim")).as("_top"))
+      .select(col("qid"), explode(col("_top")).as("_p"))
+      .select(col("qid"), col("_p._1").cast(vidType).as("vid"), col("_p._2").as("sim"))
   }
 
   /** Random-hyperplane LSH bucketing: `nBits` signed projections → bucket id.
@@ -55,13 +85,22 @@ object SimilarityOps {
   }
 
   /** LSH-accelerated near-neighbor pairs: bucket equi-join then exact cosine
-    * filter. Scales by bucket size, not corpus². */
+    * filter. Scales by bucket size, not corpus² — and bucket size itself is
+    * capped at `maxBucketSize`: a degenerate bucket of m rows would emit
+    * O(m²) pairs (boilerplate-heavy corpora routinely produce such buckets),
+    * which is a straggler/OOM bomb at 100 TB. Rows in over-cap buckets are
+    * excluded from candidate generation in that bucket; callers needing full
+    * recall on hot buckets should re-bucket them with more bits. */
   def lshNearPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                   minSim: Double, nBits: Int = 16): DataFrame = {
+                   minSim: Double, nBits: Int = 16, maxBucketSize: Int = 1000): DataFrame = {
     val b = lshBuckets(df, idCol, vecCol, dim, nBits)
       .select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)).as("_v"), col("bucket"))
-    val l = b.select(col(idCol).as("id_a"), col("_v").as("_va"), col("bucket"))
-    val r = b.select(col(idCol).as("id_b"), col("_v").as("_vb"), col("bucket"))
+    // bucket histogram is small (≤ 2^nBits rows); AQE picks the join strategy
+    val okBuckets = b.groupBy(col("bucket")).agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") <= maxBucketSize).select(col("bucket"))
+    val capped = b.join(okBuckets, Seq("bucket"))
+    val l = capped.select(col(idCol).as("id_a"), col("_v").as("_va"), col("bucket"))
+    val r = capped.select(col(idCol).as("id_b"), col("_v").as("_vb"), col("bucket"))
     l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .withColumn("sim", cosine(col("_va"), col("_vb")))
       .filter(col("sim") >= minSim)

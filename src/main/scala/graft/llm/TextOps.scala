@@ -111,7 +111,8 @@ object TextOps {
     * sum(bucket²) per band — the classic LSH trade-off; band count tunes
     * recall vs cost. */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
-                      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 5): DataFrame = {
+                      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 5,
+                      maxBucketSize: Int = 1000): DataFrame = {
     val rowsPerBand = numHashes / bands
     val withSig = minHashSignature(df, textCol, numHashes, shingleSize)
       .filter(size(col("minhash")) > 0)
@@ -120,8 +121,17 @@ object TextOps {
       sequence(lit(0), lit(bands - 1)),
       b => xxhash64(concat_ws("_", slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"), col("band").as("_band_b"), col("bucket").as("_bucket_b"))
+    // Cap per-(band,bucket) population before the self-join: one boilerplate
+    // bucket of m docs otherwise emits m² pairs (the classic LSH skew bomb at
+    // corpus scale). Histogram size = distinct non-singleton buckets — often
+    // broadcastable, but not bounded, so AQE picks the join strategy.
+    val okBuckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_bn"))
+      .filter(col("_bn") <= maxBucketSize && col("_bn") > 1)
+      .select(col("band"), col("bucket"))
+    val capped = banded.join(okBuckets, Seq("band", "bucket"))
+    val a = capped.select(col(idCol).as("id_a"), col("band"), col("bucket"))
+    val b = capped.select(col(idCol).as("id_b"), col("band").as("_band_b"), col("bucket").as("_bucket_b"))
     a.join(b, col("band") === col("_band_b") && col("bucket") === col("_bucket_b") &&
         col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))

@@ -1,0 +1,91 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{SimilarityOps, TextOps}
+
+/** Guards for the scale-safety mechanisms: LSH bucket caps (skew bomb) and
+  * the bounded-heap ANN top-k (no full window sort). */
+class ScaleGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-scale-guards")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("minHashLshPairs caps degenerate buckets: m duplicates do not emit m² pairs") {
+    val s = spark
+    import s.implicits._
+    val boiler = "the quick brown fox jumps over the lazy dog again and again, " * 4
+    val nearA = "completely different content about distributed query engines and shuffles one"
+    val nearB = "completely different content about distributed query engines and shuffles two"
+    val docs = ((0L until 300L).map(i => (i, boiler)) ++
+      Seq((1000L, nearA), (1001L, nearB))).toDF("doc_id", "text")
+
+    val capped = TextOps.minHashLshPairs(docs, "doc_id", "text", maxBucketSize = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the 300-duplicate bucket exceeds the cap in every band → contributes nothing
+    assert(!capped.exists { case (a, b) => a < 300 && b < 300 },
+      "over-cap boilerplate bucket must be excluded")
+    // the small near-dup cluster survives the cap
+    assert(capped.contains((1000L, 1001L)), "near-dup pair in a small bucket must survive")
+
+    val uncapped = TextOps.minHashLshPairs(docs, "doc_id", "text")
+      .filter(col("id_a") < 300 && col("id_b") < 300).count()
+    assert(uncapped == 300L * 299L / 2L, "sanity: without the cap the bucket is quadratic")
+  }
+
+  test("lshNearPairs caps degenerate buckets") {
+    val s = spark
+    import s.implicits._
+    val base = Array.tabulate(8)(i => math.sin(i + 1.0))
+    // 100 identical embeddings (one hot bucket) + 2 distinct similar ones
+    val rows = (0L until 100L).map(i => (i, base)) ++ Seq(
+      (500L, Array.tabulate(8)(i => math.cos(i + 1.0))),
+      (501L, Array.tabulate(8)(i => math.cos(i + 1.0) + 0.001)))
+    val df = rows.toDF("vec_id", "embedding")
+    val pairs = SimilarityOps.lshNearPairs(df, "vec_id", "embedding", 8, 0.5,
+        nBits = 6, maxBucketSize = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(!pairs.exists { case (a, b) => a < 100 && b < 100 },
+      "over-cap embedding bucket must be excluded")
+    assert(pairs.contains((500L, 501L)), "small-bucket near pair must survive")
+  }
+
+  test("bruteForceTopK matches the window-sort reference selection") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val corpus = (0L until 200L).map(i => (i, Array.fill(16)(rnd.nextGaussian()))).toDF("id", "v")
+    val queries = (0L until 10L).map(i => (i, Array.fill(16)(rnd.nextGaussian()))).toDF("id", "v")
+
+    val viaAgg = SimilarityOps.bruteForceTopK(corpus, queries, "id", "v", 7)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+
+    val c = corpus.select(col("id").as("vid"), col("v").as("_cv"))
+    val q = queries.select(col("id").as("qid"), col("v").as("_qv"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
+    val viaWindow = c.crossJoin(q)
+      .withColumn("sim", SimilarityOps.cosine(col("_qv"), col("_cv")))
+      .filter(!isnan(col("sim")))
+      .withColumn("_rk", row_number().over(w)).filter(col("_rk") <= 7)
+      .select("qid", "vid").as[(Long, Long)].collect().toSet
+
+    assert(viaAgg == viaWindow)
+    assert(viaAgg.size == 70)
+  }
+}
