@@ -35,6 +35,55 @@ object SparkEntryV2 {
   private val SeriesCte =
     s"WITH s AS (SELECT event_type AS g, CAST(ts AS DATE) AS ds, $ExactSumY AS y FROM events GROUP BY 1, 2)"
 
+  /** Per-series quality-score CTE chain replicating kernels/Quality.scala
+    * (reference quality.rs:66-271) on the daily events series — shared with
+    * the summary oracle in SparkEntryV6. Ends in `scores(g, ss, ts, ms, bs,
+    * is_constant)` with UNROUNDED dimension scores. */
+  private[graft] val DataQualityScoresCte: String = SeriesCte +
+    """, fy AS (SELECT g, arg_min(y, ds) AS first_y FROM s GROUP BY g),
+      |mv AS (SELECT g, avg(y) AS mean, count(*) AS n FROM s GROUP BY g),
+      |sv AS (SELECT s.g, sqrt(sum((s.y - mv.mean) * (s.y - mv.mean)) / count(*)) AS std,
+      |              sum((s.y - mv.mean) * (s.y - mv.mean)) / count(*) AS popvar,
+      |              max(mv.mean) AS mean, max(mv.n) AS n,
+      |              max(abs(s.y - fy.first_y)) AS maxdev
+      |       FROM s JOIN mv ON s.g = mv.g JOIN fy ON s.g = fy.g GROUP BY s.g),
+      |q AS (SELECT g, y, row_number() OVER (PARTITION BY g ORDER BY y) AS rn,
+      |             count(*) OVER (PARTITION BY g) AS n FROM s),
+      |quart AS (SELECT g,
+      |    max(CASE WHEN rn = least(CAST(floor(n * 0.25) AS BIGINT), n - 1) + 1 THEN y END) AS q1,
+      |    max(CASE WHEN rn = least(CAST(floor(n * 0.75) AS BIGINT), n - 1) + 1 THEN y END) AS q3
+      |  FROM q GROUP BY g),
+      |mag AS (SELECT s.g,
+      |    CAST(sum(CASE WHEN s.y < quart.q1 - 1.5 * (quart.q3 - quart.q1)
+      |                    OR s.y > quart.q3 + 1.5 * (quart.q3 - quart.q1) THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / count(*) AS outr,
+      |    CAST(sum(CASE WHEN abs(s.y - sv.mean) > 4.0 * sv.std THEN 1 ELSE 0 END) AS DOUBLE)
+      |      / count(*) AS extr
+      |  FROM s JOIN quart ON s.g = quart.g JOIN sv ON s.g = sv.g GROUP BY s.g),
+      |acf AS (SELECT w.g,
+      |    sum(CASE WHEN w.prev IS NOT NULL THEN (w.y - mv.mean) * (w.prev - mv.mean) ELSE 0 END)
+      |      / sum((w.y - mv.mean) * (w.y - mv.mean)) AS acf1
+      |  FROM (SELECT g, y, lag(y) OVER (PARTITION BY g ORDER BY ds) AS prev FROM s) w
+      |  JOIN mv ON w.g = mv.g GROUP BY w.g),
+      |scores AS (SELECT sv.g,
+      |    least(1.0, greatest(0.0, 1.0 * 0.7 + least(sv.n / 30.0, 1.0) * 0.3)) AS ss,
+      |    1.0 AS ts,
+      |    least(1.0, greatest(0.0, 1.0 - mag.outr * 2.0 - mag.extr * 3.0)) AS ms,
+      |    CASE WHEN sv.n < 3 THEN 0.5
+      |         WHEN abs(sv.popvar) < 2.220446049250313e-16 THEN 0.0
+      |         ELSE least(1.0, greatest(0.0,
+      |           1.0 - CASE WHEN abs(acf.acf1) > 0.95 THEN 0.2 ELSE 0.0 END)) END AS bs,
+      |    sv.n < 2 OR sv.maxdev < 2.220446049250313e-16 AS is_constant
+      |  FROM sv JOIN mag ON sv.g = mag.g JOIN acf ON sv.g = acf.g)""".stripMargin
+
+  /** Same rounding contract as SparkEntry.roundFc: yhat 6 decimals, CI 4. */
+  private def roundFc(df: DataFrame): DataFrame =
+    df.select(col("g"), col("forecast_step"), col("ds"),
+      round(col("yhat"), 6).as("yhat"),
+      round(col("yhat_lower"), 4).as("yhat_lower"),
+      round(col("yhat_upper"), 4).as("yhat_upper"),
+      col("model_name"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ statistics
     "ts_stats_by" -> ((s, dir) => {
@@ -65,7 +114,14 @@ object SparkEntryV2 {
       TsStatsOp.qualityReport(
         TsStatsOp.statsBy(dailyEvents(s, dir), "g", "ds", "y", "1d"), 10)),
     "ts_data_quality_by" -> ((s, dir) =>
-      TsStatsOp.dataQualityBy(dailyEvents(s, dir), "g", "ds", "y")),
+      TsStatsOp.dataQualityBy(dailyEvents(s, dir), "g", "ds", "y")
+        .select(col("unique_id"),
+          round(col("structural_score"), 6).as("structural_score"),
+          round(col("temporal_score"), 6).as("temporal_score"),
+          round(col("magnitude_score"), 6).as("magnitude_score"),
+          round(col("behavioral_score"), 6).as("behavioral_score"),
+          round(col("overall_score"), 6).as("overall_score"),
+          col("n_gaps"), col("n_missing"), col("is_constant"))),
     // ------------------------------------------------ cross-validation
     "ts_cv_folds_by" -> ((s, dir) =>
       TsCvOp.cvFoldsBy(dailyEvents(s, dir), "g", "ds", "y", 3, 7)
@@ -127,21 +183,28 @@ object SparkEntryV2 {
       // similarity floor so the candidate path is actually exercised
       graft.llm.SimilarityOps.lshNearPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
         64, 0.1, nBits = 6).select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))),
-    // rows-only coverage: per-model forecasts (optimizer-driven kernels)
-    "fc_ses" -> ((s, dir) => TsForecastOp.forecastBy(
-      dailyEvents(s, dir), "g", "ds", "y", "SES", 7, "1d")),
+    // fixed-parameter models → oracle-checked (recursions replayed in SQL
+    // via DuckDB list_reduce, bit-exact; see oracleSql below)
+    "fc_ses" -> ((s, dir) => roundFc(TsForecastOp.forecastBy(
+      dailyEvents(s, dir), "g", "ds", "y", "SES", 7, "1d"))),
+    "fc_seasonal_es" -> ((s, dir) => roundFc(TsForecastOp.forecastBy(
+      dailyEvents(s, dir), "g", "ds", "y", "SeasonalES", 7, "1d",
+      Map("seasonal_period" -> "7")))),
+    "fc_swa" -> ((s, dir) => roundFc(TsForecastOp.forecastBy(
+      dailyEvents(s, dir), "g", "ds", "y", "SeasonalWindowAverage", 7, "1d",
+      Map("seasonal_period" -> "7")))),
+    "fc_croston" -> ((s, dir) => roundFc(TsForecastOp.forecastBy(
+      dailyEvents(s, dir), "g", "ds", "y", "CrostonClassic", 7, "1d"))),
+    "fc_tsb" -> ((s, dir) => roundFc(TsForecastOp.forecastBy(
+      dailyEvents(s, dir), "g", "ds", "y", "TSB", 7, "1d"))),
+    // rows-only coverage: optimizer-driven kernels (golden-section /
+    // Nelder-Mead parameter search has no honest SQL equivalent)
     "fc_ses_optimized" -> ((s, dir) => TsForecastOp.forecastBy(
       dailyEvents(s, dir), "g", "ds", "y", "SESOptimized", 7, "1d")),
     "fc_holt" -> ((s, dir) => TsForecastOp.forecastBy(
       dailyEvents(s, dir), "g", "ds", "y", "Holt", 7, "1d")),
     "fc_holt_winters" -> ((s, dir) => TsForecastOp.forecastBy(
       dailyEvents(s, dir), "g", "ds", "y", "HoltWinters", 7, "1d",
-      Map("seasonal_period" -> "7"))),
-    "fc_seasonal_es" -> ((s, dir) => TsForecastOp.forecastBy(
-      dailyEvents(s, dir), "g", "ds", "y", "SeasonalES", 7, "1d",
-      Map("seasonal_period" -> "7"))),
-    "fc_swa" -> ((s, dir) => TsForecastOp.forecastBy(
-      dailyEvents(s, dir), "g", "ds", "y", "SeasonalWindowAverage", 7, "1d",
       Map("seasonal_period" -> "7"))),
     "fc_theta" -> ((s, dir) => TsForecastOp.forecastBy(
       dailyEvents(s, dir), "g", "ds", "y", "Theta", 7, "1d")),
@@ -153,10 +216,6 @@ object SparkEntryV2 {
     "fc_autoets" -> ((s, dir) => TsForecastOp.forecastBy(
       dailyEvents(s, dir), "g", "ds", "y", "AutoETS", 7, "1d",
       Map("seasonal_period" -> "7"))),
-    "fc_croston" -> ((s, dir) => TsForecastOp.forecastBy(
-      dailyEvents(s, dir), "g", "ds", "y", "CrostonClassic", 7, "1d")),
-    "fc_tsb" -> ((s, dir) => TsForecastOp.forecastBy(
-      dailyEvents(s, dir), "g", "ds", "y", "TSB", 7, "1d")),
     // rows-only: changepoints
     "ts_changepoints_bocpd_by" -> ((s, dir) =>
       TsChangepointOp.detectChangepointsBy(dailyEvents(s, dir), "g", "ds", "y")),
@@ -312,6 +371,129 @@ object SparkEntryV2 {
         |        max(CASE WHEN o.rn = least(CAST(floor(lv.idx) AS BIGINT) + 1, lv.n - 1) THEN o.a END)
         |          * (max(lv.idx) - floor(max(lv.idx))), 6) AS q
         |FROM o JOIN lv ON o.g = lv.g GROUP BY o.g""".stripMargin),
+    // ---- fixed-parameter forecast models: the kernel recursions replayed in
+    // SQL. DuckDB list_reduce folds left with the first element as the seed,
+    // exactly matching the kernels' sequential loops; every constant is cast
+    // to DOUBLE so both engines run identical IEEE double arithmetic
+    // (kernels/Forecast.scala sesLevel :324, seasonalES :431,
+    // seasonalWindowAverage :466, croston :630, tsb :652).
+    "fc_ses" -> (SeriesCte +
+      s""", a AS (
+        |  SELECT g, max(ds) AS last_ds, stddev_pop(y) AS sigma,
+        |    list_reduce(list(y ORDER BY ds),
+        |      (acc, x) -> CAST(0.3 AS DOUBLE) * x + (1 - CAST(0.3 AS DOUBLE)) * acc) AS lvl
+        |  FROM s GROUP BY g)
+        |SELECT g, CAST(step AS INT) AS forecast_step, last_ds + CAST(step AS INT) AS ds,
+        | round(lvl, 6) AS yhat,
+        | round(lvl - 1.96 * sigma * sqrt(step), 4) AS yhat_lower,
+        | round(lvl + 1.96 * sigma * sqrt(step), 4) AS yhat_upper,
+        | 'SES' AS model_name
+        |FROM a, (SELECT unnest(range(1, 8)) AS step) st""".stripMargin),
+    "fc_swa" -> (SeriesCte +
+      """, a AS (
+        |  SELECT g, max(ds) AS last_ds, stddev_pop(y) AS sigma,
+        |         list(y ORDER BY ds) AS ys, count(*) AS n
+        |  FROM s GROUP BY g),
+        |f AS (
+        |  SELECT g, last_ds, sigma, step,
+        |    list_transform(
+        |      list_filter(list_transform(range(0, greatest(n // 7, 1)),
+        |        k -> (n - ((n - 1 - ((n + step - 1) % 7)) % 7)) - 7 * k),
+        |        ix -> ix >= 1),
+        |      ix -> ys[CAST(ix AS BIGINT)]) AS vals
+        |  FROM a, (SELECT unnest(range(1, 8)) AS step) st)
+        |SELECT g, CAST(step AS INT) AS forecast_step, last_ds + CAST(step AS INT) AS ds,
+        | round(list_reduce(vals, (acc, x) -> acc + x) / len(vals), 6) AS yhat,
+        | round(list_reduce(vals, (acc, x) -> acc + x) / len(vals)
+        |       - 1.96 * sigma * sqrt(step), 4) AS yhat_lower,
+        | round(list_reduce(vals, (acc, x) -> acc + x) / len(vals)
+        |       + 1.96 * sigma * sqrt(step), 4) AS yhat_upper,
+        | 'SeasonalWindowAverage' AS model_name
+        |FROM f""".stripMargin),
+    "fc_seasonal_es" -> (SeriesCte +
+      // state vector acc = [i, level, s0..s6]; list-valued accumulators get
+      // clean (non-mutating) evaluation in DuckDB, unlike struct fields
+      """, a AS (
+        |  SELECT g, max(ds) AS last_ds, stddev_pop(y) AS sigma,
+        |         list(y ORDER BY ds) AS ys, count(*) AS n,
+        |         list_reduce(list(y ORDER BY ds)[1:7], (acc, x) -> acc + x) / 7 AS l0
+        |  FROM s GROUP BY g),
+        |red AS (
+        | SELECT g, last_ds, sigma, n,
+        |  list_reduce(
+        |    list_prepend(
+        |      list_concat([CAST(0 AS DOUBLE), l0], list_transform(ys[1:7], v -> v - l0)),
+        |      list_transform(ys, v -> [v])),
+        |    (acc, e) -> list_concat(
+        |      [acc[1] + 1,
+        |       CAST(0.3 AS DOUBLE) * (e[1] - acc[CAST(acc[1] AS BIGINT) % 7 + 3]) + (1 - CAST(0.3 AS DOUBLE)) * acc[2]],
+        |      list_transform(range(0, 7), j -> CASE WHEN j = CAST(acc[1] AS BIGINT) % 7
+        |        THEN CAST(0.1 AS DOUBLE) * (e[1] - (CAST(0.3 AS DOUBLE) * (e[1] - acc[CAST(acc[1] AS BIGINT) % 7 + 3]) + (1 - CAST(0.3 AS DOUBLE)) * acc[2]))
+        |             + (1 - CAST(0.1 AS DOUBLE)) * acc[j + 3]
+        |        ELSE acc[j + 3] END))) AS fin
+        | FROM a)
+        |SELECT g, CAST(step AS INT) AS forecast_step, last_ds + CAST(step AS INT) AS ds,
+        | round(fin[2] + fin[((n + step - 1) % 7) + 3], 6) AS yhat,
+        | round(fin[2] + fin[((n + step - 1) % 7) + 3] - 1.96 * sigma * sqrt(step), 4) AS yhat_lower,
+        | round(fin[2] + fin[((n + step - 1) % 7) + 3] + 1.96 * sigma * sqrt(step), 4) AS yhat_upper,
+        | 'SeasonalES' AS model_name
+        |FROM red, (SELECT unnest(range(1, 8)) AS step) st""".stripMargin),
+    "fc_croston" -> (SeriesCte +
+      """, b AS (SELECT g, ds, y, row_number() OVER (PARTITION BY g ORDER BY ds) - 1 AS pos
+        |        FROM s),
+        |nz AS (SELECT g, y, pos, lag(pos) OVER (PARTITION BY g ORDER BY pos) AS prevpos
+        |       FROM b WHERE y <> 0),
+        |agg AS (SELECT g,
+        |  list_reduce(list(y ORDER BY pos),
+        |    (acc, x) -> CAST(0.1 AS DOUBLE) * x + (1 - CAST(0.1 AS DOUBLE)) * acc) AS zhat,
+        |  list_reduce(list(CAST(CASE WHEN prevpos IS NULL THEN pos + 1 ELSE pos - prevpos END AS DOUBLE) ORDER BY pos),
+        |    (acc, x) -> CAST(0.1 AS DOUBLE) * x + (1 - CAST(0.1 AS DOUBLE)) * acc) AS phat
+        |  FROM nz GROUP BY g),
+        |a AS (SELECT s.g, max(s.ds) AS last_ds, stddev_pop(s.y) AS sigma,
+        |             max(CASE WHEN agg.phat = 0 THEN 0.0 ELSE agg.zhat / agg.phat END) AS fc
+        |      FROM s LEFT JOIN agg ON s.g = agg.g GROUP BY s.g)
+        |SELECT g, CAST(step AS INT) AS forecast_step, last_ds + CAST(step AS INT) AS ds,
+        | round(coalesce(fc, 0.0), 6) AS yhat,
+        | round(coalesce(fc, 0.0) - 1.96 * sigma * sqrt(step), 4) AS yhat_lower,
+        | round(coalesce(fc, 0.0) + 1.96 * sigma * sqrt(step), 4) AS yhat_upper,
+        | 'CrostonClassic' AS model_name
+        |FROM a, (SELECT unnest(range(1, 8)) AS step) st""".stripMargin),
+    "fc_tsb" -> (SeriesCte +
+      """, a AS (
+        |  SELECT g, max(ds) AS last_ds, stddev_pop(y) AS sigma, count(*) AS n,
+        |         list(y ORDER BY ds) AS ys,
+        |         CAST(sum(CASE WHEN y <> 0 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS p0,
+        |         list_filter(list(y ORDER BY ds), v -> v <> 0)[1] AS z0
+        |  FROM s GROUP BY g),
+        |red AS (
+        | SELECT g, last_ds, sigma,
+        |  CASE WHEN z0 IS NULL THEN [CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)]
+        |  ELSE list_reduce(
+        |    list_prepend([p0, z0], list_transform(ys, v -> [v])),
+        |    (acc, e) -> [
+        |      CASE WHEN e[1] <> 0 THEN CAST(0.2 AS DOUBLE) * 1.0 + (1 - CAST(0.2 AS DOUBLE)) * acc[1]
+        |           ELSE CAST(0.2 AS DOUBLE) * 0.0 + (1 - CAST(0.2 AS DOUBLE)) * acc[1] END,
+        |      CASE WHEN e[1] <> 0 THEN CAST(0.2 AS DOUBLE) * e[1] + (1 - CAST(0.2 AS DOUBLE)) * acc[2]
+        |           ELSE acc[2] END])
+        |  END AS fin
+        | FROM a)
+        |SELECT g, CAST(step AS INT) AS forecast_step, last_ds + CAST(step AS INT) AS ds,
+        | round(fin[1] * fin[2], 6) AS yhat,
+        | round(fin[1] * fin[2] - 1.96 * sigma * sqrt(step), 4) AS yhat_lower,
+        | round(fin[1] * fin[2] + 1.96 * sigma * sqrt(step), 4) AS yhat_upper,
+        | 'TSB' AS model_name
+        |FROM red, (SELECT unnest(range(1, 8)) AS step) st""".stripMargin),
+    // ---- per-series data-quality scores (kernels/Quality.scala; formulas
+    // from reference quality.rs:66-271). dailyEvents has no nulls and the op
+    // passes no dates → n_missing = 0, n_gaps = 0, temporal = 1.0.
+    "ts_data_quality_by" -> (DataQualityScoresCte +
+      """
+        |SELECT g AS unique_id,
+        |  round(ss, 6) AS structural_score, round(ts, 6) AS temporal_score,
+        |  round(ms, 6) AS magnitude_score, round(bs, 6) AS behavioral_score,
+        |  round((ss + ts + ms + bs) / 4.0, 6) AS overall_score,
+        |  CAST(0 AS BIGINT) AS n_gaps, CAST(0 AS BIGINT) AS n_missing, is_constant
+        |FROM scores""".stripMargin),
     "lang_id" ->
       """SELECT doc_id,
         |  CASE

@@ -44,6 +44,29 @@ object SparkEntryV3 {
     (s, dir) => TsForecastOp.forecastBy(dailyEvents(s, dir), "g", "ds", "y",
       method, 7, "1d", params)
 
+  /** Same rounding contract as SparkEntry.roundFc: yhat 6 decimals, CI 4. */
+  private def roundFc(df: DataFrame): DataFrame =
+    df.select(col("g"), col("forecast_step"), col("ds"),
+      round(col("yhat"), 6).as("yhat"),
+      round(col("yhat_lower"), 4).as("yhat_lower"),
+      round(col("yhat_upper"), 4).as("yhat_upper"),
+      col("model_name"))
+
+  /** Planted pure sinusoid of period 8 (64 points per group, one per distinct
+    * order date): a correct period detector must report 8 — the oracle is the
+    * construction, not the implementation. 64 samples put frequency 1/8 on an
+    * exact DFT bin. */
+  private def plantedSeries(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("ds"))
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("g"), col("o_orderdate").cast(DateType).as("ds"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_pos", row_number().over(w))
+      .filter(col("_pos") <= 64)
+      .select(col("g"), col("ds"),
+        (lit(10.0) + sin(col("_pos") * lit(2.0 * math.Pi / 8.0))).as("y"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ detrend (oracle: linear)
     "ts_detrend_linear_by" -> ((s, dir) =>
@@ -54,17 +77,26 @@ object SparkEntryV3 {
     "ts_detrend_auto_by" -> ((s, dir) =>
       TsDecompositionOp.detrendBy(dailyEvents(s, dir), "g", "ds", "y", "auto")),
     // ------------------------------------------------ decomposition / periods / peaks
+    // MSTL is oracle-checked through its reconstruction invariant:
+    // trend + seasonal + remainder must reproduce y (decomposition.rs contract)
     "ts_mstl_decomposition_by" -> ((s, dir) =>
-      TsDecompositionOp.mstlDecompositionBy(dailyEvents(s, dir), "g", "ds", "y", Seq(7))),
+      TsDecompositionOp.mstlDecompositionBy(dailyEvents(s, dir), "g", "ds", "y", Seq(7))
+        .select(col("g"), col("ds"), round(col("y"), 6).as("y"),
+          round(col("trend") + col("seasonal") + col("remainder"), 6).as("recon"))),
+    // period detectors run on the planted period-8 sinusoid: expected output
+    // is known from the construction (theory), so the oracle is honest
     "ts_detect_periods_fft_by" -> ((s, dir) =>
-      TsDecompositionOp.detectPeriodsBy(dailyEvents(s, dir), "g", "ds", "y", "fft",
-        minConfidence = Some(0.0))),
+      TsDecompositionOp.detectPeriodsBy(plantedSeries(s, dir), "g", "ds", "y", "fft",
+        minConfidence = Some(0.0))
+        .select(col("g"), col("primary_period"), col("method")).distinct()),
     "ts_detect_periods_acf_by" -> ((s, dir) =>
-      TsDecompositionOp.detectPeriodsBy(dailyEvents(s, dir), "g", "ds", "y", "acf",
-        minConfidence = Some(0.0))),
+      TsDecompositionOp.detectPeriodsBy(plantedSeries(s, dir), "g", "ds", "y", "acf",
+        minConfidence = Some(0.0))
+        .select(col("g"), col("primary_period"), col("method")).distinct()),
     "ts_detect_periods_autoperiod_by" -> ((s, dir) =>
-      TsDecompositionOp.detectPeriodsBy(dailyEvents(s, dir), "g", "ds", "y", "autoperiod",
-        minConfidence = Some(0.0))),
+      TsDecompositionOp.detectPeriodsBy(plantedSeries(s, dir), "g", "ds", "y", "autoperiod",
+        minConfidence = Some(0.0))
+        .select(col("g"), col("primary_period"), col("method")).distinct()),
     "ts_detect_peaks_by" -> ((s, dir) =>
       TsDecompositionOp.detectPeaksBy(dailyEvents(s, dir), "g", "ds", "y")),
     "ts_analyze_peak_timing_by" -> ((s, dir) =>
@@ -106,7 +138,9 @@ object SparkEntryV3 {
     "fc_optimized_theta" -> fcQuery("OptimizedTheta"),
     "fc_dynamic_optimized_theta" -> fcQuery("DynamicOptimizedTheta"),
     "fc_croston_optimized" -> fcQuery("CrostonOptimized"),
-    "fc_croston_sba" -> fcQuery("CrostonSBA"),
+    // fixed-parameter SBA (alpha = 0.1 + bias correction) → oracle-checked
+    "fc_croston_sba" -> ((s, dir) => roundFc(TsForecastOp.forecastBy(
+      dailyEvents(s, dir), "g", "ds", "y", "CrostonSBA", 7, "1d"))),
     "fc_adida" -> fcQuery("ADIDA"),
     "fc_imapa" -> fcQuery("IMAPA"),
     "fc_ses_seasonal_opt" -> fcQuery("SeasonalESOptimized", Map("seasonal_period" -> "7")),
@@ -126,6 +160,43 @@ object SparkEntryV3 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // MSTL reconstruction invariant: the decomposition must sum back to y
+    "ts_mstl_decomposition_by" -> (SeriesCte +
+      """
+        |SELECT g, ds, round(y, 6) AS y, round(y, 6) AS recon FROM s""".stripMargin),
+    // planted period-8 sinusoid (64 samples/group): any correct detector
+    // reports period 8; one distinct row per group
+    "ts_detect_periods_fft_by" ->
+      """SELECT DISTINCT o_orderpriority AS g, CAST(8.0 AS DOUBLE) AS primary_period,
+        | 'fft' AS method FROM orders""".stripMargin,
+    "ts_detect_periods_acf_by" ->
+      """SELECT DISTINCT o_orderpriority AS g, CAST(8.0 AS DOUBLE) AS primary_period,
+        | 'acf' AS method FROM orders""".stripMargin,
+    "ts_detect_periods_autoperiod_by" ->
+      """SELECT DISTINCT o_orderpriority AS g, CAST(8.0 AS DOUBLE) AS primary_period,
+        | 'autoperiod' AS method FROM orders""".stripMargin,
+    // CrostonSBA = CrostonClassic(alpha=0.1) with the 1 - alpha/2 correction
+    "fc_croston_sba" -> (SeriesCte +
+      """, b AS (SELECT g, ds, y, row_number() OVER (PARTITION BY g ORDER BY ds) - 1 AS pos
+        |        FROM s),
+        |nz AS (SELECT g, y, pos, lag(pos) OVER (PARTITION BY g ORDER BY pos) AS prevpos
+        |       FROM b WHERE y <> 0),
+        |agg AS (SELECT g,
+        |  list_reduce(list(y ORDER BY pos),
+        |    (acc, x) -> CAST(0.1 AS DOUBLE) * x + (1 - CAST(0.1 AS DOUBLE)) * acc) AS zhat,
+        |  list_reduce(list(CAST(CASE WHEN prevpos IS NULL THEN pos + 1 ELSE pos - prevpos END AS DOUBLE) ORDER BY pos),
+        |    (acc, x) -> CAST(0.1 AS DOUBLE) * x + (1 - CAST(0.1 AS DOUBLE)) * acc) AS phat
+        |  FROM nz GROUP BY g),
+        |a AS (SELECT s.g, max(s.ds) AS last_ds, stddev_pop(s.y) AS sigma,
+        |             max((CASE WHEN agg.phat = 0 THEN 0.0 ELSE agg.zhat / agg.phat END)
+        |                 * (1 - CAST(0.1 AS DOUBLE) / 2)) AS fc
+        |      FROM s LEFT JOIN agg ON s.g = agg.g GROUP BY s.g)
+        |SELECT g, CAST(step AS INT) AS forecast_step, last_ds + CAST(step AS INT) AS ds,
+        | round(coalesce(fc, 0.0), 6) AS yhat,
+        | round(coalesce(fc, 0.0) - 1.96 * sigma * sqrt(step), 4) AS yhat_lower,
+        | round(coalesce(fc, 0.0) + 1.96 * sigma * sqrt(step), 4) AS yhat_upper,
+        | 'CrostonSBA' AS model_name
+        |FROM a, (SELECT unnest(range(1, 8)) AS step) st""".stripMargin),
     "ts_detrend_linear_by" -> (SeriesCte +
       """, b AS (SELECT g, ds, y, row_number() OVER (PARTITION BY g ORDER BY ds) - 1 AS t
         |         FROM s),

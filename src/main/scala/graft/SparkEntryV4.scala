@@ -41,7 +41,9 @@ object SparkEntryV4 {
     "ts_forecast_agg_sql" -> ((s, dir) => {
       Aggregators.registerAll(s)
       dailyEventsTs(s, dir).createOrReplaceTempView("_agg_events")
-      s.sql("""SELECT g, fc.model_name, size(fc.point_forecasts) AS n_points,
+      // n_points = horizon (12), n_fitted = series length — the UDAF's output
+      // contract; model_name is optimizer-chosen so it stays out of the oracle
+      s.sql("""SELECT g, size(fc.point_forecasts) AS n_points,
               |       size(fc.insample_fitted) AS n_fitted
               |FROM (SELECT g, ts_forecast_agg(ds, y) AS fc
               |      FROM _agg_events GROUP BY g) t""".stripMargin)
@@ -63,6 +65,11 @@ object SparkEntryV4 {
     "ts_forecast_explain_by" -> ((s, dir) =>
       TsForecastOp.forecastExplainBy(dailyEvents(s, dir), "g", "ds", "y", "AutoETS", 7,
         Map("seasonal_period" -> "7"))),
+    // Theta-family inspect state is fully determined by the published method
+    // (theta = 2.0) → oracle-checked
+    "ts_forecast_inspect_theta" -> ((s, dir) =>
+      TsForecastOp.forecastInspectBy(dailyEvents(s, dir), "g", "ds", "y", "Theta")
+        .select(col("g"), col("model_name"), round(col("phi"), 6).as("phi"))),
     // ------------------------------------------------ exogenous forecasting
     "ts_forecast_exog_by" -> ((s, dir) => {
       // regressors: day-of-week indicator + running index, futures on a 7-day horizon
@@ -214,6 +221,40 @@ object SparkEntryV4 {
     s"WITH s AS (SELECT event_type AS g, CAST(ts AS DATE) AS ds, $ExactSumY AS y FROM events GROUP BY 1, 2)"
 
   def oracleSql: Map[String, String] = Map(
+    "ts_forecast_agg_sql" -> (SeriesCte +
+      """
+        |SELECT g, CAST(12 AS INTEGER) AS n_points, CAST(count(*) AS INTEGER) AS n_fitted
+        |FROM s GROUP BY g""".stripMargin),
+    "ts_stats_agg_sql" -> (SeriesCte +
+      """
+        |SELECT g, count(*) AS length, CAST(0 AS BIGINT) AS n_nulls,
+        | round(avg(y), 6) AS mean, round(stddev_samp(y), 6) AS std_dev
+        |FROM s GROUP BY g""".stripMargin),
+    "ts_forecast_inspect_theta" ->
+      """SELECT DISTINCT event_type AS g, 'Theta' AS model_name,
+        | CAST(2.0 AS DOUBLE) AS phi FROM events""".stripMargin,
+    "ts_cv_split_folds_by" -> (SeriesCte +
+      """, b AS (SELECT g, ds, y, row_number() OVER (PARTITION BY g ORDER BY ds) - 1 AS pos
+        |         FROM s),
+        |folds AS (SELECT * FROM (VALUES (1, DATE '2024-01-15'), (2, DATE '2024-01-22'))
+        |          AS v(fold_id, cutoff)),
+        |ep AS (SELECT b.g, f.fold_id, f.cutoff,
+        |              max(CASE WHEN b.ds <= f.cutoff THEN b.pos END) AS end_pos
+        |       FROM b, folds f GROUP BY b.g, f.fold_id, f.cutoff),
+        |rows_tagged AS (
+        |  SELECT b.g, b.ds, CAST(ep.fold_id AS BIGINT) AS fold_id,
+        |    CASE WHEN b.pos <= ep.end_pos THEN 'train' ELSE 'test' END AS split
+        |  FROM b JOIN ep ON b.g = ep.g
+        |  WHERE ep.end_pos IS NOT NULL
+        |    AND (b.pos <= ep.end_pos OR (b.pos > ep.end_pos AND b.pos <= ep.end_pos + 5)))
+        |SELECT g, fold_id,
+        |  min(CASE WHEN split = 'train' THEN ds END) AS train_start,
+        |  max(CASE WHEN split = 'train' THEN ds END) AS train_end,
+        |  min(CASE WHEN split = 'test' THEN ds END) AS test_start,
+        |  max(CASE WHEN split = 'test' THEN ds END) AS test_end,
+        |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+        |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+        |FROM rows_tagged GROUP BY g, fold_id""".stripMargin),
     "ts_cv_split_by" -> (SeriesCte +
       """, b AS (SELECT g, ds, y, row_number() OVER (PARTITION BY g ORDER BY ds) - 1 AS pos
         |         FROM s),

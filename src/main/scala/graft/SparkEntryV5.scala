@@ -106,20 +106,43 @@ object SparkEntryV5 {
         .select(col("g"), col("is_valid"), col("n_expected"), col("n_found"),
           col("n_missing"))
     }),
-    // rows-only: the registered-SQL scalar surface end-to-end
+    // registered-SQL scalar surface end-to-end, on a planted period-8
+    // sinusoid (64 ordered samples/group) so every output is known from the
+    // construction: mae(x,x) = 0, acf period = 8, the 0.1-level conformal
+    // quantile lands on the series max (10 + sin = 11), and the memory
+    // estimate is the documented closed-form formula
     "sql_function_surface" -> ((s, dir) => {
       graft.sql.Register.registerAll(s)
-      dailyEvents(s, dir).createOrReplaceTempView("_sql_surface")
+      val w = Window.partitionBy(col("g")).orderBy(col("ds"))
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("g"), col("o_orderdate").cast(DateType).as("ds"))
+        .agg(count(lit(1)).as("_n"))
+        .withColumn("_pos", row_number().over(w))
+        .filter(col("_pos") <= 64)
+        .select(col("g"), col("ds"),
+          (lit(10.0) + sin(col("_pos") * lit(2.0 * math.Pi / 8.0))).as("y"))
+        .createOrReplaceTempView("_sql_surface")
       s.sql("""SELECT g,
               |  ts_mae(arr, arr) AS self_mae,
               |  ts_detect_periods(arr, 'acf') AS acf_period,
-              |  ts_conformal_quantile(arr, 0.1) AS q90,
-              |  ts_estimate_backtest_memory(5, 30, 2, 7) AS est_mb
-              |FROM (SELECT g, collect_list(y) AS arr FROM _sql_surface GROUP BY g) t""".stripMargin)
+              |  round(ts_conformal_quantile(arr, 0.1), 6) AS q90,
+              |  round(ts_estimate_backtest_memory(5, 30, 2, 7), 6) AS est_mb
+              |FROM (SELECT g, transform(sort_array(collect_list(struct(ds, y))),
+              |                          x -> x.y) AS arr
+              |      FROM _sql_surface GROUP BY g) t""".stripMargin)
     }),
   )
 
   def oracleSql: Map[String, String] = Map(
+    // planted-sinusoid surface: expected values derived from construction +
+    // the documented memory formula (kernels/..., TsCvOp.estimateBacktestMemory)
+    "sql_function_surface" ->
+      """SELECT DISTINCT o_orderpriority AS g,
+        | CAST(0.0 AS DOUBLE) AS self_mae,
+        | CAST(8.0 AS DOUBLE) AS acf_period,
+        | CAST(11.0 AS DOUBLE) AS q90,
+        | round((30 * 8.0 * 4.0 + 5 * (2 * 7 * 11 * 8.0)) / 1000000.0, 6) AS est_mb
+        |FROM orders""".stripMargin,
     "ts_mape_by" -> (SeriesCte +
       """, w AS (SELECT g, y, lag(y) OVER (PARTITION BY g ORDER BY ds) AS pred FROM s)
         |SELECT g, round(100.0 * avg(CASE WHEN y != 0 AND pred IS NOT NULL

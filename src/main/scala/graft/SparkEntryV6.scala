@@ -54,7 +54,9 @@ object SparkEntryV6 {
           col("user_id").cast(StringType).as("id2")),
         Seq("id1", "id2"))),
     "ts_data_quality_summary" -> ((s, dir) =>
-      TsStatsOp.dataQualitySummary(dailyEvents(s, dir), "g", "ds", "y")),
+      TsStatsOp.dataQualitySummary(dailyEvents(s, dir), "g", "ds", "y")
+        .select(col("n_total"), col("n_good"), col("n_fair"), col("n_poor"),
+          round(col("avg_score"), 6).as("avg_score"))),
     // LSH candidates verified by exact shingle Jaccard (rows-only: hashes)
     "dedup_jaccard_verify" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -78,6 +80,16 @@ object SparkEntryV6 {
         |    AND (year(ds) * 12 + month(ds)) - (year(prev) * 12 + month(prev)) > 1)
         |SELECT g, ds, round(y, 4) AS y FROM p
         |UNION ALL SELECT g, ds, y FROM gaps""".stripMargin),
+    // rollup over the per-series quality scores (shared CTE in SparkEntryV2);
+    // thresholds apply to the UNROUNDED overall score, as in the kernel
+    "ts_data_quality_summary" -> (SparkEntryV2.DataQualityScoresCte +
+      """, ov AS (SELECT (ss + ts + ms + bs) / 4.0 AS overall FROM scores)
+        |SELECT count(*) AS n_total,
+        |  CAST(sum(CASE WHEN overall >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_good,
+        |  CAST(sum(CASE WHEN overall >= 0.5 AND overall < 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_fair,
+        |  CAST(sum(CASE WHEN overall < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_poor,
+        |  round(avg(overall), 6) AS avg_score
+        |FROM ov""".stripMargin),
     "ts_validate_separator" ->
       """SELECT CAST(sum(CASE WHEN contains(event_type, '|')
         |                  OR contains(CAST(user_id AS VARCHAR), '|')
