@@ -35,6 +35,26 @@ object TsChangepointOp {
         col("_r.changepoint_probability").as("changepoint_probability"))
   }
 
+  /** detect_changepoints_bayesian (changepoint.rs:360): legacy Bayesian API —
+    * BOCPD with hazard λ = 1 / max(hazard_rate, 0.001), changepoint indices
+    * only. Output: (group, changepoint_index, ds at index). */
+  def bayesianBy(df: DataFrame, groupCol: String, dsCol: String, yCol: String,
+                 hazardRate: Double = 0.004): DataFrame = {
+    val dsType = df.schema(dsCol).dataType
+    val cpUdf = udf((ts: Seq[Long], vs: Seq[Double], nu: Seq[Boolean]) => {
+      try {
+        val clean = graft.kernels.Imputation.fillInterpolate(vs.toArray, nu.map(!_).toArray)
+        val r = Changepoint.bocpd(clean, 1.0 / math.max(hazardRate, 0.001),
+          includeProbabilities = false)
+        r.changepoints.toSeq.map(i => (i, ts(i)))
+      } catch { case _: graft.kernels.Forecast.FcError => Seq.empty[(Int, Long)] }
+    })
+    Series.gather(df, groupCol, dsCol, yCol)
+      .select(col(groupCol), explode(cpUdf(col("_ts"), col("_vs"), col("_nu"))).as("_r"))
+      .select(col(groupCol), col("_r._1").as("changepoint_index"),
+        Series.fromMicros(col("_r._2"), dsType).as(dsCol))
+  }
+
   /** PELT changepoints per group: (group, changepoint_index, ds at index). */
   def peltBy(df: DataFrame, groupCol: String, dsCol: String, yCol: String,
              costFn: String = "l2", minSize: Int = 2,

@@ -235,6 +235,20 @@ object TsCvOp {
         sum(when(col("split") === "test", 1).otherwise(0)).as("n_test"))
   }
 
+  /** ts_cv_split_index_by (ts_macros.cpp:1223): memory-efficient variant of
+    * cvSplitBy that emits only (group, ds, fold_id, split) — no target
+    * column — so large datasets aren't duplicated across folds. Join back
+    * with cvHydrateBy for full rows. Same position-based fold semantics as
+    * cvSplitBy (the reference's date-interval arithmetic agrees on gapless
+    * grids, which ts_cv_split_by itself requires). */
+  def cvSplitIndexBy(df: DataFrame, groupCol: String, dsCol: String,
+                     trainingEndTimes: Seq[java.sql.Timestamp], horizon: Int,
+                     params: Map[String, String] = Map.empty): DataFrame = {
+    val withDummy = df.select(col(groupCol), col(dsCol)).withColumn("_y", lit(0))
+    cvSplitBy(withDummy, groupCol, dsCol, "_y", trainingEndTimes, horizon, params)
+      .select(col(groupCol), col(dsCol), col("fold_id"), col("split"))
+  }
+
   /** ts_cv_hydrate_by (ts_macros.cpp:1409-1452): join the fold skeleton back
     * to a feature table, nulling `unknownFeatures` on rows after each fold's
     * training cutoff (leakage-safe ML matrices). */

@@ -39,4 +39,40 @@ object TsFeaturesOp {
     import spark.implicits._
     Features.allNames.toDF("feature_name")
   }
+
+  /** ts_features_config_template (ts_features.cpp:257): the full catalog as
+    * (feature, params_json) rows with empty default params — the starting
+    * point users edit and feed back through featuresFromJson/Csv. */
+  def configTemplate(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Features.allNames.map(n => (n, "{}")).toDF("feature", "params_json")
+  }
+
+  /** Parse a features config: JSON object {"feature": {...}, ...} or JSON
+    * array ["feature", ...]. Minimal grammar (the reference's params objects
+    * are empty in the template; per-feature params are not yet consumed). */
+  private[ops] def parseJsonConfig(json: String): Seq[String] = {
+    val t = json.trim
+    val names =
+      if (t.startsWith("[")) "\"([^\"]+)\"".r.findAllMatchIn(t).map(_.group(1)).toSeq
+      else "\"([^\"]+)\"\\s*:".r.findAllMatchIn(t).map(_.group(1)).toSeq
+    require(names.nonEmpty, s"ts_features_from_json: no feature names found in config: $json")
+    names
+  }
+
+  /** ts_features_from_json (ts_features.cpp:259): featuresBy restricted to
+    * the features named in a JSON config. */
+  def featuresFromJson(df: DataFrame, groupCol: String, dsCol: String, yCol: String,
+                       configJson: String): DataFrame =
+    featuresBy(df, groupCol, dsCol, yCol, parseJsonConfig(configJson))
+
+  /** ts_features_from_csv (ts_features.cpp:261): config as CSV lines
+    * `feature[,params_json]` with an optional `feature` header row. */
+  def featuresFromCsv(df: DataFrame, groupCol: String, dsCol: String, yCol: String,
+                      configCsv: String): DataFrame = {
+    val names = configCsv.split('\n').map(_.trim).filter(_.nonEmpty)
+      .map(_.split(',')(0).trim).filterNot(_ == "feature").toSeq
+    require(names.nonEmpty, "ts_features_from_csv: no feature names found in config")
+    featuresBy(df, groupCol, dsCol, yCol, names)
+  }
 }

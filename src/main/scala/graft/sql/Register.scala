@@ -106,5 +106,22 @@ object Register {
     reg("ts_estimate_backtest_memory", udf(
       (nSeries: Long, seriesLength: Long, folds: Int, horizon: Int) =>
         graft.ops.TsCvOp.estimateBacktestMemory(nSeries, seriesLength, folds, horizon)))
+
+    // fit-state introspection scalars (ts_forecast_inspect_scalar.cpp):
+    // inspect → STRUCT of fit parameters, explain → per-horizon component
+    // STRUCT-of-LISTs. Both take the value array + method name.
+    reg("ts_forecast_inspect", udf((vs: Seq[java.lang.Double], method: String) => {
+      val values = arr(vs)
+      val valid = vs.map(_ != null).toArray
+      Introspect.inspect(values, valid, Forecast.Options(
+        model = Forecast.canonicalModel(method)))
+    }))
+    reg("ts_forecast_explain", udf(
+      (vs: Seq[java.lang.Double], method: String, horizon: Int) => {
+        val values = arr(vs)
+        val valid = vs.map(_ != null).toArray
+        Introspect.explain(values, valid, horizon, Forecast.Options(
+          model = Forecast.canonicalModel(method), horizon = horizon))
+      }))
   }
 }
