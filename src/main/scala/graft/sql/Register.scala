@@ -93,12 +93,17 @@ object Register {
       (r.isChangepoint.toSeq, r.probability.toSeq)
     }))
 
-    // forecasting on arrays (the _ts_forecast_scalar shape)
+    // forecasting on arrays (the _ts_forecast scalar shape). The reference's
+    // values-only scalar does NOT auto-detect seasonality — period stays 1
+    // unless the caller passes one (ts_forecast.cpp:131-137; pinned by
+    // test/sql/ts_forecast_basic_models.test where SeasonalNaive on a
+    // period-4 wave without params repeats the LAST value).
     reg("ts_forecast_values", udf((vs: Seq[java.lang.Double], method: String, horizon: Int) => {
       val values = arr(vs)
       val valid = vs.map(_ != null).toArray
       val out = Forecast.forecast(values, valid, Forecast.Options(
-        model = Forecast.canonicalModel(method), horizon = horizon))
+        model = Forecast.canonicalModel(method), horizon = horizon,
+        autoDetectSeasonality = false))
       (out.point.toSeq, out.lower.toSeq, out.upper.toSeq, out.modelName)
     }))
 
