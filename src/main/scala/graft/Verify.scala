@@ -39,6 +39,16 @@ object Verify {
     val json = SparkEntry.oracleSql
       .filter(kv => only.forall(_.contains(kv._1)))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // A subset run must not be mistaken for a full dump: drop a PARTIAL
+    // marker (and warn) so a later "full" compare against this outDir is
+    // detectable — stale parquet dirs from an earlier full run would
+    // otherwise silently validate only the subset.
+    val marker = Paths.get(s"$outDir/PARTIAL")
+    if (only.isDefined) {
+      System.err.println(s"[verify] PARTIAL run (${only.get.size} queries) — " +
+        "oracle_sql.json covers only the subset; do not treat this outDir as a full dump")
+      Files.writeString(marker, only.get.toSeq.sorted.mkString("\n"))
+    } else Files.deleteIfExists(marker)
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

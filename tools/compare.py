@@ -40,11 +40,13 @@ def main(sf_dir, out_dir):
         if dt_bad:
             results[name] = "DTYPE_MISMATCH " + "; ".join(dt_bad)
             continue
-        # any array/list column kills the driver's pandas sort — flag it
+        # any array/list column kills the driver's pandas sort — detect from
+        # ALL values (a column whose early rows are scalars/None but later
+        # rows are lists would escape a head()-sample check)
         obj_arrays = [c for c in s.columns
                       if s[c].dtype == object and len(s) > 0
                       and any(hasattr(v, '__len__') and not isinstance(v, (str, bytes))
-                              for v in s[c].dropna().head(5))]
+                              for v in s[c].dropna())]
         if obj_arrays:
             results[name] = f"UNSORTABLE_ARRAY_COLS {obj_arrays} (driver harness would error)"
             continue
