@@ -97,10 +97,8 @@ object SparkEntryV3 {
       TsDecompositionOp.detectPeriodsBy(plantedSeries(s, dir), "g", "ds", "y", "autoperiod",
         minConfidence = Some(0.0))
         .select(col("g"), col("primary_period"), col("method")).distinct()),
-    "ts_detect_peaks_by" -> ((s, dir) =>
-      TsDecompositionOp.detectPeaksBy(dailyEvents(s, dir), "g", "ds", "y")),
-    "ts_analyze_peak_timing_by" -> ((s, dir) =>
-      TsDecompositionOp.analyzePeakTimingBy(dailyEvents(s, dir), "g", "ds", "y", 7.0)),
+    // (ts_detect_peaks_by / ts_analyze_peak_timing_by moved to SparkEntryV9:
+    // planted-construction oracles)
     // ------------------------------------------------ features
     "ts_features_by" -> ((s, dir) =>
       TsFeaturesOp.featuresBy(dailyEvents(s, dir), "g", "ds", "y",

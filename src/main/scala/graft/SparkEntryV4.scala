@@ -108,30 +108,8 @@ object SparkEntryV4 {
           col("split"), col("feat_lag"))
     }),
     // ------------------------------------------------ extended seasonality
-    "ts_classify_seasonality_by" -> ((s, dir) => {
-      val clUdf = udf((vs: Seq[Double], nu: Seq[Boolean]) => {
-        val clean = Imputation.fillInterpolate(vs.toArray, nu.map(!_).toArray)
-        if (clean.length < 14 || clean.exists(_.isNaN)) None
-        else Some(SeasonalityExt.classify(clean, 7))
-      })
-      Series.gather(dailyEvents(s, dir), "g", "ds", "y")
-        .select(col("g"), clUdf(col("_vs"), col("_nu")).as("_c"))
-        .filter(col("_c").isNotNull)
-        .select(col("g"), col("_c.timing_classification"), col("_c.modulation_type"),
-          col("_c.has_stable_timing"), col("_c.is_seasonal"))
-    }),
-    "ts_analyze_seasonality_by" -> ((s, dir) => {
-      val anUdf = udf((vs: Seq[Double], nu: Seq[Boolean]) => {
-        val clean = Imputation.fillInterpolate(vs.toArray, nu.map(!_).toArray)
-        if (clean.length < 4 || clean.exists(_.isNaN)) None
-        else Some(SeasonalityExt.analyze(clean))
-      })
-      Series.gather(dailyEvents(s, dir), "g", "ds", "y")
-        .select(col("g"), anUdf(col("_vs"), col("_nu")).as("_a"))
-        .filter(col("_a").isNotNull)
-        .select(col("g"), col("_a.primary_period"), col("_a.is_seasonal"),
-          round(col("_a.trend_strength"), 6).as("trend_strength"))
-    }),
+    // (classify / analyze / amplitude-modulation moved to SparkEntryV9:
+    // planted-sinusoid construction oracles)
     "ts_seasonality_changes_by" -> ((s, dir) => {
       val chUdf = udf((vs: Seq[Double], nu: Seq[Boolean]) => {
         val clean = Imputation.fillInterpolate(vs.toArray, nu.map(!_).toArray)
@@ -142,32 +120,6 @@ object SparkEntryV4 {
         .select(col("g"), posexplode(chUdf(col("_vs"), col("_nu"))))
         .withColumnRenamed("pos", "window_index")
         .withColumnRenamed("col", "strength")
-    }),
-    "ts_instantaneous_period_by" -> ((s, dir) => {
-      val ipUdf = udf((vs: Seq[Double], nu: Seq[Boolean]) => {
-        val clean = Imputation.fillInterpolate(vs.toArray, nu.map(!_).toArray)
-        if (clean.length < 4 || clean.exists(_.isNaN)) None
-        else {
-          val r = SeasonalityExt.instantaneousPeriod(clean)
-          Some((r.period.toSeq, r.amplitude.toSeq))
-        }
-      })
-      Series.gather(dailyEvents(s, dir), "g", "ds", "y")
-        .select(col("g"), ipUdf(col("_vs"), col("_nu")).as("_o"))
-        .filter(col("_o").isNotNull)
-        .select(col("g"), size(col("_o._1")).as("n_points"))
-    }),
-    "ts_amplitude_modulation_by" -> ((s, dir) => {
-      val amUdf = udf((vs: Seq[Double], nu: Seq[Boolean]) => {
-        val clean = Imputation.fillInterpolate(vs.toArray, nu.map(!_).toArray)
-        if (clean.length < 14 || clean.exists(_.isNaN)) None
-        else Some(SeasonalityExt.amplitudeModulation(clean, 7))
-      })
-      Series.gather(dailyEvents(s, dir), "g", "ds", "y")
-        .select(col("g"), amUdf(col("_vs"), col("_nu")).as("_a"))
-        .filter(col("_a").isNotNull)
-        .select(col("g"), col("_a.is_seasonal"), col("_a.modulation_type"),
-          col("_a.has_modulation"))
     }),
     // ------------------------------------------------ multimodal plumbing
     "mm_decode_images" -> ((s, dir) => {

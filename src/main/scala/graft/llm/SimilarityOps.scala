@@ -24,27 +24,59 @@ object SimilarityOps {
     dot / (na * nb)
   }
 
-  /** Bounded-heap top-k accumulator over (vid, sim) pairs: keeps at most 2k
-    * candidates per partial state, compacting by (sim desc, vid asc). Memory
-    * is O(k) per group and partial states combine map-side, so the Q×N pair
-    * stream is reduced during the scan instead of being fully sorted — the
-    * window-sort alternative materializes and sorts every pair per query,
-    * which does not survive a 100× corpus scale-up. */
+  /** Bounded top-k accumulator state: parallel (vid, sim) arrays with a
+    * fill cursor, capacity 2k+1 — product-encodable (plain arrays), unlike a
+    * kryo-serialized collection which failed to round-trip through shuffle
+    * buffer serialization at scale. */
+  final case class TopKBuf(size: Int, ids: Array[Long], sims: Array[Double])
+
+  /** Bounded-heap top-k accumulator over (vid, sim) pairs: keeps at most
+    * 2k+1 candidates per partial state, compacting to the best k by
+    * (sim desc, vid asc) whenever full. Memory is O(k) per group and partial
+    * states combine map-side, so the Q×N pair stream is reduced during the
+    * scan instead of being fully sorted — the window-sort alternative
+    * materializes and sorts every pair per query, which does not survive a
+    * 100× corpus scale-up. */
   private final class TopKAggregator(k: Int)
-      extends Aggregator[(Long, Double), scala.collection.mutable.ArrayBuffer[(Long, Double)], Seq[(Long, Double)]] {
-    private def compact(b: scala.collection.mutable.ArrayBuffer[(Long, Double)]) =
-      if (b.length <= 2 * k) b
-      else b.sortBy(t => (-t._2, t._1)).take(k)
-    def zero: scala.collection.mutable.ArrayBuffer[(Long, Double)] =
-      scala.collection.mutable.ArrayBuffer.empty
-    def reduce(b: scala.collection.mutable.ArrayBuffer[(Long, Double)], a: (Long, Double)) =
-      compact(b += a)
-    def merge(a: scala.collection.mutable.ArrayBuffer[(Long, Double)],
-              b: scala.collection.mutable.ArrayBuffer[(Long, Double)]) = compact(a ++= b)
-    def finish(b: scala.collection.mutable.ArrayBuffer[(Long, Double)]): Seq[(Long, Double)] =
-      b.sortBy(t => (-t._2, t._1)).take(k).toSeq
-    def bufferEncoder: Encoder[scala.collection.mutable.ArrayBuffer[(Long, Double)]] =
-      org.apache.spark.sql.Encoders.kryo[scala.collection.mutable.ArrayBuffer[(Long, Double)]]
+      extends Aggregator[(Long, Double), TopKBuf, Seq[(Long, Double)]] {
+    private val cap = 2 * k + 1
+
+    private def sortedIdx(b: TopKBuf): Array[Int] =
+      Array.range(0, b.size).sortBy(i => (-b.sims(i), b.ids(i)))
+
+    /** Keep only the best k entries (in-place when capacity allows). */
+    private def compact(b: TopKBuf): TopKBuf = {
+      if (b.size <= k) return b
+      val order = sortedIdx(b).take(k)
+      val ids = new Array[Long](cap)
+      val sims = new Array[Double](cap)
+      var i = 0
+      while (i < order.length) { ids(i) = b.ids(order(i)); sims(i) = b.sims(order(i)); i += 1 }
+      TopKBuf(order.length, ids, sims)
+    }
+
+    private def append(b0: TopKBuf, vid: Long, sim: Double): TopKBuf = {
+      val b = if (b0.ids.length < cap)
+        TopKBuf(b0.size, java.util.Arrays.copyOf(b0.ids, cap),
+          java.util.Arrays.copyOf(b0.sims, cap))
+      else b0
+      val c = if (b.size >= cap) compact(b) else b
+      c.ids(c.size) = vid
+      c.sims(c.size) = sim
+      TopKBuf(c.size + 1, c.ids, c.sims)
+    }
+
+    def zero: TopKBuf = TopKBuf(0, new Array[Long](cap), new Array[Double](cap))
+    def reduce(b: TopKBuf, a: (Long, Double)): TopKBuf = append(b, a._1, a._2)
+    def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+      var acc = a
+      var i = 0
+      while (i < b.size) { acc = append(acc, b.ids(i), b.sims(i)); i += 1 }
+      acc
+    }
+    def finish(b: TopKBuf): Seq[(Long, Double)] =
+      sortedIdx(b).take(k).map(i => (b.ids(i), b.sims(i))).toSeq
+    def bufferEncoder: Encoder[TopKBuf] = ExpressionEncoder()
     def outputEncoder: Encoder[Seq[(Long, Double)]] = ExpressionEncoder()
   }
 
