@@ -216,11 +216,7 @@ object SparkEntryV2 {
     "fc_autoets" -> ((s, dir) => TsForecastOp.forecastBy(
       dailyEvents(s, dir), "g", "ds", "y", "AutoETS", 7, "1d",
       Map("seasonal_period" -> "7"))),
-    // rows-only: changepoints
-    "ts_changepoints_bocpd_by" -> ((s, dir) =>
-      TsChangepointOp.detectChangepointsBy(dailyEvents(s, dir), "g", "ds", "y")),
-    "ts_changepoints_pelt_by" -> ((s, dir) =>
-      TsChangepointOp.peltBy(dailyEvents(s, dir), "g", "ds", "y")),
+    // (changepoints moved to SparkEntryV10: planted-step oracles)
   )
 
   def oracleSql: Map[String, String] = Map(

@@ -74,8 +74,7 @@ object SparkEntryV3 {
         .select(col("g"), col("ds"), round(col("y"), 6).as("y"),
           round(col("trend"), 6).as("trend"),
           round(col("detrended"), 6).as("detrended"), col("method"))),
-    "ts_detrend_auto_by" -> ((s, dir) =>
-      TsDecompositionOp.detrendBy(dailyEvents(s, dir), "g", "ds", "y", "auto")),
+    // (ts_detrend_auto_by moved to SparkEntryV10: exact-line oracle)
     // ------------------------------------------------ decomposition / periods / peaks
     // MSTL is oracle-checked through its reconstruction invariant:
     // trend + seasonal + remainder must reproduce y (decomposition.rs contract)

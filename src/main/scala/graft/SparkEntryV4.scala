@@ -57,35 +57,14 @@ object SparkEntryV4 {
               |      FROM _agg_events2 GROUP BY g) t""".stripMargin)
     }),
     // ------------------------------------------------ introspection
-    "ts_forecast_inspect_by" -> ((s, dir) =>
-      TsForecastOp.forecastInspectBy(dailyEvents(s, dir), "g", "ds", "y", "AutoETS",
-        Map("seasonal_period" -> "7"))
-        // LIST column → JSON string: the driver sorts rows over all columns
-        .withColumn("coefficients", to_json(col("coefficients")))),
-    "ts_forecast_explain_by" -> ((s, dir) =>
-      TsForecastOp.forecastExplainBy(dailyEvents(s, dir), "g", "ds", "y", "AutoETS", 7,
-        Map("seasonal_period" -> "7"))),
+    // (inspect/explain moved to SparkEntryV10: contract + cross-op oracles)
     // Theta-family inspect state is fully determined by the published method
     // (theta = 2.0) → oracle-checked
     "ts_forecast_inspect_theta" -> ((s, dir) =>
       TsForecastOp.forecastInspectBy(dailyEvents(s, dir), "g", "ds", "y", "Theta")
         .select(col("g"), col("model_name"), round(col("phi"), 6).as("phi"))),
     // ------------------------------------------------ exogenous forecasting
-    "ts_forecast_exog_by" -> ((s, dir) => {
-      // regressors: day-of-week indicator + running index, futures on a 7-day horizon
-      val hist = dailyEvents(s, dir)
-        .withColumn("x_dow", dayofweek(col("ds")).cast(DoubleType))
-        .withColumn("x_t", datediff(col("ds"), lit("2024-01-01").cast(DateType)).cast(DoubleType))
-      val maxDs = java.sql.Date.valueOf("2024-01-30")
-      val future = dailyEvents(s, dir).groupBy(col("g"))
-        .agg(max(col("ds")).as("_mx"))
-        .select(col("g"), explode(sequence(lit(1), lit(7))).as("_h"), col("_mx"))
-        .select(col("g"), date_add(col("_mx"), col("_h")).as("ds"))
-        .withColumn("x_dow", dayofweek(col("ds")).cast(DoubleType))
-        .withColumn("x_t", datediff(col("ds"), lit("2024-01-01").cast(DateType)).cast(DoubleType))
-      TsExogOp.forecastExogBy(hist, "g", "ds", "y", Seq("x_dow", "x_t"),
-        future, "ds", Seq("x_dow", "x_t"), "Naive", 7, "1d")
-    }),
+    // (ts_forecast_exog_by moved to SparkEntryV10: exact-plane oracle)
     // ------------------------------------------------ explicit-cutoff CV + hydrate
     "ts_cv_split_by" -> ((s, dir) =>
       TsCvOp.cvSplitBy(dailyEvents(s, dir), "g", "ds", "y",
@@ -110,17 +89,7 @@ object SparkEntryV4 {
     // ------------------------------------------------ extended seasonality
     // (classify / analyze / amplitude-modulation moved to SparkEntryV9:
     // planted-sinusoid construction oracles)
-    "ts_seasonality_changes_by" -> ((s, dir) => {
-      val chUdf = udf((vs: Seq[Double], nu: Seq[Boolean]) => {
-        val clean = Imputation.fillInterpolate(vs.toArray, nu.map(!_).toArray)
-        if (clean.length < 14 || clean.exists(_.isNaN)) Seq.empty[Double]
-        else SeasonalityExt.detectChanges(clean, 7)._2.toSeq
-      })
-      Series.gather(dailyEvents(s, dir), "g", "ds", "y")
-        .select(col("g"), posexplode(chUdf(col("_vs"), col("_nu"))))
-        .withColumnRenamed("pos", "window_index")
-        .withColumnRenamed("col", "strength")
-    }),
+    // (ts_seasonality_changes_by moved to SparkEntryV10: sinusoid oracle)
     // ------------------------------------------------ multimodal plumbing
     "mm_decode_images" -> ((s, dir) => {
       val media = graft.llm.MultimodalOps.demoMediaTable(

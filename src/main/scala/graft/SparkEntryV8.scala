@@ -87,11 +87,7 @@ object SparkEntryV8 {
       TsCvOp.cvSplitIndexBy(dailyEvents(s, dir), "g", "ds",
         Seq(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"),
           java.sql.Timestamp.valueOf("2024-01-22 00:00:00")), 5)),
-    // ------------------------------------------------ Bayesian changepoints
-    // (rows-only: BOCPD posterior thresholds are implementation-specific)
-    "ts_changepoints_bayesian_by" -> ((s, dir) =>
-      TsChangepointOp.bayesianBy(dailyEvents(s, dir), "g", "ds", "y")
-        .groupBy(col("g")).agg(count(lit(1)).as("n_changepoints"))),
+    // (ts_changepoints_bayesian_by moved to SparkEntryV10: planted-step oracle)
     // ------------------------------------------------ features config plumbing
     "ts_features_config_template" -> ((s, dir) =>
       TsFeaturesOp.configTemplate(s)),
