@@ -144,8 +144,12 @@ object SparkEntryV3 {
     // single-series API — arrays posexploded to scalar rows (the driver's
     // sort-then-hash cannot order LIST columns)
     "ts_forecast_single" -> ((s, dir) =>
+      // null-y days are dropped on BOTH sides: the kernel would interpolate
+      // them while the oracle's stddev_pop/arg_max would skip them, so the
+      // histories must agree before either engine sees a null
       TsForecastOp.forecastSingle(
-        dailyEvents(s, dir).filter(col("g") === "click"), "ds", "y", "Naive", 5)
+        dailyEvents(s, dir).filter(col("g") === "click" && col("y").isNotNull),
+        "ds", "y", "Naive", 5)
         .select(col("model_name"),
           posexplode(arrays_zip(col("point_forecasts"), col("lower_bounds"),
             col("upper_bounds"))).as(Seq("_pos", "_z")))
@@ -245,7 +249,7 @@ object SparkEntryV3 {
     // (kernels/Forecast.scala:244-262). σ rounds at 4 decimals (cross-engine
     // stddev differs ~1e-14).
     "ts_forecast_single" -> (SeriesCte +
-      """, c AS (SELECT ds, y FROM s WHERE g = 'click'),
+      """, c AS (SELECT ds, y FROM s WHERE g = 'click' AND y IS NOT NULL),
         |p AS (SELECT arg_max(y, ds) AS lastv, stddev_pop(y) AS se FROM c)
         |SELECT CAST(h AS BIGINT) AS h, round(lastv, 6) AS yhat,
         |  round(lastv - 1.96 * se * sqrt(h), 4) AS yhat_lower,

@@ -57,6 +57,12 @@ object SparkEntryV6 {
       TsStatsOp.dataQualitySummary(dailyEvents(s, dir), "g", "ds", "y")
         .select(col("n_total"), col("n_good"), col("n_fair"), col("n_poor"),
           round(col("avg_score"), 6).as("avg_score"))),
+    // lossless prefix-filtered Jaccard self-join — exact, so the DuckDB
+    // brute-force inverted-index Jaccard is a true oracle
+    "dedup_jaccard_exact" -> ((s, dir) =>
+      TextOps.exactJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleSize = 5, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
     // LSH candidates verified by exact shingle Jaccard (rows-only: hashes)
     "dedup_jaccard_verify" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -68,6 +74,26 @@ object SparkEntryV6 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    // inverted-index exact Jaccard: pairs sharing no shingle cannot clear the
+    // threshold, so the shingle join enumerates every qualifying pair
+    "dedup_jaccard_exact" ->
+      """WITH docs AS (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS norm
+        |              FROM documents),
+        |sh AS (SELECT doc_id,
+        |              list_distinct([substr(norm, CAST(i AS INT), 5)
+        |                             for i in range(1, greatest(length(norm) - 5, 0) + 1)]) AS s
+        |       FROM docs),
+        |shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
+        |ex AS (SELECT doc_id, unnest(s) AS sg FROM shn),
+        |sz AS (SELECT doc_id, len(s) AS n FROM shn),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+        |          FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+        |FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
+        |           JOIN sz sb ON inter.id_b = sb.doc_id
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""".stripMargin,
     "ts_fill_gaps_monthly_by" -> (MonthlyCte +
       """, w AS (SELECT g, ds, y, lag(ds) OVER (PARTITION BY g ORDER BY ds) AS prev FROM p),
         |gaps AS (

@@ -138,6 +138,50 @@ object TextOps {
       .distinct()
   }
 
+  /** Exact all-pairs n-gram Jaccard self-join via prefix filtering (the
+    * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al. — public
+    * literature): order every document's shingle set by ascending global
+    * document frequency, then two sets with Jaccard ≥ t must share a shingle
+    * inside the first |x| − ⌊t·|x|⌋ + 1 entries of that order. Candidates
+    * come from joining only those prefix shingles — the globally rarest
+    * ones, so fan-out is bounded by rare-shingle frequency rather than by
+    * bucket skew — and every candidate is verified with the exact Jaccard.
+    * Lossless (unlike LSH) at the price of one extra document-frequency
+    * shuffle; the scale-safe choice when exact results are required. */
+  def exactJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        shingleSize: Int = 5, threshold: Double = 0.8): DataFrame = {
+    val sh = df.select(col(idCol), shingles(col(textCol), shingleSize).as("_sh"))
+      .filter(size(col("_sh")) > 0)
+    val ex = sh.select(col(idCol), explode(col("_sh")).as("_s"))
+    val dfreq = ex.groupBy(col("_s")).agg(count(lit(1)).as("_df"))
+    // canonical global order = (document frequency, shingle); struct sort
+    // gives each document its shingles rarest-first
+    val ordered = ex.join(dfreq, Seq("_s"))
+      .groupBy(col(idCol))
+      .agg(array_sort(collect_list(struct(col("_df"), col("_s")))).as("_o"))
+      .select(col(idCol),
+        transform(col("_o"), x => x.getField("_s")).as("_sho"),
+        size(col("_o")).as("_n"))
+    // prefix length n − ⌊t·n⌋ + 1 over-covers the required n − ⌈t·n⌉ + 1 by
+    // at most one, which keeps the filter lossless under float rounding
+    val prefix = ordered.select(col(idCol),
+      slice(col("_sho"), lit(1),
+        (col("_n") - floor(col("_n") * threshold) + 1).cast(IntegerType)).as("_p"))
+    val pe = prefix.select(col(idCol), explode(col("_p")).as("_s"))
+    val cand = pe.select(col(idCol).as("id_a"), col("_s"))
+      .join(pe.select(col(idCol).as("id_b"), col("_s").as("_s_b")),
+        col("_s") === col("_s_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(sh.select(col(idCol).as("id_a"), col("_sh").as("_sh_a")), Seq("id_a"))
+      .join(sh.select(col(idCol).as("id_b"), col("_sh").as("_sh_b")), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast(DoubleType) /
+          size(array_union(col("_sh_a"), col("_sh_b"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Exact Jaccard similarity of shingle sets for candidate pairs — the
     * verify step after LSH. `pairs` has (id_a, id_b). */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,

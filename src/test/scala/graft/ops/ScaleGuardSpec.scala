@@ -66,6 +66,37 @@ class ScaleGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.contains((500L, 501L)), "small-bucket near pair must survive")
   }
 
+  test("exactJaccardPairs prefix filter is lossless vs brute-force Jaccard") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val words = Vector("alpha", "beta", "gamma", "delta", "engine", "query",
+      "shuffle", "vector", "token", "corpus", "sample", "window")
+    def doc(): String = Seq.fill(30)(words(rnd.nextInt(words.length))).mkString(" ")
+    val base = (0L until 40L).map(i => (i, doc()))
+    // seeded near-dups: copy with a one-word edit
+    val dups = base.take(8).map { case (i, t) =>
+      (i + 1000L, t.replaceFirst("alpha|beta|gamma|delta", "edited")) }
+    val docs = (base ++ dups).toDF("doc_id", "text")
+
+    val viaPrefix = TextOps.exactJaccardPairs(docs, "doc_id", "text",
+        shingleSize = 5, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    val sh = docs.select(col("doc_id"),
+      TextOps.shingles(col("text"), 5).as("_sh"))
+    val bruteForce = sh.select(col("doc_id").as("id_a"), col("_sh").as("_a"))
+      .crossJoin(sh.select(col("doc_id").as("id_b"), col("_sh").as("_b")))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("j", size(array_intersect(col("_a"), col("_b"))).cast("double") /
+        size(array_union(col("_a"), col("_b"))))
+      .filter(col("j") >= 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+
+    assert(viaPrefix == bruteForce, "prefix filtering must find exactly the brute-force pairs")
+    assert(bruteForce.nonEmpty, "sanity: seeded near-dups must qualify")
+  }
+
   test("bruteForceTopK matches the window-sort reference selection") {
     val s = spark
     import s.implicits._
