@@ -197,26 +197,9 @@ object SparkEntryV2 {
       dailyEvents(s, dir), "g", "ds", "y", "CrostonClassic", 7, "1d"))),
     "fc_tsb" -> ((s, dir) => roundFc(TsForecastOp.forecastBy(
       dailyEvents(s, dir), "g", "ds", "y", "TSB", 7, "1d"))),
-    // rows-only coverage: optimizer-driven kernels (golden-section /
-    // Nelder-Mead parameter search has no honest SQL equivalent)
-    "fc_ses_optimized" -> ((s, dir) => TsForecastOp.forecastBy(
-      dailyEvents(s, dir), "g", "ds", "y", "SESOptimized", 7, "1d")),
-    "fc_holt" -> ((s, dir) => TsForecastOp.forecastBy(
-      dailyEvents(s, dir), "g", "ds", "y", "Holt", 7, "1d")),
-    "fc_holt_winters" -> ((s, dir) => TsForecastOp.forecastBy(
-      dailyEvents(s, dir), "g", "ds", "y", "HoltWinters", 7, "1d",
-      Map("seasonal_period" -> "7"))),
-    "fc_theta" -> ((s, dir) => TsForecastOp.forecastBy(
-      dailyEvents(s, dir), "g", "ds", "y", "Theta", 7, "1d")),
-    "fc_dynamic_theta" -> ((s, dir) => TsForecastOp.forecastBy(
-      dailyEvents(s, dir), "g", "ds", "y", "DynamicTheta", 7, "1d")),
-    "fc_ets" -> ((s, dir) => TsForecastOp.forecastBy(
-      dailyEvents(s, dir), "g", "ds", "y", "ETS", 7, "1d",
-      Map("seasonal_period" -> "7", "model" -> "AAA"))),
-    "fc_autoets" -> ((s, dir) => TsForecastOp.forecastBy(
-      dailyEvents(s, dir), "g", "ds", "y", "AutoETS", 7, "1d",
-      Map("seasonal_period" -> "7"))),
-    // (changepoints moved to SparkEntryV10: planted-step oracles)
+    // (optimizer-driven models — SESOptimized/Holt/HoltWinters/Theta/ETS/… —
+    // moved to SparkEntryV11: planted-construction oracles; changepoints
+    // moved to SparkEntryV10: planted-step oracles)
   )
 
   def oracleSql: Map[String, String] = Map(

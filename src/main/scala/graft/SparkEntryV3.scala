@@ -39,11 +39,6 @@ object SparkEntryV3 {
   private val PurchaseCte =
     s"WITH p AS (SELECT user_id AS g, CAST(ts AS DATE) AS ds, $ExactSumY AS y FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)"
 
-  private def fcQuery(method: String, params: Map[String, String] = Map.empty):
-      (SparkSession, String) => DataFrame =
-    (s, dir) => TsForecastOp.forecastBy(dailyEvents(s, dir), "g", "ds", "y",
-      method, 7, "1d", params)
-
   /** Same rounding contract as SparkEntry.roundFc: yhat 6 decimals, CI 4. */
   private def roundFc(df: DataFrame): DataFrame =
     df.select(col("g"), col("forecast_step"), col("ds"),
@@ -124,23 +119,12 @@ object SparkEntryV3 {
     "ts_fill_forward_by" -> ((s, dir) =>
       TsPrep.fillForwardBy(purchaseSeries(s, dir), "g", "ds", "y", "2024-02-10", "1d")
         .select(col("g"), col("ds"), round(col("y"), 6).as("y"))),
-    // ------------------------------------------------ remaining model zoo (rows-only)
-    "fc_arima" -> fcQuery("ARIMA"),
-    "fc_autoarima" -> fcQuery("AutoARIMA", Map("seasonal_period" -> "7")),
-    "fc_mstl" -> fcQuery("MSTL", Map("seasonal_periods" -> "7")),
-    "fc_mfles" -> fcQuery("MFLES", Map("seasonal_periods" -> "7")),
-    "fc_tbats" -> fcQuery("TBATS", Map("seasonal_periods" -> "7")),
-    "fc_laplace" -> fcQuery("Laplace", Map("seasonal_period" -> "7")),
-    "fc_autotheta" -> fcQuery("AutoTheta"),
-    "fc_optimized_theta" -> fcQuery("OptimizedTheta"),
-    "fc_dynamic_optimized_theta" -> fcQuery("DynamicOptimizedTheta"),
-    "fc_croston_optimized" -> fcQuery("CrostonOptimized"),
+    // (remaining model zoo — ARIMA/AutoARIMA/MSTL/MFLES/TBATS/Laplace/theta
+    // variants/CrostonOptimized/ADIDA/IMAPA/SeasonalESOptimized — moved to
+    // SparkEntryV11: planted-construction oracles)
     // fixed-parameter SBA (alpha = 0.1 + bias correction) → oracle-checked
     "fc_croston_sba" -> ((s, dir) => roundFc(TsForecastOp.forecastBy(
       dailyEvents(s, dir), "g", "ds", "y", "CrostonSBA", 7, "1d"))),
-    "fc_adida" -> fcQuery("ADIDA"),
-    "fc_imapa" -> fcQuery("IMAPA"),
-    "fc_ses_seasonal_opt" -> fcQuery("SeasonalESOptimized", Map("seasonal_period" -> "7")),
     // single-series API — arrays posexploded to scalar rows (the driver's
     // sort-then-hash cannot order LIST columns)
     "ts_forecast_single" -> ((s, dir) =>
