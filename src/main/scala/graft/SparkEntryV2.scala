@@ -76,6 +76,23 @@ object SparkEntryV2 {
       |    sv.n < 2 OR sv.maxdev < 2.220446049250313e-16 AS is_constant
       |  FROM sv JOIN mag ON sv.g = mag.g JOIN acf ON sv.g = acf.g)""".stripMargin
 
+  /** Oracle for the planted-duplicate dedup queries: pairs of augmented docs
+    * (corpus ∪ relabeled copies of doc_id < 20) whose 5-shingle sets are
+    * equal, each with similarity exactly 1.0. `simCol` names the output
+    * similarity column (jaccard for the text paths). */
+  private def DedupShingleEqualitySql(simCol: String): String =
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20),
+       |sh AS (
+       |  SELECT doc_id, list_sort(list_distinct(list_transform(
+       |    range(1, greatest(length(n) - 4, 1)), i -> n[i:i+4]))) AS ss
+       |  FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n FROM aug))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS $simCol
+       |FROM sh a JOIN sh b ON a.ss = b.ss AND a.doc_id < b.doc_id
+       |WHERE len(a.ss) > 0""".stripMargin
+
   /** Same rounding contract as SparkEntry.roundFc: yhat 6 decimals, CI 4. */
   private def roundFc(df: DataFrame): DataFrame =
     df.select(col("g"), col("forecast_step"), col("ds"),
@@ -172,17 +189,46 @@ object SparkEntryV2 {
     "lang_id" -> ((s, dir) =>
       TextOps.languageId(t(s, dir, "documents"), "text")
         .select(col("doc_id"), col("lang_pred"))),
-    // ------------------------------------------------ rows-only coverage:
-    // near-dup detection (engine-specific hashes — no SQL oracle)
-    "dedup_minhash_pairs" -> ((s, dir) =>
-      TextOps.minHashLshPairs(t(s, dir, "documents"), "doc_id", "text")),
-    "dedup_simhash" -> ((s, dir) =>
-      TextOps.simHash(t(s, dir, "documents"), "text").select(col("doc_id"), col("simhash"))),
-    "dedup_embedding" -> ((s, dir) =>
-      // synthetic embeddings are near-orthogonal: use coarse buckets + a low
-      // similarity floor so the candidate path is actually exercised
-      graft.llm.SimilarityOps.lshNearPairs(t(s, dir, "embeddings"), "vec_id", "embedding",
-        64, 0.1, nBits = 6).select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))),
+    // ------------------------------------------------ near-dup detection via
+    // planted exact duplicates: a relabeled copy of the first 20 docs joins
+    // the corpus. Identical shingle sets make LSH candidacy deterministic
+    // (identical signatures → every band matches) and the verified Jaccard is
+    // exactly 1.0, while hash-collision candidates between DIFFERENT sets are
+    // removed by the verify step — so the output provably equals the SQL
+    // shingle-set-equality oracle in both directions, even though the hash
+    // values themselves have no SQL equivalent.
+    "dedup_minhash_pairs" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = docs.unionByName(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      TextOps.jaccardVerify(TextOps.minHashLshPairs(aug, "doc_id", "text"),
+          aug, "doc_id", "text", 5, threshold = 1.0)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+    "dedup_simhash" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = docs.unionByName(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      val sig = TextOps.simHash(aug, "text")
+      val cand = sig.select(col("doc_id").as("id_a"), col("simhash"))
+        .join(sig.select(col("doc_id").as("id_b"), col("simhash").as("_sig_b")),
+          col("simhash") === col("_sig_b") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      TextOps.jaccardVerify(cand, aug, "doc_id", "text", 5, threshold = 1.0)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+    "dedup_embedding" -> ((s, dir) => {
+      // planted duplicate vectors: identical embeddings land in the same sign
+      // bucket with cosine exactly 1.0; the real synthetic embeddings are
+      // near-orthogonal (all 500 distinct), so the 0.9999 floor keeps only
+      // the planted pairs
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val aug = emb.unionByName(emb.filter(col("vec_id") < 25)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding")))
+      graft.llm.SimilarityOps.lshNearPairs(aug, "vec_id", "embedding",
+          64, 0.9999, nBits = 6)
+        .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+    }),
     // fixed-parameter models → oracle-checked (recursions replayed in SQL
     // via DuckDB list_reduce, bit-exact; see oracleSql below)
     "fc_ses" -> ((s, dir) => roundFc(TsForecastOp.forecastBy(
@@ -473,6 +519,19 @@ object SparkEntryV2 {
         |  round((ss + ts + ms + bs) / 4.0, 6) AS overall_score,
         |  CAST(0 AS BIGINT) AS n_gaps, CAST(0 AS BIGINT) AS n_missing, is_constant
         |FROM scores""".stripMargin),
+    // ---- planted-duplicate dedup: the Spark output provably equals the
+    // shingle-set-equality relation (candidacy is guaranteed for identical
+    // shingle sets — identical MinHash signatures / SimHash match in every
+    // band — and the Jaccard-1.0 verify step removes every non-equal
+    // candidate), so the oracle is that relation computed directly in SQL.
+    // Shingle definition replicates TextOps.shingles: positions 1..L-5 of
+    // lower(ws-collapsed text), distinct. All texts are ASCII and ≥ 48 chars
+    // (validated), so lower/regex semantics agree across engines.
+    "dedup_minhash_pairs" -> DedupShingleEqualitySql("jaccard"),
+    "dedup_simhash" -> DedupShingleEqualitySql("jaccard"),
+    "dedup_embedding" ->
+      """SELECT vec_id AS id_a, vec_id + 1000000 AS id_b, CAST(1.0 AS DOUBLE) AS sim
+        |FROM embeddings WHERE vec_id < 25""".stripMargin,
     "lang_id" ->
       """SELECT doc_id,
         |  CASE
