@@ -80,7 +80,7 @@ object SparkEntryV2 {
     * (corpus ∪ relabeled copies of doc_id < 20) whose 5-shingle sets are
     * equal, each with similarity exactly 1.0. `simCol` names the output
     * similarity column (jaccard for the text paths). */
-  private def DedupShingleEqualitySql(simCol: String): String =
+  private[graft] def DedupShingleEqualitySql(simCol: String): String =
     s"""WITH aug AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL

@@ -91,11 +91,14 @@ object SparkEntryV4 {
     // planted-sinusoid construction oracles)
     // (ts_seasonality_changes_by moved to SparkEntryV10: sinusoid oracle)
     // ------------------------------------------------ multimodal plumbing
+    // width/height are murmur-hash-derived (no SQL equivalent; determinism is
+    // spec-covered in SparkOpsSpec) — the driver projection keeps the
+    // byte-arithmetic fields, which DuckDB can replay exactly on ASCII text
     "mm_decode_images" -> ((s, dir) => {
       val media = graft.llm.MultimodalOps.demoMediaTable(
         t(s, dir, "documents"), "doc_id", "text")
       graft.llm.MultimodalOps.decodeImages(media, "payload")
-        .select(col("doc_id"), col("width"), col("height"),
+        .select(col("doc_id"),
           round(col("mean_luma"), 6).as("mean_luma"),
           col("media_meta.size_bytes").as("size_bytes"))
     }),
@@ -142,6 +145,22 @@ object SparkEntryV4 {
     s"WITH s AS (SELECT event_type AS g, CAST(ts AS DATE) AS ds, $ExactSumY AS y FROM events GROUP BY 1, 2)"
 
   def oracleSql: Map[String, String] = Map(
+    // StubCodec byte arithmetic replayed on ASCII text: payload bytes are the
+    // character codes, so mean_luma = (sum(code) / len) / 255 exactly (same
+    // IEEE double division order as StubCodec.decodeImage).
+    "mm_decode_images" ->
+      """SELECT doc_id,
+        |  round(CAST(list_aggregate(list_transform(range(1, length(text) + 1),
+        |          i -> unicode(text[i:i])), 'sum') AS DOUBLE)
+        |        / length(text) / 255.0, 6) AS mean_luma,
+        |  CAST(length(text) AS BIGINT) AS size_bytes
+        |FROM documents""".stripMargin,
+    // StubCodec.sampleFrames uniform grid: offset_i = d * (2i+1) / (2n),
+    // integer (floor) division on non-negative longs in both engines
+    "mm_frame_sampling" ->
+      """SELECT doc_id,
+        |  CAST(length(text) * 10 * (2 * i + 1) // 8 AS BIGINT) AS frame_offset_ms
+        |FROM documents, (SELECT unnest(range(0, 4)) AS i) grid""".stripMargin,
     "ts_forecast_agg_sql" -> (SeriesCte +
       """
         |SELECT g, CAST(12 AS INTEGER) AS n_points, CAST(count(*) AS INTEGER) AS n_fitted

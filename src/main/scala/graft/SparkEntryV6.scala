@@ -63,11 +63,17 @@ object SparkEntryV6 {
       TextOps.exactJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleSize = 5, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
-    // LSH candidates verified by exact shingle Jaccard (rows-only: hashes)
+    // LSH candidates verified by exact shingle Jaccard, on the planted
+    // exact-duplicate corpus (see SparkEntryV2): identical shingle sets are
+    // guaranteed candidates in every band and the 1.0-threshold verify drops
+    // every unequal candidate, so the aggregate provably equals the
+    // set-equality relation's aggregate.
     "dedup_jaccard_verify" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val pairs = TextOps.minHashLshPairs(docs, "doc_id", "text", bands = 32)
-      TextOps.jaccardVerify(pairs, docs, "doc_id", "text", threshold = 0.05)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = docs.unionByName(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      val pairs = TextOps.minHashLshPairs(aug, "doc_id", "text", bands = 32)
+      TextOps.jaccardVerify(pairs, aug, "doc_id", "text", threshold = 1.0)
         .groupBy().agg(count(lit(1)).as("n_verified_pairs"),
           round(avg(col("jaccard")), 6).as("avg_jaccard"))
     }),
@@ -116,6 +122,11 @@ object SparkEntryV6 {
         |  CAST(sum(CASE WHEN overall < 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_poor,
         |  round(avg(overall), 6) AS avg_score
         |FROM ov""".stripMargin),
+    "dedup_jaccard_verify" ->
+      (s"""SELECT count(*) AS n_verified_pairs,
+          |  round(avg(jaccard), 6) AS avg_jaccard
+          |FROM (""".stripMargin +
+        SparkEntryV2.DedupShingleEqualitySql("jaccard") + ")"),
     "ts_validate_separator" ->
       """SELECT CAST(sum(CASE WHEN contains(event_type, '|')
         |                  OR contains(CAST(user_id AS VARCHAR), '|')
