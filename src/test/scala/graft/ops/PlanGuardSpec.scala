@@ -1,0 +1,88 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+import org.apache.spark.sql.execution.window.WindowExec
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan guards for the 100 TB hazards: these assert the SHAPE of the
+  * plan, not its output, so a regression that silently reintroduces a
+  * fact-table broadcast or a per-query window sort fails CI even though every
+  * row still comes out right at test scale.
+  *
+  * AQE is disabled and the auto-broadcast threshold is -1 in this session, so
+  * the only BroadcastExchange nodes are the ones the query REQUESTS via
+  * broadcast() hints — exactly the invariant that must hold on a 1000-executor
+  * cluster where the planner cannot be trusted to guess side sizes.
+  */
+class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+  private val sfDir = "/root/testdata/sf0.001"
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-plan-guard")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("q3: lineitem is never a broadcast side and its scan is pruned") {
+    val df = graft.SparkEntry.queries("q3_segment_revenue")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan
+    val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+    assert(bcasts.nonEmpty, "q3 must broadcast the small cust⋈ord keyset")
+    assert(!bcasts.exists(_.toString.contains("lineitem")),
+      "the fact table must never sit under a BroadcastExchange")
+    val liScans = plan.collect {
+      case s: FileSourceScanExec if s.toString.contains("lineitem") => s
+    }
+    assert(liScans.nonEmpty)
+    val allowed = Set("l_orderkey", "l_extendedprice", "l_discount", "l_shipdate")
+    liScans.foreach { s =>
+      val read = s.output.map(_.name).toSet
+      assert(read.subsetOf(allowed),
+        s"lineitem scan must be column-pruned to $allowed, read $read")
+      assert(s.toString.contains("GreaterThan(l_shipdate"),
+        "the l_shipdate filter must reach the parquet scan")
+    }
+  }
+
+  test("ann top-k: no per-query window sort in the plan") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = graft.llm.SimilarityOps.bruteForceTopK(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+      "vec_id", "embedding", 10)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "top-k must reduce through the bounded-heap Aggregator, not a window sort")
+    assert(plan.toString.contains("Aggregate"),
+      "expected an aggregate-based top-k reduction")
+  }
+
+  test("flagship forecast: one shuffle on the group key, no cartesian") {
+    val df = graft.ops.TsForecastOp.forecastBy(
+      spark.read.parquet(s"$sfDir/events.parquet")
+        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+        .groupBy(org.apache.spark.sql.functions.col("event_type").as("g"),
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.DateType).as("ds"))
+        .agg(org.apache.spark.sql.functions.sum("value").as("y")),
+      "g", "ds", "y", "SeasonalNaive", 7, "1d", Map("seasonal_period" -> "7"))
+    val plan = df.queryExecution.executedPlan
+    assert(!plan.toString.contains("CartesianProduct"),
+      "per-series forecasting must never cross-join")
+  }
+}
