@@ -171,6 +171,7 @@ object SparkEntryV11 {
     "fc_autoets" -> fcOracle(SeaCte, SeaY, "AutoETS(ANA)"),
     "fc_mstl" -> fcOracle(SeaCte, SeaY, "MSTL"),
     "fc_tbats" -> fcOracle(SeaCte, SeaY, "TBATS"),
-    "fc_laplace" -> fcOracle(SeaCte, SeaY, "Laplace")
+    // variant + seasonal state are tagged in the name (forecast.rs:1699-1703)
+    "fc_laplace" -> fcOracle(SeaCte, SeaY, "Laplace(auto,seasonal=7)")
   )
 }

@@ -91,7 +91,9 @@ object Forecast {
       window: Int = 0,
       etsSpec: Option[String] = None,
       modelPool: Option[String] = None,
-      seasonalPeriods: Seq[Int] = Nil)
+      seasonalPeriods: Seq[Int] = Nil,
+      laplaceVariant: String = "auto",
+      laplaceBatchInit: Boolean = false)
 
   final case class Output(
       point: Array[Double],
@@ -132,6 +134,16 @@ object Forecast {
     if (multiPeriods.nonEmpty && !Set("MSTL", "AutoMSTL", "TBATS", "AutoTBATS", "MFLES", "AutoMFLES").contains(model))
       throw new InvalidInput("'seasonal_periods' is only valid for multi-seasonal models " +
         "(MSTL, AutoMSTL, TBATS, AutoTBATS, MFLES, AutoMFLES)")
+    // LaplaceVariant::parse aliases (forecast.rs:64-76); validated for every
+    // model, applied by Laplace only — mirroring the reference's global
+    // ForecastOptions field
+    val lapVariant = params.get("laplace_variant").map(_.trim.toLowerCase match {
+      case "" | "auto" => "auto"
+      case "auto_aid" | "autoaid" | "aid" => "auto_aid"
+      case "skaters" | "skater" => "skaters"
+      case other => throw new InvalidInput(
+        s"Invalid laplace_variant '$other': expected one of: auto, auto_aid, skaters")
+    }).getOrElse("auto")
     Options(
       model = model,
       horizon = horizon,
@@ -143,7 +155,9 @@ object Forecast {
       window = window,
       etsSpec = etsSpec,
       modelPool = params.get("model_pool"),
-      seasonalPeriods = multiPeriods)
+      seasonalPeriods = multiPeriods,
+      laplaceVariant = lapVariant,
+      laplaceBatchInit = params.get("laplace_seasonal_batch_init").exists(_.trim.toBoolean))
   }
 
   // ---------------------------------------------------------------- main entry
@@ -214,7 +228,15 @@ object Forecast {
       case "AutoTheta" =>
         (theta(clean, h, period, dynamic = true, optimizeTheta = true), "AutoTheta", None, None)
       case "Laplace" =>
-        (MultiSeasonal.laplaceForecast(clean, h, period), "Laplace", None, None)
+        // model_name tags the variant + seasonal state (forecast.rs:1699-1703)
+        val lapSeasonal = period > 1
+        val name = (lapSeasonal, opts.laplaceBatchInit && lapSeasonal) match {
+          case (true, true) => s"Laplace(${opts.laplaceVariant},seasonal=$period,batch_init)"
+          case (true, false) => s"Laplace(${opts.laplaceVariant},seasonal=$period)"
+          case _ => s"Laplace(${opts.laplaceVariant})"
+        }
+        (MultiSeasonal.laplaceForecast(clean, h, period,
+          opts.laplaceVariant, opts.laplaceBatchInit), name, None, None)
       case other =>
         throw new InvalidModel(s"Model '$other' is not implemented yet")
     }
