@@ -52,7 +52,10 @@ object SparkEntryV6 {
       Hierarchy.validateSeparator(
         t(s, dir, "events").select(col("event_type").as("id1"),
           col("user_id").cast(StringType).as("id2")),
-        Seq("id1", "id2"))),
+        Seq("id1", "id2"))
+        // scalar projection (conflicting_values is an array — driver-sort-unsafe)
+        .select(col("separator"), col("is_valid"), col("n_conflicts"),
+          col("message"), col("n_invalid_rows"), col("n_total"))),
     "ts_data_quality_summary" -> ((s, dir) =>
       TsStatsOp.dataQualitySummary(dailyEvents(s, dir), "g", "ds", "y")
         .select(col("n_total"), col("n_good"), col("n_fair"), col("n_poor"),
@@ -128,13 +131,22 @@ object SparkEntryV6 {
           |FROM (""".stripMargin +
         SparkEntryV2.DedupShingleEqualitySql("jaccard") + ")"),
     "ts_validate_separator" ->
-      """SELECT CAST(sum(CASE WHEN contains(event_type, '|')
-        |                  OR contains(CAST(user_id AS VARCHAR), '|')
-        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid_rows,
-        |  count(*) AS n_total,
-        |  sum(CASE WHEN contains(event_type, '|')
-        |            OR contains(CAST(user_id AS VARCHAR), '|')
-        |      THEN 1 ELSE 0 END) = 0 AS is_valid
-        |FROM events""".stripMargin,
+      """WITH dv AS (
+        |  SELECT DISTINCT v FROM (
+        |    SELECT event_type AS v FROM events
+        |    UNION ALL SELECT CAST(user_id AS VARCHAR) FROM events)
+        |  WHERE contains(v, '|')),
+        |agg AS (SELECT CAST(count(*) AS INTEGER) AS n_conflicts FROM dv)
+        |SELECT '|' AS separator,
+        |  n_conflicts = 0 AS is_valid,
+        |  n_conflicts,
+        |  CASE WHEN n_conflicts = 0 THEN 'Separator is safe to use'
+        |       ELSE 'Separator ''|'' found in ' || n_conflicts ||
+        |            ' value(s). Try: ''-'', ''.'', ''::'', ''__'', ''#''' END AS message,
+        |  (SELECT CAST(sum(CASE WHEN contains(event_type, '|')
+        |                     OR contains(CAST(user_id AS VARCHAR), '|')
+        |                THEN 1 ELSE 0 END) AS BIGINT) FROM events) AS n_invalid_rows,
+        |  (SELECT count(*) FROM events) AS n_total
+        |FROM agg""".stripMargin,
   )
 }

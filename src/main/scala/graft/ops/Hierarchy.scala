@@ -50,14 +50,35 @@ object Hierarchy {
       col(dsCol), col(yCol))
   }
 
-  /** ts_validate_separator (ts_validate_separator.cpp:266): count key values
-    * containing the separator (must be 0 for round-trippable keys). */
+  /** ts_validate_separator (ts_validate_separator.cpp:19, :92-255): reports
+    * whether any DISTINCT key value contains the separator. Output mirrors
+    * the reference's five columns (separator, is_valid, n_conflicts over
+    * distinct values, conflicting_values, message with alternative-separator
+    * suggestions) plus the row-level n_invalid_rows/n_total diagnostics. */
   def validateSeparator(df: DataFrame, idCols: Seq[String], separator: String = "|"): DataFrame = {
     val offending: Column = idCols.map(c =>
       when(col(c).cast("string").contains(separator), 1).otherwise(0)).reduce(_ + _)
+    val valsArr = array(idCols.map(c => col(c).cast("string")): _*)
+    // alternative suggestions, as in the reference: a candidate qualifies
+    // unless the requested separator already contains it
+    val suggestions = Seq("-", ".", "::", "__", "#")
+      .filter(c => separator != c && !separator.contains(c))
+      .map(c => s"'$c'").mkString(", ")
     df.agg(
-      sum(when(offending > 0, 1).otherwise(0)).as("n_invalid_rows"),
-      count(lit(1)).as("n_total"))
-      .withColumn("is_valid", col("n_invalid_rows") === 0)
+        sum(when(offending > 0, 1).otherwise(0)).cast("long").as("n_invalid_rows"),
+        count(lit(1)).as("n_total"),
+        array_sort(array_distinct(flatten(collect_list(
+          filter(valsArr, v => v.contains(separator)))))).as("conflicting_values"))
+      .withColumn("separator", lit(separator))
+      .withColumn("n_conflicts", size(col("conflicting_values")))
+      .withColumn("is_valid", col("n_conflicts") === 0)
+      .withColumn("message",
+        when(col("is_valid"), lit("Separator is safe to use"))
+          .otherwise(concat(
+            lit(s"Separator '$separator' found in "), col("n_conflicts"),
+            lit(s" value(s). Try: $suggestions"))))
+      .select(col("separator"), col("is_valid"), col("n_conflicts"),
+        col("conflicting_values"), col("message"),
+        col("n_invalid_rows"), col("n_total"))
   }
 }
