@@ -119,10 +119,34 @@ object SparkEntryV2 {
           round(col("autocorr_lag1"), 6).as("autocorr_lag1"),
           col("expected_length"), col("n_gaps"))
     }),
-    // full 36-field output — exercised rows-only (entropy/stability/plateau
-    // etc. have no SQL equivalent)
+    // full 37-field output: every field is SQL-expressible on this data —
+    // histogram entropy, Hill tail index, rolling-mean stability, |corr|
+    // trend strength, lag-set seasonality strength, plateau runs — so the
+    // whole surface is oracle-checked (formulas from stats.rs via
+    // kernels/Stats.scala)
     "ts_stats_full_by" -> ((s, dir) =>
-      TsStatsOp.statsBy(dailyEvents(s, dir), "g", "ds", "y", "1d")),
+      TsStatsOp.statsBy(dailyEvents(s, dir), "g", "ds", "y", "1d")
+        .select(col("g"), col("length"), col("n_nulls"), col("n_nan"), col("n_zeros"),
+          col("n_positive"), col("n_negative"), col("n_unique_values"), col("is_constant"),
+          col("n_zeros_start"), col("n_zeros_end"),
+          col("plateau_size"), col("plateau_size_nonzero"),
+          round(col("mean"), 6).as("mean"), round(col("median"), 6).as("median"),
+          round(col("std_dev"), 6).as("std_dev"), round(col("variance"), 4).as("variance"),
+          round(col("min"), 6).as("min"), round(col("max"), 6).as("max"),
+          round(col("range"), 6).as("range"), round(col("sum"), 4).as("sum"),
+          round(col("skewness"), 6).as("skewness"), round(col("kurtosis"), 6).as("kurtosis"),
+          round(col("tail_index"), 6).as("tail_index"),
+          round(col("bimodality_coef"), 6).as("bimodality_coef"),
+          round(col("trimmed_mean"), 6).as("trimmed_mean"),
+          round(col("coef_variation"), 6).as("coef_variation"),
+          round(col("q1"), 6).as("q1"), round(col("q3"), 6).as("q3"),
+          round(col("iqr"), 6).as("iqr"),
+          round(col("autocorr_lag1"), 6).as("autocorr_lag1"),
+          round(col("trend_strength"), 6).as("trend_strength"),
+          round(col("seasonality_strength"), 6).as("seasonality_strength"),
+          round(col("entropy"), 6).as("entropy"),
+          round(col("stability"), 6).as("stability"),
+          col("expected_length"), col("n_gaps"))),
     "ts_stats_summary" -> ((s, dir) =>
       TsStatsOp.statsSummary(TsStatsOp.statsBy(dailyEvents(s, dir), "g", "ds", "y", "1d"))
         .select(col("n_series"), round(col("avg_length"), 6).as("avg_length"),
@@ -302,6 +326,146 @@ object SparkEntryV2 {
         |  b.expected_length, g2.n_gaps
         |FROM base b JOIN moments m ON b.g = m.g JOIN trimmed t ON b.g = t.g
         |JOIN acf a ON b.g = a.g JOIN gaps g2 ON b.g = g2.g""".stripMargin),
+    // full 37-field stats surface; replicates kernels/Stats.scala formulas
+    // (stats.rs provenance): histogram entropy with floor(x+0.5) binning,
+    // Hill estimator with k = min(m−1, max(2, ⌊√m⌋)), rolling-mean stability
+    // 1/(CV+0.01) with window max(n/5, 3), |corr(t,y)| trend strength,
+    // max|acf| over lags {2,4,7,12} seasonality strength, bitwise plateau runs
+    "ts_stats_full_by" -> (SeriesCte +
+      """, pos AS (SELECT g, ds, y, row_number() OVER (PARTITION BY g ORDER BY ds) - 1 AS pos,
+        |                 count(*) OVER (PARTITION BY g) AS n FROM s),
+        |base AS (
+        |  SELECT g, count(*) AS length, CAST(0 AS BIGINT) AS n_nulls, CAST(0 AS BIGINT) AS n_nan,
+        |    CAST(sum(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zeros,
+        |    CAST(sum(CASE WHEN y > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+        |    CAST(sum(CASE WHEN y < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_negative,
+        |    count(DISTINCT y) AS n_unique_values, count(DISTINCT y) = 1 AS is_constant,
+        |    avg(y) AS mean, quantile_cont(y, 0.5) AS median,
+        |    stddev_samp(y) AS std_dev, var_samp(y) AS variance,
+        |    min(y) AS min, max(y) AS max, max(y) - min(y) AS range, sum(y) AS sum,
+        |    quantile_cont(y, 0.25) AS q1, quantile_cont(y, 0.75) AS q3,
+        |    CASE WHEN abs(avg(y)) > 2.220446049250313e-16
+        |         THEN stddev_samp(y) / abs(avg(y)) END AS coef_variation,
+        |    CAST((max(ds) - min(ds)) + 1 AS BIGINT) AS expected_length
+        |  FROM s GROUP BY g),
+        |zeros AS (
+        |  SELECT g,
+        |    CAST(coalesce(min(CASE WHEN y <> 0 THEN pos END), max(n)) AS BIGINT) AS n_zeros_start,
+        |    CAST(coalesce(max(n) - 1 - max(CASE WHEN y <> 0 THEN pos END), max(n)) AS BIGINT) AS n_zeros_end
+        |  FROM pos GROUP BY g),
+        |runs AS (
+        |  SELECT g, y, pos,
+        |    sum(CASE WHEN prev IS NULL OR y <> prev THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY g ORDER BY pos) AS run_id,
+        |    sum(CASE WHEN prev IS NULL OR y <> prev OR y = 0 OR prev = 0 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY g ORDER BY pos) AS nz_run_id
+        |  FROM (SELECT g, y, pos, lag(y) OVER (PARTITION BY g ORDER BY pos) AS prev FROM pos)),
+        |plat AS (SELECT g, max(cnt) AS plateau_size FROM (
+        |    SELECT g, run_id, count(*) AS cnt FROM runs GROUP BY g, run_id) GROUP BY g),
+        |platnz AS (SELECT g, max(cnt) AS plateau_size_nonzero FROM (
+        |    SELECT g, nz_run_id, count(*) AS cnt FROM runs WHERE y <> 0
+        |    GROUP BY g, nz_run_id) GROUP BY g),
+        |moments AS (
+        |  SELECT s.g,
+        |    sum(pow(s.y - b.mean, 3)) / max(b.length) AS m3,
+        |    sum(pow(s.y - b.mean, 4)) / max(b.length) AS m4,
+        |    max(b.length) AS n, max(b.std_dev) AS sd
+        |  FROM s JOIN base b ON s.g = b.g GROUP BY s.g),
+        |sk AS (
+        |  SELECT g,
+        |    m3 / pow(sd, 3) * sqrt(n * (n - 1)) / (n - 2) AS skewness,
+        |    (n - 1.0) / ((n - 2.0) * (n - 3.0)) * ((n + 1.0) * (m4 / pow(sd, 4) - 3.0) + 6.0) AS kurtosis
+        |  FROM moments),
+        |trimmed AS (
+        |  SELECT g, avg(y) AS trimmed_mean FROM (
+        |    SELECT g, y, row_number() OVER (PARTITION BY g ORDER BY y) AS rn,
+        |           count(*) OVER (PARTITION BY g) AS n FROM s)
+        |  WHERE rn > floor(n * 0.1) AND rn <= n - floor(n * 0.1) GROUP BY g),
+        |lagd AS (
+        |  SELECT g, y, pos,
+        |    lag(y, 1) OVER w AS p1, lag(y, 2) OVER w AS p2, lag(y, 4) OVER w AS p4,
+        |    lag(y, 7) OVER w AS p7, lag(y, 12) OVER w AS p12
+        |  FROM pos WINDOW w AS (PARTITION BY g ORDER BY pos)),
+        |acfs AS (
+        |  SELECT q.g,
+        |    sum(CASE WHEN q.p1 IS NOT NULL THEN (q.y - b.mean) * (q.p1 - b.mean) ELSE 0 END)
+        |      / sum((q.y - b.mean) * (q.y - b.mean)) AS autocorr_lag1,
+        |    least(1.0, greatest(0.0, greatest(
+        |      abs(sum(CASE WHEN q.p2 IS NOT NULL THEN (q.y - b.mean) * (q.p2 - b.mean) ELSE 0 END)
+        |          / sum((q.y - b.mean) * (q.y - b.mean))),
+        |      abs(sum(CASE WHEN q.p4 IS NOT NULL THEN (q.y - b.mean) * (q.p4 - b.mean) ELSE 0 END)
+        |          / sum((q.y - b.mean) * (q.y - b.mean))),
+        |      abs(sum(CASE WHEN q.p7 IS NOT NULL THEN (q.y - b.mean) * (q.p7 - b.mean) ELSE 0 END)
+        |          / sum((q.y - b.mean) * (q.y - b.mean))),
+        |      abs(sum(CASE WHEN q.p12 IS NOT NULL THEN (q.y - b.mean) * (q.p12 - b.mean) ELSE 0 END)
+        |          / sum((q.y - b.mean) * (q.y - b.mean)))))) AS seasonality_strength
+        |  FROM lagd q JOIN base b ON q.g = b.g GROUP BY q.g),
+        |trend AS (
+        |  SELECT p.g,
+        |    least(1.0, greatest(0.0, sqrt(
+        |      pow(sum((p.pos - (b.length - 1) / 2.0) * (p.y - b.mean)), 2)
+        |      / (sum(pow(p.pos - (b.length - 1) / 2.0, 2)) * sum(pow(p.y - b.mean, 2)))))) AS trend_strength
+        |  FROM pos p JOIN base b ON p.g = b.g GROUP BY p.g),
+        |ent AS (
+        |  SELECT g, -sum(p * ln(p)) AS entropy FROM (
+        |    SELECT z.g, CAST(count(*) AS DOUBLE) / max(z.n) AS p FROM (
+        |      SELECT p.g, p.n,
+        |        least(9, CAST(floor((p.y - b.min) / b.range * 9 + 0.5) AS INT)) AS bin
+        |      FROM pos p JOIN base b ON p.g = b.g) z
+        |    GROUP BY z.g, z.bin) GROUP BY g),
+        |av AS (SELECT g, abs(y) AS a, row_number() OVER (PARTITION BY g ORDER BY abs(y) DESC) - 1 AS r,
+        |              count(*) OVER (PARTITION BY g) AS m
+        |       FROM s WHERE abs(y) > 2.220446049250313e-16),
+        |kpar AS (SELECT g, least(max(m) - 1,
+        |                greatest(2, CAST(floor(sqrt(CAST(max(m) AS DOUBLE))) AS BIGINT))) AS k
+        |         FROM av GROUP BY g),
+        |thr AS (SELECT av.g, max(CASE WHEN av.r = kpar.k THEN av.a END) AS threshold, max(kpar.k) AS k
+        |        FROM av JOIN kpar ON av.g = kpar.g GROUP BY av.g),
+        |tail AS (SELECT av.g, 1.0 / (sum(ln(av.a / thr.threshold)) / max(thr.k)) AS tail_index
+        |         FROM av JOIN thr ON av.g = thr.g WHERE av.r < thr.k GROUP BY av.g),
+        |wpar AS (SELECT g, max(n) AS n, greatest(max(n) // 5, 3) AS w FROM pos GROUP BY g),
+        |rm AS (SELECT p1.g, p1.pos, sum(p2.y) / max(wpar.w) AS m
+        |       FROM pos p1 JOIN wpar ON p1.g = wpar.g
+        |       JOIN pos p2 ON p2.g = p1.g AND p2.pos BETWEEN p1.pos AND p1.pos + wpar.w - 1
+        |       WHERE p1.pos <= wpar.n - wpar.w
+        |       GROUP BY p1.g, p1.pos),
+        |stab AS (SELECT g, 1.0 / (stddev_pop(m) / abs(avg(m)) + 0.01) AS stability
+        |         FROM rm GROUP BY g),
+        |gaps AS (
+        |  SELECT g, CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps FROM (
+        |    SELECT g, ds - lag(ds) OVER (PARTITION BY g ORDER BY ds) AS d FROM s)
+        |  WHERE d IS NOT NULL GROUP BY g)
+        |SELECT b.g, b.length, b.n_nulls, b.n_nan, b.n_zeros, b.n_positive, b.n_negative,
+        |  b.n_unique_values, b.is_constant,
+        |  z.n_zeros_start, z.n_zeros_end, pl.plateau_size,
+        |  coalesce(pn.plateau_size_nonzero, CAST(0 AS BIGINT)) AS plateau_size_nonzero,
+        |  round(b.mean, 6) AS mean, round(b.median, 6) AS median,
+        |  round(b.std_dev, 6) AS std_dev, round(b.variance, 4) AS variance,
+        |  round(b.min, 6) AS min, round(b.max, 6) AS max, round(b.range, 6) AS range,
+        |  round(b.sum, 4) AS sum,
+        |  round(sk.skewness, 6) AS skewness, round(sk.kurtosis, 6) AS kurtosis,
+        |  round(tl.tail_index, 6) AS tail_index,
+        |  round((sk.skewness * sk.skewness + 1.0) / (sk.kurtosis + 3.0), 6) AS bimodality_coef,
+        |  round(t.trimmed_mean, 6) AS trimmed_mean,
+        |  round(b.coef_variation, 6) AS coef_variation,
+        |  round(b.q1, 6) AS q1, round(b.q3, 6) AS q3, round(b.q3 - b.q1, 6) AS iqr,
+        |  round(a.autocorr_lag1, 6) AS autocorr_lag1,
+        |  round(tr.trend_strength, 6) AS trend_strength,
+        |  round(a.seasonality_strength, 6) AS seasonality_strength,
+        |  round(e.entropy, 6) AS entropy, round(st.stability, 6) AS stability,
+        |  b.expected_length, g2.n_gaps
+        |FROM base b
+        |JOIN zeros z ON b.g = z.g
+        |JOIN plat pl ON b.g = pl.g
+        |LEFT JOIN platnz pn ON b.g = pn.g
+        |JOIN sk ON b.g = sk.g
+        |JOIN trimmed t ON b.g = t.g
+        |JOIN acfs a ON b.g = a.g
+        |JOIN trend tr ON b.g = tr.g
+        |JOIN ent e ON b.g = e.g
+        |JOIN tail tl ON b.g = tl.g
+        |JOIN stab st ON b.g = st.g
+        |JOIN gaps g2 ON b.g = g2.g""".stripMargin),
     "ts_stats_summary" -> (SeriesCte +
       """, per AS (SELECT g, count(*) AS length FROM s GROUP BY g)
         |SELECT count(*) AS n_series, round(avg(length), 6) AS avg_length,
