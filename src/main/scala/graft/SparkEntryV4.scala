@@ -75,6 +75,33 @@ object SparkEntryV4 {
       TsCvOp.cvSplitFoldsBy(dailyEvents(s, dir), "g", "ds", "y",
         Seq(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"),
           java.sql.Timestamp.valueOf("2024-01-22 00:00:00")), 5)),
+    // reference renamed-column contract (ts_hydrate_features.test): CV splits
+    // joined back to a feature table as group_col/date_col/target_col with
+    // _is_test and per-fold _train_cutoff
+    "ts_hydrate_features_by" -> ((s, dir) => {
+      val splits = TsCvOp.cvSplitBy(dailyEvents(s, dir), "g", "ds", "y",
+        Seq(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-22 00:00:00")), 5)
+      val features = dailyEvents(s, dir)
+        .withColumn("dow", dayofweek(col("ds")))
+        .withColumn("is_weekend", dayofweek(col("ds")).isin(1, 7))
+      TsCvOp.hydrateFeaturesBy(splits, features, "g", "ds", "y")
+        .select(col("fold_id"), col("group_col"), col("date_col"),
+          round(col("target_col"), 6).as("target_col"), col("split"),
+          col("_is_test"), col("_train_cutoff"), col("dow"), col("is_weekend"))
+    }),
+    // regression adapter (ts_prepare_regression_input.test): target masked to
+    // NULL on test rows so fit-predict over masked_target cannot leak
+    "ts_prepare_regression_input_by" -> ((s, dir) => {
+      val splits = TsCvOp.cvSplitBy(dailyEvents(s, dir), "g", "ds", "y",
+        Seq(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"),
+          java.sql.Timestamp.valueOf("2024-01-22 00:00:00")), 5)
+      val features = dailyEvents(s, dir).withColumn("dow", dayofweek(col("ds")))
+      TsCvOp.prepareRegressionInputBy(splits, features, "g", "ds", "y")
+        .select(col("fold_id"), col("group_col"), col("date_col"),
+          round(col("y"), 6).as("y"), col("split"), col("_is_test"),
+          round(col("masked_target"), 6).as("masked_target"), col("dow"))
+    }),
     "ts_cv_hydrate_by" -> ((s, dir) => {
       val folds = TsCvOp.cvSplitBy(dailyEvents(s, dir), "g", "ds", "y",
         Seq(java.sql.Timestamp.valueOf("2024-01-15 00:00:00")), 5)
@@ -205,6 +232,42 @@ object SparkEntryV4 {
         |       FROM b, folds f GROUP BY b.g, f.fold_id, f.cutoff)
         |SELECT b.g, b.ds, round(b.y, 6) AS y, CAST(ep.fold_id AS BIGINT) AS fold_id,
         |  CASE WHEN b.pos <= ep.end_pos THEN 'train' ELSE 'test' END AS split
+        |FROM b JOIN ep ON b.g = ep.g
+        |WHERE ep.end_pos IS NOT NULL
+        |  AND (b.pos <= ep.end_pos OR (b.pos > ep.end_pos AND b.pos <= ep.end_pos + 5))""".stripMargin),
+    "ts_hydrate_features_by" -> (SeriesCte +
+      """, b AS (SELECT g, ds, y, row_number() OVER (PARTITION BY g ORDER BY ds) - 1 AS pos
+        |         FROM s),
+        |folds AS (SELECT * FROM (VALUES (1, DATE '2024-01-15'), (2, DATE '2024-01-22'))
+        |          AS v(fold_id, cutoff)),
+        |ep AS (SELECT b.g, f.fold_id,
+        |              max(CASE WHEN b.ds <= f.cutoff THEN b.pos END) AS end_pos,
+        |              max(CASE WHEN b.ds <= f.cutoff THEN b.ds END) AS train_end
+        |       FROM b, folds f GROUP BY b.g, f.fold_id)
+        |SELECT CAST(ep.fold_id AS BIGINT) AS fold_id, b.g AS group_col,
+        |  b.ds AS date_col, round(b.y, 6) AS target_col,
+        |  CASE WHEN b.pos <= ep.end_pos THEN 'train' ELSE 'test' END AS split,
+        |  b.pos > ep.end_pos AS _is_test,
+        |  ep.train_end AS _train_cutoff,
+        |  CAST(dayofweek(b.ds) + 1 AS INTEGER) AS dow,
+        |  dayofweek(b.ds) IN (0, 6) AS is_weekend
+        |FROM b JOIN ep ON b.g = ep.g
+        |WHERE ep.end_pos IS NOT NULL
+        |  AND (b.pos <= ep.end_pos OR (b.pos > ep.end_pos AND b.pos <= ep.end_pos + 5))""".stripMargin),
+    "ts_prepare_regression_input_by" -> (SeriesCte +
+      """, b AS (SELECT g, ds, y, row_number() OVER (PARTITION BY g ORDER BY ds) - 1 AS pos
+        |         FROM s),
+        |folds AS (SELECT * FROM (VALUES (1, DATE '2024-01-15'), (2, DATE '2024-01-22'))
+        |          AS v(fold_id, cutoff)),
+        |ep AS (SELECT b.g, f.fold_id,
+        |              max(CASE WHEN b.ds <= f.cutoff THEN b.pos END) AS end_pos
+        |       FROM b, folds f GROUP BY b.g, f.fold_id)
+        |SELECT CAST(ep.fold_id AS BIGINT) AS fold_id, b.g AS group_col,
+        |  b.ds AS date_col, round(b.y, 6) AS y,
+        |  CASE WHEN b.pos <= ep.end_pos THEN 'train' ELSE 'test' END AS split,
+        |  b.pos > ep.end_pos AS _is_test,
+        |  CASE WHEN b.pos > ep.end_pos THEN NULL ELSE round(b.y, 6) END AS masked_target,
+        |  CAST(dayofweek(b.ds) + 1 AS INTEGER) AS dow
         |FROM b JOIN ep ON b.g = ep.g
         |WHERE ep.end_pos IS NOT NULL
         |  AND (b.pos <= ep.end_pos OR (b.pos > ep.end_pos AND b.pos <= ep.end_pos + 5))""".stripMargin),

@@ -263,6 +263,39 @@ object TsCvOp {
     }.drop("_train_end")
   }
 
+  /** ts_hydrate_features_by (ts_hydrate_features.test contract): join CV
+    * splits back to the full feature table under the reference's renamed
+    * column contract — fold_id, group_col, date_col, target_col, split,
+    * _is_test, per-(group, fold) _train_cutoff, plus every feature column.
+    * Relational end-to-end: one broadcast-or-shuffle join on (group, ds),
+    * no per-group gathering. */
+  def hydrateFeaturesBy(cvSplits: DataFrame, features: DataFrame,
+                        groupCol: String, dsCol: String, yCol: String): DataFrame = {
+    val wFold = Window.partitionBy(col(groupCol), col("fold_id"))
+    val skel = cvSplits.select(col(groupCol), col(dsCol), col("fold_id"), col("split"))
+      .withColumn("_is_test", col("split") === "test")
+      .withColumn("_train_cutoff",
+        max(when(col("split") === "train", col(dsCol))).over(wFold))
+    val joined = skel.join(features, Seq(groupCol, dsCol))
+    val featCols = features.columns.filterNot(c => c == groupCol || c == dsCol || c == yCol)
+    joined.select(Seq(col("fold_id"), col(groupCol).as("group_col"),
+      col(dsCol).as("date_col"), col(yCol).as("target_col"), col("split"),
+      col("_is_test"), col("_train_cutoff")) ++ featCols.map(col): _*)
+  }
+
+  /** ts_prepare_regression_input_by (ts_prepare_regression_input.test):
+    * regression-model data adapter — hydrated CV folds with the target
+    * masked to NULL on test rows, so a fit-predict over `masked_target`
+    * can never train on the evaluation window. The target also stays
+    * under its original name for scoring joins. */
+  def prepareRegressionInputBy(cvSplits: DataFrame, features: DataFrame,
+                               groupCol: String, dsCol: String, yCol: String): DataFrame =
+    hydrateFeaturesBy(cvSplits, features, groupCol, dsCol, yCol)
+      .withColumn(yCol, col("target_col"))
+      .withColumn("masked_target",
+        when(col("_is_test"), lit(null)).otherwise(col("target_col")))
+      .drop("target_col", "_train_cutoff")
+
   /** ts_check_leakage (ts_macros.cpp:1319): per-group counts of train rows
     * dated after the first test row. */
   def checkLeakage(df: DataFrame, groupCol: String, dsCol: String, isTestCol: String): DataFrame = {

@@ -77,6 +77,42 @@ class ReferenceGoldensSpec6 extends AnyFunSuite with BeforeAndAfterAll {
     assert(fc.filter(col("yhat").isNull).count() == 0)
   }
 
+  test("hydrate_features / prepare_regression_input contracts " +
+      "(ts_hydrate_features.test, ts_prepare_regression_input.test)") {
+    val s = spark
+    import s.implicits._
+    val rows = (0 until 60).flatMap { i =>
+      val d = java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i))
+      Seq(("A", d, 10.0 + 50 + i, 20.0 + i % 10, i % 7 == 0),
+        ("B", d, 10.0 + i, 20.0 + i % 10, i % 7 == 0))
+    }
+    val data = rows.toDF("series_id", "date", "revenue", "temperature", "is_weekend")
+    val splits = graft.ops.TsCvOp.cvSplitBy(data, "series_id", "date", "revenue",
+      Seq(java.sql.Timestamp.valueOf("2024-01-30 00:00:00"),
+        java.sql.Timestamp.valueOf("2024-02-15 00:00:00")), 7)
+    val hyd = graft.ops.TsCvOp.hydrateFeaturesBy(splits, data, "series_id", "date", "revenue")
+    assert(hyd.count() == 180, "30+7 + 46+7 rows per series (ts_hydrate_features.test:38-42)")
+    val cols = hyd.columns.toSet
+    Seq("fold_id", "split", "group_col", "date_col", "target_col", "_is_test",
+      "_train_cutoff").foreach(c => assert(cols.contains(c), s"missing $c"))
+    assert(hyd.filter(col("split") === "train" && col("_is_test")).count() == 0)
+    assert(hyd.filter(col("split") === "test" && col("_is_test")).count() == 28)
+    assert(hyd.filter(col("temperature").isNull).count() == 0, "features preserved")
+    assert(hyd.select("fold_id").distinct().count() == 2)
+
+    val reg = graft.ops.TsCvOp.prepareRegressionInputBy(splits, data, "series_id", "date", "revenue")
+    assert(reg.count() == 180)
+    assert(reg.filter(col("masked_target").isNull).count() == 28,
+      "every test row masked (ts_prepare_regression_input.test:44-52)")
+    assert(reg.filter(col("split") === "train" && col("masked_target").isNull).count() == 0)
+    assert(reg.filter((col("_is_test") && col("split") === "test") ||
+      (!col("_is_test") && col("split") === "train")).count() == 180)
+    val foldSeries = reg.groupBy("fold_id", "split")
+      .agg(countDistinct("group_col").as("n")).collect()
+    assert(foldSeries.length == 4 && foldSeries.forall(_.getLong(2) == 2),
+      "both series in every (fold, split)")
+  }
+
   private def fcScalar(values: Seq[Double], h: Int, m: String): Forecast.Output =
     Forecast.forecast(values.toArray, Array.fill(values.length)(true),
       Forecast.Options(model = Forecast.canonicalModel(m), horizon = h,
