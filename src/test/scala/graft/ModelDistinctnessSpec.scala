@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.kernels.Forecast
+
+/** Port of test/sql/ts_model_distinctness.test — model variants within the
+  * same family must produce distinct forecasts; catches silent dispatch
+  * collapse (multiple names hitting one implementation). Exact values are
+  * only asserted for the closed-form baselines (Naive/SMA/Drift), where the
+  * reference goldens are engine-independent; the optimizer-driven families
+  * assert the distinctness predicate the reference test encodes.
+  */
+class ModelDistinctnessSpec extends AnyFunSuite {
+
+  /** `_ts_forecast(list(y), h, 'M')` equivalent: auto seasonality on. */
+  private def yhat1(values: Seq[Double], m: String): Double = {
+    val opts = Forecast.optionsFromParams(m, 3, Map.empty)
+    val out = Forecast.forecast(values.toArray, Array.fill(values.length)(true), opts)
+    BigDecimal(out.point(0)).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  }
+
+  // ts_model_distinctness.test:24-31 — trend + seasonality, 24 obs, period ~3
+  private val trendTs: Seq[Double] = Seq(
+    10, 12, 14, 11, 13, 15, 12, 14, 16, 13, 15, 17,
+    14, 16, 18, 15, 17, 19, 16, 18, 20, 17, 19, 21).map(_.toDouble)
+
+  // ts_model_distinctness.test:34-39 — sparse intermittent demand, 30 obs
+  private val intermittentTs: Seq[Double] = Seq(
+    0, 0, 5, 0, 0, 0, 3, 0, 4, 0, 0, 6, 0, 0, 0,
+    8, 0, 0, 2, 0, 0, 0, 7, 0, 0, 0, 0, 4, 0, 0).map(_.toDouble)
+
+  private def allDistinct(vs: Seq[Double]): Boolean = vs.distinct.length == vs.length
+
+  test("intermittent demand sextet distinct (ts_model_distinctness.test:48-66)") {
+    val vs = Seq("CrostonClassic", "CrostonOptimized", "CrostonSBA", "TSB", "ADIDA", "IMAPA")
+      .map(yhat1(intermittentTs, _))
+    assert(allDistinct(vs), s"collapsed: $vs")
+    // all are demand-rate style estimates: positive, below max demand
+    vs.foreach(v => assert(v > 0 && v < 8, s"out of demand range: $vs"))
+  }
+
+  test("theta variant quartet distinct (ts_model_distinctness.test:74-93)") {
+    val vs = Seq("Theta", "OptimizedTheta", "DynamicTheta", "DynamicOptimizedTheta")
+      .map(yhat1(trendTs, _))
+    assert(allDistinct(vs), s"collapsed: $vs")
+  }
+
+  test("optimized ES differs from fixed ES (ts_model_distinctness.test:100-115)") {
+    val ses = yhat1(trendTs, "SES")
+    val sesOpt = yhat1(trendTs, "SESOptimized")
+    val sEs = yhat1(trendTs, "SeasonalES")
+    val sEsOpt = yhat1(trendTs, "SeasonalESOptimized")
+    assert(ses != sesOpt, s"SES==SESOptimized at $ses")
+    assert(sEs != sEsOpt, s"SeasonalES==SeasonalESOptimized at $sEs")
+  }
+
+  test("MSTL/TBATS do not collapse to HoltWinters (ts_model_distinctness.test:126-141)") {
+    val holt = yhat1(trendTs, "Holt")
+    val hw = yhat1(trendTs, "HoltWinters")
+    val mstl = yhat1(trendTs, "MSTL")
+    val tbats = yhat1(trendTs, "TBATS")
+    assert(holt != hw && mstl != hw && tbats != hw && mstl != tbats,
+      s"holt=$holt hw=$hw mstl=$mstl tbats=$tbats")
+  }
+
+  test("Auto* trio distinct (ts_model_distinctness.test:151-164)") {
+    val autoEts = yhat1(trendTs, "AutoETS")
+    val autoArima = yhat1(trendTs, "AutoARIMA")
+    val autoTheta = yhat1(trendTs, "AutoTheta")
+    assert(autoEts != autoArima && autoEts != autoTheta,
+      s"ets=$autoEts arima=$autoArima theta=$autoTheta")
+  }
+
+  test("baseline trio exact goldens (ts_model_distinctness.test:167-180)") {
+    // closed-form, engine-independent: last value / trailing-3 mean / drift
+    assert(yhat1(trendTs, "Naive") == 21.0)
+    assert(yhat1(trendTs, "SMA") == 19.0)
+    assert(yhat1(trendTs, "RandomWalkDrift") == 21.478261)
+  }
+}
