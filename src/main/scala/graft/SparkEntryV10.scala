@@ -123,15 +123,17 @@ object SparkEntryV10 {
           round(col("yhat_upper"), 4).as("yhat_upper"), col("model_name"))
     }),
     // cross-operator consistency: the explain decomposition must sum to the
-    // forecast the standalone forecast path produces, fit-for-fit
+    // forecast the standalone forecast path produces, fit-for-fit. ETS with a
+    // fixed spec — the reference's Explainable set is ETS/MSTL/Theta only
+    // (forecast.rs:1893-1897), Auto* models are rejected
     "ts_forecast_explain_by" -> ((s, dir) => {
-      val params = Map("seasonal_period" -> "7")
+      val params = Map("seasonal_period" -> "7", "model" -> "AAA")
       val fc = TsForecastOp.forecastBy(dailyEvents(s, dir), "g", "ds", "y",
-        "AutoETS", 7, "1d", params)
+        "ETS", 7, "1d", params)
         .select(col("g"), col("forecast_step"), col("yhat"),
           col("model_name").as("_fc_name"))
       TsForecastOp.forecastExplainBy(dailyEvents(s, dir), "g", "ds", "y",
-        "AutoETS", 7, params)
+        "ETS", 7, params)
         .join(fc, Seq("g", "forecast_step"))
         .select(col("g"), col("forecast_step"),
           round(col("level") + col("trend") + col("seasonal") - col("yhat"), 6)

@@ -59,9 +59,10 @@ object SparkEntryV4 {
     // ------------------------------------------------ introspection
     // (inspect/explain moved to SparkEntryV10: contract + cross-op oracles)
     // Theta-family inspect state is fully determined by the published method
-    // (theta = 2.0) → oracle-checked
+    // (theta = 2.0) → oracle-checked. AutoTheta — the reference's Inspectable
+    // set covers the Auto selection family, not fixed Theta (forecast.rs:1733)
     "ts_forecast_inspect_theta" -> ((s, dir) =>
-      TsForecastOp.forecastInspectBy(dailyEvents(s, dir), "g", "ds", "y", "Theta")
+      TsForecastOp.forecastInspectBy(dailyEvents(s, dir), "g", "ds", "y", "AutoTheta")
         .select(col("g"), col("model_name"), round(col("phi"), 6).as("phi"))),
     // ------------------------------------------------ exogenous forecasting
     // (ts_forecast_exog_by moved to SparkEntryV10: exact-plane oracle)
@@ -198,7 +199,7 @@ object SparkEntryV4 {
         | round(avg(y), 6) AS mean, round(stddev_samp(y), 6) AS std_dev
         |FROM s GROUP BY g""".stripMargin),
     "ts_forecast_inspect_theta" ->
-      """SELECT DISTINCT event_type AS g, 'Theta' AS model_name,
+      """SELECT DISTINCT event_type AS g, 'AutoTheta' AS model_name,
         | CAST(2.0 AS DOUBLE) AS phi FROM events""".stripMargin,
     "ts_cv_split_folds_by" -> (SeriesCte +
       """, b AS (SELECT g, ds, y, row_number() OVER (PARTITION BY g ORDER BY ds) - 1 AS pos

@@ -108,7 +108,7 @@ object SparkEntryV8 {
       s.sql("""SELECT g, insp.model_name AS model_name, round(insp.phi, 6) AS phi
               |FROM (SELECT g, ts_forecast_inspect(
               |        transform(sort_array(collect_list(struct(ds, y))), x -> x.y),
-              |        'Theta') AS insp
+              |        'AutoTheta') AS insp
               |      FROM _inspect_src GROUP BY g) t""".stripMargin)
     }),
     "sql_explain_scalar" -> ((s, dir) => {
@@ -186,7 +186,7 @@ object SparkEntryV8 {
         | CAST(count(DISTINCT y) AS DOUBLE) AS count_unique
         |FROM s GROUP BY g""".stripMargin),
     "sql_inspect_scalar" ->
-      """SELECT DISTINCT event_type AS g, 'Theta' AS model_name,
+      """SELECT DISTINCT event_type AS g, 'AutoTheta' AS model_name,
         | CAST(2.0 AS DOUBLE) AS phi FROM events""".stripMargin,
     "sql_explain_scalar" ->
       """SELECT DISTINCT event_type AS g, 'Theta' AS model_name,

@@ -280,7 +280,16 @@ object MultiSeasonal {
     * `batchInit` selects whole-batch seasonal indices over the default
     * streaming (cycle-decayed) state. */
   def laplaceForecast(values: Array[Double], horizon: Int, period: Int,
-                      variant: String = "auto", batchInit: Boolean = false): Array[Double] = {
+                      variant: String = "auto", batchInit: Boolean = false): Array[Double] =
+    laplaceFit(values, horizon, period, variant, batchInit).forecast
+
+  /** Fit result incl. ensemble metadata for `ts_forecast_inspect`
+    * (forecast.rs:1860-1875: Laplace explanation exposes the leaf set). */
+  final case class LaplaceFit(forecast: Array[Double], leafNames: Seq[String],
+                              leafWeights: Seq[Double])
+
+  def laplaceFit(values: Array[Double], horizon: Int, period: Int,
+                 variant: String = "auto", batchInit: Boolean = false): LaplaceFit = {
     val n = values.length
     if (values.toSet.size <= 1)
       throw new Forecast.ComputationError("Laplace: constant series")
@@ -410,8 +419,10 @@ object MultiSeasonal {
     val base = Array.tabulate(horizon) { h =>
       leaves.indices.map(li => weights(li) * leaves(li).fc(h)).sum / wSum
     }
-    if (!seasonal) base
-    else if (mult) Array.tabulate(horizon)(h => base(h) * sIdx((n + h) % period))
-    else Array.tabulate(horizon)(h => base(h) + sIdx((n + h) % period))
+    val out =
+      if (!seasonal) base
+      else if (mult) Array.tabulate(horizon)(h => base(h) * sIdx((n + h) % period))
+      else Array.tabulate(horizon)(h => base(h) + sIdx((n + h) % period))
+    LaplaceFit(out, leaves.map(_.name), weights.map(_ / wSum))
   }
 }
