@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.ops.{TsConformalOp, TsDecompositionOp}
+
+/** Twelfth batch: the remaining period-detection methods, the detrend family
+  * beyond linear/auto, and conformal evaluation — each on a planted
+  * construction whose expected output is known from theory, so every oracle
+  * is honest SQL (the same discipline as SparkEntryV9-V11).
+  *
+  *  - period detectors run on a 64-point period-8 sinusoid: any correct
+  *    estimator reports 8 (regression/aic resolve harmonic multiples via
+  *    subharmonic tie-breaking — kernels/Periods.scala).
+  *  - detrend poly on an exact quadratic, diff/loess on an exact line:
+  *    OLS/loess reproduce polynomial inputs bit-near-exactly, so
+  *    trend = y and detrended = 0 up to rounding; diff of the line is its
+  *    constant slope.
+  *  - conformal evaluate on planted intervals with a known miss pattern:
+  *    coverage/violation/width/Winkler are closed-form (conformal.rs:1159).
+  */
+object SparkEntryV12 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val df = s.read.parquet(s"$dir/$name.parquet")
+    if (name == "events" && df.schema("ts").dataType == LongType)
+      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else df
+  }
+
+  /** Deterministic per-group date spine from orders, positioned by date. */
+  private def plantedBase(s: SparkSession, dir: String, nPts: Int): DataFrame = {
+    val w = Window.partitionBy(col("g")).orderBy(col("ds"))
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority").as("g"), col("o_orderdate").cast(DateType).as("ds"))
+      .agg(count(lit(1)).as("_n"))
+      .withColumn("_pos", row_number().over(w) - 1)
+      .filter(col("_pos") < nPts)
+  }
+
+  /** 64 samples of 10 + sin(2π·(pos+1)/8) — 8 whole cycles per group. */
+  private def sinusoid8(s: SparkSession, dir: String): DataFrame =
+    plantedBase(s, dir, 64).select(col("g"), col("ds"),
+      (lit(10.0) + sin((col("_pos") + 1) * lit(2.0 * math.Pi / 8.0))).as("y"))
+
+  private def quadratic(s: SparkSession, dir: String): DataFrame =
+    plantedBase(s, dir, 48).select(col("g"), col("ds"),
+      (lit(2.0) + lit(0.3) * col("_pos") + lit(0.05) * col("_pos") * col("_pos")).as("y"))
+
+  private def line(s: SparkSession, dir: String): DataFrame =
+    plantedBase(s, dir, 48).select(col("g"), col("ds"),
+      (lit(5.0) + lit(2.0) * col("_pos")).as("y"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the 9 detection methods without their own driver row (fft/acf/
+    // autoperiod live in SparkEntryV3); one distinct row per group × method
+    "ts_detect_periods_methods" -> ((s, dir) => {
+      val methods = Seq("regression", "multi", "cfd_autoperiod", "lomb_scargle",
+        "aic", "ssa", "stl", "matrix_profile", "sazed")
+      methods.map { m =>
+        TsDecompositionOp.detectPeriodsBy(sinusoid8(s, dir), "g", "ds", "y", m,
+          minConfidence = Some(0.0))
+          .select(col("g"), lit(m).as("method"),
+            round(col("primary_period")).as("detected")).distinct()
+      }.reduce(_ unionByName _)
+    }),
+    // exact quadratic: degree-2 OLS reproduces it, so trend = y, detrended = 0
+    "ts_detrend_poly_by" -> ((s, dir) =>
+      TsDecompositionOp.detrendBy(quadratic(s, dir), "g", "ds", "y", "poly")
+        .select(col("g"), col("ds"), round(col("y"), 6).as("y"),
+          round(col("trend"), 4).as("trend"),
+          round(col("detrended"), 4).as("detrended"), col("method"))),
+    // exact line: first difference is the constant slope (first row NaN-
+    // trimmed on both sides)
+    "ts_detrend_diff_by" -> ((s, dir) =>
+      TsDecompositionOp.detrendBy(line(s, dir), "g", "ds", "y", "diff")
+        .filter(!isnan(col("detrended")))
+        .select(col("g"), col("ds"), round(col("y"), 6).as("y"),
+          round(col("trend"), 4).as("trend"),
+          round(col("detrended"), 4).as("detrended"), col("method"))),
+    // exact line: locally-weighted linear regression is exact on a line
+    "ts_detrend_loess_by" -> ((s, dir) =>
+      TsDecompositionOp.detrendBy(line(s, dir), "g", "ds", "y", "loess")
+        .select(col("g"), col("ds"), round(col("y"), 6).as("y"),
+          round(col("trend"), 4).as("trend"),
+          round(col("detrended"), 4).as("detrended"), col("method"))),
+    // planted intervals: every 5th point misses below by exactly 1.0 →
+    // coverage 0.8, Winkler = width + miss_rate · (2/α)·1
+    "ts_conformal_evaluate_by" -> ((s, dir) => {
+      val base = plantedBase(s, dir, 50)
+      val intervals = base.select(col("g"), col("ds"),
+        (lit(20.0) + col("_pos")).as("actual"),
+        when(col("_pos") % 5 === 0, lit(21.0) + col("_pos"))
+          .otherwise(lit(19.0) + col("_pos")).as("lower"),
+        (lit(22.0) + col("_pos")).as("upper"))
+      TsConformalOp.conformalEvaluateBy(intervals, "g", "actual", "lower", "upper", 0.1)
+        .select(col("g"), round(col("coverage"), 6).as("coverage"),
+          round(col("violation_rate"), 6).as("violation_rate"),
+          round(col("mean_width"), 6).as("mean_width"),
+          round(col("winkler_score"), 6).as("winkler_score"), col("n_observations"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "ts_detect_periods_methods" ->
+      """SELECT g, method, CAST(8.0 AS DOUBLE) AS detected
+        |FROM (SELECT DISTINCT o_orderpriority AS g FROM orders) gs,
+        |     (SELECT unnest(['regression', 'multi', 'cfd_autoperiod', 'lomb_scargle',
+        |                     'aic', 'ssa', 'stl', 'matrix_profile', 'sazed']) AS method) ms""".stripMargin,
+    "ts_detrend_poly_by" -> (PlantedSpineSql(48) +
+      """
+        |SELECT g, ds, round(2.0 + 0.3 * pos + 0.05 * pos * pos, 6) AS y,
+        | round(2.0 + 0.3 * pos + 0.05 * pos * pos, 4) AS trend,
+        | CAST(0.0 AS DOUBLE) AS detrended, 'polynomial' AS method
+        |FROM spine""".stripMargin),
+    "ts_detrend_diff_by" -> (PlantedSpineSql(48) +
+      """
+        |SELECT g, ds, round(5.0 + 2.0 * pos, 6) AS y,
+        | round(3.0 + 2.0 * pos, 4) AS trend,
+        | CAST(2.0 AS DOUBLE) AS detrended, 'diff' AS method
+        |FROM spine WHERE pos >= 1""".stripMargin),
+    "ts_detrend_loess_by" -> (PlantedSpineSql(48) +
+      """
+        |SELECT g, ds, round(5.0 + 2.0 * pos, 6) AS y,
+        | round(5.0 + 2.0 * pos, 4) AS trend,
+        | CAST(0.0 AS DOUBLE) AS detrended, 'loess' AS method
+        |FROM spine""".stripMargin),
+    // 50 points, 10 misses of exactly 1.0 below, width 3 everywhere except
+    // the miss rows (width 1): mean_width = (40·3 + 10·1)/50 = 2.6;
+    // winkler = mean_width + (10/50)·(2/0.1)·1 = 2.6 + 4.0
+    "ts_conformal_evaluate_by" -> (PlantedSpineSql(50) +
+      """
+        |SELECT g, CAST(0.8 AS DOUBLE) AS coverage, CAST(0.2 AS DOUBLE) AS violation_rate,
+        | round(2.6, 6) AS mean_width, round(6.6, 6) AS winkler_score,
+        | CAST(50 AS BIGINT) AS n_observations
+        |FROM (SELECT DISTINCT g FROM spine) gs""".stripMargin),
+  )
+
+  /** DuckDB spine matching plantedBase: per-priority order dates, first n. */
+  private def PlantedSpineSql(n: Int): String =
+    s"""WITH spine AS (
+       |  SELECT g, ds, pos FROM (
+       |    SELECT o_orderpriority AS g, CAST(o_orderdate AS DATE) AS ds,
+       |           row_number() OVER (PARTITION BY o_orderpriority
+       |                              ORDER BY CAST(o_orderdate AS DATE)) - 1 AS pos
+       |    FROM (SELECT DISTINCT o_orderpriority, CAST(o_orderdate AS DATE) AS o_orderdate
+       |          FROM orders) d
+       |  ) WHERE pos < $n)""".stripMargin
+}

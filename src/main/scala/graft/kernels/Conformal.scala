@@ -97,9 +97,10 @@ object Conformal {
       }
       i += 1
     }
-    Map("coverage" -> cov, "mean_width" -> width,
+    // field set mirrors ConformalEvaluation (conformal.rs:655-668)
+    Map("coverage" -> cov, "violation_rate" -> (1.0 - cov), "mean_width" -> width,
       "winkler_score" -> (if (n == 0) Double.NaN else w / n),
-      "target_coverage" -> (1.0 - alpha))
+      "n_observations" -> n.toDouble)
   }
 
   // ---------------------------------------------------------------- learn/apply v2

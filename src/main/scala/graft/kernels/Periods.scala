@@ -89,14 +89,50 @@ object Periods {
     val ssTot = values.map(v => (v - mean) * (v - mean)).sum
     val candidates = (0 until nCandidates).map(i =>
       periodMin + (periodMax - periodMin) * i.toDouble / math.max(nCandidates - 1, 1)).distinct
+    def r2Of(p: Double): Double = {
+      val sse = fourierSse(values, p, nHarmonics)
+      if (ssTot > 0) 1.0 - sse / ssTot else 0.0
+    }
     var bestPeriod = 0.0
     var bestR2 = -1.0
     candidates.foreach { p =>
-      val sse = fourierSse(values, p, nHarmonics)
-      val r2 = if (ssTot > 0) 1.0 - sse / ssTot else 0.0
+      val r2 = r2Of(p)
       if (r2 > bestR2) { bestR2 = r2; bestPeriod = p }
     }
-    DetectedPeriod(bestPeriod, math.max(bestR2, 0.0), math.max(bestR2, 0.0), 0.0, 0.0, 1)
+    // refine around a candidate on a fine local grid (the coarse grid rarely
+    // lands on the true period exactly)
+    val step = (periodMax - periodMin).toDouble / math.max(nCandidates - 1, 1)
+    def refine(center: Double): (Double, Double) = {
+      var p = center; var r2 = r2Of(center)
+      var lo = math.max(periodMin.toDouble, center - step)
+      val hi = math.min(periodMax.toDouble, center + step)
+      var i = 0
+      while (i <= 40) {
+        val cand = lo + (hi - lo) * i / 40.0
+        val r = r2Of(cand)
+        if (r > r2) { r2 = r; p = cand }
+        i += 1
+      }
+      (p, r2)
+    }
+    // an h-harmonic fit at period m·p contains period p for m ≤ h, so the
+    // grid winner can be a harmonic MULTIPLE of the true period; prefer the
+    // smallest subharmonic that explains (nearly) as much variance
+    val (refP, refR2) = refine(bestPeriod)
+    var outP = refP
+    var outR2 = refR2
+    var m = nHarmonics
+    while (m >= 2) {
+      val sub = refP / m
+      if (sub >= periodMin) {
+        val (p2, r22) = refine(sub)
+        if (r22 >= refR2 - 0.01 * math.max(1.0 - refR2, 0.01) && p2 < outP) {
+          outP = p2; outR2 = r22
+        }
+      }
+      m -= 1
+    }
+    DetectedPeriod(outP, math.max(outR2, 0.0), math.max(outR2, 0.0), 0.0, 0.0, 1)
   }
 
   /** SSE of an OLS fit of sin/cos harmonics at period p (+ intercept). */
@@ -274,7 +310,11 @@ object Periods {
         sse += e * e
         i += 1
       }
-      val aic = n * math.log(math.max(sse, 1e-300) / n) + 2.0 * (p + 1)
+      // floor the SSE at a scale-aware epsilon: an exact seasonal fit leaves
+      // only float noise, and log(noise) would otherwise dominate the 2(p+1)
+      // penalty — period multiples (16 for a period-8 signal) also fit
+      // exactly and must lose on parameter count, not on noise ulps
+      val aic = n * math.log(math.max(sse, math.max(1e-300, 1e-12 * sseFlat)) / n) + 2.0 * (p + 1)
       if (aic < bestAic) { bestAic = aic; bestP = p }
       p += 1
     }

@@ -89,6 +89,30 @@ object TsConformalOp {
       .withColumn("lower", col("forecast") - lit(conformityScore))
       .withColumn("upper", col("forecast") + lit(conformityScore))
 
+  /** `conformal_evaluate` as a `_by` form (conformal.rs:1159-1180): per-group
+    * empirical coverage, violation rate, mean width, Winkler score at level
+    * alpha, and observation count. Pure column expressions — one shuffle on
+    * the group key, fully codegen'd. */
+  def conformalEvaluateBy(results: DataFrame, groupCol: String, actualCol: String,
+                          lowerCol: String, upperCol: String,
+                          alpha: Double): DataFrame = {
+    val a = col(actualCol).cast(DoubleType)
+    val l = col(lowerCol).cast(DoubleType)
+    val u = col(upperCol).cast(DoubleType)
+    val inside = (a >= l && a <= u).cast(DoubleType)
+    val winkler = (u - l) +
+      when(a < l, (l - a) * lit(2.0 / alpha)).otherwise(lit(0.0)) +
+      when(a > u, (a - u) * lit(2.0 / alpha)).otherwise(lit(0.0))
+    results
+      .filter(a.isNotNull && l.isNotNull && u.isNotNull)
+      .groupBy(col(groupCol))
+      .agg(avg(inside).as("coverage"),
+        (lit(1.0) - avg(inside)).as("violation_rate"),
+        avg(u - l).as("mean_width"),
+        avg(winkler).as("winkler_score"),
+        count(lit(1)).as("n_observations"))
+  }
+
   /** ts_interval_width_by (ts_macros.cpp:1574): per-group mean interval
     * width + count. Plain aggregate. */
   def intervalWidthBy(results: DataFrame, groupCol: String, lowerCol: String,
