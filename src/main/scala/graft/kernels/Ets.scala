@@ -39,10 +39,20 @@ object Ets {
       case _ => false
     }
     if (!ok) throw new Forecast.InvalidInput(
-      s"Invalid ETS specification '$s'. Expected [E][T][S] or [E][Td][S] with E ∈ {A,M,Z}, " +
+      s"Invalid ETS model specification '$s'. Expected [E][T][S] or [E][Td][S] with E ∈ {A,M,Z}, " +
         "T ∈ {A,M,N,Z}, S ∈ {A,M,N,Z}, e.g. AAA, MNM, AAdA.")
-    if (t.length == 3) Spec(t(0), t(1), damped = false, t(2))
-    else Spec(t(0), t(1), damped = true, t(3))
+    val spec =
+      if (t.length == 3) Spec(t(0), t(1), damped = false, t(2))
+      else Spec(t(0), t(1), damped = true, t(3))
+    // FPP3 taxonomy: multiplicative error with additive seasonality is an
+    // unstable combination and rejected (forecast.rs:1307-1314; MAM/MAdM are
+    // fine — the hazard is the additive seasonal term under relative errors)
+    if (spec.error == 'M' && spec.seasonal == 'A')
+      throw new Forecast.InvalidInput(
+        s"ETS model '$s' is an unstable combination (multiplicative error with additive " +
+          "components). Try one of: 'AAA', 'ANA', 'AAdA', 'MNM', 'MAM', 'MAdM', 'MMM', " +
+          "'MMdM', or use 'AutoETS' for automatic selection.")
+    spec
   }
 
   /** Run the ETS recursions; returns (sse-like likelihood pieces, fitted, final states).
@@ -256,7 +266,10 @@ object Ets {
         s"Unknown model_pool '$other'. Valid options: complete, no_multiplicative_trend, " +
           "damped_trend_only, match_error_seasonal, reduced")
     }
-    combos
+    // drop the FPP3-unstable multiplicative-error/additive-seasonal combos
+    // from every pool (forecast.rs:1307: they are rejected as fixed specs,
+    // so the auto search must not select them either)
+    combos.filterNot(sp => sp.error == 'M' && sp.seasonal == 'A')
   }
 
   /** Best AutoETS fit (for introspection). */

@@ -123,7 +123,7 @@ object Forecast {
       throw new InvalidInput(s"confidence_level must be in (0, 1), got $conf")
     val etsSpec = params.get("model")
     if (etsSpec.isDefined && model != "ETS")
-      throw new InvalidInput("'model' (ETS specification) is only valid with method='ETS'")
+      throw new InvalidInput("'model' (ETS specification) is only valid when method='ETS'")
     val window = params.get("window").map(_.trim.toInt).getOrElse(0)
     if (params.contains("window") && model != "SMA")
       throw new InvalidInput("'window' is only valid with method='SMA'")
