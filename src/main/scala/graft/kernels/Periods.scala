@@ -290,7 +290,7 @@ object Periods {
     * model; pick min AIC (periods.rs aic_comparison:660). */
   def aicPeriod(values: Array[Double], maxPeriod: Int = DefaultMaxPeriod): DetectedPeriod = {
     val n = values.length
-    require(n >= 6, s"insufficient data: need 6, got $n")
+    require(n >= 8, s"insufficient data: need 8, got $n")
     val mean = values.sum / n
     val sseFlat = values.map(v => (v - mean) * (v - mean)).sum
     val aicFlat = n * math.log(math.max(sseFlat, 1e-300) / n) + 2.0
@@ -326,7 +326,7 @@ object Periods {
     * pairs of near-equal singular components show up as a spectral peak. */
   def ssaPeriod(values: Array[Double], maxPeriod: Int = DefaultMaxPeriod): DetectedPeriod = {
     val n = values.length
-    require(n >= 8, s"insufficient data: need 8, got $n")
+    require(n >= 16, s"insufficient data: need 16, got $n")
     val maxLag = math.min(n / 2, maxPeriod * 2)
     val ac = Seasonality.acf(values, maxLag)
     estimatePeriodFft(ac, maxPeriod).copy(iteration = 1)
@@ -336,7 +336,7 @@ object Periods {
     * 1 − Var(remainder)/Var(detrended) (periods.rs stl_period:952). */
   def stlPeriod(values: Array[Double], maxPeriod: Int = DefaultMaxPeriod): DetectedPeriod = {
     val n = values.length
-    require(n >= 8, s"insufficient data: need 8, got $n")
+    require(n >= 16, s"insufficient data: need 16, got $n")
     var bestP = 0
     var bestStrength = 0.0
     var p = 2
@@ -353,7 +353,7 @@ object Periods {
     * between subsequences k apart (motif recurrence). */
   def matrixProfilePeriod(values: Array[Double], maxPeriod: Int = DefaultMaxPeriod): DetectedPeriod = {
     val n = values.length
-    require(n >= 12, s"insufficient data: need 12, got $n")
+    require(n >= 32, s"insufficient data: need 32, got $n")
     val cap = math.min(maxPeriod, n / 3)
     var bestLag = 0
     var bestScore = Double.PositiveInfinity
@@ -392,7 +392,7 @@ object Periods {
   /** SAZED ensemble: median of zero-padded FFT, ACF peak, and autoperiod
     * estimates (Toller et al.'s parameter-free ensemble, simplified). */
   def sazedPeriod(values: Array[Double], maxPeriod: Int = DefaultMaxPeriod): DetectedPeriod = {
-    require(values.length >= 8, s"insufficient data: need 8, got ${values.length}")
+    require(values.length >= 16, s"insufficient data: need 16, got ${values.length}")
     val ests = Seq(
       estimatePeriodFft(values, maxPeriod),
       estimatePeriodAcf(values, Some(math.min(values.length / 2, maxPeriod))),

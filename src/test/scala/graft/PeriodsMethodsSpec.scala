@@ -34,6 +34,41 @@ class PeriodsMethodsSpec extends AnyFunSuite {
     }
   }
 
+  // ts_periods_specialized.test fixtures
+  private val sawtooth4: Array[Double] =
+    Array.tabulate(32)(i => Seq(10.0, 20.0, 30.0, 40.0)(i % 4))
+  private val weekly7: Array[Double] =
+    Array.tabulate(28)(i => Seq(100.0, 120.0, 140.0, 160.0, 180.0, 200.0, 150.0)(i % 7))
+  private val short8: Array[Double] = Array.tabulate(8)(i => if (i % 2 == 0) 10.0 else 20.0)
+
+  test("specialized methods detect the sawtooth period 4 (ts_periods_specialized.test:380-393)") {
+    Seq("aic", "ssa", "stl", "matrix_profile", "sazed").foreach { m =>
+      val r = Periods.detectPeriods(sawtooth4, m, minConfidence = Some(0.0))
+      assert(math.abs(r.primaryPeriod - 4.0) < 2.0, s"$m → ${r.primaryPeriod}")
+      assert(r.primaryPeriod > 0, m)
+    }
+  }
+
+  test("aic detects the weekly period on 28 points (:389-393)") {
+    val r = Periods.detectPeriods(weekly7, "aic", minConfidence = Some(0.0))
+    assert(math.abs(r.primaryPeriod - 7.0) < 2.0, r.primaryPeriod)
+  }
+
+  test("minimum lengths match the reference (:428-455; periods.rs:669-1267)") {
+    // aic works at 8 points
+    assert(Periods.aicPeriod(short8).period > 0)
+    // ssa/stl need 16, matrix profile 32, sazed 16 — all reject the 8-point series
+    Seq[(String, Array[Double] => Periods.DetectedPeriod)](
+      ("ssa", Periods.ssaPeriod(_)), ("stl", Periods.stlPeriod(_)),
+      ("matrix_profile", Periods.matrixProfilePeriod(_)), ("sazed", Periods.sazedPeriod(_)))
+      .foreach { case (name, f) =>
+        val e = intercept[IllegalArgumentException](f(short8))
+        assert(e.getMessage.contains("insufficient data"), name)
+      }
+    // matrix profile also rejects 16 points (needs 32)
+    intercept[IllegalArgumentException](Periods.matrixProfilePeriod(sawtooth4.take(16)))
+  }
+
   test("method aliases parse to the same estimator (ts_periods.test alias grammar)") {
     assert(Periods.parseMethod("periodogram") == "fft")
     assert(Periods.parseMethod("lomb-scargle") == "lomb_scargle")
