@@ -173,7 +173,7 @@ object SparkEntryV9 {
         | CAST(n_peaks AS INTEGER) AS n_peaks
         |FROM per""".stripMargin),
     "ts_classify_seasonality_by" ->
-      """SELECT DISTINCT o_orderpriority AS g, 'stable' AS timing_classification,
+      """SELECT DISTINCT o_orderpriority AS g, 'stable_seasonal' AS timing_classification,
         | 'stable' AS modulation_type, TRUE AS has_stable_timing, TRUE AS is_seasonal
         |FROM orders""".stripMargin,
     "ts_amplitude_modulation_by" ->

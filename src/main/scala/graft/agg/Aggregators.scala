@@ -156,7 +156,7 @@ object Aggregators {
       val s = sortedBuf(b)
       val clean = Imputation.fillInterpolate(s.vs, s.nu.map(!_))
       if (clean.length < 2 * period || clean.exists(_.isNaN))
-        SeasonalityExt.Classification("none", "none", has_stable_timing = false,
+        SeasonalityExt.Classification("non_seasonal", "non_seasonal", has_stable_timing = false,
           Double.NaN, Double.NaN, is_seasonal = false, Array.empty, Array.empty)
       else SeasonalityExt.classify(clean, period)
     }

@@ -101,15 +101,18 @@ object SeasonalityExt {
       }
     val hasStableTiming = timingVariability < timingThreshold
 
+    // SeasonalType vocabulary (seasonality.rs:99-108)
     val timingClass =
-      if (!isSeasonal) "none"
-      else if (hasStableTiming && weakSeasons.isEmpty) "stable"
-      else if (weakSeasons.length > nCycles / 2) "intermittent"
-      else "variable"
+      if (!isSeasonal) "non_seasonal"
+      else if (hasStableTiming && weakSeasons.isEmpty) "stable_seasonal"
+      else if (weakSeasons.length > nCycles / 2) "intermittent_seasonal"
+      else "variable_timing"
 
     // amplitude modulation: slope of per-cycle amplitudes vs mean amplitude
+    // (AmplitudeModulationType vocabulary, seasonality.rs:266-275)
     val modulation =
-      if (nCycles < 3) "none"
+      if (!isSeasonal) "non_seasonal"
+      else if (nCycles < 3) "stable"
       else {
         val meanA = amplitudes.sum / nCycles
         val xm = (nCycles - 1) / 2.0
@@ -118,7 +121,7 @@ object SeasonalityExt {
         while (c < nCycles) { sxy += (c - xm) * (amplitudes(c) - meanA); sxx += (c - xm) * (c - xm); c += 1 }
         val slope = if (sxx > 0) sxy / sxx else 0.0
         val rel = if (meanA > 1e-12) slope * nCycles / meanA else 0.0
-        if (rel > 0.3) "increasing" else if (rel < -0.3) "decreasing" else "stable"
+        if (rel > 0.3) "emerging" else if (rel < -0.3) "fading" else "stable"
       }
 
     Classification(timingClass, modulation, hasStableTiming, timingVariability,
@@ -227,7 +230,9 @@ object SeasonalityExt {
     while (c < nCycles) { sxy += (c - xm) * (amps(c) - meanA); sxx += (c - xm) * (c - xm); c += 1 }
     val slope = if (sxx > 0) sxy / sxx else 0.0
     val rel = if (meanA > 1e-12) slope * nCycles / meanA else 0.0
-    val mType = if (rel > 0.3) "increasing" else if (rel < -0.3) "decreasing" else "stable"
+    val mType =
+      if (strength < 0.3) "non_seasonal"
+      else if (rel > 0.3) "emerging" else if (rel < -0.3) "fading" else "stable"
     AmplitudeModulation(strength >= 0.3, strength, math.abs(rel) > 0.3, mType,
       math.min(1.0, math.abs(rel)), slope)
   }
