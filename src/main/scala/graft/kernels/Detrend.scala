@@ -99,12 +99,55 @@ object Peaks {
   final case class TimingResult(meanInterval: Double, intervalStd: Double,
                                 timingVariability: Double, isRegular: Boolean, nPeaks: Int)
 
+  /** Full detection result (peaks.rs PeakDetectionResult:40-70). */
+  final case class PeakDetection(peaks: Seq[Peak], nPeaks: Int,
+                                 interPeakDistances: Seq[Double], meanPeriod: Double)
+
   /** Local maxima with prominence ≥ minProminence, greedily thinned to
-    * honor minDistance (keep higher peaks first). */
+    * honor minDistance (keep higher peaks first). `smoothFirst` applies a
+    * centered moving average of width ≈ n/nbasis before detection — a
+    * behavioral stand-in for the reference's B-spline smoothing
+    * (peaks.rs:134-162). */
   def detectPeaks(values: Array[Double], minDistance: Option[Double] = None,
-                  minProminence: Option[Double] = None): Seq[Peak] = {
-    val n = values.length
+                  minProminence: Option[Double] = None,
+                  smoothFirst: Boolean = false,
+                  smoothNbasis: Option[Int] = None): Seq[Peak] = {
+    val pre = values
+    val n = pre.length
     require(n >= 3, s"insufficient data: need 3, got $n")
+    val data =
+      if (!smoothFirst) pre
+      else {
+        val w = math.max(3, n / math.max(smoothNbasis.getOrElse(math.max(4, n / 4)), 1)) | 1
+        Array.tabulate(n) { i =>
+          val lo = math.max(0, i - w / 2)
+          val hi = math.min(n - 1, i + w / 2)
+          var s = 0.0
+          var j = lo
+          while (j <= hi) { s += pre(j); j += 1 }
+          s / (hi - lo + 1)
+        }
+      }
+    detectPeaksImpl(data, minDistance, minProminence)
+  }
+
+  /** detect_peaks with the timing summary (inter-peak distances + mean
+    * period — peaks.rs:60-69). */
+  def detectPeaksFull(values: Array[Double], minDistance: Option[Double] = None,
+                      minProminence: Option[Double] = None,
+                      smoothFirst: Boolean = false,
+                      smoothNbasis: Option[Int] = None): PeakDetection = {
+    val ps = detectPeaks(values, minDistance, minProminence, smoothFirst, smoothNbasis)
+    val dists =
+      if (ps.length < 2) Seq.empty[Double]
+      else ps.sliding(2).map(w => (w(1).index - w(0).index).toDouble).toSeq
+    PeakDetection(ps, ps.length, dists,
+      if (dists.isEmpty) Double.NaN else dists.sum / dists.length)
+  }
+
+  private def detectPeaksImpl(values: Array[Double], minDistance: Option[Double],
+                              minProminence: Option[Double]): Seq[Peak] = {
+    val n = values.length
     val raw = (1 until n - 1).filter(i =>
       values(i) > values(i - 1) && values(i) >= values(i + 1))
     val peaks = raw.map { i =>
