@@ -43,7 +43,7 @@ object SparkEntryV4 {
       dailyEventsTs(s, dir).createOrReplaceTempView("_agg_events")
       // n_points = horizon (12), n_fitted = series length — the UDAF's output
       // contract; model_name is optimizer-chosen so it stays out of the oracle
-      s.sql("""SELECT g, size(fc.point_forecasts) AS n_points,
+      s.sql("""SELECT g, size(fc.point_forecast) AS n_points,
               |       size(fc.insample_fitted) AS n_fitted
               |FROM (SELECT g, ts_forecast_agg(ds, y) AS fc
               |      FROM _agg_events GROUP BY g) t""".stripMargin)

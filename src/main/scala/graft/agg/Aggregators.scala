@@ -51,26 +51,48 @@ object Aggregators {
 
   // ------------------------------------------------------------ forecast
 
-  final case class ForecastAggOut(point_forecasts: Seq[Double], yhat_lower: Seq[Double],
-                                  yhat_upper: Seq[Double], insample_fitted: Seq[Double],
-                                  model_name: String, aic: Option[Double], bic: Option[Double])
+  /** The reference's exact STRUCT (ts_forecast_agg.cpp:69-83). The interval
+    * field names are fixed at lower_90/upper_90 — the reference itself cannot
+    * bind the confidence level before execution, so the names are constant
+    * there too (:92-95); the VALUES honor a `confidence_level` param. */
+  final case class ForecastAggOut(forecast_step: Seq[Int],
+                                  forecast_timestamp: Seq[java.sql.Timestamp],
+                                  point_forecast: Seq[Double],
+                                  lower_90: Seq[Double], upper_90: Seq[Double],
+                                  model_name: String, insample_fitted: Seq[Double],
+                                  date_col_name: String, error_message: Option[String])
 
-  /** ts_forecast_agg (ts_forecast_agg.cpp:69-82): STRUCT of LISTs incl.
-    * in-sample fitted values. */
+  /** ts_forecast_agg: STRUCT of LISTs incl. in-sample fitted values and
+    * future timestamps from the median observed spacing (default 1 day). */
   final class ForecastAgg(method: String, horizon: Int, params: Map[String, String])
       extends SeriesAggregator[ForecastAggOut]()(Encoders.product[ForecastAggOut]) {
-    private val opts = Forecast.optionsFromParams(method, horizon, params)
+    // the agg's default confidence level is 0.90 (ts_forecast_agg.cpp:23)
+    private val opts = Forecast.optionsFromParams(method, horizon,
+      if (params.contains("confidence_level")) params
+      else params + ("confidence_level" -> "0.90"))
       .copy(includeFitted = true)
+    private def err(msg: String): ForecastAggOut =
+      ForecastAggOut(Nil, Nil, Nil, Nil, Nil, method, Nil, "ds", Some(msg))
     def finish(b: SeriesBuf): ForecastAggOut = {
-      if (b.ts.isEmpty)
-        return ForecastAggOut(Nil, Nil, Nil, Nil, method, None, None)
+      if (b.ts.isEmpty) return err("empty series")
       val s = sortedBuf(b)
       try {
         val out = Forecast.forecast(s.vs, s.nu.map(!_), opts)
-        ForecastAggOut(out.point.toSeq, out.lower.toSeq, out.upper.toSeq,
-          out.fitted.map(_.toSeq).getOrElse(Nil), out.modelName, out.aic, out.bic)
+        // median spacing of the observed timestamps (ts_forecast_agg.cpp:330)
+        val step: Long =
+          if (s.ts.length < 2) 86400000000L
+          else {
+            val diffs = s.ts.sliding(2).map(w => w(1) - w(0)).toArray.sorted
+            diffs(diffs.length / 2)
+          }
+        val last = s.ts.last
+        val stamps = (1 to horizon).map(j =>
+          new java.sql.Timestamp((last + step * j) / 1000L))
+        ForecastAggOut((1 to horizon), stamps, out.point.toSeq,
+          out.lower.toSeq, out.upper.toSeq, out.modelName,
+          out.fitted.map(_.toSeq).getOrElse(Nil), "ds", None)
       } catch {
-        case _: Forecast.FcError => ForecastAggOut(Nil, Nil, Nil, Nil, method, None, None)
+        case e: Forecast.FcError => err(e.getMessage)
       }
     }
   }

@@ -38,7 +38,7 @@ object StreamingForecast {
       .agg(agg(col(tsCol), col(valueCol)).as("fc"),
         count(lit(1)).as("n_obs"))
       .select(col(groupCol), col("window.start").as("window_start"),
-        col("n_obs"), col("fc.model_name"), col("fc.point_forecasts"))
+        col("n_obs"), col("fc.model_name"), col("fc.point_forecast"))
   }
 
   final case class SeriesState(ts: Array[Long], vs: Array[Double])
