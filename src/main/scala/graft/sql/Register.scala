@@ -80,6 +80,49 @@ object Register {
         (lo.toSeq, hi.toSeq)
       }))
     reg("ts_mean_interval_width", TsFunctions.tsMeanIntervalWidth)
+    reg("ts_conformal_predict_per_step", udf(
+      (rsBySteps: Seq[Seq[java.lang.Double]], fc: Seq[java.lang.Double], alpha: Double) => {
+        val (lo, hi) = Conformal.conformalPredictPerStep(
+          rsBySteps.map(rs => arr(rs).filterNot(_.isNaN)).toArray, arr(fc), alpha)
+        (lo.toSeq, hi.toSeq)
+      }))
+    reg("ts_conformal_coverage", udf(
+      (actual: Seq[java.lang.Double], lo: Seq[java.lang.Double], hi: Seq[java.lang.Double]) =>
+        Metrics.coverage(arr(actual), arr(lo), arr(hi))))
+    reg("ts_conformal_evaluate", udf(
+      (actual: Seq[java.lang.Double], lo: Seq[java.lang.Double], hi: Seq[java.lang.Double],
+       alpha: Double) => {
+        val m = Conformal.conformalEvaluate(arr(actual), arr(lo), arr(hi), alpha)
+        (m("coverage"), m("violation_rate"), m("mean_width"), m("winkler_score"),
+          m("n_observations").toLong)
+      }))
+    reg("ts_conformal_learn", udf(
+      (rs: Seq[java.lang.Double], alphas: Seq[java.lang.Double], method: String,
+       strategy: String) => {
+        val p = Conformal.conformalLearn(arr(rs).filterNot(_.isNaN), arr(alphas),
+          method, strategy)
+        (p.method, p.strategy, p.alphas.toSeq, p.lowerMargins.toSeq,
+          p.upperMargins.toSeq, p.nCalibration)
+      }))
+    reg("ts_conformal_apply", udf(
+      (fc: Seq[java.lang.Double], alphas: Seq[java.lang.Double],
+       lowerMargins: Seq[java.lang.Double], upperMargins: Seq[java.lang.Double]) => {
+        val profile = Conformal.CalibrationProfile("symmetric", "split",
+          arr(alphas), arr(lowerMargins), arr(upperMargins), arr(alphas).length)
+        val (lo, hi) = Conformal.conformalApply(arr(fc), profile)
+        (lo.map(_.toSeq).toSeq, hi.map(_.toSeq).toSeq)
+      }))
+    reg("ts_bootstrap_quantiles", udf(
+      (rs: Seq[java.lang.Double], fc: Seq[java.lang.Double], nPaths: Int,
+       quantiles: Seq[java.lang.Double], seed: Long) =>
+        Conformal.bootstrapQuantiles(arr(rs).filterNot(_.isNaN), arr(fc), nPaths,
+          arr(quantiles), seed).map(_.toSeq).toSeq))
+
+    // multi-quantile pinball loss (metrics.cpp:924)
+    reg("ts_mqloss", udf(
+      (a: Seq[java.lang.Double], preds: Seq[Seq[java.lang.Double]],
+       qs: Seq[java.lang.Double]) =>
+        Metrics.mqLoss(arr(a), preds.map(p => arr(p)).toArray, arr(qs))))
 
     // detrend / decomposition / changepoints on arrays
     reg("ts_detrend", udf((vs: Seq[java.lang.Double], method: String) => {
