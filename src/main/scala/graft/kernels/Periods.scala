@@ -324,12 +324,85 @@ object Periods {
 
   /** SSA-style: dominant frequency of the lag-autocovariance sequence —
     * pairs of near-equal singular components show up as a spectral peak. */
+  /** Singular-spectrum analysis: eigendecompose the lag-covariance of the
+    * trajectory (Hankel) matrix — a periodic component appears as a pair of
+    * near-equal leading eigenvalues whose eigenvectors are phase-shifted
+    * sinusoids at the season frequency. Period = spectral peak of the top
+    * eigenvector; confidence = the leading eigenpair's variance share. */
   def ssaPeriod(values: Array[Double], maxPeriod: Int = DefaultMaxPeriod): DetectedPeriod = {
     val n = values.length
     require(n >= 16, s"insufficient data: need 16, got $n")
-    val maxLag = math.min(n / 2, maxPeriod * 2)
-    val ac = Seasonality.acf(values, maxLag)
-    estimatePeriodFft(ac, maxPeriod).copy(iteration = 1)
+    val mean = values.sum / n
+    val x = values.map(_ - mean)
+    // window length: long enough to hold two seasons, bounded for O(L²K)
+    val cap = math.min(maxPeriod, n / 2)
+    val l = math.min(math.min(n / 2, 2 * cap + 1), 128)
+    val k = n - l + 1
+    // lag-covariance C[i][j] = Σ_t x[t+i]·x[t+j] / K
+    val c = Array.ofDim[Double](l, l)
+    var i = 0
+    while (i < l) {
+      var j = i
+      while (j < l) {
+        var s = 0.0
+        var t = 0
+        while (t < k) { s += x(t + i) * x(t + j); t += 1 }
+        c(i)(j) = s / k
+        c(j)(i) = c(i)(j)
+        j += 1
+      }
+      i += 1
+    }
+    val trace = (0 until l).map(d => c(d)(d)).sum
+    if (trace <= 1e-12) return DetectedPeriod(0, 0, 0, 0, 0, 1)
+    // power iteration for the leading eigenpair
+    def powerIter(deflateV: Option[Array[Double]]): (Array[Double], Double) = {
+      // seed with the series' own leading window — it lies in the trajectory
+      // row space, so it always overlaps the dominant eigenvector (a fixed
+      // synthetic seed can be exactly orthogonal to a pure tone's rank-2
+      // spectrum and stall the iteration); perturb per-index for the
+      // deflated pass so the second eigenvector is reachable too
+      var v = {
+        val base = Array.tabulate(l)(d =>
+          x(d) + (if (deflateV.isDefined) 1e-3 * math.sin(d * 2.399963) else 0.0))
+        val nb = math.sqrt(base.map(q => q * q).sum)
+        if (nb > 1e-12) base.map(_ / nb)
+        else Array.tabulate(l)(d => math.sin((d + 1) * 2.399963))
+      }
+      var lam = 0.0
+      var it = 0
+      while (it < 60) {
+        val w = new Array[Double](l)
+        var a = 0
+        while (a < l) {
+          var s = 0.0
+          var b = 0
+          while (b < l) { s += c(a)(b) * v(b); b += 1 }
+          w(a) = s
+          a += 1
+        }
+        // orthogonalize against the leading eigenvector → second eigenpair
+        deflateV.foreach { dv =>
+          val proj = dv.indices.map(d => dv(d) * w(d)).sum
+          var d = 0
+          while (d < l) { w(d) -= proj * dv(d); d += 1 }
+        }
+        val norm = math.sqrt(w.map(q => q * q).sum)
+        if (norm <= 1e-15) return (v, lam)
+        var d = 0
+        while (d < l) { w(d) /= norm; d += 1 }
+        lam = norm
+        v = w
+        it += 1
+      }
+      (v, lam)
+    }
+    val (v1, lam1) = powerIter(None)
+    val (_, lam2) = powerIter(Some(v1))
+    // the paired eigenvalues of a sinusoidal component split the variance
+    val share = math.min(1.0, (lam1 + lam2) / trace)
+    val est = estimatePeriodFft(v1, cap)
+    DetectedPeriod(est.period, share, share, 0.0, 0.0, 1)
   }
 
   /** STL-style grid search: period maximizing seasonal strength
@@ -391,17 +464,55 @@ object Periods {
 
   /** SAZED ensemble: median of zero-padded FFT, ACF peak, and autoperiod
     * estimates (Toller et al.'s parameter-free ensemble, simplified). */
+  /** SAZED ensemble (Toller, Santos & Kern 2019 — parameter-free season
+    * length estimation): the S (spectral argmax), A (ACF argmax), and Z
+    * (mean zero-crossing spacing) components are each computed on the
+    * series AND on its autocorrelation sequence — six estimates — and the
+    * season length with the densest agreement wins; confidence is the
+    * agreeing fraction. */
   def sazedPeriod(values: Array[Double], maxPeriod: Int = DefaultMaxPeriod): DetectedPeriod = {
-    require(values.length >= 16, s"insufficient data: need 16, got ${values.length}")
-    val ests = Seq(
-      estimatePeriodFft(values, maxPeriod),
-      estimatePeriodAcf(values, Some(math.min(values.length / 2, maxPeriod))),
-      autoperiod(values, maxPeriod)).filter(_.period >= 2.0)
+    val n = values.length
+    require(n >= 16, s"insufficient data: need 16, got $n")
+    val cap = math.min(maxPeriod, n / 2)
+
+    def sComponent(x: Array[Double]): Double = {
+      val est = estimatePeriodFft(x, cap)
+      est.period
+    }
+    def aComponent(x: Array[Double]): Double =
+      estimatePeriodAcf(x, Some(math.min(x.length - 1, cap))).period
+    /** Z: twice the mean spacing between mean-crossings of the centered
+      * signal (a full season crosses its mean twice). */
+    def zComponent(x: Array[Double]): Double = {
+      val m = x.sum / x.length
+      val c = x.map(_ - m)
+      val crossings = (1 until c.length).filter(i => c(i - 1) * c(i) < 0.0)
+      if (crossings.length < 2) 0.0
+      else {
+        val spacings = crossings.sliding(2).map(w => (w(1) - w(0)).toDouble).toSeq
+        2.0 * spacings.sum / spacings.length
+      }
+    }
+
+    val acfSeq = Seasonality.acf(values, math.min(n - 1, math.max(4, n / 2)))
+    val raw = Seq(
+      sComponent(values), aComponent(values), zComponent(values),
+      sComponent(acfSeq), aComponent(acfSeq), zComponent(acfSeq))
+    val ests = raw.filter(p => p >= 2.0 && p <= cap)
     if (ests.isEmpty) return DetectedPeriod(0, 0, 0, 0, 0, 1)
-    val sorted = ests.map(_.period).sorted
-    val medianP = sorted(sorted.length / 2)
-    val agree = ests.count(e => math.abs(e.period - medianP) <= math.max(1.0, 0.1 * medianP))
-    DetectedPeriod(medianP, agree.toDouble / ests.length, 0, 0, 0, 1)
+
+    // densest agreement: for each estimate count peers within max(1, 15%);
+    // ties break toward the smaller period (subharmonic preference)
+    val support = ests.map { p =>
+      (p, ests.count(q => math.abs(q - p) <= math.max(1.0, 0.15 * p)))
+    }
+    val bestSupport = support.map(_._2).max
+    val winners = support.filter(_._2 == bestSupport).map(_._1)
+    val winner = winners.min
+    // vote with the agreeing cluster's median for stability
+    val cluster = ests.filter(q => math.abs(q - winner) <= math.max(1.0, 0.15 * winner)).sorted
+    val periodOut = cluster(cluster.length / 2)
+    DetectedPeriod(periodOut, bestSupport.toDouble / ests.length, 0, 0, 0, 1)
   }
 
   // ------------------------------------------------------------ dispatch

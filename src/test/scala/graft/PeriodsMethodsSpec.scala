@@ -69,6 +69,25 @@ class PeriodsMethodsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Periods.matrixProfilePeriod(sawtooth4.take(16)))
   }
 
+  test("ssa eigenpair share is near 1 for a pure tone, low for noise") {
+    val pure = Periods.ssaPeriod(sin8)
+    assert(math.abs(pure.period - 8.0) < 0.5 && pure.confidence > 0.9,
+      s"${pure.period} @ ${pure.confidence}")
+    // deterministic pseudo-noise: no dominant eigenpair
+    val noise = Array.tabulate(64)(i => math.sin(i * 2.399963) * math.cos(i * 1.111))
+    val r = Periods.ssaPeriod(noise)
+    assert(r.confidence < 0.7, s"noise share ${r.confidence}")
+  }
+
+  test("sazed survives amplitude-modulated and noisy waves") {
+    val modulated = Array.tabulate(96)(i =>
+      10.0 + (1.0 + 0.3 * math.sin(i * 0.05)) * math.sin(2 * math.Pi * i / 8.0)
+        + 0.2 * math.sin(i * 2.399963))
+    val r = Periods.sazedPeriod(modulated)
+    assert(math.abs(r.period - 8.0) < 1.0, s"${r.period}")
+    assert(r.confidence >= 0.5)
+  }
+
   test("method aliases parse to the same estimator (ts_periods.test alias grammar)") {
     assert(Periods.parseMethod("periodogram") == "fft")
     assert(Periods.parseMethod("lomb-scargle") == "lomb_scargle")
