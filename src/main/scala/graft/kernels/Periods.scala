@@ -424,46 +424,79 @@ object Periods {
 
   /** Matrix-profile-style: lag minimizing the mean z-normalized distance
     * between subsequences k apart (motif recurrence). */
+  /** Matrix-profile period detection: a STOMP-style z-normalized matrix
+    * profile (diagonal dot-product recurrence, O(n²)), then the period is the
+    * modal spacing between each subsequence and its nearest neighbor —
+    * recurring motifs one season apart dominate the profile index (Yeh et al.
+    * 2016; period use per the SAZED/MP literature). Confidence = fraction of
+    * subsequences whose nearest neighbor sits at the modal spacing (±10%). */
   def matrixProfilePeriod(values: Array[Double], maxPeriod: Int = DefaultMaxPeriod): DetectedPeriod = {
     val n = values.length
     require(n >= 32, s"insufficient data: need 32, got $n")
     val cap = math.min(maxPeriod, n / 3)
-    var bestLag = 0
-    var bestScore = Double.PositiveInfinity
-    var lag = 2
-    while (lag <= cap) {
-      val w = math.max(4, lag / 2)
-      var dist = 0.0
-      var cnt = 0
-      var start = 0
-      while (start + lag + w <= n) {
-        var d = 0.0
-        var j = 0
-        while (j < w) {
-          val diff = values(start + j) - values(start + lag + j)
-          d += diff * diff
-          j += 1
+    // subsequence length: short enough to leave ≥ 3 windows, long enough to
+    // carry shape; the classic heuristic is ~half the largest period sought
+    val m = math.max(4, math.min(cap / 2 + 1, n / 4))
+    val nw = n - m + 1
+    // rolling means and stds
+    val mu = new Array[Double](nw)
+    val sig = new Array[Double](nw)
+    var s = 0.0
+    var s2 = 0.0
+    var i = 0
+    while (i < n) {
+      s += values(i); s2 += values(i) * values(i)
+      if (i >= m) { s -= values(i - m); s2 -= values(i - m) * values(i - m) }
+      if (i >= m - 1) {
+        val w = i - m + 1
+        mu(w) = s / m
+        sig(w) = math.sqrt(math.max(0.0, s2 / m - mu(w) * mu(w)))
+      }
+      i += 1
+    }
+    val nnDist = Array.fill(nw)(Double.PositiveInfinity)
+    val nnIdx = Array.fill(nw)(-1)
+    // diagonals outside the trivial-match exclusion zone (the standard m/4 —
+    // a full-window zone would swallow any period shorter than the window)
+    var d = math.max(2, m / 4)
+    while (d < nw) {
+      // sliding dot product along the diagonal (j = i + d)
+      var qt = 0.0
+      var k = 0
+      while (k < m) { qt += values(k) * values(k + d); k += 1 }
+      var ii = 0
+      while (ii + d < nw) {
+        if (ii > 0) {
+          qt += values(ii + m - 1) * values(ii + d + m - 1) -
+            values(ii - 1) * values(ii + d - 1)
         }
-        dist += math.sqrt(d / w)
-        cnt += 1
-        start += w
+        val jj = ii + d
+        val denom = m * sig(ii) * sig(jj)
+        val dist =
+          if (denom <= 1e-12) 0.0 // flat-vs-flat: identical shape
+          else {
+            val corr = (qt - m * mu(ii) * mu(jj)) / denom
+            math.sqrt(math.max(0.0, 2.0 * m * (1.0 - math.min(1.0, corr))))
+          }
+        if (dist < nnDist(ii)) { nnDist(ii) = dist; nnIdx(ii) = jj }
+        if (dist < nnDist(jj)) { nnDist(jj) = dist; nnIdx(jj) = ii }
+        ii += 1
       }
-      if (cnt > 0) {
-        val score = dist / cnt
-        if (score < bestScore) { bestScore = score; bestLag = lag }
-      }
-      lag += 1
+      d += 1
     }
-    val scale = {
-      val m = values.sum / n
-      math.sqrt(values.map(v => (v - m) * (v - m)).sum / n)
-    }
-    val conf = if (scale > 0) math.max(0.0, 1.0 - bestScore / (2 * scale)) else 0.0
-    DetectedPeriod(bestLag.toDouble, conf, conf, 0, 0, 1)
+    // modal nearest-neighbor spacing within the period cap
+    val spacings = (0 until nw).collect {
+      case w if nnIdx(w) >= 0 =>
+        math.abs(nnIdx(w) - w)
+    }.filter(sp => sp >= 2 && sp <= cap)
+    if (spacings.isEmpty) return DetectedPeriod(0, 0, 0, 0, 0, 1)
+    val counts = spacings.groupBy(identity).view.mapValues(_.size)
+    val (modeSp, _) = counts.maxBy { case (sp, cnt) => (cnt, -sp) }
+    val agree = spacings.count(sp => math.abs(sp - modeSp) <= math.max(1.0, 0.1 * modeSp))
+    DetectedPeriod(modeSp.toDouble, agree.toDouble / spacings.length,
+      agree.toDouble / spacings.length, 0, 0, 1)
   }
 
-  /** SAZED ensemble: median of zero-padded FFT, ACF peak, and autoperiod
-    * estimates (Toller et al.'s parameter-free ensemble, simplified). */
   /** SAZED ensemble (Toller, Santos & Kern 2019 — parameter-free season
     * length estimation): the S (spectral argmax), A (ACF argmax), and Z
     * (mean zero-crossing spacing) components are each computed on the
