@@ -88,6 +88,15 @@ object SparkEntryV12 {
         .select(col("g"), col("ds"), round(col("y"), 6).as("y"),
           round(col("trend"), 4).as("trend"),
           round(col("detrended"), 4).as("detrended"), col("method"))),
+    // IVF in its exhaustive limit (nProbe = nLists) is exactly brute force:
+    // the DuckDB brute-force top-k is an honest oracle for the whole
+    // train→assign→probe→search pipeline
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      graft.llm.SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, nLists = 16, nProbe = 16)
+        .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
+    }),
     // planted intervals: every 5th point misses below by exactly 1.0 →
     // coverage 0.8, Winkler = width + miss_rate · (2/α)·1
     "ts_conformal_evaluate_by" -> ((s, dir) => {
@@ -106,6 +115,17 @@ object SparkEntryV12 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "ann_ivf_topk" ->
+      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+        |           FROM embeddings WHERE vec_id < 5),
+        |pairs AS (
+        |  SELECT q.qid, e.vec_id AS vid,
+        |         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+        |  FROM q, embeddings e),
+        |r AS (SELECT qid, vid, sim,
+        |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rk
+        |      FROM pairs)
+        |SELECT qid, vid, round(sim, 6) AS sim FROM r WHERE rk <= 10""".stripMargin,
     "ts_detect_periods_methods" ->
       """SELECT g, method, CAST(8.0 AS DOUBLE) AS detected
         |FROM (SELECT DISTINCT o_orderpriority AS g FROM orders) gs,

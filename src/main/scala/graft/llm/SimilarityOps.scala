@@ -139,6 +139,92 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  // ---------------------------------------------------------------- IVF index
+
+  /** Train an inverted-file (IVF) coarse quantizer with Lloyd iterations,
+    * entirely in DataFrame ops: seed centroids are the first `nLists` vectors
+    * by id (deterministic), assignment is a broadcast cross join against the
+    * (small) centroid table, and the update step recomputes per-list
+    * element-wise means via posexplode — no driver-side collection of corpus
+    * rows anywhere. Output: (centroid_id INT, centroid ARRAY<DOUBLE>).
+    *
+    * The single-partition window runs over the `limit(nLists)` seed set only
+    * (a coarse quantizer is ≤ a few thousand rows); every corpus-sized stage
+    * shuffles on centroid_id alone. */
+  def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String, nLists: Int,
+               iters: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = corpus.select(col(idCol).as("vid"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("_cv"))
+    var centroids = base.orderBy(col("vid")).limit(nLists)
+      .withColumn("centroid_id", row_number().over(Window.orderBy(col("vid"))).cast(IntegerType))
+      .select(col("centroid_id"), col("_cv").as("centroid"))
+    var i = 0
+    while (i < iters) {
+      val assigned = ivfAssign(base, "vid", "_cv", centroids)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("_cv")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("_new"))
+      // empty lists keep their previous centroid
+      centroids = centroids.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("_new"), col("centroid")).as("centroid"))
+      i += 1
+    }
+    centroids
+  }
+
+  /** Assign each vector to its most-similar list (broadcast centroids; the
+    * corpus is scanned once, grouped on its own id). */
+  def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame =
+    df.select(col(idCol).as("vid"), col(vecCol).cast(ArrayType(DoubleType)).as("_cv"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("_sim", cosine(col("_cv"), col("centroid")))
+      .filter(!isnan(col("_sim")))
+      .groupBy(col("vid"))
+      // deterministic tie-break: larger centroid_id wins on equal similarity
+      .agg(expr("max_by(centroid_id, struct(_sim, centroid_id))").as("centroid_id"),
+        first(col("_cv")).as("_cv"))
+
+  /** IVF-accelerated cosine top-k: probe the `nProbe` most-similar lists per
+    * query and search only those inverted lists. With nProbe = nLists the
+    * result is exactly brute force (every list searched); smaller nProbe
+    * trades recall for touching nProbe/nLists of the corpus. Both the probe
+    * selection and the final top-k go through the bounded-heap Aggregator —
+    * no window sort anywhere, and the only corpus-sized shuffle key is
+    * centroid_id (bucket/partition the stored corpus by it at scale).
+    * Output: (qid, vid, sim) like bruteForceTopK. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              k: Int, nLists: Int, nProbe: Int, iters: Int = 3): DataFrame = {
+    val vidType = corpus.schema(idCol).dataType
+    val centroids = ivfTrain(corpus, idCol, vecCol, nLists, iters)
+    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+    val q = queries.select(col(idCol).as("qid"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("_qv"))
+    val probeAgg = udaf(new TopKAggregator(nProbe), ExpressionEncoder[(Long, Double)]())
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("_sim", cosine(col("_qv"), col("centroid")))
+      .filter(!isnan(col("_sim")))
+      .groupBy(col("qid"))
+      .agg(probeAgg(col("centroid_id").cast(LongType), col("_sim")).as("_p"),
+        first(col("_qv")).as("_qv"))
+      .select(col("qid"), col("_qv"), explode(col("_p")).as("_pp"))
+      .select(col("qid"), col("_qv"), col("_pp._1").cast(IntegerType).as("centroid_id"))
+    val topk = udaf(new TopKAggregator(k), ExpressionEncoder[(Long, Double)]())
+    probes.join(assigned, Seq("centroid_id"))
+      .withColumn("sim", cosine(col("_qv"), col("_cv")))
+      .filter(!isnan(col("sim")))
+      .select(col("qid"), col("vid").cast(LongType).as("vid"), col("sim"))
+      .groupBy(col("qid"))
+      .agg(topk(col("vid"), col("sim")).as("_top"))
+      .select(col("qid"), explode(col("_top")).as("_t"))
+      .select(col("qid"), col("_t._1").cast(vidType).as("vid"), col("_t._2").as("sim"))
+  }
+
   /** Embedding-cosine near-duplicate removal: drop rows whose embedding is
     * ≥ minSim-similar to a lower-id row (LSH-bucketed candidate generation). */
   def dedupByEmbedding(df: DataFrame, idCol: String, vecCol: String, dim: Int,

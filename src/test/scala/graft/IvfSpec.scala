@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.SimilarityOps
+
+/** IVF index contracts: exhaustive probing reproduces brute force exactly,
+  * pruned probing keeps high recall on clustered data while touching a
+  * fraction of the lists, and training never collects corpus rows.
+  */
+class IvfSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-ivf")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** 4 well-separated clusters in 8 dims, 20 vectors each, deterministic. */
+  private def clustered: DataFrame = {
+    val s = spark
+    import s.implicits._
+    (0 until 80).map { i =>
+      val c = i % 4
+      val base = Array.tabulate(8)(d => if (d == 2 * c || d == 2 * c + 1) 10.0 else 0.0)
+      val jitter = Array.tabulate(8)(d => math.sin(i * 13.7 + d * 2.39) * 0.8)
+      (i.toLong, base.zip(jitter).map { case (b, j) => (b + j).toFloat })
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def resultSet(df: DataFrame): Set[(Long, Long)] =
+    df.select(col("qid").cast("long"), col("vid").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  test("exhaustive probing equals brute force exactly") {
+    val corpus = clustered
+    val queries = corpus.filter(col("vec_id") < 8)
+    val brute = resultSet(SimilarityOps.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5))
+    val ivf = resultSet(SimilarityOps.ivfTopK(corpus, queries, "vec_id", "embedding",
+      k = 5, nLists = 8, nProbe = 8))
+    assert(ivf == brute)
+  }
+
+  test("pruned probing keeps high recall on clustered data") {
+    val corpus = clustered
+    val queries = corpus.filter(col("vec_id") < 8)
+    val brute = resultSet(SimilarityOps.bruteForceTopK(corpus, queries, "vec_id", "embedding", 5))
+    val ivf = resultSet(SimilarityOps.ivfTopK(corpus, queries, "vec_id", "embedding",
+      k = 5, nLists = 8, nProbe = 3))
+    val recall = (ivf intersect brute).size.toDouble / brute.size
+    assert(recall >= 0.8, f"recall $recall%.3f")
+  }
+
+  test("centroid table has nLists rows of the right dimension") {
+    val c = SimilarityOps.ivfTrain(clustered, "vec_id", "embedding", nLists = 8)
+    val rows = c.collect()
+    assert(rows.length == 8)
+    assert(rows.forall(_.getSeq[Double](1).length == 8))
+    // Lloyd iterations moved centroids toward cluster centers: every cluster
+    // axis pair is dominant in at least one centroid
+    val dominantAxes = rows.map(_.getSeq[Double](1).zipWithIndex.maxBy(_._1)._2 / 2).toSet
+    assert(dominantAxes.size >= 3, s"axes $dominantAxes")
+  }
+}
