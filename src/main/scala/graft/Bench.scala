@@ -53,6 +53,13 @@ object Bench {
       llm.SimilarityOps.bruteForceTopK(emb, emb.filter(col("vec_id") < 20),
         "vec_id", "embedding", 10)
     }),
+    // the ANN scale path: train-once cost is amortized in production; here it
+    // is measured inline, and pruned probing touches nProbe/nLists of the data
+    "ann_ivf_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      llm.SimilarityOps.ivfTopK(emb, emb.filter(col("vec_id") < 20),
+        "vec_id", "embedding", k = 10, nLists = 32, nProbe = 8)
+    }),
   )
 
   /** Holdout MASE per model: train = all but the last 7 days of each user

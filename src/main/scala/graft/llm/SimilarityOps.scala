@@ -152,7 +152,7 @@ object SimilarityOps {
     * (a coarse quantizer is ≤ a few thousand rows); every corpus-sized stage
     * shuffles on centroid_id alone. */
   def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String, nLists: Int,
-               iters: Int = 3): DataFrame = {
+               iters: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val base = corpus.select(col(idCol).as("vid"),
       col(vecCol).cast(ArrayType(DoubleType)).as("_cv"))
@@ -169,26 +169,38 @@ object SimilarityOps {
         .groupBy(col("centroid_id"))
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("_new"))
-      // empty lists keep their previous centroid
+      // empty lists keep their previous centroid. Materialize each iterate
+      // (lineage truncation): without it every Lloyd step's plan re-embeds
+      // and re-executes all previous steps — quadratic recomputation that
+      // dominates wall time even at toy scale
       centroids = centroids.join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"), coalesce(col("_new"), col("centroid")).as("centroid"))
+        .localCheckpoint(true)
       i += 1
     }
     centroids
   }
 
-  /** Assign each vector to its most-similar list (broadcast centroids; the
-    * corpus is scanned once, grouped on its own id). */
+  /** Pack the centroid table into a single array row for broadcast — the
+    * per-row argmax then needs NO shuffle at all. */
+  private def packedCentroids(centroids: DataFrame): DataFrame =
+    centroids.agg(collect_list(struct(col("centroid_id"), col("centroid"))).as("_cents"))
+
+  /** Assign each vector to its most-similar list. Zero-shuffle: the packed
+    * centroid array is broadcast and the argmax is a codegen'd array
+    * expression per row (no crossJoin fan-out, no groupBy). */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
-                centroids: DataFrame): DataFrame =
+                centroids: DataFrame): DataFrame = {
+    val scored = transform(col("_cents"), c =>
+      struct(cosine(col("_cv"), c.getField("centroid")).as("sim"),
+        c.getField("centroid_id").as("cid")))
     df.select(col(idCol).as("vid"), col(vecCol).cast(ArrayType(DoubleType)).as("_cv"))
-      .crossJoin(broadcast(centroids))
-      .withColumn("_sim", cosine(col("_cv"), col("centroid")))
-      .filter(!isnan(col("_sim")))
-      .groupBy(col("vid"))
-      // deterministic tie-break: larger centroid_id wins on equal similarity
-      .agg(expr("max_by(centroid_id, struct(_sim, centroid_id))").as("centroid_id"),
-        first(col("_cv")).as("_cv"))
+      .crossJoin(broadcast(packedCentroids(centroids)))
+      // struct ordering: sim first, then cid — larger cid wins exact ties
+      .withColumn("_best", array_max(filter(scored, s => !isnan(s.getField("sim")))))
+      .filter(col("_best").isNotNull)
+      .select(col("vid"), col("_cv"), col("_best.cid").as("centroid_id"))
+  }
 
   /** IVF-accelerated cosine top-k: probe the `nProbe` most-similar lists per
     * query and search only those inverted lists. With nProbe = nLists the
@@ -199,21 +211,22 @@ object SimilarityOps {
     * centroid_id (bucket/partition the stored corpus by it at scale).
     * Output: (qid, vid, sim) like bruteForceTopK. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nLists: Int, nProbe: Int, iters: Int = 3): DataFrame = {
+              k: Int, nLists: Int, nProbe: Int, iters: Int = 2): DataFrame = {
     val vidType = corpus.schema(idCol).dataType
     val centroids = ivfTrain(corpus, idCol, vecCol, nLists, iters)
     val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
     val q = queries.select(col(idCol).as("qid"),
       col(vecCol).cast(ArrayType(DoubleType)).as("_qv"))
-    val probeAgg = udaf(new TopKAggregator(nProbe), ExpressionEncoder[(Long, Double)]())
-    val probes = q.crossJoin(broadcast(centroids))
-      .withColumn("_sim", cosine(col("_qv"), col("centroid")))
-      .filter(!isnan(col("_sim")))
-      .groupBy(col("qid"))
-      .agg(probeAgg(col("centroid_id").cast(LongType), col("_sim")).as("_p"),
-        first(col("_qv")).as("_qv"))
-      .select(col("qid"), col("_qv"), explode(col("_p")).as("_pp"))
-      .select(col("qid"), col("_qv"), col("_pp._1").cast(IntegerType).as("centroid_id"))
+    // probe selection is also a zero-shuffle array expression: score the
+    // packed centroids per query, sort desc, take nProbe, explode
+    val scoredQ = transform(col("_cents"), c =>
+      struct(cosine(col("_qv"), c.getField("centroid")).as("sim"),
+        c.getField("centroid_id").as("cid")))
+    val probes = q.crossJoin(broadcast(packedCentroids(centroids)))
+      .withColumn("_probe",
+        slice(reverse(array_sort(filter(scoredQ, s => !isnan(s.getField("sim"))))), 1, nProbe))
+      .select(col("qid"), col("_qv"), explode(col("_probe")).as("_pp"))
+      .select(col("qid"), col("_qv"), col("_pp.cid").as("centroid_id"))
     val topk = udaf(new TopKAggregator(k), ExpressionEncoder[(Long, Double)]())
     probes.join(assigned, Seq("centroid_id"))
       .withColumn("sim", cosine(col("_qv"), col("_cv")))
