@@ -71,6 +71,18 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       "expected an aggregate-based top-k reduction")
   }
 
+  test("ivf top-k: no window sort; corpus-sized shuffles only on centroid_id") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val df = graft.llm.SimilarityOps.ivfTopK(
+      emb, emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5),
+      "vec_id", "embedding", k = 5, nLists = 4, nProbe = 2, iters = 1)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "probe selection and top-k must not window-sort")
+    assert(!plan.toString.contains("CartesianProduct"),
+      "the centroid cross join must broadcast (packed single-row table)")
+  }
+
   test("flagship forecast: one shuffle on the group key, no cartesian") {
     val df = graft.ops.TsForecastOp.forecastBy(
       spark.read.parquet(s"$sfDir/events.parquet")
