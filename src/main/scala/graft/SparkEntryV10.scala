@@ -115,8 +115,11 @@ object SparkEntryV10 {
         .select(col("g"), date_add(col("_mx"), col("_h")).as("ds"))
         .withColumn("x_dow", dayofweek(col("ds")).cast(DoubleType))
         .withColumn("x_t", datediff(col("ds"), lit("2024-01-01").cast(DateType)).cast(DoubleType))
+      // OptimizedTheta: an exog-capable family (forecast.rs:742-747) — the
+      // zero-residual construction forecasts 0 for every theta parameter, so
+      // the plane continuation stays exact and the name is the family tag
       TsExogOp.forecastExogBy(hist, "g", "ds", "y", Seq("x_dow", "x_t"),
-        future, "ds", Seq("x_dow", "x_t"), "Naive", 7, "1d")
+        future, "ds", Seq("x_dow", "x_t"), "OptimizedTheta", 7, "1d")
         .select(col("g"), col("forecast_step"), col("ds"),
           round(col("yhat"), 4).as("yhat"),
           round(col("yhat_lower"), 4).as("yhat_lower"),
@@ -194,7 +197,7 @@ object SparkEntryV10 {
         | round(10.0 + 2.0 * (dayofweek(ds) + 1) + 3.0 * date_diff('day', DATE '2024-01-01', ds), 4) AS yhat,
         | round(10.0 + 2.0 * (dayofweek(ds) + 1) + 3.0 * date_diff('day', DATE '2024-01-01', ds), 4) AS yhat_lower,
         | round(10.0 + 2.0 * (dayofweek(ds) + 1) + 3.0 * date_diff('day', DATE '2024-01-01', ds), 4) AS yhat_upper,
-        | 'NaiveX' AS model_name
+        | 'ThetaX' AS model_name
         |FROM f""".stripMargin),
     "ts_forecast_explain_by" -> (SeriesCte +
       """

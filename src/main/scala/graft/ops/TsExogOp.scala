@@ -18,14 +18,28 @@ object TsExogOp {
   final case class ExogStep(forecast_step: Int, t: Long, yhat: Double,
                             yhat_lower: Double, yhat_upper: Double, model_name: String)
 
+  /** Exogenous-capable families and their reference model names
+    * (forecast.rs:742-747, :2431/:2469/:2506): ARIMA→ARIMAX, theta→ThetaX,
+    * MFLES→MFLESX. Any OTHER model ignores the exogenous data and produces a
+    * standard forecast under its normal name — the reference's documented
+    * fallback, also taken when no regressors are supplied. */
+  private def exogModelName(method: String): Option[String] =
+    Forecast.canonicalModel(method) match {
+      case "ARIMA" | "AutoARIMA" => Some("ARIMAX")
+      case "OptimizedTheta" | "DynamicTheta" => Some("ThetaX")
+      case "MFLES" => Some("MFLESX")
+      case _ => None
+    }
+
   def forecastExogBy(df: DataFrame, groupCol: String, dsCol: String, yCol: String,
                      xregCols: Seq[String], future: DataFrame, futureDsCol: String,
                      futureXregCols: Seq[String], method: String = "AutoARIMA",
                      horizon: Int = 12, frequency: String = "1d",
                      params: Map[String, String] = Map.empty): DataFrame = {
-    require(xregCols.nonEmpty, "xreg_cols must not be empty")
     require(xregCols.length == futureXregCols.length,
       "xreg_cols and future_xreg_cols must have the same arity")
+    val exogName = exogModelName(method)
+    val useExog = exogName.isDefined && xregCols.nonEmpty
     val opts = Forecast.optionsFromParams(method, horizon, params)
     val dsType = df.schema(dsCol).dataType
     val freq = Frequency.parse(frequency).forIntegerDs(Series.isIntegerDs(dsType))
@@ -49,31 +63,40 @@ object TsExogOp {
     val fcUdf = udf((ts: Seq[Long], vs: Seq[Double], nu: Seq[Boolean],
                      xs: Seq[Seq[Double]], futX: Seq[Seq[Double]]) => {
       try {
-        if (futX.length < horizon)
+        if (useExog && futX.length < horizon)
           throw new Forecast.InvalidInput(
             s"future exogenous rows (${futX.length}) < horizon ($horizon)")
         val clean = Imputation.fillInterpolate(vs.toArray, nu.map(!_).toArray)
         if (clean.length < 3) throw new Forecast.InsufficientData(3, clean.length)
-        // OLS with intercept
-        val n = clean.length
-        val design = Array.tabulate(n, k + 1)((i, j) => if (j == 0) 1.0 else xs(i)(j - 1))
-        val beta = Linalg.olsSolve(design, clean)
-        val residuals = Array.tabulate(n) { i =>
-          var pred = beta(0)
-          var j = 0
-          while (j < k) { pred += beta(j + 1) * xs(i)(j); j += 1 }
-          clean(i) - pred
-        }
-        val out = Forecast.forecast(residuals, Array.fill(n)(true), opts)
         val lastT = ts.last
-        Some((0 until horizon).map { h =>
-          var xb = beta(0)
-          var j = 0
-          while (j < k) { xb += beta(j + 1) * futX(h)(j); j += 1 }
-          ExogStep(h + 1, freq.advance(lastT, h + 1L),
-            out.point(h) + xb, out.lower(h) + xb, out.upper(h) + xb,
-            out.modelName + "X")
-        })
+        if (!useExog) {
+          // non-exog-capable model or no regressors: standard forecast
+          val out = Forecast.forecast(clean, Array.fill(clean.length)(true), opts)
+          Some((0 until horizon).map { h =>
+            ExogStep(h + 1, freq.advance(lastT, h + 1L),
+              out.point(h), out.lower(h), out.upper(h), out.modelName)
+          })
+        } else {
+          // regress out X (OLS with intercept), model the residuals, add back
+          val n = clean.length
+          val design = Array.tabulate(n, k + 1)((i, j) => if (j == 0) 1.0 else xs(i)(j - 1))
+          val beta = Linalg.olsSolve(design, clean)
+          val residuals = Array.tabulate(n) { i =>
+            var pred = beta(0)
+            var j = 0
+            while (j < k) { pred += beta(j + 1) * xs(i)(j); j += 1 }
+            clean(i) - pred
+          }
+          val out = Forecast.forecast(residuals, Array.fill(n)(true), opts)
+          Some((0 until horizon).map { h =>
+            var xb = beta(0)
+            var j = 0
+            while (j < k) { xb += beta(j + 1) * futX(h)(j); j += 1 }
+            ExogStep(h + 1, freq.advance(lastT, h + 1L),
+              out.point(h) + xb, out.lower(h) + xb, out.upper(h) + xb,
+              exogName.get)
+          })
+        }
       } catch {
         case _: Forecast.InsufficientData | _: Forecast.ComputationError => None
       }
