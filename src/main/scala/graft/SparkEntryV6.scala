@@ -61,10 +61,13 @@ object SparkEntryV6 {
         .select(col("n_total"), col("n_good"), col("n_fair"), col("n_poor"),
           round(col("avg_score"), 6).as("avg_score"))),
     // lossless prefix-filtered Jaccard self-join — exact, so the DuckDB
-    // brute-force inverted-index Jaccard is a true oracle
+    // brute-force inverted-index Jaccard is a true oracle. Threshold 0.8:
+    // the qualifying pair set is identical to 0.5 on this corpus, but the
+    // PPJoin prefix shrinks from n/2 to n/5 and the length/positional
+    // filters actually bite (the realistic dedup operating point)
     "dedup_jaccard_exact" -> ((s, dir) =>
       TextOps.exactJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-        shingleSize = 5, threshold = 0.5)
+        shingleSize = 5, threshold = 0.8)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
     // LSH candidates verified by exact shingle Jaccard, on the planted
     // exact-duplicate corpus (see SparkEntryV2): identical shingle sets are
@@ -102,7 +105,7 @@ object SparkEntryV6 {
         |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
         |FROM inter JOIN sz sa ON inter.id_a = sa.doc_id
         |           JOIN sz sb ON inter.id_b = sb.doc_id
-        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""".stripMargin,
+        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.8""".stripMargin,
     "ts_fill_gaps_monthly_by" -> (MonthlyCte +
       """, w AS (SELECT g, ds, y, lag(ds) OVER (PARTITION BY g ORDER BY ds) AS prev FROM p),
         |gaps AS (

@@ -164,13 +164,28 @@ object TextOps {
         size(col("_o")).as("_n"))
     // prefix length n − ⌊t·n⌋ + 1 over-covers the required n − ⌈t·n⌉ + 1 by
     // at most one, which keeps the filter lossless under float rounding
-    val prefix = ordered.select(col(idCol),
+    val prefix = ordered.select(col(idCol), col("_n"),
       slice(col("_sho"), lit(1),
         (col("_n") - floor(col("_n") * threshold) + 1).cast(IntegerType)).as("_p"))
-    val pe = prefix.select(col(idCol), explode(col("_p")).as("_s"))
-    val cand = pe.select(col(idCol).as("id_a"), col("_s"))
-      .join(pe.select(col(idCol).as("id_b"), col("_s").as("_s_b")),
-        col("_s") === col("_s_b") && col("id_a") < col("id_b"))
+    // positions enable PPJoin's pruning: both filters below are implied by
+    // J ≥ t, so the candidate set stays lossless while hot shingles stop
+    // emitting quadratic garbage (Xiao et al. 2008)
+    val pe = prefix.select(col(idCol), col("_n"),
+      posexplode(col("_p")).as(Seq("_pos", "_s")))
+    val a = pe.select(col(idCol).as("id_a"), col("_n").as("_na"),
+      col("_pos").as("_pa"), col("_s"))
+    val b = pe.select(col(idCol).as("id_b"), col("_n").as("_nb"),
+      col("_pos").as("_pb"), col("_s").as("_s_b"))
+    // J ≥ t ⟹ length filter t·max(|a|,|b|) ≤ min(|a|,|b|); the positional
+    // filter bounds the still-possible overlap from the match position:
+    // 1 + min(|a|−pa−1, |b|−pb−1) ≥ ⌈t/(1+t)·(|a|+|b|)⌉ (the overlap J ≥ t
+    // requires). Both prune BEFORE the distinct/verify shuffle.
+    val minOverlap = ceil(lit(threshold) / (lit(1.0) + threshold) * (col("_na") + col("_nb")))
+    val cand = a.join(b,
+      col("_s") === col("_s_b") && col("id_a") < col("id_b") &&
+        greatest(col("_na"), col("_nb")) * threshold <= least(col("_na"), col("_nb")) &&
+        (lit(1) + least(col("_na") - col("_pa") - 1, col("_nb") - col("_pb") - 1))
+          >= minOverlap)
       .select(col("id_a"), col("id_b")).distinct()
     cand
       .join(sh.select(col(idCol).as("id_a"), col("_sh").as("_sh_a")), Seq("id_a"))
