@@ -52,6 +52,10 @@ object Register {
       Periods.sazedPeriod(arr(vs).filterNot(_.isNaN)).period))
     reg("ts_detect_periods", udf((vs: Seq[java.lang.Double], method: String) =>
       Periods.detectPeriods(arr(vs).filterNot(_.isNaN), method).primaryPeriod))
+    // iterative residual-subtraction multi-period scalar (periods.rs:369)
+    reg("ts_detect_multiple_periods", udf((vs: Seq[java.lang.Double]) =>
+      Periods.detectMultiplePeriods(arr(vs).filterNot(_.isNaN))
+        .map(p => (p.period, p.confidence, p.iteration))))
     reg("ts_seasonal_strength", udf((vs: Seq[java.lang.Double], period: Int) =>
       Decomposition.seasonalStrengthAt(arr(vs).filterNot(_.isNaN), period)))
 

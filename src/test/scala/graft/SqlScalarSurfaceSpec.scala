@@ -69,6 +69,16 @@ class SqlScalarSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bq.length == 2 && bq(0).zip(bq(1)).forall { case (lo, hi) => lo <= hi })
   }
 
+  test("ts_detect_multiple_periods returns (period, confidence, iteration) rows") {
+    val out = spark.sql(
+      """SELECT ts_detect_multiple_periods(
+        |  transform(sequence(0, 63), i -> 10.0 + sin((i + 1) * 2 * pi() / 8.0))) AS v""".stripMargin)
+      .collect()(0).getSeq[org.apache.spark.sql.Row](0)
+    assert(out.nonEmpty)
+    assert(math.abs(out.head.getDouble(0) - 8.0) < 0.5)
+    assert(out.head.getInt(2) == 1)
+  }
+
   test("learn/apply round-trips margins") {
     val out = spark.sql(
       """SELECT ts_conformal_apply(array(10.0, 20.0), l.v._3, l.v._4, l.v._5) AS v
