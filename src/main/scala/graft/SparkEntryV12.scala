@@ -97,6 +97,18 @@ object SparkEntryV12 {
         "vec_id", "embedding", k = 10, nLists = 16, nProbe = 16)
         .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
     }),
+    // resize to 1×1 exercises the downsample path deterministically: the
+    // stub's strided sample keeps exactly the first byte, so DuckDB can
+    // replay the output payload byte-for-byte from the (ASCII) source text
+    "mm_resize_images" -> ((s, dir) => {
+      val media = graft.llm.MultimodalOps.demoMediaTable(
+        t(s, dir, "documents"), "doc_id", "text")
+      graft.llm.MultimodalOps.resizeImages(media, "payload", 1, 1)
+        .select(col("doc_id"), col("media_meta.width").as("out_w"),
+          col("media_meta.height").as("out_h"),
+          col("media_meta.size_bytes").as("out_size"),
+          base64(col("payload")).as("payload_b64"))
+    }),
     // planted intervals: every 5th point misses below by exactly 1.0 →
     // coverage 0.8, Winkler = width + miss_rate · (2/α)·1
     "ts_conformal_evaluate_by" -> ((s, dir) => {
@@ -115,6 +127,11 @@ object SparkEntryV12 {
   )
 
   def oracleSql: Map[String, String] = Map(
+    "mm_resize_images" ->
+      """SELECT doc_id, CAST(1 AS INTEGER) AS out_w, CAST(1 AS INTEGER) AS out_h,
+        | CAST(1 AS BIGINT) AS out_size,
+        | base64(encode(substr(text, 1, 1))) AS payload_b64
+        |FROM documents""".stripMargin,
     "ann_ivf_topk" ->
       """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
         |           FROM embeddings WHERE vec_id < 5),

@@ -59,6 +59,21 @@ object MultimodalOps {
     def sampleFrames(durationMs: Long, n: Int): Array[Long] =
       if (durationMs <= 0 || n <= 0) Array.empty
       else Array.tabulate(n)(i => durationMs * (2L * i + 1) / (2L * n))
+
+    /** "Resize" an image payload to (targetW, targetH): deterministic
+      * byte-arithmetic stand-in — the output payload is a strided sample of
+      * the input scaled to the pixel-count ratio, so output size is exactly
+      * `max(1, len·(tw·th)/(w·h))` bytes (capped at the input length) and a
+      * real bilinear resizer slots in behind the same signature. */
+    def resizeImage(payload: Array[Byte], targetW: Int, targetH: Int): Array[Byte] = {
+      if (payload == null || payload.isEmpty) return Array.emptyByteArray
+      val (w, h, _) = decodeImage(payload)
+      val ratio = (targetW.toLong * targetH).toDouble / (w.toLong * h).toDouble
+      val outLen = math.max(1L, math.min(payload.length.toLong,
+        math.round(payload.length * ratio))).toInt
+      Array.tabulate(outLen)(i =>
+        payload(((i.toLong * payload.length) / outLen).toInt))
+    }
   }
 
   /** Wrap a raw binary column with typed metadata (size + caller-provided
@@ -97,6 +112,34 @@ object MultimodalOps {
                         out: String = "embedding"): DataFrame = {
     val embUdf = udf((payload: Array[Byte]) => StubCodec.embed(payload, dim))
     df.withColumn(out, embUdf(col(binCol)))
+  }
+
+  /** Batched resize per partition: replaces the payload with the resized
+    * bytes and rewrites the metadata struct's dimensions/size. Same
+    * partition-iterator shape as decodeImages — bounded memory, corrupt
+    * payloads become empty outputs instead of failing the task. */
+  def resizeImages(df: DataFrame, binCol: String, targetW: Int, targetH: Int,
+                   metaCol: String = "media_meta"): DataFrame = {
+    val schema = df.schema
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    val binIdx = schema.fieldIndex(binCol)
+    val metaIdx = if (schema.fieldNames.contains(metaCol)) schema.fieldIndex(metaCol) else -1
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = if (r.isNullAt(binIdx)) null else r.getAs[Array[Byte]](binIdx)
+        val resized =
+          try StubCodec.resizeImage(payload, targetW, targetH)
+          catch { case _: Throwable => Array.emptyByteArray }
+        val seq = r.toSeq.toArray
+        seq(binIdx) = resized
+        if (metaIdx >= 0 && !r.isNullAt(metaIdx)) {
+          val m = r.getStruct(metaIdx)
+          seq(metaIdx) = Row(m.get(0), m.get(1), targetW, targetH, m.get(4),
+            resized.length.toLong)
+        }
+        Row.fromSeq(seq.toIndexedSeq)
+      }
+    }(enc)
   }
 
   /** Frame sampling for video payloads: explode n uniform frame offsets. */
