@@ -38,6 +38,11 @@ class ModelDistinctnessSpec extends AnyFunSuite {
     assert(allDistinct(vs), s"collapsed: $vs")
     // all are demand-rate style estimates: positive, below max demand
     vs.foreach(v => assert(v > 0 && v < 8, s"out of demand range: $vs"))
+    // the fixed-parameter recursions reproduce the reference goldens
+    // BIT-EXACTLY (same Croston alpha=0.1 recursion + SBA correction) —
+    // the optimizer-driven variants are documented re-derivations
+    assert(yhat1(intermittentTs, "CrostonClassic") == 1.476312)
+    assert(yhat1(intermittentTs, "CrostonSBA") == 1.402497)
   }
 
   test("theta variant quartet distinct (ts_model_distinctness.test:74-93)") {
@@ -48,6 +53,8 @@ class ModelDistinctnessSpec extends AnyFunSuite {
 
   test("optimized ES differs from fixed ES (ts_model_distinctness.test:100-115)") {
     val ses = yhat1(trendTs, "SES")
+    // fixed-alpha SES (0.3) reproduces the reference golden bit-exactly
+    assert(ses == 18.943503)
     val sesOpt = yhat1(trendTs, "SESOptimized")
     val sEs = yhat1(trendTs, "SeasonalES")
     val sEsOpt = yhat1(trendTs, "SeasonalESOptimized")
