@@ -126,8 +126,17 @@ object SparkEntryV3 {
         "time_reversal_asymmetry_stat_1" -> 2, "time_reversal_asymmetry_stat_2" -> 2,
         "time_reversal_asymmetry_stat_3" -> 2,
         "c3_lag1" -> 2, "c3_lag2" -> 2, "c3_lag3" -> 2)
+      // the cubic statistics reach ~1e13 at sf0.1, where one float ulp
+      // (0.008) exceeds the 0.005 rounding step and a 1-ulp cross-engine
+      // difference can flip the rounded digit; both sides project the
+      // 1e-6-scaled value instead, pushing the boundary risk to ~1e-4 ulp
+      val cubicScaled = Set("c3_lag1", "c3_lag2", "c3_lag3",
+        "time_reversal_asymmetry_stat_1", "time_reversal_asymmetry_stat_2",
+        "time_reversal_asymmetry_stat_3")
       val cols = raw.schema.fields.map { f =>
-        if (f.dataType == org.apache.spark.sql.types.DoubleType) {
+        if (cubicScaled.contains(f.name))
+          round(col(s"`${f.name}`") / 1e6, 6).as(f.name)
+        else if (f.dataType == org.apache.spark.sql.types.DoubleType) {
           val d = if (f.name.startsWith("fft_coefficient_")) 4 else dec.getOrElse(f.name, 6)
           round(col(s"`${f.name}`"), d).as(f.name)
         } else col(s"`${f.name}`")
@@ -486,12 +495,12 @@ SELECT b.g,
   round(CASE WHEN b.std > 0 THEN CAST(len(list_filter(b.ys, v -> abs(v - b.mean) > 1 * b.std)) AS DOUBLE) / b.nd ELSE 0.0 END, 6) AS ratio_beyond_r_sigma_1,
   round(CASE WHEN b.std > 0 THEN CAST(len(list_filter(b.ys, v -> abs(v - b.mean) > 2 * b.std)) AS DOUBLE) / b.nd ELSE 0.0 END, 6) AS ratio_beyond_r_sigma_2,
   round(CASE WHEN b.std > 0 THEN CAST(len(list_filter(b.ys, v -> abs(v - b.mean) > 3 * b.std)) AS DOUBLE) / b.nd ELSE 0.0 END, 6) AS ratio_beyond_r_sigma_3,
-  round(CASE WHEN b.n > 2 THEN list_reduce(list_transform(range(1, b.n - 1), i -> b.ys[i + 2] * b.ys[i + 2] * b.ys[i + 1] - b.ys[i + 1] * b.ys[i] * b.ys[i]), (a, x) -> a + x) / (b.nd - 2) END, 2) AS time_reversal_asymmetry_stat_1,
-  round(CASE WHEN b.n > 4 THEN list_reduce(list_transform(range(1, b.n - 3), i -> b.ys[i + 4] * b.ys[i + 4] * b.ys[i + 2] - b.ys[i + 2] * b.ys[i] * b.ys[i]), (a, x) -> a + x) / (b.nd - 4) END, 2) AS time_reversal_asymmetry_stat_2,
-  round(CASE WHEN b.n > 6 THEN list_reduce(list_transform(range(1, b.n - 5), i -> b.ys[i + 6] * b.ys[i + 6] * b.ys[i + 3] - b.ys[i + 3] * b.ys[i] * b.ys[i]), (a, x) -> a + x) / (b.nd - 6) END, 2) AS time_reversal_asymmetry_stat_3,
-  round(CASE WHEN b.n > 2 THEN list_reduce(list_transform(range(1, b.n - 1), i -> b.ys[i + 2] * b.ys[i + 1] * b.ys[i]), (a, x) -> a + x) / (b.nd - 2) END, 2) AS c3_lag1,
-  round(CASE WHEN b.n > 4 THEN list_reduce(list_transform(range(1, b.n - 3), i -> b.ys[i + 4] * b.ys[i + 2] * b.ys[i]), (a, x) -> a + x) / (b.nd - 4) END, 2) AS c3_lag2,
-  round(CASE WHEN b.n > 6 THEN list_reduce(list_transform(range(1, b.n - 5), i -> b.ys[i + 6] * b.ys[i + 3] * b.ys[i]), (a, x) -> a + x) / (b.nd - 6) END, 2) AS c3_lag3,
+  round(CASE WHEN b.n > 2 THEN (list_reduce(list_transform(range(1, b.n - 1), i -> b.ys[i + 2] * b.ys[i + 2] * b.ys[i + 1] - b.ys[i + 1] * b.ys[i] * b.ys[i]), (a, x) -> a + x) / (b.nd - 2)) / 1e6 END, 6) AS time_reversal_asymmetry_stat_1,
+  round(CASE WHEN b.n > 4 THEN (list_reduce(list_transform(range(1, b.n - 3), i -> b.ys[i + 4] * b.ys[i + 4] * b.ys[i + 2] - b.ys[i + 2] * b.ys[i] * b.ys[i]), (a, x) -> a + x) / (b.nd - 4)) / 1e6 END, 6) AS time_reversal_asymmetry_stat_2,
+  round(CASE WHEN b.n > 6 THEN (list_reduce(list_transform(range(1, b.n - 5), i -> b.ys[i + 6] * b.ys[i + 6] * b.ys[i + 3] - b.ys[i + 3] * b.ys[i] * b.ys[i]), (a, x) -> a + x) / (b.nd - 6)) / 1e6 END, 6) AS time_reversal_asymmetry_stat_3,
+  round(CASE WHEN b.n > 2 THEN (list_reduce(list_transform(range(1, b.n - 1), i -> b.ys[i + 2] * b.ys[i + 1] * b.ys[i]), (a, x) -> a + x) / (b.nd - 2)) / 1e6 END, 6) AS c3_lag1,
+  round(CASE WHEN b.n > 4 THEN (list_reduce(list_transform(range(1, b.n - 3), i -> b.ys[i + 4] * b.ys[i + 2] * b.ys[i]), (a, x) -> a + x) / (b.nd - 4)) / 1e6 END, 6) AS c3_lag2,
+  round(CASE WHEN b.n > 6 THEN (list_reduce(list_transform(range(1, b.n - 5), i -> b.ys[i + 6] * b.ys[i + 3] * b.ys[i]), (a, x) -> a + x) / (b.nd - 6)) / 1e6 END, 6) AS c3_lag3,
   round(fftc.fre[1], 4) AS fft_coefficient_0_real,
   round(fftc.fim[1], 4) + 0.0 AS fft_coefficient_0_imag,
   round(sqrt(fftc.fre[1] * fftc.fre[1] + fftc.fim[1] * fftc.fim[1]), 4) AS fft_coefficient_0_abs,
