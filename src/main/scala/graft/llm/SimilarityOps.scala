@@ -145,20 +145,24 @@ object SimilarityOps {
     * entirely in DataFrame ops: seed centroids are the first `nLists` vectors
     * by id (deterministic), assignment is a broadcast cross join against the
     * (small) centroid table, and the update step recomputes per-list
-    * element-wise means via posexplode — no driver-side collection of corpus
-    * rows anywhere. Output: (centroid_id INT, centroid ARRAY<DOUBLE>).
+    * element-wise means via posexplode — no corpus-sized driver collection
+    * anywhere. Output: (centroid_id INT, centroid ARRAY<DOUBLE>).
     *
-    * The single-partition window runs over the `limit(nLists)` seed set only
-    * (a coarse quantizer is ≤ a few thousand rows); every corpus-sized stage
-    * shuffles on centroid_id alone. */
+    * Seed ids are assigned on the driver from the collected `limit(nLists)`
+    * seed set — the same centroid-table-sized data every later stage
+    * broadcasts, so no window (and no single-partition stage) is needed;
+    * every corpus-sized stage shuffles on centroid_id alone. */
   def ivfTrain(corpus: DataFrame, idCol: String, vecCol: String, nLists: Int,
                iters: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+    val spark = corpus.sparkSession
+    import spark.implicits._
     val base = corpus.select(col(idCol).as("vid"),
       col(vecCol).cast(ArrayType(DoubleType)).as("_cv"))
-    var centroids = base.orderBy(col("vid")).limit(nLists)
-      .withColumn("centroid_id", row_number().over(Window.orderBy(col("vid"))).cast(IntegerType))
-      .select(col("centroid_id"), col("_cv").as("centroid"))
+    val seeds = base.orderBy(col("vid")).limit(nLists)
+      .select(col("_cv")).collect().map(_.getSeq[Double](0))
+    var centroids = seeds.toSeq.zipWithIndex
+      .map { case (v, i) => (i + 1, v) }
+      .toDF("centroid_id", "centroid")
     var i = 0
     while (i < iters) {
       val assigned = ivfAssign(base, "vid", "_cv", centroids)

@@ -171,24 +171,99 @@ object TsCvOp {
     }
   }
 
-  /** ts_backtest_auto_by: folds → per-(fold,group) fit/predict → error columns
+  /** ts_backtest_auto_by: per-(fold,group) fit/predict → error columns
     * + per-fold metric. Output (fold_id, group, ds, yhat, actual, error,
     * abs_error, yhat_lower, yhat_upper, model_name, fold_metric_score)
-    * (ts_backtest_native.cpp:447-478). */
+    * (ts_backtest_native.cpp:447-478).
+    *
+    * Scale shape: each group's ordered series is gathered ONCE (a single
+    * shuffle on the group key carries every input row exactly once), then the
+    * fold fan-out happens map-side on the gathered row — `explode` over fold
+    * ids followed by array `slice`s for the train/test windows, consumed
+    * immediately by the forecast kernel. Unlike the cvFoldsBy→cvForecastBy
+    * composition this never shuffles train rows duplicated ×nFolds (an
+    * expanding backtest would otherwise blow the input up ~nFolds·n/2 rows)
+    * and traverses the input plan once, not three times. Fold semantics are
+    * identical to cvFoldsBy (position-based per group, same defaults). */
   def backtestAutoBy(df: DataFrame, groupCol: String, dsCol: String, yCol: String,
                      horizon: Int, nFolds: Int, frequency: String = "1d",
                      params: Map[String, String] = Map.empty, metric: String = "rmse"): DataFrame = {
     val (cvKeys, fcKeys) = params.partition { case (k, _) => validCvKeys.contains(k) }
-    // NOTE the fold plan is traversed three times downstream; callers doing
-    // repeated backtests over the same folds should persist the folds
-    // DataFrame themselves (a library-held persist has no release point)
-    val folds = cvFoldsBy(df, groupCol, dsCol, yCol, nFolds, horizon, cvKeys)
+    val p = parseCvParams(cvKeys)
+    require(Set("expanding", "fixed", "sliding").contains(p.windowType),
+      s"window_type must be expanding|fixed|sliding, got '${p.windowType}'")
+    val isFixed = p.windowType == "fixed" || p.windowType == "sliding"
+    val skip = if (p.skipLength > 0) p.skipLength else horizon.toLong
     val method = fcKeys.getOrElse("method", "AutoETS")
-    val fc = cvForecastBy(folds, groupCol, dsCol, yCol, method, fcKeys - "method")
-    val test = fc.filter(col("split") === "test" && col("yhat").isNotNull)
-      .withColumn("actual", col(yCol).cast(DoubleType))
+    val opts = Forecast.optionsFromParams(method, 1, fcKeys - "method")
+    val dsType = df.schema(dsCol).dataType
+
+    // one shuffle: gather each group's full ordered series (positions match
+    // cvFoldsBy's row_number-over-ds — all rows counted, null-ds rows sort
+    // first and are dropped from the kernel input only, like cvForecastBy)
+    val gathered = df
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(struct(
+        Series.toMicros(col(dsCol), dsType).as("t"),
+        coalesce(col(yCol).cast(DoubleType), lit(Double.NaN)).as("v"),
+        col(yCol).isNull.as("nu"),
+        col(dsCol).as("d")))).as("_s"))
+      .withColumn("_n", size(col("_s")).cast(LongType))
+      .filter(col("_n") >= 2)
+      .filter(if (isFixed) col("_n") >= p.minTrainSize else lit(true))
+
+    val init: Column =
+      if (p.initialTrainSize > 0) lit(p.initialTrainSize)
+      else {
+        val auto = greatest(col("_n") - lit(horizon.toLong * nFolds), lit(1L))
+        if (isFixed) greatest(auto, lit(p.minTrainSize)) else auto
+      }
+
+    val foldValid =
+      (if (isFixed) col("_train_end") + 1 >= p.minTrainSize else lit(true)) &&
+        (if (p.clipHorizon) col("_test_start") < col("_n")
+         else col("_test_start") + lit(horizon - 1) < col("_n"))
+    val trainStart: Column =
+      if (isFixed) greatest(col("_train_end") + 1 - p.minTrainSize, lit(0L)) else lit(0L)
+
+    val folded = gathered
+      .withColumn("_fold", explode(sequence(lit(1L), lit(nFolds.toLong))))
+      .withColumn("_train_end", init - 1 + (col("_fold") - 1) * lit(skip))
+      .withColumn("_test_start", col("_train_end") + 1 + lit(p.gap))
+      .withColumn("_test_end", least(col("_test_start") + lit(horizon - 1), col("_n") - 1))
+      .filter(foldValid)
+      .withColumn("_train", slice(col("_s"), (trainStart + 1).cast(IntegerType),
+        (col("_train_end") - trainStart + 1).cast(IntegerType)))
+      .withColumn("_test", slice(col("_s"), (col("_test_start") + 1).cast(IntegerType),
+        (col("_test_end") - col("_test_start") + 1).cast(IntegerType)))
+
+    val fcUdf = udf((vs: Seq[Double], nu: Seq[Boolean], h: Int) => {
+      try {
+        val out = Forecast.forecast(vs.toArray, nu.map(!_).toArray, opts.copy(horizon = h))
+        Some((0 until out.point.length).map(i =>
+          CvFcStep(i + 1, out.point(i), out.lower(i), out.upper(i), out.modelName)))
+      } catch {
+        case _: Forecast.InsufficientData | _: Forecast.ComputationError => None
+      }
+    })
+
+    val test = folded
+      .withColumn("_ktrain", filter(col("_train"), e => e.getField("t").isNotNull))
+      .withColumn("_steps", fcUdf(col("_ktrain.v"), col("_ktrain.nu"), size(col("_test"))))
+      .filter(col("_steps").isNotNull)
+      .withColumn("_z", explode(arrays_zip(col("_test"), col("_steps"))))
+      .select(col("_fold").as("fold_id"), col(groupCol),
+        col("_z._test.d").as(dsCol),
+        col("_z._steps.yhat").as("yhat"),
+        when(col("_z._test.nu"), lit(null).cast(DoubleType))
+          .otherwise(col("_z._test.v")).as("actual"),
+        col("_z._steps.yhat_lower").as("yhat_lower"),
+        col("_z._steps.yhat_upper").as("yhat_upper"),
+        col("_z._steps.model_name").as("model_name"))
+      .filter(col("yhat").isNotNull)
       .withColumn("error", col("actual") - col("yhat"))
       .withColumn("abs_error", abs(col("error")))
+
     val wFold = Window.partitionBy(col("fold_id"))
     test
       .withColumn("fold_metric_score", foldMetric(metric, wFold))
