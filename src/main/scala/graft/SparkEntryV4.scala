@@ -131,12 +131,16 @@ object SparkEntryV4 {
           col("media_meta.size_bytes").as("size_bytes"))
     }),
     "mm_embed_and_ann" -> ((s, dir) => {
-      // full pipeline: payload → stub embedding → LSH near-pairs
+      // full pipeline: payload → hash-arithmetic stub embedding → cosine
+      // top-3 per query doc. The embed stub is pure integer/float32
+      // arithmetic (MultimodalOps.StubCodec.embed), so the whole pipeline
+      // replays exactly in the DuckDB oracle.
       val media = graft.llm.MultimodalOps.demoMediaTable(
         t(s, dir, "documents"), "doc_id", "text")
       val emb = graft.llm.MultimodalOps.extractEmbeddings(media, "payload", dim = 32)
-      graft.llm.SimilarityOps.lshNearPairs(emb, "doc_id", "embedding", 32, 0.0, nBits = 4)
-        .groupBy().agg(count(lit(1)).as("n_candidate_pairs"))
+      graft.llm.SimilarityOps.bruteForceTopK(
+          emb, emb.filter(col("doc_id") < 5), "doc_id", "embedding", 3)
+        .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
     }),
     "mm_frame_sampling" -> ((s, dir) => {
       val media = graft.llm.MultimodalOps.demoMediaTable(
@@ -183,6 +187,31 @@ object SparkEntryV4 {
         |        / length(text) / 255.0, 6) AS mean_luma,
         |  CAST(length(text) AS BIGINT) AS size_bytes
         |FROM documents""".stripMargin,
+    // StubCodec.embed replay: int64 weight sums, double norm (list-order
+    // sequential like Spark's aggregate fold), float32 component rounding,
+    // then the same cosine expression bruteForceTopK evaluates. Texts are
+    // ASCII so unicode(char) == payload byte.
+    "mm_embed_and_ann" ->
+      """WITH raw AS (
+        |  SELECT doc_id, list_transform(range(0, 32), j ->
+        |    list_sum(list_transform(range(1, length(text) + 1), i ->
+        |      CAST((unicode(text[i:i]) + 1) * (((i) * (j + 7)) % 97 - 48) AS BIGINT)))) AS r
+        |  FROM documents),
+        |e AS (
+        |  SELECT doc_id,
+        |    list_transform(r, x -> CAST(CAST(x AS DOUBLE) /
+        |      sqrt(list_sum(list_transform(r, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE)))) AS REAL)) AS v
+        |  FROM raw),
+        |pairs AS (
+        |  SELECT q.doc_id AS qid, c.doc_id AS vid,
+        |    list_sum(list_transform(range(1, 33), k ->
+        |      CAST(q.v[k] AS DOUBLE) * CAST(c.v[k] AS DOUBLE))) /
+        |    (sqrt(list_sum(list_transform(q.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+        |     sqrt(list_sum(list_transform(c.v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS sim
+        |  FROM e q, e c WHERE q.doc_id < 5),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rn
+        |       FROM pairs)
+        |SELECT qid, vid, round(sim, 6) AS sim FROM rk WHERE rn <= 3""".stripMargin,
     // StubCodec.sampleFrames uniform grid: offset_i = d * (2i+1) / (2n),
     // integer (floor) division on non-negative longs in both engines
     "mm_frame_sampling" ->

@@ -44,15 +44,29 @@ object MultimodalOps {
       (w, h, s.toDouble / payload.length / 255.0)
     }
 
-    /** "Extract" an embedding from a payload: seeded pseudo-random but
-      * payload-deterministic unit vector. */
+    /** "Extract" an embedding from a payload: payload-deterministic unit
+      * vector from pure integer hash arithmetic — component j accumulates
+      * `(byte_i + 1) · W(i, j)` with integer weights
+      * `W(i, j) = ((i+1)·(j+7)) mod 97 − 48`, then float32-normalizes.
+      * Every step (int64 sums, double norm, float32 rounding) is exactly
+      * replayable in ANSI SQL, so the full embed→ANN pipeline is
+      * oracle-checkable; a real encoder slots in behind the signature. */
     def embed(payload: Array[Byte], dim: Int): Array[Float] = {
-      if (payload == null) return Array.fill(dim)(0f)
-      val seed = scala.util.hashing.MurmurHash3.bytesHash(payload, 7)
-      val rnd = new scala.util.Random(seed)
-      val v = Array.fill(dim)(rnd.nextGaussian().toFloat)
-      val norm = math.sqrt(v.map(x => x.toDouble * x).sum).toFloat
-      if (norm > 0) v.map(_ / norm) else v
+      if (payload == null || payload.isEmpty) return Array.fill(dim)(0f)
+      val raw = new Array[Long](dim)
+      var j = 0
+      while (j < dim) {
+        var s = 0L
+        var i = 0
+        while (i < payload.length) {
+          s += ((payload(i) & 0xff) + 1).toLong * (((i + 1) * (j + 7)) % 97 - 48)
+          i += 1
+        }
+        raw(j) = s
+        j += 1
+      }
+      val norm = math.sqrt(raw.map(x => x.toDouble * x.toDouble).sum)
+      if (norm == 0) Array.fill(dim)(0f) else raw.map(x => (x / norm).toFloat)
     }
 
     /** "Sample" `n` frame offsets from a video payload (uniform grid). */
