@@ -34,6 +34,26 @@ object Forecast {
 
   // ---------------------------------------------------------------- model names
 
+  /** Model catalog: (model, category) in the reference's canonical order
+    * (forecast.rs:2647-2694 `list_models`; categories per
+    * docs/API_REFERENCE.md:126-136). */
+  val listModels: Seq[(String, String)] = Seq(
+    "AutoETS" -> "automatic", "AutoARIMA" -> "automatic", "AutoTheta" -> "automatic",
+    "AutoMFLES" -> "automatic", "AutoMSTL" -> "automatic", "AutoTBATS" -> "automatic",
+    "Naive" -> "basic", "SMA" -> "basic", "SeasonalNaive" -> "basic",
+    "SES" -> "basic", "SESOptimized" -> "basic", "RandomWalkDrift" -> "basic",
+    "Holt" -> "exponential_smoothing", "HoltWinters" -> "exponential_smoothing",
+    "SeasonalES" -> "exponential_smoothing", "SeasonalESOptimized" -> "exponential_smoothing",
+    "SeasonalWindowAverage" -> "exponential_smoothing",
+    "Theta" -> "theta", "OptimizedTheta" -> "theta", "DynamicTheta" -> "theta",
+    "DynamicOptimizedTheta" -> "theta",
+    "ETS" -> "state_space", "ARIMA" -> "state_space",
+    "MFLES" -> "multi_seasonal", "MSTL" -> "multi_seasonal", "TBATS" -> "multi_seasonal",
+    "CrostonClassic" -> "intermittent", "CrostonOptimized" -> "intermittent",
+    "CrostonSBA" -> "intermittent", "ADIDA" -> "intermittent",
+    "IMAPA" -> "intermittent", "TSB" -> "intermittent",
+    "Laplace" -> "distributional")
+
   /** Canonical model names + case-insensitive aliases
     * (forecast.rs:202-253, :261-306). */
   def canonicalModel(s: String): String = s.toLowerCase match {

@@ -45,6 +45,35 @@ object TsDecompositionOp {
         col("_r.seasonal").as("seasonal"), col("_r.remainder").as("remainder"))
   }
 
+  /** ts_decompose_seasonal (classical additive/multiplicative, reference
+    * ts_detrend.cpp:145-157 → STRUCT(trend[], seasonal[], remainder[],
+    * period, method)), as a per-row `_by` table transformer: (group, ds, y,
+    * trend, seasonal, remainder, period, method). Edge positions where the
+    * centered moving average is undefined carry NaN trend/remainder, exactly
+    * like the kernel. */
+  def decomposeSeasonalBy(df: DataFrame, groupCol: String, dsCol: String, yCol: String,
+                          period: Int, method: String = "additive"): DataFrame = {
+    require(Set("additive", "multiplicative").contains(method),
+      s"method must be additive|multiplicative, got '$method'")
+    val dsType = df.schema(dsCol).dataType
+    val mult = method == "multiplicative"
+    val udfF = udf((ts: Seq[Long], vs: Seq[Double], nu: Seq[Boolean]) => {
+      val clean = Imputation.fillInterpolate(vs.toArray, nu.map(!_).toArray)
+      if (clean.length < 2 * math.max(period, 2) || clean.exists(_.isNaN)) None
+      else {
+        val r = Decomposition.classical(clean, period, mult)
+        Some(ts.indices.map(i =>
+          DecompRow(ts(i), clean(i), r.trend(i), r.seasonal(i), r.remainder(i))))
+      }
+    })
+    Series.gather(df, groupCol, dsCol, yCol)
+      .select(col(groupCol), explode(udfF(col("_ts"), col("_vs"), col("_nu"))).as("_r"))
+      .select(col(groupCol), Series.fromMicros(col("_r.t"), dsType).as(dsCol),
+        col("_r.y").as(yCol), col("_r.trend").as("trend"),
+        col("_r.seasonal").as("seasonal"), col("_r.remainder").as("remainder"),
+        lit(period).as("period"), lit(method).as("method"))
+  }
+
   final case class DetrendRow(t: Long, y: Double, trend: Double, detrended: Double)
 
   /** ts_detrend_by: per-row (group, ds, y, trend, detrended) + per-group

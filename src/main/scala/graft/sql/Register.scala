@@ -154,6 +154,19 @@ object Register {
       (out.point.toSeq, out.lower.toSeq, out.upper.toSeq, out.modelName)
     }))
 
+    // model catalog (forecast.rs:2647 list_models)
+    reg("ts_list_models", udf(() => Forecast.listModels.map(_._1)))
+
+    // classical seasonal decomposition scalar (ts_detrend.cpp:145-157:
+    // STRUCT(trend[], seasonal[], remainder[], period, method))
+    reg("ts_decompose_seasonal", udf((vs: Seq[java.lang.Double], period: Int, method: String) => {
+      val values = arr(vs).filterNot(_.isNaN)
+      val mult = method != null && method == "multiplicative"
+      val r = graft.kernels.Decomposition.classical(values, period, mult)
+      (r.trend.toSeq, r.seasonal.toSeq, r.remainder.toSeq, period.toDouble,
+        if (mult) "multiplicative" else "additive")
+    }))
+
     // memory estimation parity helper (metrics.cpp:1081)
     reg("ts_estimate_backtest_memory", udf(
       (nSeries: Long, seriesLength: Long, folds: Int, horizon: Int) =>
