@@ -12,7 +12,7 @@ object Arima {
 
   final case class Fit(p: Int, d: Int, q: Int, seasonalD: Int, period: Int,
                        phi: Array[Double], theta: Array[Double], intercept: Double,
-                       sigma2: Double, aicc: Double, aic: Double)
+                       sigma2: Double, aicc: Double, aic: Double, bic: Double)
 
   private def difference(values: Array[Double], lag: Int): Array[Double] =
     Array.tabulate(values.length - lag)(i => values(i + lag) - values(i))
@@ -74,8 +74,9 @@ object Arima {
       val aic = ll + 2.0 * kParams
       val aicc = if (n - kParams - 1 > 0)
         aic + 2.0 * kParams * (kParams + 1.0) / (n - kParams - 1.0) else Double.PositiveInfinity
+      val bic = ll + kParams * math.log(n.toDouble)
       Fit(p, dd, q, sd, period, params.slice(0, p), params.slice(p, p + q),
-        params(p + q), sse / n, aicc, aic)
+        params(p + q), sse / n, aicc, aic, bic)
     }
   }
 
@@ -146,12 +147,17 @@ object Arima {
     fc
   }
 
-  /** ARIMA with explicit defaults (1,1,1). */
+  /** ARIMA with explicit defaults (1,1,1). Falls back to (0,d,0) then
+    * (0,0,0) when the requested order can't be fit (short or degenerate
+    * series) — the reference's ARIMA never fails on its minimum-length
+    * contract (test/sql/ts_forecast_statespace.test pins a 5-point fit). */
   def forecastArima(values: Array[Double], horizon: Int,
                     p: Int = 1, d: Int = 1, q: Int = 1):
       (Array[Double], String, Option[Double], Option[Double]) = {
-    fit(values, p, d, q) match {
-      case Some(f) => (forecast(values, f, horizon), "ARIMA", Some(f.aic), None)
+    fit(values, p, d, q)
+      .orElse(fit(values, 0, d, 0))
+      .orElse(fit(values, 0, 0, 0)) match {
+      case Some(f) => (forecast(values, f, horizon), "ARIMA", Some(f.aic), Some(f.bic))
       case None => throw new Forecast.ComputationError(s"ARIMA($p,$d,$q) fit failed")
     }
   }
@@ -213,7 +219,7 @@ object Arima {
           if (best.seasonalD > 0)
             s"AutoARIMA(${best.p},${best.d},${best.q})(0,${best.seasonalD},0)[${best.period}]"
           else s"AutoARIMA(${best.p},${best.d},${best.q})"
-        (forecast(values, best, horizon), name, Some(best.aic), None)
+        (forecast(values, best, horizon), name, Some(best.aic), Some(best.bic))
       case None => fallbackDrift(values, horizon)
     }
   }
