@@ -215,10 +215,25 @@ object SimilarityOps {
     * centroid_id (bucket/partition the stored corpus by it at scale).
     * Output: (qid, vid, sim) like bruteForceTopK. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-              k: Int, nLists: Int, nProbe: Int, iters: Int = 2): DataFrame = {
-    val vidType = corpus.schema(idCol).dataType
-    val centroids = ivfTrain(corpus, idCol, vecCol, nLists, iters)
-    val assigned = ivfAssign(corpus, idCol, vecCol, centroids)
+              k: Int, nLists: Int, nProbe: Int, iters: Int = 2): DataFrame =
+    ivfProbe(corpus, queries, idCol, vecCol, k, nProbe,
+      ivfTrain(corpus, idCol, vecCol, nLists, iters))
+
+  /** The probe phase against a pre-trained centroid table. Corpus assignment
+    * (the inverted lists) is index construction — in production both the
+    * centroids and the assigned corpus are persisted, so [[ivfProbeLists]]
+    * is the steady-state query cost. */
+  def ivfProbe(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+               k: Int, nProbe: Int, centroids: DataFrame): DataFrame =
+    ivfProbeLists(ivfAssign(corpus, idCol, vecCol, centroids),
+      queries, idCol, vecCol, k, nProbe, centroids, corpus.schema(idCol).dataType)
+
+  /** Probe pre-built inverted lists: `assigned` is ivfAssign's output
+    * (vid, _cv, centroid_id) — e.g. the stored corpus bucketed by
+    * centroid_id at scale. */
+  def ivfProbeLists(assigned: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nProbe: Int, centroids: DataFrame,
+                    vidType: DataType): DataFrame = {
     val q = queries.select(col(idCol).as("qid"),
       col(vecCol).cast(ArrayType(DoubleType)).as("_qv"))
     // probe selection is also a zero-shuffle array expression: score the
