@@ -164,9 +164,13 @@ object Bench {
     // the constant washing out (BASELINE.md flags exactly this artifact).
     val series = userSeries(spark, sfDir).cache()
     val nSeries1 = series.select(col("g")).distinct().count()
+    // coalesce after the 10-way union: without it the cached input carries
+    // 10×32 tiny partitions and the measurement drowns in task-scheduling
+    // constant — the exact partition-sizing discipline a 100 TB job needs
+    // (spark.sql.files.maxPartitionBytes / coalesce to core count)
     val series10 = (0 until 10).map(i =>
         series.withColumn("g", col("g") + lit(i * 100000000L)))
-      .reduce(_ unionByName _).cache()
+      .reduce(_ unionByName _).coalesce(32).cache()
     series10.count()
     def onceDf(df: => DataFrame): Double = {
       val t0 = System.nanoTime()

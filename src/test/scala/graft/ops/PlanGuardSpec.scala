@@ -83,6 +83,33 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the centroid cross join must broadcast (packed single-row table)")
   }
 
+  test("backtest: gather-once shape — no train-row duplication across the shuffle") {
+    val series = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+      .groupBy(org.apache.spark.sql.functions.col("event_type").as("g"),
+        org.apache.spark.sql.functions.col("ts").cast(
+          org.apache.spark.sql.types.DateType).as("ds"))
+      .agg(org.apache.spark.sql.functions.sum("value").as("y"))
+    val df = graft.ops.TsCvOp.backtestAutoBy(series, "g", "ds", "y", 7, 3, "1d",
+      Map("method" -> "SeasonalNaive", "seasonal_period" -> "7"), "rmse")
+    val plan = df.queryExecution.executedPlan
+    // fold fan-out must happen AFTER the per-group gather: the only
+    // shuffles are the input aggregation, the series gather, and the final
+    // fold-metric window over output-sized data — a plan that exploded rows
+    // ×nFolds before the gather would add a duplicated-row exchange
+    val shuffles = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    assert(shuffles.length <= 3,
+      s"backtest must not shuffle fold-duplicated rows, found ${shuffles.length} exchanges")
+    // exactly one window (the fold metric); fold tagging must not window
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.length == 1,
+      s"only the fold-metric window is allowed, found ${windows.length}")
+    assert(!plan.toString.contains("CartesianProduct"))
+  }
+
   test("flagship forecast: one shuffle on the group key, no cartesian") {
     val df = graft.ops.TsForecastOp.forecastBy(
       spark.read.parquet(s"$sfDir/events.parquet")
