@@ -141,12 +141,36 @@ object SimilarityOps {
 
   // ---------------------------------------------------------------- IVF index
 
+  /** Element-wise mean of fixed-dim vectors: O(dim) state per group with
+    * map-side partial combine — the Lloyd update touches each corpus row
+    * once and shuffles only nLists·dim doubles, instead of posexploding
+    * rows·dim elements into a regrouped aggregation. */
+  private final class VecMeanAggregator(dim: Int)
+      extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
+    def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
+    def reduce(b: (Array[Double], Long), a: Seq[Double]): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim && i < a.length) { b._1(i) += a(i); i += 1 }
+      (b._1, b._2 + 1)
+    }
+    def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+      var i = 0
+      while (i < dim) { x._1(i) += y._1(i); i += 1 }
+      (x._1, x._2 + y._2)
+    }
+    def finish(b: (Array[Double], Long)): Seq[Double] =
+      if (b._2 == 0) null else b._1.map(_ / b._2).toSeq
+    def bufferEncoder: Encoder[(Array[Double], Long)] = ExpressionEncoder()
+    def outputEncoder: Encoder[Seq[Double]] = ExpressionEncoder()
+  }
+
   /** Train an inverted-file (IVF) coarse quantizer with Lloyd iterations,
     * entirely in DataFrame ops: seed centroids are the first `nLists` vectors
     * by id (deterministic), assignment is a broadcast cross join against the
     * (small) centroid table, and the update step recomputes per-list
-    * element-wise means via posexplode — no corpus-sized driver collection
-    * anywhere. Output: (centroid_id INT, centroid ARRAY<DOUBLE>).
+    * element-wise means through a bounded-state Aggregator — no corpus-sized
+    * driver collection anywhere. Output: (centroid_id INT, centroid
+    * ARRAY<DOUBLE>).
     *
     * Seed ids are assigned on the driver from the collected `limit(nLists)`
     * seed set — the same centroid-table-sized data every later stage
@@ -163,16 +187,14 @@ object SimilarityOps {
     var centroids = seeds.toSeq.zipWithIndex
       .map { case (v, i) => (i + 1, v) }
       .toDF("centroid_id", "centroid")
+    val dim = if (seeds.nonEmpty) seeds(0).length else 0
+    val vecMean = udaf(new VecMeanAggregator(dim), ExpressionEncoder[Seq[Double]]())
     var i = 0
     while (i < iters) {
       val assigned = ivfAssign(base, "vid", "_cv", centroids)
       val means = assigned
-        .select(col("centroid_id"), posexplode(col("_cv")).as(Seq("pos", "x")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("x")).as("m"))
         .groupBy(col("centroid_id"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m")).as("_new"))
+        .agg(vecMean(col("_cv")).as("_new"))
       // empty lists keep their previous centroid. Materialize each iterate
       // (lineage truncation): without it every Lloyd step's plan re-embeds
       // and re-executes all previous steps — quadratic recomputation that
@@ -186,17 +208,29 @@ object SimilarityOps {
   }
 
   /** Pack the centroid table into a single array row for broadcast — the
-    * per-row argmax then needs NO shuffle at all. */
-  private def packedCentroids(centroids: DataFrame): DataFrame =
-    centroids.agg(collect_list(struct(col("centroid_id"), col("centroid"))).as("_cents"))
+    * per-row argmax then needs NO shuffle at all. Centroids are L2-normalized
+    * at pack time (once, not per corpus row). */
+  private def packedCentroids(centroids: DataFrame): DataFrame = {
+    val norm = sqrt(aggregate(col("centroid"), lit(0.0), (acc, x) => acc + x * x))
+    centroids
+      .agg(collect_list(struct(col("centroid_id"),
+        transform(col("centroid"), x => x / norm).as("centroid"))).as("_cents"))
+  }
 
   /** Assign each vector to its most-similar list. Zero-shuffle: the packed
     * centroid array is broadcast and the argmax is a codegen'd array
-    * expression per row (no crossJoin fan-out, no groupBy). */
+    * expression per row (no crossJoin fan-out, no groupBy). Scoring is a
+    * plain dot product against the pre-normalized centroids: for a fixed
+    * row, argmax_c cos(v, c) = argmax_c v·ĉ (the 1/‖v‖ factor is a positive
+    * per-row constant), so neither the row norm nor the centroid norms are
+    * recomputed per (row, centroid) pair — 3× fewer array passes on the
+    * corpus×nLists hot path. Zero-norm centroids score NaN and are filtered
+    * exactly as under cosine. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame): DataFrame = {
     val scored = transform(col("_cents"), c =>
-      struct(cosine(col("_cv"), c.getField("centroid")).as("sim"),
+      struct(aggregate(zip_with(col("_cv"), c.getField("centroid"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("sim"),
         c.getField("centroid_id").as("cid")))
     df.select(col(idCol).as("vid"), col(vecCol).cast(ArrayType(DoubleType)).as("_cv"))
       .crossJoin(broadcast(packedCentroids(centroids)))
