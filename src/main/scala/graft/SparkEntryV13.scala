@@ -169,6 +169,34 @@ object SparkEntryV13 {
     "list_models" -> ((s, dir) => {
       import s.implicits._
       Forecast.listModels.toDF("model_name", "category")
+    }),
+    // duplicate-cluster resolution over planted triples: each doc_id < 15 is
+    // copied twice; identical shingle sets make every within-triple pair a
+    // verified jaccard-1.0 candidate, and connected components collapse each
+    // triple to its minimum id — transitively, so the oracle holds even if
+    // LSH banding misses one of the three edges
+    "dedup_clusters" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = docs.filter(col("doc_id") < 15)
+      val tripled = docs
+        .unionByName(aug.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+        .unionByName(aug.select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text")))
+      val pairs = graft.llm.TextOps.jaccardVerify(
+        graft.llm.TextOps.minHashLshPairs(tripled, "doc_id", "text"),
+        tripled, "doc_id", "text", 5, threshold = 1.0)
+      graft.llm.TextOps.dedupClusters(pairs)
+    }),
+    "dedup_keep_canonical" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = docs.filter(col("doc_id") < 15)
+      val tripled = docs
+        .unionByName(aug.select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+        .unionByName(aug.select((col("doc_id") + lit(2000000L)).as("doc_id"), col("text")))
+      val pairs = graft.llm.TextOps.jaccardVerify(
+        graft.llm.TextOps.minHashLshPairs(tripled, "doc_id", "text"),
+        tripled, "doc_id", "text", 5, threshold = 1.0)
+      graft.llm.TextOps.dedupKeepCanonical(tripled, "doc_id", pairs)
+        .select(col("doc_id"))
     })
   )
 
@@ -300,6 +328,14 @@ object SparkEntryV13 {
         | round(10.0 + 2.0 * (dayofweek(ds) + 1) + 3.0 * date_diff('day', DATE '2024-01-01', ds), 4) AS yhat_upper,
         | 'ThetaX' AS model_name
         |FROM f""".stripMargin,
+    "dedup_clusters" ->
+      """SELECT doc_id AS member_id, doc_id AS cluster_id FROM documents WHERE doc_id < 15
+        |UNION ALL
+        |SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id < 15
+        |UNION ALL
+        |SELECT doc_id + 2000000, doc_id FROM documents WHERE doc_id < 15""".stripMargin,
+    "dedup_keep_canonical" ->
+      "SELECT doc_id FROM documents",
     "list_models" ->
       """SELECT * FROM (VALUES
         |  ('AutoETS','automatic'), ('AutoARIMA','automatic'), ('AutoTheta','automatic'),

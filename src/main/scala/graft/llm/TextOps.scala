@@ -268,4 +268,56 @@ object TextOps {
     val tokenScore = when(col("mean_token_len").between(2.0, 12.0), 1.0).otherwise(0.5)
     stats.withColumn(out, round((lenScore * 0.4 + alphaScore * 0.4 + tokenScore * 0.2), 6))
   }
+
+  /** Resolve near-duplicate PAIRS into duplicate CLUSTERS: connected
+    * components over the pair graph by distributed min-label propagation
+    * with pointer jumping (label ← label-of-label each round), so chains
+    * converge in O(log diameter) rounds rather than O(diameter). Dedup
+    * graphs from LSH buckets are near-cliques with tiny diameters, so
+    * `maxIters` is a hard safety bound, not a tuning knob.
+    *
+    * Every iterate is localCheckpoint-ed (lineage truncation — an iterative
+    * plan otherwise re-executes all previous rounds) and the edge list is
+    * materialized once. Output: (member_id, cluster_id) — cluster_id is the
+    * minimum member id, one row per node that appears in any pair. */
+  def dedupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                    maxIters: Int = 10): DataFrame = {
+    val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+    val edges = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")).localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("_nl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("_nl")).as("_mn"))
+      val afterNeighbor = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("_mn"), col("label"))).as("label"))
+      // pointer jumping: adopt the label of your label
+      val jumped = afterNeighbor
+        .join(afterNeighbor.select(col("id").as("label"), col("label").as("_ll")),
+          Seq("label"), "left")
+        .select(col("id"), least(col("label"), coalesce(col("_ll"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = jumped.join(labels.withColumnRenamed("label", "_old"), Seq("id"))
+        .filter(col("label") =!= col("_old")).count()
+      labels = jumped
+      converged = changed == 0
+      i += 1
+    }
+    labels.select(col("id").as("member_id"), col("label").as("cluster_id"))
+  }
+
+  /** Keep one canonical row per duplicate cluster (the minimum id) plus all
+    * rows that never appeared in a pair — the corpus-level dedup step after
+    * candidate generation + verification. */
+  def dedupKeepCanonical(df: DataFrame, idCol: String, pairs: DataFrame,
+                         idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val losers = dedupClusters(pairs, idA, idB)
+      .filter(col("member_id") =!= col("cluster_id"))
+      .select(col("member_id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
 }

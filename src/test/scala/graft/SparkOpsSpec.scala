@@ -73,6 +73,39 @@ class SparkOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("streaming: rolling windowed forecast refreshes per (group, window)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(String, java.sql.Timestamp, Double)]
+    val events = input.toDF().toDF("g", "ts", "y")
+    val out = StreamingForecast.rollingForecast(events, "g", "ts", "y",
+      method = "SES", horizon = 2, watermark = "1 hour", windowLen = "1 day")
+    val query = out.writeStream.format("memory").queryName("rolling_out")
+      .outputMode("update").start()
+    try {
+      def t(day: Int, hour: Int) =
+        java.sql.Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+      // six points inside one day window for group a, three for group b
+      input.addData((1 to 6).map(h => ("a", t(1, h), 10.0 + h)) ++
+        (1 to 3).map(h => ("b", t(1, h), 5.0 + h)): _*)
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT * FROM rolling_out").collect()
+      val a = rows.filter(_.getAs[String]("g") == "a")
+      assert(a.nonEmpty, "group a must emit a windowed forecast")
+      val last = a.maxBy(_.getAs[Long]("n_obs"))
+      assert(last.getAs[Long]("n_obs") == 6)
+      assert(last.getAs[String]("model_name") == "SES")
+      assert(last.getAs[scala.collection.Seq[Double]]("point_forecast").length == 2)
+      // a second day's data lands in a NEW window without disturbing day 1
+      input.addData((1 to 4).map(h => ("a", t(2, h), 20.0 + h)): _*)
+      query.processAllAvailable()
+      val windows = spark.sql("SELECT DISTINCT window_start FROM rolling_out WHERE g = 'a'")
+        .collect()
+      assert(windows.length == 2, "two event-time windows for group a")
+    } finally query.stop()
+  }
+
   test("conformal learn/apply v2 round trip") {
     val residuals = Array(1.0, -2.0, 0.5, 3.0, -1.5, 2.0, -0.5, 1.2)
     val profile = Conformal.conformalLearn(residuals, Array(0.1, 0.5), "symmetric", "split")
