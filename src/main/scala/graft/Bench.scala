@@ -105,7 +105,10 @@ object Bench {
       ("AutoARIMA", Map("seasonal_period" -> "7")),
       ("MFLES", Map("seasonal_periods" -> "7")),
       ("TBATS", Map("seasonal_periods" -> "7")),
-      ("MSTL", Map("seasonal_periods" -> "7")))
+      ("MSTL", Map("seasonal_periods" -> "7")),
+      ("AutoMFLES", Map("seasonal_periods" -> "7")),
+      ("AutoTBATS", Map("seasonal_periods" -> "7")),
+      ("AutoMSTL", Map("seasonal_periods" -> "7")))
     val out = models.map { case (m, params) =>
       val fc = ops.TsForecastOp.forecastBy(train, "g", "ds", "y", m, 7, "1d", params)
       val mase = fc.join(test, Seq("g", "ds"))

@@ -234,17 +234,20 @@ object Forecast {
       case "ARIMA" => Arima.forecastArima(clean, h)
       case "AutoARIMA" => Arima.autoArima(clean, h, period)
       case "MSTL" | "AutoMSTL" =>
-        (MultiSeasonal.mstlForecast(clean, h,
-          if (opts.seasonalPeriods.nonEmpty) opts.seasonalPeriods else Seq(period)),
-          if (opts.model == "AutoMSTL") "AutoMSTL" else "MSTL", None, None)
+        val ps = if (opts.seasonalPeriods.nonEmpty) opts.seasonalPeriods else Seq(period)
+        if (opts.model == "AutoMSTL")
+          (MultiSeasonal.autoMstlForecast(clean, h, ps), "AutoMSTL", None, None)
+        else (MultiSeasonal.mstlForecast(clean, h, ps), "MSTL", None, None)
       case "MFLES" | "AutoMFLES" =>
-        (MultiSeasonal.mflesForecast(clean, h,
-          if (opts.seasonalPeriods.nonEmpty) opts.seasonalPeriods else Seq(period)),
-          if (opts.model == "AutoMFLES") "AutoMFLES" else "MFLES", None, None)
+        val ps = if (opts.seasonalPeriods.nonEmpty) opts.seasonalPeriods else Seq(period)
+        if (opts.model == "AutoMFLES")
+          (MultiSeasonal.autoMflesForecast(clean, h, ps), "AutoMFLES", None, None)
+        else (MultiSeasonal.mflesForecast(clean, h, ps), "MFLES", None, None)
       case "TBATS" | "AutoTBATS" =>
-        (MultiSeasonal.tbatsForecast(clean, h,
-          if (opts.seasonalPeriods.nonEmpty) opts.seasonalPeriods else Seq(period)),
-          if (opts.model == "AutoTBATS") "AutoTBATS" else "TBATS", None, None)
+        val ps = if (opts.seasonalPeriods.nonEmpty) opts.seasonalPeriods else Seq(period)
+        if (opts.model == "AutoTBATS")
+          (MultiSeasonal.autoTbatsForecast(clean, h, ps), "AutoTBATS", None, None)
+        else (MultiSeasonal.tbatsForecast(clean, h, ps), "TBATS", None, None)
       case "AutoTheta" =>
         (theta(clean, h, period, dynamic = true, optimizeTheta = true), "AutoTheta", None, None)
       case "Laplace" =>

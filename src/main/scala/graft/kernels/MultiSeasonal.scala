@@ -230,6 +230,67 @@ object MultiSeasonal {
     transforms.map { case (f, i) => fitOne(f, i) }.minBy(_._2)._1
   }
 
+  /** Shared holdout scorer for the Auto* config searches: MAE of a
+    * candidate's forecast over the last max(3, n/5) points, candidates fit
+    * on the preceding prefix (same protocol as [[trendForecast]]). Returns
+    * the full-series forecast of the winning configuration. */
+  private def holdoutBest(values: Array[Double], horizon: Int,
+                          candidates: Seq[(Array[Double], Int) => Array[Double]])
+      : Array[Double] = {
+    val n = values.length
+    val hv = math.max(3, n / 5)
+    if (n - hv < 4) return candidates.head(values, horizon)
+    val train = java.util.Arrays.copyOfRange(values, 0, n - hv)
+    val tail = java.util.Arrays.copyOfRange(values, n - hv, n)
+    val best = candidates.minBy { f =>
+      try {
+        val fc = f(train, hv)
+        var s = 0.0
+        var i = 0
+        while (i < hv) { s += math.abs(tail(i) - fc(i)); i += 1 }
+        if (s.isNaN) Double.MaxValue else s
+      } catch { case _: Throwable => Double.MaxValue }
+    }
+    best(values, horizon)
+  }
+
+  /** AutoMFLES: holdout search over (boosting rounds, learning rate) — the
+    * config-selection role of the reference crate's AutoMFLES
+    * (forecast.rs:2153-2207 delegates to the crate's selector). */
+  def autoMflesForecast(values: Array[Double], horizon: Int, periods: Seq[Int]): Array[Double] =
+    holdoutBest(values, horizon,
+      Seq((3, 0.5), (1, 0.3), (5, 0.5), (3, 0.8), (5, 0.8)).map {
+        case (r, lr) => (a: Array[Double], h: Int) => mflesForecast(a, h, periods, r, lr)
+      })
+
+  /** AutoTBATS: holdout search over trend damping (the transform family is
+    * already selected inside [[tbatsForecast]] by original-scale SSE). */
+  def autoTbatsForecast(values: Array[Double], horizon: Int, periods: Seq[Int]): Array[Double] =
+    holdoutBest(values, horizon,
+      Seq(1.0, 0.95, 0.9, 0.8).map {
+        d => (a: Array[Double], h: Int) => tbatsForecast(a, h, periods, d)
+      })
+
+  /** AutoMSTL: the base MSTL already holdout-selects its deseasonalized
+    * trend forecaster from {SESOptimized, damped Holt, Holt}; the Auto
+    * variant widens the pool with drift and a flatter damping. */
+  def autoMstlForecast(values: Array[Double], horizon: Int, periods: Seq[Int]): Array[Double] = {
+    val n = values.length
+    val usable = periods.filter(p => p >= 2 && n >= 2 * p)
+    if (usable.isEmpty) return Forecast.sesOptimized(values, horizon)
+    val m = Decomposition.mstl(values, usable)
+    val deseason = Array.tabulate(n)(i => values(i) - m.seasonals.map(_._2(i)).sum)
+    val base = holdoutBest(deseason, horizon, Seq(
+      (a: Array[Double], h: Int) => Forecast.sesOptimized(a, h),
+      (a: Array[Double], h: Int) => holtDamped(a, h, 0.9),
+      (a: Array[Double], h: Int) => Forecast.holt(a, h),
+      (a: Array[Double], h: Int) => holtDamped(a, h, 0.8),
+      (a: Array[Double], h: Int) => Forecast.drift(a, h)))
+    Array.tabulate(horizon) { h =>
+      base(h) + m.seasonals.map { case (p, s) => s(n - p + (h % p)) }.sum
+    }
+  }
+
   /** Streaming-flavoured seasonal state: per-cycle deviations from the cycle
     * mean, exponentially decayed toward the newest cycle (0.8 per cycle back)
     * — the recency bias of an incrementally-learned seasonal component,
