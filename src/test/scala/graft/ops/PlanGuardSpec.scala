@@ -110,6 +110,25 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.toString.contains("CartesianProduct"))
   }
 
+  test("minhash LSH: bucket-join candidate generation, never a cartesian") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.llm.TextOps.minHashLshPairs(docs, "doc_id", "text")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"),
+      "candidate pairs must come from the (band,bucket) equi-join")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "no all-pairs fallback join in the LSH path")
+  }
+
+  test("dedup clusters: iterative label propagation never cross-joins") {
+    val sp = spark
+    import sp.implicits._
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val df = graft.llm.TextOps.dedupClusters(pairs)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("flagship forecast: one shuffle on the group key, no cartesian") {
     val df = graft.ops.TsForecastOp.forecastBy(
       spark.read.parquet(s"$sfDir/events.parquet")
