@@ -229,6 +229,21 @@ object SparkEntryV13 {
   private val CstY = "42.5"
   private val SeaY = "20.0 + [3.0, -1.0, 0.5, 2.0, -2.5, 1.5, -3.5][((step - 1) % 7) + 1]"
 
+  /** Tripled corpus + per-doc sorted distinct 5-gram shingle set (the same
+    * normalization as SparkEntryV2.DedupShingleEqualitySql, on the
+    * doc_id < 15 triple plant). */
+  private val TripleShingleCte =
+    """WITH aug AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 15
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 15),
+      |sh AS (
+      |  SELECT doc_id, list_sort(list_distinct(list_transform(
+      |    range(1, greatest(length(n) - 4, 1)), i -> n[i:i+4]))) AS ss
+      |  FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS n FROM aug))""".stripMargin
+
   /** conformalQuantile replay: ceil((n+1)(1−α))/n order statistic of |r|
     * with linear interpolation, partitioned by (g, step). */
   private val PerStepQuantileSql =
@@ -328,14 +343,26 @@ object SparkEntryV13 {
         | round(10.0 + 2.0 * (dayofweek(ds) + 1) + 3.0 * date_diff('day', DATE '2024-01-01', ds), 4) AS yhat_upper,
         | 'ThetaX' AS model_name
         |FROM f""".stripMargin,
-    "dedup_clusters" ->
-      """SELECT doc_id AS member_id, doc_id AS cluster_id FROM documents WHERE doc_id < 15
+    // oracle = connected components of the shingle-set-equality graph: the
+    // verified pair set IS set equality (jaccard 1.0 ⟺ equal sets; identical
+    // signatures share every band bucket, so no same-set pair is missed),
+    // and equality is transitive — components are exactly the groups with
+    // identical shingle sets, covering the planted triples AND the corpus's
+    // natural exact duplicates (present at sf0.1)
+    "dedup_clusters" -> (TripleShingleCte +
+      """,
+        |g AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY ss) AS cluster_id,
+        |             count(*) OVER (PARTITION BY ss) AS csz
+        |      FROM sh WHERE len(ss) > 0)
+        |SELECT doc_id AS member_id, cluster_id FROM g WHERE csz > 1""".stripMargin),
+    "dedup_keep_canonical" -> (TripleShingleCte +
+      """
+        |SELECT doc_id FROM sh WHERE len(ss) = 0
         |UNION ALL
-        |SELECT doc_id + 1000000, doc_id FROM documents WHERE doc_id < 15
-        |UNION ALL
-        |SELECT doc_id + 2000000, doc_id FROM documents WHERE doc_id < 15""".stripMargin,
-    "dedup_keep_canonical" ->
-      "SELECT doc_id FROM documents",
+        |SELECT doc_id FROM (
+        |  SELECT doc_id, min(doc_id) OVER (PARTITION BY ss) AS m
+        |  FROM sh WHERE len(ss) > 0)
+        |WHERE doc_id = m""".stripMargin),
     "list_models" ->
       """SELECT * FROM (VALUES
         |  ('AutoETS','automatic'), ('AutoARIMA','automatic'), ('AutoTheta','automatic'),
