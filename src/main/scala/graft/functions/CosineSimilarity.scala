@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst expression for cosine similarity of two ARRAY<DOUBLE>
+  * columns with full whole-stage codegen — the tier-(b) custom-operator path
+  * (SURVEY §7.4): the generated loop reads both arrays in place with no
+  * intermediate allocation, unlike the `zip_with` + `aggregate` composition
+  * it replaces, which materializes a product array per row pair on the
+  * ANN/dedup hot paths (corpus × queries evaluations).
+  *
+  * Numeric parity with the declarative form is bit-exact: the dot product
+  * and both norms accumulate sequentially in index order, exactly like a
+  * left fold over `zip_with`/`aggregate`. Null semantics likewise: null
+  * inputs, unequal lengths (zip_with pads with null → null product), or a
+  * null element all yield NULL; empty or zero-norm vectors yield NaN
+  * (0/0 — callers filter with isnan, matching the reference's behavior of
+  * excluding degenerate vectors from similarity results). */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<DOUBLE> inputs, " +
+          s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "cosine_similarity"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      val xv = x.getDouble(i)
+      val yv = y.getDouble(i)
+      dot += xv * yv
+      na += xv * xv
+      nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  double $na = 0.0;
+         |  double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    final double $x = $a.getDouble($i);
+         |    final double $y = $b.getDouble($i);
+         |    $dot += $x * $y;
+         |    $na += $x * $x;
+         |    $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): CosineSimilarity =
+    copy(left = newLeft, right = newRight)
+}

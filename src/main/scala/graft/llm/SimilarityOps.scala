@@ -15,14 +15,16 @@ import org.apache.spark.sql.types._
   */
 object SimilarityOps {
 
-  /** Cosine similarity of two double arrays as a codegen'd column expression
-    * (functions.aggregate/zip_with — no UDF). */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x * x))
-    val nb = sqrt(aggregate(b, lit(0.0), (acc, x) => acc + x * x))
-    dot / (na * nb)
-  }
+  /** Cosine similarity of two double arrays as a NATIVE codegen'd Catalyst
+    * expression ([[graft.functions.CosineSimilarity]]) — one in-place loop
+    * per evaluation, no intermediate product array. Bit-identical to the
+    * previous `zip_with` + `aggregate` composition (same sequential
+    * accumulation order). */
+  def cosine(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.CosineSimilarity(
+        org.apache.spark.sql.GraftExpressionBridge.expression(a.cast(ArrayType(DoubleType))),
+        org.apache.spark.sql.GraftExpressionBridge.expression(b.cast(ArrayType(DoubleType)))))
 
   /** Bounded top-k accumulator state: parallel (vid, sim) arrays with a
     * fill cursor, capacity 2k+1 — product-encodable (plain arrays), unlike a

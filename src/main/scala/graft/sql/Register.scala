@@ -157,6 +157,14 @@ object Register {
     // model catalog (forecast.rs:2647 list_models)
     reg("ts_list_models", udf(() => Forecast.listModels.map(_._1)))
 
+    // native codegen cosine similarity over two ARRAY<DOUBLE> columns —
+    // registered straight into the function registry (a Catalyst Expression,
+    // not a UDF, so it stays inside whole-stage codegen)
+    Seq("ts_cosine_similarity", "anofox_fcst_cosine_similarity").foreach { name =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
+        exprs => graft.functions.CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    }
+
     // classical seasonal decomposition scalar (ts_detrend.cpp:145-157:
     // STRUCT(trend[], seasonal[], remainder[], period, method))
     reg("ts_decompose_seasonal", udf((vs: Seq[java.lang.Double], period: Int, method: String) => {
