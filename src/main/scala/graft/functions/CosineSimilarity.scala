@@ -95,3 +95,67 @@ case class CosineSimilarity(left: Expression, right: Expression)
                                                  newRight: Expression): CosineSimilarity =
     copy(left = newLeft, right = newRight)
 }
+
+/** Native codegen dot product of two ARRAY<DOUBLE> columns — the
+  * allocation-free kernel under LSH hyperplane projections and IVF
+  * normalized-centroid scoring (where the norms are precomputed or
+  * cancelled, so full cosine would be wasted work). Same null semantics as
+  * [[CosineSimilarity]]. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two ARRAY<DOUBLE> inputs, " +
+          s"got ${left.dataType.simpleString} and ${right.dataType.simpleString}")
+    }
+
+  override def dataType: DataType = DoubleType
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "dot_product"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      dot += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $dot += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  if (!${ev.isNull}) {
+         |    ${ev.value} = $dot;
+         |  }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}

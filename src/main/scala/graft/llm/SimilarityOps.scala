@@ -26,6 +26,13 @@ object SimilarityOps {
         org.apache.spark.sql.GraftExpressionBridge.expression(a.cast(ArrayType(DoubleType))),
         org.apache.spark.sql.GraftExpressionBridge.expression(b.cast(ArrayType(DoubleType)))))
 
+  /** Native codegen dot product (see [[graft.functions.DotProduct]]). */
+  def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.DotProduct(
+        org.apache.spark.sql.GraftExpressionBridge.expression(a.cast(ArrayType(DoubleType))),
+        org.apache.spark.sql.GraftExpressionBridge.expression(b.cast(ArrayType(DoubleType)))))
+
   /** Bounded top-k accumulator state: parallel (vid, sim) arrays with a
     * fill cursor, capacity 2k+1 — product-encodable (plain arrays), unlike a
     * kryo-serialized collection which failed to round-trip through shuffle
@@ -112,8 +119,10 @@ object SimilarityOps {
     val planes = Array.fill(nBits, dim)(rnd.nextGaussian())
     val v = col(vecCol).cast(ArrayType(DoubleType))
     val bucketBits = (0 until nBits).map { b =>
-      val proj = aggregate(zip_with(v, lit(planes(b)), (x, p) => x * p), lit(0.0), (acc, x) => acc + x)
-      when(proj >= 0, lit(1L << b)).otherwise(lit(0L))
+      // native single-pass dot (no per-bit product array): identical
+      // accumulation order to the zip_with fold, so signs — and therefore
+      // buckets — are bit-stable across the change
+      when(dot(v, lit(planes(b))) >= 0, lit(1L << b)).otherwise(lit(0L))
     }.reduce(_ + _)
     df.withColumn(out, bucketBits)
   }
@@ -231,8 +240,7 @@ object SimilarityOps {
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame): DataFrame = {
     val scored = transform(col("_cents"), c =>
-      struct(aggregate(zip_with(col("_cv"), c.getField("centroid"), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x).as("sim"),
+      struct(dot(col("_cv"), c.getField("centroid")).as("sim"),
         c.getField("centroid_id").as("cid")))
     df.select(col(idCol).as("vid"), col(vecCol).cast(ArrayType(DoubleType)).as("_cv"))
       .crossJoin(broadcast(packedCentroids(centroids)))
