@@ -136,8 +136,12 @@ object SimilarityOps {
     * recall on hot buckets should re-bucket them with more bits. */
   def lshNearPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                    minSim: Double, nBits: Int = 16, maxBucketSize: Int = 1000): DataFrame = {
+    // materialized once: feeds the histogram, the cap join and both sides of
+    // the bucket self-join (recomputing the projections 4× otherwise) — the
+    // production shape is exactly this, a persisted bucketed corpus
     val b = lshBuckets(df, idCol, vecCol, dim, nBits)
       .select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)).as("_v"), col("bucket"))
+      .localCheckpoint(true)
     // bucket histogram is small (≤ 2^nBits rows); AQE picks the join strategy
     val okBuckets = b.groupBy(col("bucket")).agg(count(lit(1)).as("_bn"))
       .filter(col("_bn") <= maxBucketSize).select(col("bucket"))

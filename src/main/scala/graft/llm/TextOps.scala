@@ -117,10 +117,14 @@ object TextOps {
     val withSig = minHashSignature(df, textCol, numHashes, shingleSize)
       .filter(size(col("minhash")) > 0)
       .select(col(idCol), col("minhash"))
+    // materialize the banded table once (id, band, bucket — rows·bands, no
+    // payloads): it feeds the histogram, the cap join, and BOTH sides of the
+    // self-join, which would otherwise re-run the signature UDF four times
     val banded = withSig.select(col(idCol), posexplode(transform(
       sequence(lit(0), lit(bands - 1)),
       b => xxhash64(concat_ws("_", slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+      .localCheckpoint(true)
     // Cap per-(band,bucket) population before the self-join: one boilerplate
     // bucket of m docs otherwise emits m² pairs (the classic LSH skew bomb at
     // corpus scale). Histogram size = distinct non-singleton buckets — often
