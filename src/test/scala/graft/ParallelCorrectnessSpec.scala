@@ -86,4 +86,29 @@ class ParallelCorrectnessSpec extends AnyFunSuite with BeforeAndAfterAll {
     invariant(ops.TsCvOp.backtestAutoBy(_, "unique_id", "ds", "y", 7, 2, "1d",
       Map("method" -> "SeasonalNaive", "seasonal_period" -> "7"), "rmse"), data)
   }
+
+  test("decompose_seasonal_by invariant to partitioning") {
+    // NaN edge rows → null for the comparison (NaN != NaN under Seq equality)
+    invariant(df => ops.TsDecompositionOp.decomposeSeasonalBy(df, "unique_id", "ds", "y", 7)
+      .select(col("unique_id"), col("ds"), col("y"), col("seasonal"),
+        when(isnan(col("trend")), lit(null)).otherwise(col("trend")).as("trend"),
+        when(isnan(col("remainder")), lit(null)).otherwise(col("remainder")).as("remainder")),
+      data)
+  }
+
+  test("cv_forecast_by invariant to partitioning") {
+    invariant(df => ops.TsCvOp.cvForecastBy(
+      ops.TsCvOp.cvFoldsBy(df, "unique_id", "ds", "y", 2, 7),
+      "unique_id", "ds", "y", "SeasonalNaive", Map("seasonal_period" -> "7")), data)
+  }
+
+  test("dedup cluster resolution invariant to partitioning") {
+    val s = spark
+    import s.implicits._
+    // chain + clique + isolated pairs, enough edges to span partitions
+    val pairs = ((1L to 40L).sliding(2).map(w => (w(0), w(1))).toSeq ++
+      Seq((100L, 101L), (100L, 102L), (101L, 102L), (200L, 201L)))
+      .toDF("id_a", "id_b")
+    invariant(llm.TextOps.dedupClusters(_), pairs)
+  }
 }
