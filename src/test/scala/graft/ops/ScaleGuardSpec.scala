@@ -27,6 +27,18 @@ class ScaleGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  test("dedupClusters converges on a 64-node chain within the 10-round bound (pointer jumping)") {
+    val sp = spark
+    import sp.implicits._
+    // a path graph is the worst case for plain min-label propagation
+    // (diameter rounds = 63); pointer jumping must close it in <= 10
+    val chain = (1L to 64L).sliding(2).map(w => (w(0), w(1))).toSeq.toDF("id_a", "id_b")
+    val labels = TextOps.dedupClusters(chain, maxIters = 10).collect()
+    assert(labels.length == 64)
+    labels.foreach(r => assert(r.getLong(1) == 1L,
+      s"node ${r.getLong(0)} did not converge to the component minimum"))
+  }
+
   test("minHashLshPairs caps degenerate buckets: m duplicates do not emit m² pairs") {
     val s = spark
     import s.implicits._
