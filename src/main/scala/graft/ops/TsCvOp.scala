@@ -154,18 +154,23 @@ object TsCvOp {
   }
 
   /** Per-fold metric (across all groups, ts_backtest_native.cpp:280-350,
-    * :876-886): mae | mse | rmse | mape | smape | coverage. */
-  private def foldMetric(metric: String, w: org.apache.spark.sql.expressions.WindowSpec): Column = {
+    * :876-886): mae | mse | rmse | mape | smape | coverage. Returned as a
+    * plain aggregate expression: the caller reduces it per fold with a
+    * `groupBy("fold_id")` (map-side partial agg, ≤nFolds result rows) and
+    * broadcast-joins the scores back — a Window partitioned by fold_id alone
+    * would funnel the whole backtest output through ≤nFolds partitions, a
+    * straggler/OOM at 100× scale. */
+  private def foldMetric(metric: String): Column = {
     val err = col("actual") - col("yhat")
     metric match {
-      case "mae" => avg(abs(err)).over(w)
-      case "mse" => avg(err * err).over(w)
-      case "rmse" => sqrt(avg(err * err).over(w))
-      case "mape" => avg(when(col("actual") =!= 0, abs(err / col("actual")))).over(w) * 100.0
+      case "mae" => avg(abs(err))
+      case "mse" => avg(err * err)
+      case "rmse" => sqrt(avg(err * err))
+      case "mape" => avg(when(col("actual") =!= 0, abs(err / col("actual")))) * 100.0
       case "smape" => avg(when(abs(col("actual")) + abs(col("yhat")) =!= 0,
-        lit(2.0) * abs(err) / (abs(col("actual")) + abs(col("yhat"))))).over(w) * 100.0
+        lit(2.0) * abs(err) / (abs(col("actual")) + abs(col("yhat"))))) * 100.0
       case "coverage" => avg(when(col("actual") >= col("yhat_lower") &&
-        col("actual") <= col("yhat_upper"), 1.0).otherwise(0.0)).over(w)
+        col("actual") <= col("yhat_upper"), 1.0).otherwise(0.0))
       case other => throw new IllegalArgumentException(
         s"Unknown metric '$other' (mae|mse|rmse|mape|smape|coverage)")
     }
@@ -264,9 +269,24 @@ object TsCvOp {
       .withColumn("error", col("actual") - col("yhat"))
       .withColumn("abs_error", abs(col("error")))
 
-    val wFold = Window.partitionBy(col("fold_id"))
-    test
-      .withColumn("fold_metric_score", foldMetric(metric, wFold))
+    // Per-fold score WITHOUT a fold_id-partitioned Window (which would funnel
+    // the whole output through ≤nFolds partitions). Both consumers hang off
+    // the same repartition(fold_id, group) exchange, so ReuseExchange runs
+    // the forecast kernel once: the score branch partial-aggregates map-side
+    // down to ≤nFolds rows, and the tiny result broadcast-joins back onto the
+    // evenly-distributed output rows.
+    val repart = test.repartition(col("fold_id"), col(groupCol))
+    // The `0.0 * hash(<all columns>)` term makes the score aggregate reference
+    // every output column, so column pruning cannot narrow this branch's
+    // repartition subplan: both branches stay canonically identical and
+    // ReuseExchange shares the one exchange (kernel runs once). Catalyst
+    // cannot legally fold `x * 0.0` (x could be NaN), and the added term is
+    // exactly +0.0 for any finite hash, so the score value is unchanged.
+    // PlanGuardSpec pins the resulting ReusedExchange.
+    val reusePin = max(hash(test.columns.map(col): _*)).cast(DoubleType) * lit(0.0)
+    val foldScores = repart.groupBy(col("fold_id"))
+      .agg((foldMetric(metric) + reusePin).as("fold_metric_score"))
+    repart.join(broadcast(foldScores), Seq("fold_id"))
       .select(col("fold_id"), col(groupCol), col(dsCol), col("yhat"), col("actual"),
         col("error"), col("abs_error"), col("yhat_lower"), col("yhat_upper"),
         col("model_name"), col("fold_metric_score"))

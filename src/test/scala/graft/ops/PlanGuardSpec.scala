@@ -95,18 +95,51 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       Map("method" -> "SeasonalNaive", "seasonal_period" -> "7"), "rmse")
     val plan = df.queryExecution.executedPlan
     // fold fan-out must happen AFTER the per-group gather: the only
-    // shuffles are the input aggregation, the series gather, and the final
-    // fold-metric window over output-sized data — a plan that exploded rows
-    // ×nFolds before the gather would add a duplicated-row exchange
+    // shuffles are the input aggregation, the series gather, the output
+    // repartition shared by the score/join branches, and the ≤nFolds-row
+    // fold-score aggregation — a plan that exploded rows ×nFolds before the
+    // gather would add a duplicated-row exchange
     val shuffles = plan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
-    assert(shuffles.length <= 3,
+    assert(shuffles.length <= 4,
       s"backtest must not shuffle fold-duplicated rows, found ${shuffles.length} exchanges")
-    // exactly one window (the fold metric); fold tagging must not window
+    // the score and join branches must SHARE the post-kernel repartition
+    // exchange (ReuseExchange) — otherwise the forecast kernel runs twice
+    val reused = plan.collect {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }
+    assert(reused.exists(_.child.isInstanceOf[
+      org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
+      "the fold-score branch must reuse the output repartition exchange, not recompute the kernel")
+    // the fold metric must NOT be a Window partitioned by fold_id alone —
+    // that funnels the whole backtest output through ≤nFolds partitions at
+    // scale. It is a groupBy(fold_id) aggregate broadcast-joined back.
     val windows = plan.collect { case w: WindowExec => w }
-    assert(windows.length == 1,
-      s"only the fold-metric window is allowed, found ${windows.length}")
+    assert(windows.isEmpty,
+      s"no window in the backtest output path, found ${windows.length}")
+    // any exchange hash-keyed on fold_id alone must sit directly above a
+    // partial aggregate (≤nFolds rows per task), never carry raw output rows
+    def stripCodegen(p: org.apache.spark.sql.execution.SparkPlan): org.apache.spark.sql.execution.SparkPlan = p match {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => stripCodegen(w.child)
+      case i: org.apache.spark.sql.execution.InputAdapter => stripCodegen(i.child)
+      case other => other
+    }
+    shuffles.foreach { e =>
+      e.outputPartitioning match {
+        case h: org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+            if h.expressions.length == 1 &&
+              h.expressions.head.references.map(_.name).toSeq == Seq("fold_id") =>
+          assert(stripCodegen(e.child).isInstanceOf[
+            org.apache.spark.sql.execution.aggregate.BaseAggregateExec],
+            s"a fold_id-only exchange must carry pre-aggregated rows, got:\n${e.child}")
+        case _ => ()
+      }
+    }
+    val bcastJoins = plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
+    }
+    assert(bcastJoins.nonEmpty, "fold scores must broadcast-join back onto the output")
     assert(!plan.toString.contains("CartesianProduct"))
   }
 
