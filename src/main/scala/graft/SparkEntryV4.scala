@@ -313,5 +313,54 @@ object SparkEntryV4 {
         |FROM b JOIN ep ON b.g = ep.g
         |WHERE ep.end_pos IS NOT NULL
         |  AND (b.pos <= ep.end_pos OR (b.pos > ep.end_pos AND b.pos <= ep.end_pos + 5))""".stripMargin),
+    // Full replay of the seeded bootstrap on real data: the counter-based
+    // Conformal.bootstrapIndex(42, p, u, n) draw is recomputed in SQL (all
+    // intermediates BIGINT-safe), path deviations are cumulated with the same
+    // left-associated double additions, and quantileSorted's type-7
+    // interpolation is written out verbatim — hash-exact, not rows-only.
+    "ts_bootstrap_intervals_by" -> (SeriesCte +
+      s""", r AS (SELECT g, ds, y, y - lag(y) OVER (PARTITION BY g ORDER BY ds) AS r FROM s),
+         |a AS (SELECT g, list(r ORDER BY ds) AS rs, count(*) AS n, max_by(y, ds) AS last
+         |      FROM r WHERE r IS NOT NULL GROUP BY g),
+         |p AS (SELECT g, rs, n, last, pr.p AS p,
+         |        (${mixSql("pr.p", "0")}) % n AS i0, (${mixSql("pr.p", "1")}) % n AS i1,
+         |        (${mixSql("pr.p", "2")}) % n AS i2, (${mixSql("pr.p", "3")}) % n AS i3,
+         |        (${mixSql("pr.p", "4")}) % n AS i4
+         |      FROM a CROSS JOIN (SELECT unnest(range(0, 500)) AS p) pr),
+         |d AS (SELECT g, last,
+         |        rs[i0 + 1] AS d1,
+         |        rs[i0 + 1] + rs[i1 + 1] AS d2,
+         |        rs[i0 + 1] + rs[i1 + 1] + rs[i2 + 1] AS d3,
+         |        rs[i0 + 1] + rs[i1 + 1] + rs[i2 + 1] + rs[i3 + 1] AS d4,
+         |        rs[i0 + 1] + rs[i1 + 1] + rs[i2 + 1] + rs[i3 + 1] + rs[i4 + 1] AS d5
+         |      FROM p),
+         |u AS (SELECT g, last, unnest([
+         |        {'step': 1, 'd': d1}, {'step': 2, 'd': d2}, {'step': 3, 'd': d3},
+         |        {'step': 4, 'd': d4}, {'step': 5, 'd': d5}]) AS z FROM d),
+         |qs AS (SELECT g, last, z.step AS forecast_step,
+         |         list_sort(list(z.d)) AS l, count(*) AS c
+         |       FROM u GROUP BY 1, 2, 3)
+         |SELECT g, forecast_step,
+         |  round(last + ${quantileSql("((1.0 - 0.9) / 2.0)")}, 4) AS lower,
+         |  round(last + ${quantileSql("(1.0 - (1.0 - 0.9) / 2.0)")}, 4) AS upper
+         |FROM qs""".stripMargin),
   )
+
+  /** DuckDB replay of `Conformal.bootstrapIndex(42, p, u, n)` (before the
+    * `% n`): counter mod P, then three `x ← ((x ⊕ x≫16)·48271) mod P` rounds,
+    * P = 2^31−1. Every intermediate stays below 2^47, so plain BIGINT
+    * arithmetic reproduces the JVM draw bit-for-bit. */
+  private def mixSql(p: String, u: String): String = {
+    def rnd(x: String) = s"((xor($x, $x >> 16) * 48271) % 2147483647)"
+    rnd(rnd(rnd(s"((42 + ($p * 2654435761) % 2147483647 + ($u * 40503) % 2147483647) % 2147483647)")))
+  }
+
+  /** `Conformal.quantileSorted(l, q)` written out over a sorted list column
+    * `l` of length `c`: idx = q·(c−1), l[lo]·(1−frac) + l[hi]·frac — the same
+    * IEEE expression, so the oracle matches to the last bit. */
+  private def quantileSql(q: String): String = {
+    val idx = s"($q * (c - 1))"
+    val lo = s"CAST(floor($idx) AS BIGINT)"
+    s"(l[$lo + 1] * (1.0 - ($idx - floor($idx))) + l[least($lo + 1, c - 1) + 1] * ($idx - floor($idx)))"
+  }
 }

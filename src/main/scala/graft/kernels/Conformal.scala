@@ -206,17 +206,25 @@ object Conformal {
 
   // ---------------------------------------------------------------- bootstrap
 
-  /** Deterministic xorshift64* PRNG — stable across JVM versions. */
-  private final class Rng(seed: Long) {
-    private var s: Long = if (seed == 0) 0x9E3779B97F4A7C15L else seed
-    def nextLong(): Long = {
-      s ^= s >>> 12; s ^= s << 25; s ^= s >>> 27
-      s * 0x2545F4914F6CDD1DL
+  /** Counter-based hash RNG: the residual index drawn for `(path, step)` is a
+    * pure function of `(seed, path, step)` — no sequential state — so an
+    * external engine can replay the exact draw. All intermediate values stay
+    * below 2^47, so the same arithmetic is expressible in any engine with
+    * 64-bit signed integers (the DuckDB oracle replays it in plain SQL):
+    * counter = seed + path·2654435761 + step·40503 (each term mod P), then
+    * three xorshift-multiply rounds x ← ((x ⊕ x≫16)·48271) mod P with the
+    * Mersenne prime P = 2^31−1. Stable across JVM versions. */
+  def bootstrapIndex(seed: Long, path: Int, step: Int, n: Int): Int = {
+    val P = 2147483647L
+    var x = (((seed % P) + P) % P +
+      (path.toLong * 2654435761L) % P + (step.toLong * 40503L) % P) % P
+    var r = 0
+    while (r < 3) {
+      x = x ^ (x >>> 16)
+      x = (x * 48271L) % P
+      r += 1
     }
-    def nextInt(bound: Int): Int = {
-      val r = nextLong() >>> 1
-      (r % bound).toInt
-    }
+    (x % n).toInt
   }
 
   /** Residual-bootstrap prediction intervals with cumulative resampling so
@@ -226,15 +234,14 @@ object Conformal {
     require(residuals.nonEmpty, "residuals must not be empty")
     require(coverage > 0.0 && coverage < 1.0, "coverage must be in (0, 1)")
     val h = forecasts.length
-    val rng = new Rng(seed)
-    // paths(p)(t) = forecast(t) + cumulative sum of sampled residuals / sqrt shape
+    // paths(p)(t) = forecast(t) + cumulative sum of sampled residuals
     val deviations = Array.ofDim[Double](h, nPaths)
     var p = 0
     while (p < nPaths) {
       var cum = 0.0
       var t = 0
       while (t < h) {
-        cum += residuals(rng.nextInt(residuals.length))
+        cum += residuals(bootstrapIndex(seed, p, t, residuals.length))
         deviations(t)(p) = cum
         t += 1
       }
@@ -258,14 +265,13 @@ object Conformal {
                          quantiles: Array[Double], seed: Long = 42L): Array[Array[Double]] = {
     require(residuals.nonEmpty, "residuals must not be empty")
     val h = forecasts.length
-    val rng = new Rng(seed)
     val deviations = Array.ofDim[Double](h, nPaths)
     var p = 0
     while (p < nPaths) {
       var cum = 0.0
       var t = 0
       while (t < h) {
-        cum += residuals(rng.nextInt(residuals.length))
+        cum += residuals(bootstrapIndex(seed, p, t, residuals.length))
         deviations(t)(p) = cum
         t += 1
       }
