@@ -138,10 +138,11 @@ object SimilarityOps {
                    minSim: Double, nBits: Int = 16, maxBucketSize: Int = 1000): DataFrame = {
     // materialized once: feeds the histogram, the cap join and both sides of
     // the bucket self-join (recomputing the projections 4× otherwise) — the
-    // production shape is exactly this, a persisted bucketed corpus
-    val b = lshBuckets(df, idCol, vecCol, dim, nBits)
-      .select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)).as("_v"), col("bucket"))
-      .localCheckpoint(true)
+    // production shape is exactly this, a persisted bucketed corpus. The pin
+    // backs the returned plan (storage kind = spark.graft.checkpoint.mode;
+    // freed by the ContextCleaner once the plan is unreachable)
+    val b = Pin(lshBuckets(df, idCol, vecCol, dim, nBits)
+      .select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)).as("_v"), col("bucket"))).df
     // bucket histogram is small (≤ 2^nBits rows); AQE picks the join strategy
     val okBuckets = b.groupBy(col("bucket")).agg(count(lit(1)).as("_bn"))
       .filter(col("_bn") <= maxBucketSize).select(col("bucket"))
@@ -205,18 +206,23 @@ object SimilarityOps {
     val dim = if (seeds.nonEmpty) seeds(0).length else 0
     val vecMean = udaf(new VecMeanAggregator(dim), ExpressionEncoder[Seq[Double]]())
     var i = 0
+    var pin: Option[Pin.Handle] = None
     while (i < iters) {
       val assigned = ivfAssign(base, "vid", "_cv", centroids)
       val means = assigned
         .groupBy(col("centroid_id"))
         .agg(vecMean(col("_cv")).as("_new"))
-      // empty lists keep their previous centroid. Materialize each iterate
-      // (lineage truncation): without it every Lloyd step's plan re-embeds
-      // and re-executes all previous steps — quadratic recomputation that
-      // dominates wall time even at toy scale
-      centroids = centroids.join(means, Seq("centroid_id"), "left")
-        .select(col("centroid_id"), coalesce(col("_new"), col("centroid")).as("centroid"))
-        .localCheckpoint(true)
+      // empty lists keep their previous centroid. Pin each iterate (lineage
+      // truncation; storage kind = spark.graft.checkpoint.mode): without it
+      // every Lloyd step's plan re-embeds and re-executes all previous
+      // steps — quadratic recomputation that dominates wall time even at toy
+      // scale. The superseded iterate is released each round; the final one
+      // backs the returned plan (nLists rows — negligible retention).
+      val next = Pin(centroids.join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("_new"), col("centroid")).as("centroid")))
+      pin.foreach(_.release())
+      pin = Some(next)
+      centroids = next.df
       i += 1
     }
     centroids

@@ -119,12 +119,14 @@ object TextOps {
       .select(col(idCol), col("minhash"))
     // materialize the banded table once (id, band, bucket — rows·bands, no
     // payloads): it feeds the histogram, the cap join, and BOTH sides of the
-    // self-join, which would otherwise re-run the signature UDF four times
-    val banded = withSig.select(col(idCol), posexplode(transform(
+    // self-join, which would otherwise re-run the signature UDF four times.
+    // The pin backs the returned plan, so it cannot be released here — its
+    // storage kind is the spark.graft.checkpoint.mode conf (see Pin), and it
+    // is freed by the ContextCleaner once the returned plan is unreachable
+    val banded = Pin(withSig.select(col(idCol), posexplode(transform(
       sequence(lit(0), lit(bands - 1)),
       b => xxhash64(concat_ws("_", slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
-      .localCheckpoint(true)
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")).df
     // Cap per-(band,bucket) population before the self-join: one boilerplate
     // bucket of m docs otherwise emits m² pairs (the classic LSH skew bomb at
     // corpus scale). Histogram size = distinct non-singleton buckets — often
@@ -280,38 +282,50 @@ object TextOps {
     * graphs from LSH buckets are near-cliques with tiny diameters, so
     * `maxIters` is a hard safety bound, not a tuning knob.
     *
-    * Every iterate is localCheckpoint-ed (lineage truncation — an iterative
-    * plan otherwise re-executes all previous rounds) and the edge list is
-    * materialized once. Output: (member_id, cluster_id) — cluster_id is the
-    * minimum member id, one row per node that appears in any pair. */
+    * Every iterate is pinned via [[Pin]] (lineage truncation — an iterative
+    * plan otherwise re-executes all previous rounds; the storage kind is the
+    * `spark.graft.checkpoint.mode` conf) and the edge list is materialized
+    * once. Superseded iterates are released each round, so at most one label
+    * table plus the edge list hold storage at any time; the final iterate
+    * backs the returned plan and stays pinned. Output:
+    * (member_id, cluster_id) — cluster_id is the minimum member id, one row
+    * per node that appears in any pair. */
   def dedupClusters(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                     maxIters: Int = 10): DataFrame = {
     val e = pairs.select(col(idA).as("src"), col(idB).as("dst"))
-    val edges = e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true)
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("label", col("id")).localCheckpoint(true)
+    val edgesPin = Pin(e.unionByName(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+    val edges = edgesPin.df
+    var labelsPin = Pin(edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id")))
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
+      val labels = labelsPin.df
       val neighborMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("_nl")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("_nl")).as("_mn"))
       val afterNeighbor = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"), least(col("label"), coalesce(col("_mn"), col("label"))).as("label"))
       // pointer jumping: adopt the label of your label
-      val jumped = afterNeighbor
+      val jumpedPin = Pin(afterNeighbor
         .join(afterNeighbor.select(col("id").as("label"), col("label").as("_ll")),
           Seq("label"), "left")
-        .select(col("id"), least(col("label"), coalesce(col("_ll"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      val changed = jumped.join(labels.withColumnRenamed("label", "_old"), Seq("id"))
+        .select(col("id"), least(col("label"), coalesce(col("_ll"), col("label"))).as("label")))
+      val changed = jumpedPin.df.join(labels.withColumnRenamed("label", "_old"), Seq("id"))
         .filter(col("label") =!= col("_old")).count()
-      labels = jumped
+      labelsPin.release() // superseded iterate — keep only the latest pin
+      labelsPin = jumpedPin
       converged = changed == 0
       i += 1
     }
-    labels.select(col("id").as("member_id"), col("label").as("cluster_id"))
+    edgesPin.release()
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dedupClusters exhausted maxIters=$maxIters without converging: " +
+          "components may be split across multiple cluster_ids; raise maxIters " +
+          "(rounds needed grow with log(component diameter))")
+    labelsPin.df.select(col("id").as("member_id"), col("label").as("cluster_id"))
   }
 
   /** Keep one canonical row per duplicate cluster (the minimum id) plus all
