@@ -165,8 +165,13 @@ object SimilarityOps {
       extends Aggregator[Seq[Double], (Array[Double], Long), Seq[Double]] {
     def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
     def reduce(b: (Array[Double], Long), a: Seq[Double]): (Array[Double], Long) = {
+      // fail fast: a ragged or mis-dimensioned vector would otherwise be
+      // zero-padded yet still counted in the denominator, silently skewing
+      // the centroid mean
+      require(a.length == dim,
+        s"expected $dim-dimensional vectors, found one of length ${a.length}")
       var i = 0
-      while (i < dim && i < a.length) { b._1(i) += a(i); i += 1 }
+      while (i < dim) { b._1(i) += a(i); i += 1 }
       (b._1, b._2 + 1)
     }
     def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
@@ -246,13 +251,17 @@ object SimilarityOps {
     * per-row constant), so neither the row norm nor the centroid norms are
     * recomputed per (row, centroid) pair — 3× fewer array passes on the
     * corpus×nLists hot path. Zero-norm centroids score NaN and are filtered
-    * exactly as under cosine. */
+    * exactly as under cosine; zero-norm ROWS would score a finite 0.0 under
+    * the dot (where cosine gave NaN and dropped them), so they are filtered
+    * explicitly up front — degenerate vectors stay out of both the index and
+    * the Lloyd mean update, preserving the cosine-scoring contract. */
   def ivfAssign(df: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame): DataFrame = {
     val scored = transform(col("_cents"), c =>
       struct(dot(col("_cv"), c.getField("centroid")).as("sim"),
         c.getField("centroid_id").as("cid")))
     df.select(col(idCol).as("vid"), col(vecCol).cast(ArrayType(DoubleType)).as("_cv"))
+      .filter(dot(col("_cv"), col("_cv")) > 0.0)
       .crossJoin(broadcast(packedCentroids(centroids)))
       // struct ordering: sim first, then cid — larger cid wins exact ties
       .withColumn("_best", array_max(filter(scored, s => !isnan(s.getField("sim")))))

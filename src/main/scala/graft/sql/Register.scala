@@ -162,7 +162,14 @@ object Register {
     // not a UDF, so it stays inside whole-stage codegen)
     Seq("ts_cosine_similarity", "anofox_fcst_cosine_similarity").foreach { name =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(name,
-        exprs => graft.functions.CosineSimilarity(exprs(0), exprs(1)), "built-in")
+        exprs => {
+          if (exprs.length != 2) throw new org.apache.spark.sql.AnalysisException(
+            errorClass = "WRONG_NUM_ARGS.WITHOUT_SUGGESTION",
+            messageParameters = Map("functionName" -> name, "expectedNum" -> "2",
+              "actualNum" -> exprs.length.toString,
+              "docroot" -> "https://spark.apache.org/docs/latest"))
+          graft.functions.CosineSimilarity(exprs(0), exprs(1))
+        }, "built-in")
     }
 
     // classical seasonal decomposition scalar (ts_detrend.cpp:145-157:
@@ -171,7 +178,9 @@ object Register {
       val values = arr(vs).filterNot(_.isNaN)
       val mult = method != null && method == "multiplicative"
       val r = graft.kernels.Decomposition.classical(values, period, mult)
-      (r.trend.toSeq, r.seasonal.toSeq, r.remainder.toSeq, period.toDouble,
+      // period stays integral, matching decomposeSeasonalBy and the
+      // reference struct (ts_detrend.cpp STRUCT(..., period, method))
+      (r.trend.toSeq, r.seasonal.toSeq, r.remainder.toSeq, period,
         if (mult) "multiplicative" else "additive")
     }))
 

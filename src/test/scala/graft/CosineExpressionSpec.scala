@@ -85,6 +85,12 @@ class CosineExpressionSpec extends AnyFunSuite with BeforeAndAfterAll {
         "anofox_fcst_cosine_similarity(array(1.0d, 0.0d), array(0.0d, 1.0d)) AS o")
       .collect()(0)
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-15 && math.abs(r.getDouble(1)) < 1e-15)
+    // wrong arity is an analysis error with the function name, not an
+    // IndexOutOfBoundsException from the registry lambda
+    val arity = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT ts_cosine_similarity(array(1.0d))").collect()
+    }
+    assert(arity.getMessage.contains("ts_cosine_similarity"))
     // a local Seq constant-folds to LocalTableScan; range() forces execution
     val df = spark.range(100)
       .select(array(col("id").cast("double"), lit(1.0)).as("a"),

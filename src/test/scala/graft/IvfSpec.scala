@@ -72,4 +72,34 @@ class IvfSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dominantAxes = rows.map(_.getSeq[Double](1).zipWithIndex.maxBy(_._1)._2 / 2).toSet
     assert(dominantAxes.size >= 3, s"axes $dominantAxes")
   }
+
+  test("zero-norm rows are excluded from the index and the Lloyd update") {
+    val s = spark
+    import s.implicits._
+    // same scoring contract as cosine: a degenerate all-zero vector has no
+    // defined direction, so it must be dropped, not indexed at dot == 0.0
+    val corpus = clustered.unionByName(
+      Seq((999L, Array.fill(8)(0.0f))).toDF("vec_id", "embedding"))
+    val centroids = SimilarityOps.ivfTrain(corpus, "vec_id", "embedding", nLists = 8)
+    val assigned = SimilarityOps.ivfAssign(corpus, "vec_id", "embedding", centroids)
+    assert(assigned.filter(col("vid") === 999L).isEmpty,
+      "the zero vector must not be assigned to any list")
+    // and with the zero row present, training still matches the clean corpus
+    val clean = SimilarityOps.ivfTrain(clustered, "vec_id", "embedding", nLists = 8)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val dirty = centroids.collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    assert(clean == dirty, "the zero vector must not skew the Lloyd means")
+  }
+
+  test("a mis-dimensioned vector fails fast instead of skewing the mean") {
+    val s = spark
+    import s.implicits._
+    val ragged = clustered.unionByName(
+      Seq((998L, Array.fill(5)(1.0f))).toDF("vec_id", "embedding"))
+    val err = intercept[Exception] {
+      SimilarityOps.ivfTrain(ragged, "vec_id", "embedding", nLists = 8).collect()
+    }
+    assert(err.getMessage.contains("8-dimensional") ||
+      Option(err.getCause).exists(_.getMessage.contains("8-dimensional")))
+  }
 }
