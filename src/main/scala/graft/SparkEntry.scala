@@ -61,6 +61,29 @@ object SparkEntry {
   private val PurchaseCte =
     s"WITH p AS (SELECT user_id AS g, CAST(ts AS DATE) AS ds, $ExactSumY AS y FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)"
 
+  // shared by the Scala-API row and its SQL-table-macro twin (byte-identical
+  // expansion is the macro contract, so they share one oracle)
+  private val FillGapsOracle = PurchaseCte +
+    """, w AS (
+      |  SELECT g, ds, y, lag(ds) OVER (PARTITION BY g ORDER BY ds) AS prev FROM p),
+      |gaps AS (
+      |  SELECT g, prev + CAST(unnest(range(1, CAST(ds - prev AS BIGINT))) AS INT) AS ds,
+      |         CAST(NULL AS DOUBLE) AS y
+      |  FROM w WHERE prev IS NOT NULL AND (ds - prev) > 1)
+      |SELECT g, ds, round(y, 6) AS y FROM p
+      |UNION ALL SELECT g, ds, y FROM gaps""".stripMargin
+  private val SeasonalNaiveOracle = SeriesCte +
+    """, a AS (
+      |  SELECT g, max(ds) AS last_ds, stddev_pop(y) AS sigma,
+      |         list(y ORDER BY ds)[-7:] AS ls
+      |  FROM s GROUP BY g)
+      |SELECT g, CAST(step AS INT) AS forecast_step, last_ds + CAST(step AS INT) AS ds,
+      | round(ls[((step - 1) % 7) + 1], 6) AS yhat,
+      | round(ls[((step - 1) % 7) + 1] - 1.96 * sigma * sqrt(step), 4) AS yhat_lower,
+      | round(ls[((step - 1) % 7) + 1] + 1.96 * sigma * sqrt(step), 4) AS yhat_upper,
+      | 'SeasonalNaive' AS model_name
+      |FROM a, (SELECT unnest(range(1, 8)) AS step) st""".stripMargin
+
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     TsForecastOp.forecastBy(dailyEvents(spark, "/root/testdata/sf0.001"),
@@ -160,6 +183,21 @@ object SparkEntry {
     "fc_seasonal_naive" -> ((s, dir) => roundFc(
       TsForecastOp.forecastBy(dailyEvents(s, dir), "g", "ds", "y", "SeasonalNaive", 7, "1d",
         Map("seasonal_period" -> "7")))),
+    // the SQL-string table-macro surface (GraftExtensions / Register TVFs):
+    // same plan as fc_seasonal_naive, reached through spark.sql — shares its
+    // oracle, so a macro-expansion bug is a hash mismatch, not just a smoke
+    "sql_macro_forecast_by" -> ((s, dir) => {
+      graft.sql.Register.registerAll(s)
+      dailyEvents(s, dir).createOrReplaceTempView("_macro_series")
+      roundFc(s.sql("SELECT * FROM ts_forecast_by('_macro_series', g, ds, y, " +
+        "'SeasonalNaive', 7, '1d', map('seasonal_period', '7'))"))
+    }),
+    "sql_macro_fill_gaps_by" -> ((s, dir) => {
+      graft.sql.Register.registerAll(s)
+      purchaseSeries(s, dir).createOrReplaceTempView("_macro_purchases")
+      s.sql("SELECT * FROM ts_fill_gaps_by('_macro_purchases', g, ds, y, '1d')")
+        .select(col("g"), col("ds"), round(col("y"), 6).as("y"))
+    }),
     "fc_drift" -> ((s, dir) => roundFc(
       TsForecastOp.forecastBy(dailyEvents(s, dir), "g", "ds", "y", "RandomWalkDrift", 7, "1d"))),
     "fc_sma" -> ((s, dir) => roundFc(
@@ -246,15 +284,9 @@ object SparkEntry {
         |SELECT g, ds, y FROM c
         |WHERE g IN (SELECT g FROM c GROUP BY g
         |            HAVING min(y) != max(y) OR min(y) IS NULL OR max(y) IS NULL)""".stripMargin),
-    "ts_fill_gaps_by" -> (PurchaseCte +
-      """, w AS (
-        |  SELECT g, ds, y, lag(ds) OVER (PARTITION BY g ORDER BY ds) AS prev FROM p),
-        |gaps AS (
-        |  SELECT g, prev + CAST(unnest(range(1, CAST(ds - prev AS BIGINT))) AS INT) AS ds,
-        |         CAST(NULL AS DOUBLE) AS y
-        |  FROM w WHERE prev IS NOT NULL AND (ds - prev) > 1)
-        |SELECT g, ds, round(y, 6) AS y FROM p
-        |UNION ALL SELECT g, ds, y FROM gaps""".stripMargin),
+    "ts_fill_gaps_by" -> FillGapsOracle,
+    // the SQL macro rows expand to the same plans — byte-identical oracles
+    "sql_macro_fill_gaps_by" -> FillGapsOracle,
     "ts_mae_by" -> (SeriesCte +
       """, w AS (SELECT g, y, lag(y) OVER (PARTITION BY g ORDER BY ds) AS pred FROM s)
         |SELECT g, round(avg(abs(y - pred)), 6) AS mae FROM w GROUP BY g""".stripMargin),
@@ -271,17 +303,8 @@ object SparkEntry {
         | round(last_y + 1.96 * sigma * sqrt(step), 4) AS yhat_upper,
         | 'Naive' AS model_name
         |FROM a, (SELECT unnest(range(1, 8)) AS step) st""".stripMargin),
-    "fc_seasonal_naive" -> (SeriesCte +
-      """, a AS (
-        |  SELECT g, max(ds) AS last_ds, stddev_pop(y) AS sigma,
-        |         list(y ORDER BY ds)[-7:] AS ls
-        |  FROM s GROUP BY g)
-        |SELECT g, CAST(step AS INT) AS forecast_step, last_ds + CAST(step AS INT) AS ds,
-        | round(ls[((step - 1) % 7) + 1], 6) AS yhat,
-        | round(ls[((step - 1) % 7) + 1] - 1.96 * sigma * sqrt(step), 4) AS yhat_lower,
-        | round(ls[((step - 1) % 7) + 1] + 1.96 * sigma * sqrt(step), 4) AS yhat_upper,
-        | 'SeasonalNaive' AS model_name
-        |FROM a, (SELECT unnest(range(1, 8)) AS step) st""".stripMargin),
+    "fc_seasonal_naive" -> SeasonalNaiveOracle,
+    "sql_macro_forecast_by" -> SeasonalNaiveOracle,
     "fc_drift" -> (SeriesCte +
       """, a AS (
         |  SELECT g, max(ds) AS last_ds, arg_max(y, ds) AS last_y, arg_min(y, ds) AS first_y,

@@ -1,0 +1,131 @@
+package graft.sql
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedTableValuedFunction}
+import org.apache.spark.sql.catalyst.expressions.{CreateMap, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
+
+/** SQL-string table-macro surface, matching the reference's primary UX
+  * (src/macros/ts_macros.cpp:2131-2166 table-macro expansion):
+  *
+  * {{{
+  * SELECT * FROM ts_forecast_by('sales', product_id, date, qty, 'AutoETS', 12, '1d')
+  * }}}
+  *
+  * Two equivalent registration routes, both expanding to the same logical
+  * plans the Scala API builds (macro expansion at analysis time, exactly how
+  * the reference's table macros splice a parsed SELECT body in at bind time):
+  *
+  *  1. [[Register.registerAll]] puts the macros in the session's
+  *     table-function registry — works on any already-running session, but
+  *     Spark resolves registry-TVF arguments eagerly, so column names must
+  *     be passed as STRING LITERALS there (`ts_stats_by('t','g','ds','y','1d')`).
+  *  2. `spark.sql.extensions=graft.sql.GraftExtensions` (or
+  *     `SparkSession.builder.withExtensions(new GraftExtensions)`) injects a
+  *     resolution rule that expands the macro BEFORE argument resolution —
+  *     bare identifiers work exactly like the reference
+  *     (`ts_stats_by('t', g, ds, y, '1d')`). The standard deployment
+  *     mechanism for clusters where the platform builds the session.
+  *
+  * Supported macros (positional args; the trailing params map is optional):
+  *  - `ts_forecast_by(source, group_col, date_col, target_col, method, horizon, frequency[, params])`
+  *    (ts_macros.cpp:575 — params via Spark `map('k','v', …)` syntax)
+  *  - `ts_stats_by(source, group_col, date_col, value_col, frequency)` (ts_macros.cpp:1602)
+  *  - `ts_fill_gaps_by(source, group_col, date_col, value_col, frequency)` (ts_macros.cpp:348)
+  *  - `ts_backtest_auto_by(source, group_col, date_col, target_col, horizon, folds,
+  *    frequency[, params[, features[, metric]]])` (ts_backtest_native.cpp:975-1002;
+  *    features must be NULL — exogenous backtesting goes through the Scala API)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectResolutionRule(session => new TableMacroRule(session))
+  }
+}
+
+/** Expands graft table-macro calls during analysis (route 2 above). */
+class TableMacroRule(spark: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+    case u: UnresolvedTableValuedFunction
+        if u.name.length == 1 && TableMacros.names.contains(u.name.head.toLowerCase) =>
+      TableMacros.expand(spark, u.name.head.toLowerCase, u.functionArgs)
+  }
+}
+
+/** The macro catalog and its expansion. The source argument is a table/view
+  * name string, resolved through the session catalog — the same contract as
+  * the reference's `query_table(source::VARCHAR)`. */
+object TableMacros {
+
+  val names: Set[String] = Set(
+    "ts_forecast_by", "ts_stats_by", "ts_fill_gaps_by", "ts_backtest_auto_by")
+
+  def expand(spark: SparkSession, name: String, args: Seq[Expression]): LogicalPlan = {
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"$name: $msg")
+    def str(e: Expression, what: String): String = e match {
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => fail(s"$what must be a string literal, got $other")
+    }
+    def ident(e: Expression, what: String): String = e match {
+      case a: UnresolvedAttribute => a.nameParts.last
+      case Literal(s: UTF8String, StringType) => s.toString
+      case other => fail(s"$what must be a column identifier, got $other")
+    }
+    def int(e: Expression, what: String): Int = e match {
+      case Literal(v: Int, _) => v
+      case Literal(v: Long, _) => v.toInt
+      case other => fail(s"$what must be an integer literal, got $other")
+    }
+    def paramsMap(e: Expression): Map[String, String] = {
+      def entries(kvs: Seq[Expression]): Map[String, String] =
+        kvs.grouped(2).map {
+          case Seq(k, v) => str(k, "params key") -> str(v, "params value")
+          case _ => fail("params map must have an even number of key/value items")
+        }.toMap
+      e match {
+        case Literal(null, _) => Map.empty
+        case f: UnresolvedFunction if f.nameParts.map(_.toLowerCase) == Seq("map") =>
+          entries(f.arguments)
+        case CreateMap(kvs, _) => entries(kvs)
+        case other => fail(s"params must be map('k','v', …) with string literals, got $other")
+      }
+    }
+    def source(e: Expression) = spark.table(str(e, "source"))
+
+    val df = (name, args) match {
+      case ("ts_forecast_by", Seq(src, g, ds, y, method, horizon, freq, rest @ _*)) =>
+        val params = rest match {
+          case Seq() => Map.empty[String, String]
+          case Seq(p) => paramsMap(p)
+          case _ => fail("at most one params map after frequency")
+        }
+        graft.ops.TsForecastOp.forecastBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "target_col"), str(method, "method"),
+          int(horizon, "horizon"), str(freq, "frequency"), params)
+      case ("ts_stats_by", Seq(src, g, ds, y, freq)) =>
+        graft.ops.TsStatsOp.statsBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "value_col"), str(freq, "frequency"))
+      case ("ts_fill_gaps_by", Seq(src, g, ds, y, freq)) =>
+        graft.ops.TsPrep.fillGapsBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "value_col"), str(freq, "frequency"))
+      case ("ts_backtest_auto_by", Seq(src, g, ds, y, horizon, folds, freq, rest @ _*)) =>
+        if (rest.length > 3) fail("too many arguments")
+        val params = rest.headOption.map(paramsMap).getOrElse(Map.empty[String, String])
+        rest.drop(1).headOption.foreach {
+          case Literal(null, _) => ()
+          case other => fail("features are not supported in the SQL surface " +
+            s"(use the Scala exogenous API), got $other")
+        }
+        val metric = rest.drop(2).headOption.map(str(_, "metric")).getOrElse("rmse")
+        graft.ops.TsCvOp.backtestAutoBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "target_col"), int(horizon, "horizon"),
+          int(folds, "folds"), str(freq, "frequency"), params, metric)
+      case _ =>
+        fail(s"wrong number of arguments (${args.length}) — see GraftExtensions scaladoc")
+    }
+    df.queryExecution.analyzed
+  }
+}

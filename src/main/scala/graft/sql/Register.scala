@@ -10,9 +10,11 @@ import graft.kernels._
 /** One-call SQL registration (`LoadInternal` analogue,
   * src/anofox_forecast_extension.cpp:16-206): every scalar function and
   * aggregate under its reference name plus the `anofox_fcst_` alias
-  * (ts_macros.cpp:2186-2196). Table-macro equivalents are the Scala
-  * transformers in graft.ops — Spark has no SQL table-valued UDFs to attach
-  * them to, which SURVEY.md §2.12 records as the accepted parity bar. */
+  * (ts_macros.cpp:2186-2196), and the top table macros as real table-valued
+  * functions in the session registry (the reference's
+  * `SELECT * FROM ts_forecast_by('sales', id, ds, y, 'AutoETS', 12, '1d')`
+  * UX — see [[GraftExtensions]] for the spark.sql.extensions route and the
+  * macro catalog). */
 object Register {
 
   private def arr(xs: Seq[java.lang.Double]): Array[Double] =
@@ -21,6 +23,12 @@ object Register {
   def registerAll(spark: SparkSession): Unit = {
     TsFunctions.registerAll(spark)
     Aggregators.registerAll(spark)
+
+    // table macros: FROM ts_forecast_by('tbl', id, ds, y, 'AutoETS', 12, '1d')
+    TableMacros.names.foreach { name =>
+      spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
+        name, exprs => TableMacros.expand(spark, name, exprs), "built-in")
+    }
 
     def reg(name: String, f: org.apache.spark.sql.expressions.UserDefinedFunction): Unit = {
       spark.udf.register(name, f)

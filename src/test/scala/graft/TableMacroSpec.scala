@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL-string table-macro surface (the reference's primary UX,
+  * ts_macros.cpp): `SELECT * FROM ts_forecast_by('sales', id, ds, y, …)`
+  * must return exactly what the Scala API returns, through BOTH routes —
+  * the session table-function registry (Register.registerAll) and the
+  * SparkSessionExtensions resolution rule. */
+class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.sql.GraftExtensions)
+      .appName("graft-table-macro")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sp = spark
+    import sp.implicits._
+    // two series: a 7-period wave with a gap, and a linear trend
+    val rows = (0 until 28).filter(_ != 9).map { i =>
+      ("wave", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        10.0 + (i % 7))
+    } ++ (0 until 28).map { i =>
+      ("trend", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        5.0 + 0.5 * i)
+    }
+    rows.toDF("g", "ds", "y").createOrReplaceTempView("series")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  test("ts_forecast_by SQL == Scala API (extensions route, no registration)") {
+    val sql = spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, " +
+      "'SeasonalNaive', 7, '1d', map('seasonal_period', '7'))")
+    val api = graft.ops.TsForecastOp.forecastBy(spark.table("series"),
+      "g", "ds", "y", "SeasonalNaive", 7, "1d", Map("seasonal_period" -> "7"))
+    assert(sql.columns.toSeq == api.columns.toSeq)
+    assert(sortedRows(sql) == sortedRows(api))
+    assert(sql.count() == 14)
+  }
+
+  test("ts_stats_by / ts_fill_gaps_by / ts_backtest_auto_by SQL == Scala API") {
+    val stats = spark.sql("SELECT * FROM ts_stats_by('series', g, ds, y, '1d')")
+    assert(sortedRows(stats) ==
+      sortedRows(graft.ops.TsStatsOp.statsBy(spark.table("series"), "g", "ds", "y", "1d")))
+
+    val gaps = spark.sql("SELECT * FROM ts_fill_gaps_by('series', g, ds, y, '1d')")
+    assert(sortedRows(gaps) ==
+      sortedRows(graft.ops.TsPrep.fillGapsBy(spark.table("series"), "g", "ds", "y", "1d")))
+    assert(gaps.count() == 56, "the wave series gap must be filled")
+
+    val bt = spark.sql("SELECT * FROM ts_backtest_auto_by('series', g, ds, y, " +
+      "7, 2, '1d', map('method', 'Naive'), NULL, 'mae')")
+    assert(sortedRows(bt) == sortedRows(graft.ops.TsCvOp.backtestAutoBy(
+      spark.table("series"), "g", "ds", "y", 7, 2, "1d", Map("method" -> "Naive"), "mae")))
+  }
+
+  test("macros compose with ordinary SQL (filter + aggregate over the macro)") {
+    val df = spark.sql(
+      """SELECT g, count(*) AS n, round(avg(yhat), 6) AS mean_yhat
+        |FROM ts_forecast_by('series', g, ds, y, 'Naive', 5, '1d')
+        |WHERE g = 'trend' GROUP BY g""".stripMargin).collect()
+    assert(df.length == 1 && df(0).getLong(1) == 5)
+    assert(math.abs(df(0).getDouble(2) - 18.5) < 1e-9, "Naive repeats the last value (18.5)")
+  }
+
+  test("registerAll puts the macros in the session table-function registry") {
+    val s2 = spark.newSession()
+    graft.sql.Register.registerAll(s2)
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    assert(graft.sql.TableMacros.names.forall(n =>
+      s2.sessionState.tableFunctionRegistry.functionExists(FunctionIdentifier(n))))
+    // and the macro resolves over that session's own temp view. The registry
+    // route resolves TVF arguments eagerly, so column names are string
+    // literals here (bare identifiers need the extensions route)
+    val sp2 = s2
+    import sp2.implicits._
+    (0 until 10).map(i => ("a", i, i * 2.0)).toDF("g", "ds", "y")
+      .createOrReplaceTempView("mini")
+    assert(s2.sql("SELECT * FROM ts_stats_by('mini', 'g', 'ds', 'y', '1')").count() == 1)
+  }
+
+  test("bad arguments produce a clear error, not a planner crash") {
+    val e1 = intercept[Exception] {
+      spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, 'Naive')").collect()
+    }
+    assert(e1.getMessage.contains("ts_forecast_by"))
+    val e2 = intercept[Exception] {
+      spark.sql("SELECT * FROM ts_backtest_auto_by('series', g, ds, y, 7, 2, '1d', " +
+        "map('method','Naive'), ds)").collect()
+    }
+    assert(e2.getMessage.contains("features"))
+  }
+}
