@@ -35,6 +35,44 @@ object SparkEntryV2 {
   private val SeriesCte =
     s"WITH s AS (SELECT event_type AS g, CAST(ts AS DATE) AS ds, $ExactSumY AS y FROM events GROUP BY 1, 2)"
 
+  /** SeasonalNaive backtest with the given fold metric, rounded for the
+    * cross-engine hash compare (one row builder per supported metric). */
+  private def backtestRounded(s: SparkSession, dir: String, metric: String): DataFrame =
+    TsCvOp.backtestAutoBy(dailyEvents(s, dir), "g", "ds", "y", 7, 2, "1d",
+      Map("method" -> "SeasonalNaive", "seasonal_period" -> "7"), metric)
+      .select(col("fold_id"), col("g"), col("ds"),
+        round(col("yhat"), 6).as("yhat"), round(col("actual"), 6).as("actual"),
+        round(col("error"), 6).as("error"), round(col("abs_error"), 6).as("abs_error"),
+        round(col("yhat_lower"), 4).as("yhat_lower"), round(col("yhat_upper"), 4).as("yhat_upper"),
+        col("model_name"), round(col("fold_metric_score"), 6).as("fold_metric_score"))
+
+  /** The ts_backtest_snaive oracle parameterized by the fold-metric SQL
+    * (`fmExpr` aggregates over prd's actual/yhat columns). */
+  private def backtestOracle(fmExpr: String): String = SeriesCte +
+    s""", b AS (
+       |  SELECT g, ds, y, row_number() OVER (PARTITION BY g ORDER BY ds) - 1 AS pos,
+       |         count(*) OVER (PARTITION BY g) AS n FROM s),
+       |c AS (SELECT g, n, fold, greatest(n - 14, 1) - 1 + (fold - 1) * 7 AS te
+       |      FROM (SELECT DISTINCT g, n FROM b) gb, (SELECT unnest(range(1, 3)) AS fold) fl
+       |      WHERE n >= 2 AND greatest(n - 14, 1) - 1 + (fold - 1) * 7 + 7 < n),
+       |sg AS (SELECT c.g, c.fold, stddev_pop(b.y) AS sigma
+       |       FROM c JOIN b ON b.g = c.g AND b.pos <= c.te GROUP BY c.g, c.fold),
+       |tst AS (SELECT c.g, c.fold, c.te, b.ds, b.y AS actual, b.pos - c.te AS step
+       |        FROM c JOIN b ON b.g = c.g AND b.pos > c.te AND b.pos <= c.te + 7),
+       |prd AS (SELECT t.g, t.fold, t.ds, t.actual, t.step, b2.y AS yhat, sg.sigma
+       |        FROM tst t
+       |        JOIN b b2 ON b2.g = t.g AND b2.pos = t.te - 6 + ((t.step - 1) % 7)
+       |        JOIN sg ON sg.g = t.g AND sg.fold = t.fold),
+       |fm AS (SELECT fold, $fmExpr AS fms
+       |       FROM prd GROUP BY fold)
+       |SELECT p.fold AS fold_id, p.g, p.ds, round(p.yhat, 6) AS yhat,
+       |  round(p.actual, 6) AS actual, round(p.actual - p.yhat, 6) AS error,
+       |  round(abs(p.actual - p.yhat), 6) AS abs_error,
+       |  round(p.yhat - 1.96 * p.sigma * sqrt(p.step), 4) AS yhat_lower,
+       |  round(p.yhat + 1.96 * p.sigma * sqrt(p.step), 4) AS yhat_upper,
+       |  'SeasonalNaive' AS model_name, round(fm.fms, 6) AS fold_metric_score
+       |FROM prd p JOIN fm ON fm.fold = p.fold""".stripMargin
+
   /** Per-series quality-score CTE chain replicating kernels/Quality.scala
     * (reference quality.rs:66-271) on the daily events series — shared with
     * the summary oracle in SparkEntryV6. Ends in `scores(g, ss, ts, ms, bs,
@@ -167,14 +205,10 @@ object SparkEntryV2 {
     "ts_cv_folds_by" -> ((s, dir) =>
       TsCvOp.cvFoldsBy(dailyEvents(s, dir), "g", "ds", "y", 3, 7)
         .select(col("g"), col("ds"), round(col("y"), 6).as("y"), col("fold_id"), col("split"))),
-    "ts_backtest_snaive" -> ((s, dir) =>
-      TsCvOp.backtestAutoBy(dailyEvents(s, dir), "g", "ds", "y", 7, 2, "1d",
-        Map("method" -> "SeasonalNaive", "seasonal_period" -> "7"), "rmse")
-        .select(col("fold_id"), col("g"), col("ds"),
-          round(col("yhat"), 6).as("yhat"), round(col("actual"), 6).as("actual"),
-          round(col("error"), 6).as("error"), round(col("abs_error"), 6).as("abs_error"),
-          round(col("yhat_lower"), 4).as("yhat_lower"), round(col("yhat_upper"), 4).as("yhat_upper"),
-          col("model_name"), round(col("fold_metric_score"), 6).as("fold_metric_score"))),
+    "ts_backtest_snaive" -> ((s, dir) => backtestRounded(s, dir, "rmse")),
+    // the round-5 metric-set parity additions (ts_backtest_native.cpp:332-353)
+    "ts_backtest_bias" -> ((s, dir) => backtestRounded(s, dir, "bias")),
+    "ts_backtest_r2" -> ((s, dir) => backtestRounded(s, dir, "r2")),
     "ts_check_leakage" -> ((s, dir) => {
       val folds = TsCvOp.cvFoldsBy(dailyEvents(s, dir), "g", "ds", "y", 1, 7)
       TsCvOp.checkLeakage(folds.withColumn("_is_test", col("split") === "test"),
@@ -491,30 +525,15 @@ object SparkEntryV2 {
         |FROM f
         |WHERE n >= 2 AND te + 7 < n
         |  AND (pos <= te OR (pos > te AND pos <= te + 7))""".stripMargin),
-    "ts_backtest_snaive" -> (SeriesCte +
-      """, b AS (
-        |  SELECT g, ds, y, row_number() OVER (PARTITION BY g ORDER BY ds) - 1 AS pos,
-        |         count(*) OVER (PARTITION BY g) AS n FROM s),
-        |c AS (SELECT g, n, fold, greatest(n - 14, 1) - 1 + (fold - 1) * 7 AS te
-        |      FROM (SELECT DISTINCT g, n FROM b) gb, (SELECT unnest(range(1, 3)) AS fold) fl
-        |      WHERE n >= 2 AND greatest(n - 14, 1) - 1 + (fold - 1) * 7 + 7 < n),
-        |sg AS (SELECT c.g, c.fold, stddev_pop(b.y) AS sigma
-        |       FROM c JOIN b ON b.g = c.g AND b.pos <= c.te GROUP BY c.g, c.fold),
-        |tst AS (SELECT c.g, c.fold, c.te, b.ds, b.y AS actual, b.pos - c.te AS step
-        |        FROM c JOIN b ON b.g = c.g AND b.pos > c.te AND b.pos <= c.te + 7),
-        |prd AS (SELECT t.g, t.fold, t.ds, t.actual, t.step, b2.y AS yhat, sg.sigma
-        |        FROM tst t
-        |        JOIN b b2 ON b2.g = t.g AND b2.pos = t.te - 6 + ((t.step - 1) % 7)
-        |        JOIN sg ON sg.g = t.g AND sg.fold = t.fold),
-        |fm AS (SELECT fold, sqrt(avg((actual - yhat) * (actual - yhat))) AS fms
-        |       FROM prd GROUP BY fold)
-        |SELECT p.fold AS fold_id, p.g, p.ds, round(p.yhat, 6) AS yhat,
-        |  round(p.actual, 6) AS actual, round(p.actual - p.yhat, 6) AS error,
-        |  round(abs(p.actual - p.yhat), 6) AS abs_error,
-        |  round(p.yhat - 1.96 * p.sigma * sqrt(p.step), 4) AS yhat_lower,
-        |  round(p.yhat + 1.96 * p.sigma * sqrt(p.step), 4) AS yhat_upper,
-        |  'SeasonalNaive' AS model_name, round(fm.fms, 6) AS fold_metric_score
-        |FROM prd p JOIN fm ON fm.fold = p.fold""".stripMargin),
+    "ts_backtest_snaive" -> backtestOracle(
+      "sqrt(avg((actual - yhat) * (actual - yhat)))"),
+    "ts_backtest_bias" -> backtestOracle("avg(yhat - actual)"),
+    // same Σa² − (Σa)²/n arithmetic as the Spark expression
+    "ts_backtest_r2" -> backtestOracle(
+      """CASE WHEN sum(actual * actual) - sum(actual) * sum(actual) / count(actual) > 0
+        |THEN 1.0 - sum((actual - yhat) * (actual - yhat))
+        |  / (sum(actual * actual) - sum(actual) * sum(actual) / count(actual))
+        |ELSE CAST('nan' AS DOUBLE) END""".stripMargin.replace("\n", " ")),
     "ts_check_leakage" -> (SeriesCte +
       """, b AS (
         |  SELECT g, ds, y, row_number() OVER (PARTITION BY g ORDER BY ds) - 1 AS pos,

@@ -153,13 +153,17 @@ object TsCvOp {
         col("yhat"), col("yhat_lower"), col("yhat_upper"), col("model_name"))
   }
 
-  /** Per-fold metric (across all groups, ts_backtest_native.cpp:280-350,
-    * :876-886): mae | mse | rmse | mape | smape | coverage. Returned as a
-    * plain aggregate expression: the caller reduces it per fold with a
-    * `groupBy("fold_id")` (map-side partial agg, ≤nFolds result rows) and
-    * broadcast-joins the scores back — a Window partitioned by fold_id alone
-    * would funnel the whole backtest output through ≤nFolds partitions, a
-    * straggler/OOM at 100× scale. */
+  /** Per-fold metric (across all groups, ts_backtest_native.cpp:280-374,
+    * :876-886): the reference's full accepted set — mae | mse | rmse | mape |
+    * smape | bias | r2 | coverage. Returned as a plain aggregate expression:
+    * the caller reduces it per fold with a `groupBy("fold_id")` (map-side
+    * partial agg, ≤nFolds result rows) and broadcast-joins the scores back —
+    * a Window partitioned by fold_id alone would funnel the whole backtest
+    * output through ≤nFolds partitions, a straggler/OOM at 100× scale.
+    *
+    * Deviation (documented): the reference silently falls back to rmse on an
+    * unknown metric name; we raise, so a typo'd metric cannot masquerade as
+    * a different score. */
   private def foldMetric(metric: String): Column = {
     val err = col("actual") - col("yhat")
     metric match {
@@ -169,10 +173,19 @@ object TsCvOp {
       case "mape" => avg(when(col("actual") =!= 0, abs(err / col("actual")))) * 100.0
       case "smape" => avg(when(abs(col("actual")) + abs(col("yhat")) =!= 0,
         lit(2.0) * abs(err) / (abs(col("actual")) + abs(col("yhat"))))) * 100.0
+      case "bias" => avg(col("yhat") - col("actual"))
+      case "r2" =>
+        // single-pass sum-of-squares form (ss_tot = Σa² − (Σa)²/n), so the
+        // whole score is one partial-aggregable expression; NaN when the
+        // actuals are constant, like the reference (:339-353)
+        val ssRes = sum(err * err)
+        val ssTot = sum(col("actual") * col("actual")) -
+          sum(col("actual")) * sum(col("actual")) / count(col("actual"))
+        when(ssTot > 0, lit(1.0) - ssRes / ssTot).otherwise(lit(Double.NaN))
       case "coverage" => avg(when(col("actual") >= col("yhat_lower") &&
         col("actual") <= col("yhat_upper"), 1.0).otherwise(0.0))
       case other => throw new IllegalArgumentException(
-        s"Unknown metric '$other' (mae|mse|rmse|mape|smape|coverage)")
+        s"Unknown metric '$other' (mae|mse|rmse|mape|smape|bias|r2|coverage)")
     }
   }
 

@@ -69,6 +69,28 @@ class ReferenceSmokeSpec3 extends AnyFunSuite with BeforeAndAfterAll {
     vals.foreach(v => assert(math.abs(v - math.sqrt(11.0)) < 1e-9, v))
   }
 
+  test("metric-set parity: every reference metric accepted, typos rejected") {
+    // ts_backtest_native.cpp:280-374 accepts exactly these; on the 10+i line
+    // with Naive (errors 1..5 per fold) each has a closed form
+    def score(metric: String): Double =
+      TsCvOp.backtestAutoBy(series(30), "id", "ds", "y", 5, 2, "1d",
+        Map("method" -> "Naive"), metric)
+        .select("fold_metric_score").head().getDouble(0)
+    assert(math.abs(score("mae") - 3.0) < 1e-9)             // mean(1..5)
+    assert(math.abs(score("mse") - 11.0) < 1e-9)
+    assert(math.abs(score("rmse") - math.sqrt(11.0)) < 1e-9)
+    assert(score("mape") > 0 && score("smape") > 0)
+    assert(math.abs(score("bias") - -3.0) < 1e-9)           // yhat below actual
+    // r2 on actuals {t+1..t+5} vs constant yhat: ss_tot = 10, ss_res = 55
+    assert(math.abs(score("r2") - (1.0 - 55.0 / 10.0)) < 1e-9)
+    val cov = score("coverage")
+    assert(cov >= 0.0 && cov <= 1.0)
+    // deviation from the reference (documented in foldMetric): an unknown
+    // name raises instead of silently falling back to rmse
+    val err = intercept[IllegalArgumentException] { score("rmsle") }
+    assert(err.getMessage.contains("rmsle") && err.getMessage.contains("bias|r2"))
+  }
+
   test("ts_diff.test: first differences of the line are exactly the slope") {
     val out = TsPrep.diffBy(series(10), "id", "ds", "y", 1)
     val diffs = out.orderBy("ds").select("diff_value").collect().map(r =>
