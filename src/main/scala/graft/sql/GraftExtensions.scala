@@ -38,10 +38,26 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `ts_backtest_auto_by(source, group_col, date_col, target_col, horizon, folds,
   *    frequency[, params[, features[, metric]]])` (ts_backtest_native.cpp:975-1002;
   *    features must be NULL — exogenous backtesting goes through the Scala API)
+  *  - `ts_fill_gaps_operator(source, group_col, date_col, value_col, frequency)`
+  *    and `ts_fill_forward_operator(source, group_col, date_col, value_col,
+  *    target_date, frequency)` — the reference's all-string operator forms
+  *    (ts_gaps.cpp:13, ts_fill_forward_operator.cpp:22); target_date takes a
+  *    string or TIMESTAMP literal
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // the rule handles bare-identifier column args (it runs on the still-
+    // unresolved TVF node, before argument resolution can fail) …
     ext.injectResolutionRule(session => new TableMacroRule(session))
+    // … while the injected table functions handle all-literal calls, which
+    // Spark's builtin ResolveFunctions would otherwise reject with
+    // UNRESOLVABLE_TABLE_VALUED_FUNCTION before the rule gets to run
+    TableMacros.names.foreach { n =>
+      ext.injectTableFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(n),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          "graft.sql.TableMacros", n),
+        (exprs: Seq[Expression]) => TableMacros.expand(SparkSession.active, n, exprs)))
+    }
   }
 }
 
@@ -60,7 +76,9 @@ class TableMacroRule(spark: SparkSession) extends Rule[LogicalPlan] {
 object TableMacros {
 
   val names: Set[String] = Set(
-    "ts_forecast_by", "ts_stats_by", "ts_fill_gaps_by", "ts_backtest_auto_by")
+    "ts_forecast_by", "ts_stats_by", "ts_fill_gaps_by", "ts_backtest_auto_by",
+    // all-string operator forms (ts_gaps.cpp:13, ts_fill_forward_operator.cpp:22)
+    "ts_fill_gaps_operator", "ts_fill_forward_operator")
 
   def expand(spark: SparkSession, name: String, args: Seq[Expression]): LogicalPlan = {
     def fail(msg: String): Nothing =
@@ -108,9 +126,19 @@ object TableMacros {
       case ("ts_stats_by", Seq(src, g, ds, y, freq)) =>
         graft.ops.TsStatsOp.statsBy(source(src), ident(g, "group_col"),
           ident(ds, "date_col"), ident(y, "value_col"), str(freq, "frequency"))
-      case ("ts_fill_gaps_by", Seq(src, g, ds, y, freq)) =>
+      case ("ts_fill_gaps_by" | "ts_fill_gaps_operator", Seq(src, g, ds, y, freq)) =>
         graft.ops.TsPrep.fillGapsBy(source(src), ident(g, "group_col"),
           ident(ds, "date_col"), ident(y, "value_col"), str(freq, "frequency"))
+      case ("ts_fill_forward_operator", Seq(src, g, ds, y, target, freq)) =>
+        val targetDate = target match {
+          case Literal(micros: Long, _: org.apache.spark.sql.types.TimestampType) =>
+            java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(micros, 1000000L), 0, java.time.ZoneOffset.UTC).toString
+          case other => str(other, "target_date")
+        }
+        graft.ops.TsPrep.fillForwardBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "value_col"), targetDate,
+          str(freq, "frequency"))
       case ("ts_backtest_auto_by", Seq(src, g, ds, y, horizon, folds, freq, rest @ _*)) =>
         if (rest.length > 3) fail("too many arguments")
         val params = rest.headOption.map(paramsMap).getOrElse(Map.empty[String, String])

@@ -68,6 +68,20 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.table("series"), "g", "ds", "y", 7, 2, "1d", Map("method" -> "Naive"), "mae")))
   }
 
+  test("operator forms: ts_fill_gaps_operator / ts_fill_forward_operator") {
+    val gaps = spark.sql(
+      "SELECT * FROM ts_fill_gaps_operator('series', 'g', 'ds', 'y', '1d')")
+    assert(sortedRows(gaps) ==
+      sortedRows(graft.ops.TsPrep.fillGapsBy(spark.table("series"), "g", "ds", "y", "1d")))
+    val fwdSql = spark.sql("SELECT * FROM ts_fill_forward_operator('series', g, ds, y, " +
+      "TIMESTAMP '2024-02-05 00:00:00', '1d')")
+    val fwdApi = graft.ops.TsPrep.fillForwardBy(
+      spark.table("series"), "g", "ds", "y", "2024-02-05", "1d")
+    assert(sortedRows(fwdSql) == sortedRows(fwdApi))
+    assert(fwdSql.count() > spark.table("series").count(),
+      "forward fill must extend every series to the target date")
+  }
+
   test("macros compose with ordinary SQL (filter + aggregate over the macro)") {
     val df = spark.sql(
       """SELECT g, count(*) AS n, round(avg(yhat), 6) AS mean_yhat
