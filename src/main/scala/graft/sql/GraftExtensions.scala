@@ -38,6 +38,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `ts_backtest_auto_by(source, group_col, date_col, target_col, horizon, folds,
   *    frequency[, params[, features[, metric]]])` (ts_backtest_native.cpp:975-1002;
   *    features must be NULL — exogenous backtesting goes through the Scala API)
+  *  - `ts_forecast(source, date_col, target_col, method, horizon[, params])`
+  *    single series (ts_macros.cpp:539)
+  *  - `ts_cv_folds_by(source, group_col, date_col, target_col, n_folds, horizon[, params])`
+  *    (ts_macros.cpp:1364)
+  *  - `ts_data_quality_by(source, unique_id_col, date_col, value_col[, n_short[, frequency]])`
+  *    (ts_macros.cpp:1616)
+  *  - `ts_features_by(source, group_col, date_col, value_col)` (ts_macros.cpp:1776)
   *  - `ts_fill_gaps_operator(source, group_col, date_col, value_col, frequency)`
   *    and `ts_fill_forward_operator(source, group_col, date_col, value_col,
   *    target_date, frequency)` — the reference's all-string operator forms
@@ -77,6 +84,7 @@ object TableMacros {
 
   val names: Set[String] = Set(
     "ts_forecast_by", "ts_stats_by", "ts_fill_gaps_by", "ts_backtest_auto_by",
+    "ts_forecast", "ts_cv_folds_by", "ts_data_quality_by", "ts_features_by",
     // all-string operator forms (ts_gaps.cpp:13, ts_fill_forward_operator.cpp:22)
     "ts_fill_gaps_operator", "ts_fill_forward_operator")
 
@@ -126,6 +134,26 @@ object TableMacros {
       case ("ts_stats_by", Seq(src, g, ds, y, freq)) =>
         graft.ops.TsStatsOp.statsBy(source(src), ident(g, "group_col"),
           ident(ds, "date_col"), ident(y, "value_col"), str(freq, "frequency"))
+      // ts_forecast: single-series, no group column (ts_macros.cpp:539)
+      case ("ts_forecast", Seq(src, ds, y, method, horizon, rest @ _*)) =>
+        val params = rest.headOption.map(paramsMap).getOrElse(Map.empty[String, String])
+        if (rest.length > 1) fail("too many arguments")
+        graft.ops.TsForecastOp.forecastSingle(source(src), ident(ds, "date_col"),
+          ident(y, "target_col"), str(method, "method"), int(horizon, "horizon"), params)
+      case ("ts_cv_folds_by", Seq(src, g, ds, y, nFolds, horizon, rest @ _*)) =>
+        val params = rest.headOption.map(paramsMap).getOrElse(Map.empty[String, String])
+        if (rest.length > 1) fail("too many arguments")
+        graft.ops.TsCvOp.cvFoldsBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "target_col"), int(nFolds, "n_folds"),
+          int(horizon, "horizon"), params)
+      // n_short and frequency are accepted for signature parity with
+      // ts_macros.cpp:1616; the quality kernel derives both from the data
+      case ("ts_data_quality_by", Seq(src, g, ds, y, rest @ _*)) if rest.length <= 2 =>
+        graft.ops.TsStatsOp.dataQualityBy(source(src), ident(g, "unique_id_col"),
+          ident(ds, "date_col"), ident(y, "value_col"))
+      case ("ts_features_by", Seq(src, g, ds, y)) =>
+        graft.ops.TsFeaturesOp.featuresBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "value_col"))
       case ("ts_fill_gaps_by" | "ts_fill_gaps_operator", Seq(src, g, ds, y, freq)) =>
         graft.ops.TsPrep.fillGapsBy(source(src), ident(g, "group_col"),
           ident(ds, "date_col"), ident(y, "value_col"), str(freq, "frequency"))

@@ -68,6 +68,24 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.table("series"), "g", "ds", "y", 7, 2, "1d", Map("method" -> "Naive"), "mae")))
   }
 
+  test("ts_forecast / ts_cv_folds_by / ts_data_quality_by / ts_features_by") {
+    val single = spark.sql("SELECT * FROM ts_forecast('series', ds, y, 'Naive', 5)")
+    assert(sortedRows(single) == sortedRows(
+      graft.ops.TsForecastOp.forecastSingle(spark.table("series"), "ds", "y", "Naive", 5)))
+
+    val folds = spark.sql("SELECT * FROM ts_cv_folds_by('series', g, ds, y, 2, 7)")
+    assert(sortedRows(folds) == sortedRows(
+      graft.ops.TsCvOp.cvFoldsBy(spark.table("series"), "g", "ds", "y", 2, 7)))
+
+    val dq = spark.sql("SELECT * FROM ts_data_quality_by('series', g, ds, y, 10, '1d')")
+    assert(sortedRows(dq) == sortedRows(
+      graft.ops.TsStatsOp.dataQualityBy(spark.table("series"), "g", "ds", "y")))
+
+    val feats = spark.sql("SELECT * FROM ts_features_by('series', g, ds, y)")
+    assert(sortedRows(feats) == sortedRows(
+      graft.ops.TsFeaturesOp.featuresBy(spark.table("series"), "g", "ds", "y")))
+  }
+
   test("operator forms: ts_fill_gaps_operator / ts_fill_forward_operator") {
     val gaps = spark.sql(
       "SELECT * FROM ts_fill_gaps_operator('series', 'g', 'ds', 'y', '1d')")
