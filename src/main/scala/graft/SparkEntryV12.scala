@@ -97,6 +97,17 @@ object SparkEntryV12 {
         "vec_id", "embedding", k = 10, nLists = 16, nProbe = 16)
         .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
     }),
+    // the persisted-index path (centroid_id-partitioned parquet layout),
+    // probed exhaustively → same brute-force oracle as ann_ivf_topk: the
+    // write→partition-pruned-read round trip is hash-checked end to end
+    "ann_ivf_index_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivf_idx").toString
+      graft.llm.SimilarityOps.ivfWriteIndex(emb, "vec_id", "embedding", nLists = 16, idxDir)
+      graft.llm.SimilarityOps.ivfProbeIndex(s, idxDir, emb.filter(col("vec_id") < 5),
+        "vec_id", "embedding", k = 10, nProbe = 16)
+        .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
+    }),
     // resize to 1×1 exercises the downsample path deterministically: the
     // stub's strided sample keeps exactly the first byte, so DuckDB can
     // replay the output payload byte-for-byte from the (ASCII) source text
@@ -126,23 +137,28 @@ object SparkEntryV12 {
     }),
   )
 
+  /** Brute-force cosine top-k — the honest oracle for BOTH ivf rows (the
+    * exhaustive nProbe = nLists limit is exactly brute force). */
+  private val IvfBruteForceOracle =
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id < 5),
+      |pairs AS (
+      |  SELECT q.qid, e.vec_id AS vid,
+      |         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+      |  FROM q, embeddings e),
+      |r AS (SELECT qid, vid, sim,
+      |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rk
+      |      FROM pairs)
+      |SELECT qid, vid, round(sim, 6) AS sim FROM r WHERE rk <= 10""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "mm_resize_images" ->
       """SELECT doc_id, CAST(1 AS INTEGER) AS out_w, CAST(1 AS INTEGER) AS out_h,
         | CAST(1 AS BIGINT) AS out_size,
         | base64(encode(substr(text, 1, 1))) AS payload_b64
         |FROM documents""".stripMargin,
-    "ann_ivf_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
-        |           FROM embeddings WHERE vec_id < 5),
-        |pairs AS (
-        |  SELECT q.qid, e.vec_id AS vid,
-        |         list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
-        |  FROM q, embeddings e),
-        |r AS (SELECT qid, vid, sim,
-        |             row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rk
-        |      FROM pairs)
-        |SELECT qid, vid, round(sim, 6) AS sim FROM r WHERE rk <= 10""".stripMargin,
+    "ann_ivf_topk" -> IvfBruteForceOracle,
+    "ann_ivf_index_topk" -> IvfBruteForceOracle,
     "ts_detect_periods_methods" ->
       """SELECT g, method, CAST(8.0 AS DOUBLE) AS detected
         |FROM (SELECT DISTINCT o_orderpriority AS g FROM orders) gs,

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame, Encoder}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
@@ -291,24 +291,27 @@ object SimilarityOps {
     ivfProbeLists(ivfAssign(corpus, idCol, vecCol, centroids),
       queries, idCol, vecCol, k, nProbe, centroids, corpus.schema(idCol).dataType)
 
-  /** Probe pre-built inverted lists: `assigned` is ivfAssign's output
-    * (vid, _cv, centroid_id) — e.g. the stored corpus bucketed by
-    * centroid_id at scale. */
-  def ivfProbeLists(assigned: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
-                    k: Int, nProbe: Int, centroids: DataFrame,
-                    vidType: DataType): DataFrame = {
+  /** Per-query probe-list selection — a zero-shuffle array expression:
+    * score the packed centroids per query, sort desc, take nProbe, explode.
+    * Output: (qid, _qv, centroid_id). */
+  private def probeSelection(queries: DataFrame, idCol: String, vecCol: String,
+                             nProbe: Int, centroids: DataFrame): DataFrame = {
     val q = queries.select(col(idCol).as("qid"),
       col(vecCol).cast(ArrayType(DoubleType)).as("_qv"))
-    // probe selection is also a zero-shuffle array expression: score the
-    // packed centroids per query, sort desc, take nProbe, explode
     val scoredQ = transform(col("_cents"), c =>
       struct(cosine(col("_qv"), c.getField("centroid")).as("sim"),
         c.getField("centroid_id").as("cid")))
-    val probes = q.crossJoin(broadcast(packedCentroids(centroids)))
+    q.crossJoin(broadcast(packedCentroids(centroids)))
       .withColumn("_probe",
         slice(reverse(array_sort(filter(scoredQ, s => !isnan(s.getField("sim"))))), 1, nProbe))
       .select(col("qid"), col("_qv"), explode(col("_probe")).as("_pp"))
       .select(col("qid"), col("_qv"), col("_pp.cid").as("centroid_id"))
+  }
+
+  /** Join probe lists with the (possibly disk-resident) inverted lists and
+    * reduce to per-query top-k through the bounded-heap Aggregator. */
+  private def probeJoin(assigned: DataFrame, probes: DataFrame, k: Int,
+                        vidType: DataType): DataFrame = {
     val topk = udaf(new TopKAggregator(k), ExpressionEncoder[(Long, Double)]())
     probes.join(assigned, Seq("centroid_id"))
       .withColumn("sim", cosine(col("_qv"), col("_cv")))
@@ -318,6 +321,43 @@ object SimilarityOps {
       .agg(topk(col("vid"), col("sim")).as("_top"))
       .select(col("qid"), explode(col("_top")).as("_t"))
       .select(col("qid"), col("_t._1").cast(vidType).as("vid"), col("_t._2").as("sim"))
+  }
+
+  /** Probe pre-built inverted lists: `assigned` is ivfAssign's output
+    * (vid, _cv, centroid_id) — e.g. the stored corpus bucketed by
+    * centroid_id at scale. */
+  def ivfProbeLists(assigned: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                    k: Int, nProbe: Int, centroids: DataFrame,
+                    vidType: DataType): DataFrame =
+    probeJoin(assigned, probeSelection(queries, idCol, vecCol, nProbe, centroids),
+      k, vidType)
+
+  /** Persist an IVF index as a centroid_id-PARTITIONED parquet layout:
+    * `path/centroids` (nLists rows) + `path/lists/centroid_id=N/…`. This is
+    * the 100 TB deployment shape — the partition directories ARE the
+    * inverted lists, so a probe reads only the probed lists from storage. */
+  def ivfWriteIndex(corpus: DataFrame, idCol: String, vecCol: String, nLists: Int,
+                    path: String, iters: Int = 2): Unit = {
+    val centroids = ivfTrain(corpus, idCol, vecCol, nLists, iters)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    ivfAssign(corpus, idCol, vecCol, centroids)
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/lists")
+  }
+
+  /** Probe a persisted index. The probed centroid set (≤ min(queries·nProbe,
+    * nLists) ids — bounded like ivfTrain's seed collect) is materialized as
+    * a LITERAL isin filter before the scan, so Spark prunes the unprobed
+    * partition directories statically: the plan's PartitionFilters show the
+    * scan touching nProbe/nLists of the corpus, not filtering it post-read. */
+  def ivfProbeIndex(spark: SparkSession, path: String, queries: DataFrame,
+                    idCol: String, vecCol: String, k: Int, nProbe: Int): DataFrame = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+    val probes = probeSelection(queries, idCol, vecCol, nProbe, centroids)
+    val probedIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.get(0))
+    val lists = spark.read.parquet(s"$path/lists")
+      .where(col("centroid_id").isin(probedIds: _*))
+    probeJoin(lists, probes, k, queries.schema(idCol).dataType)
   }
 
   /** Embedding-cosine near-duplicate removal: drop rows whose embedding is

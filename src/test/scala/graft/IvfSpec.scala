@@ -91,6 +91,38 @@ class IvfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(clean == dirty, "the zero vector must not skew the Lloyd means")
   }
 
+  test("persisted index: probe-from-disk equals in-memory probe AND the scan is partition-pruned") {
+    val corpus = clustered
+    val queries = corpus.filter(col("vec_id") < 8)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-index").toString
+    SimilarityOps.ivfWriteIndex(corpus, "vec_id", "embedding", nLists = 8, dir)
+    // nLists=8 partition dirs on disk — the inverted lists ARE the layout
+    val listDirs = new java.io.File(s"$dir/lists").listFiles()
+      .filter(_.getName.startsWith("centroid_id=")).length
+    assert(listDirs == 8, s"expected 8 list partitions, found $listDirs")
+    val fromDisk = SimilarityOps.ivfProbeIndex(spark, dir, queries,
+      "vec_id", "embedding", k = 5, nProbe = 3)
+    val inMem = SimilarityOps.ivfTopK(corpus, queries, "vec_id", "embedding",
+      k = 5, nLists = 8, nProbe = 3)
+    assert(resultSet(fromDisk) == resultSet(inMem),
+      "the persisted index must answer exactly like the in-memory index")
+    // the probed-centroid isin filter must reach the scan as a PARTITION
+    // filter (reads nProbe/nLists of the corpus), not a post-read filter.
+    // Unwrap AQE: AdaptiveSparkPlanExec hides its subtree from collect
+    val phys = fromDisk.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = phys.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.toString.contains("lists") => s
+    }
+    assert(scans.nonEmpty, "expected a parquet scan of the lists layout")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "the probed-centroid set must prune list partitions at the scan")
+  }
+
   test("a mis-dimensioned vector fails fast instead of skewing the mean") {
     val s = spark
     import s.implicits._
