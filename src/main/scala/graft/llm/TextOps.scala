@@ -12,13 +12,32 @@ import org.apache.spark.sql.types._
 object TextOps {
 
   /** Exact deduplication: one representative row (minimum `idCol`) per
-    * distinct value of `keyCols`. Equivalent to hash-groupBy dedup; the
-    * shuffle key is the text hash, so skew on duplicated boilerplate is
-    * bounded by the min-aggregation being partial (map-side combine). */
+    * distinct value of `keyCols`. EXACT — the 64-bit hash is only a
+    * prefilter, never the identity:
+    *
+    *  1. count rows per xxhash64(keys) — the corpus-sized shuffle carries
+    *     (hash, partial count), NOT the document text (at corpus scale,
+    *     grouping by the raw text would push the whole corpus through the
+    *     exchange twice);
+    *  2. rows whose hash occurs once are unique and never shuffled again;
+    *  3. only rows in colliding hash groups (true duplicates + rare hash
+    *     collisions) are re-grouped by the FULL key columns to pick the
+    *     minimum-id representative — so a hash collision costs one extra
+    *     comparison, not a wrong answer.
+    *
+    * The colliding-hash table is (hash)-only; AQE broadcasts it when small
+    * (the common case — dup rate ≪ 1), which keeps document text out of
+    * every corpus-sized exchange. Map-side partial aggregation bounds skew
+    * on duplicated boilerplate in both grouping phases. */
   def dedupExact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
-    val keep = df.groupBy(keyCols.map(col): _*).agg(min(col(idCol)).as(idCol))
+    val withH = df.withColumn("_h", xxhash64(keyCols.map(col): _*))
+    val colliding = withH.groupBy(col("_h")).agg(count(lit(1)).as("_c"))
+      .filter(col("_c") > 1).select(col("_h"))
+    val cand = withH.join(colliding, Seq("_h"))
+    val keepCand = cand.groupBy(keyCols.map(col): _*).agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
-    df.join(keep, Seq(idCol), "left_semi")
+    val losers = cand.select(col(idCol)).join(keepCand, Seq(idCol), "left_anti")
+    df.join(losers, Seq(idCol), "left_anti")
   }
 
   /** Per-document quality/shape statistics, all codegen'd column expressions

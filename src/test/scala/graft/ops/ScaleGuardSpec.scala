@@ -131,4 +131,32 @@ class ScaleGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaAgg == viaWindow)
     assert(viaAgg.size == 70)
   }
+
+  test("dedupExact: hash collisions cannot merge distinct documents, and the corpus-sized shuffle is text-free") {
+    val s = spark
+    import s.implicits._
+    // duplicates + uniques; correctness identical to a group-by-text dedup
+    val docs = (Seq((1L, "same text"), (2L, "same text"), (3L, "other"),
+      (4L, "third"), (5L, "same text"))).toDF("doc_id", "text")
+    val kept = TextOps.dedupExact(docs, Seq("text"), "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 3L, 4L))
+    // the first corpus-wide grouping keys on xxhash64(text): every exchange
+    // that carries ALL rows must be narrow (hash + count), never the text —
+    // only colliding-hash candidates may re-shuffle with their payload
+    val plan = TextOps.dedupExact(docs, Seq("text"), "doc_id")
+      .queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan // unwrap AQE: the adaptive node hides its subtree
+      case p => p
+    }
+    val countExchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if e.child.isInstanceOf[
+            org.apache.spark.sql.execution.aggregate.BaseAggregateExec] ||
+            e.child.toString.contains("partial_count") => e
+    }
+    assert(countExchanges.exists(!_.output.map(_.name).contains("text")),
+      "the hash-count exchange must not carry the document text")
+  }
 }
