@@ -45,6 +45,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `ts_data_quality_by(source, unique_id_col, date_col, value_col[, n_short[, frequency]])`
   *    (ts_macros.cpp:1616)
   *  - `ts_features_by(source, group_col, date_col, value_col)` (ts_macros.cpp:1776)
+  *  - `ts_forecast_inspect_by(source, group_col, date_col, target_col, method[, params])`
+  *    and `ts_forecast_explain_by(…, method, horizon[, params])`
+  *    (ts_macros.cpp:605, :687)
   *  - `ts_fill_gaps_operator(source, group_col, date_col, value_col, frequency)`
   *    and `ts_fill_forward_operator(source, group_col, date_col, value_col,
   *    target_date, frequency)` — the reference's all-string operator forms
@@ -85,6 +88,7 @@ object TableMacros {
   val names: Set[String] = Set(
     "ts_forecast_by", "ts_stats_by", "ts_fill_gaps_by", "ts_backtest_auto_by",
     "ts_forecast", "ts_cv_folds_by", "ts_data_quality_by", "ts_features_by",
+    "ts_forecast_inspect_by", "ts_forecast_explain_by",
     // all-string operator forms (ts_gaps.cpp:13, ts_fill_forward_operator.cpp:22)
     "ts_fill_gaps_operator", "ts_fill_forward_operator")
 
@@ -154,6 +158,17 @@ object TableMacros {
       case ("ts_features_by", Seq(src, g, ds, y)) =>
         graft.ops.TsFeaturesOp.featuresBy(source(src), ident(g, "group_col"),
           ident(ds, "date_col"), ident(y, "value_col"))
+      case ("ts_forecast_inspect_by", Seq(src, g, ds, y, method, rest @ _*)) =>
+        val params = rest.headOption.map(paramsMap).getOrElse(Map.empty[String, String])
+        if (rest.length > 1) fail("too many arguments")
+        graft.ops.TsForecastOp.forecastInspectBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "target_col"), str(method, "method"), params)
+      case ("ts_forecast_explain_by", Seq(src, g, ds, y, method, horizon, rest @ _*)) =>
+        val params = rest.headOption.map(paramsMap).getOrElse(Map.empty[String, String])
+        if (rest.length > 1) fail("too many arguments")
+        graft.ops.TsForecastOp.forecastExplainBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "target_col"), str(method, "method"),
+          int(horizon, "horizon"), params)
       case ("ts_fill_gaps_by" | "ts_fill_gaps_operator", Seq(src, g, ds, y, freq)) =>
         graft.ops.TsPrep.fillGapsBy(source(src), ident(g, "group_col"),
           ident(ds, "date_col"), ident(y, "value_col"), str(freq, "frequency"))

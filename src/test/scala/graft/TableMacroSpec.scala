@@ -84,6 +84,16 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     val feats = spark.sql("SELECT * FROM ts_features_by('series', g, ds, y)")
     assert(sortedRows(feats) == sortedRows(
       graft.ops.TsFeaturesOp.featuresBy(spark.table("series"), "g", "ds", "y")))
+
+    val inspect = spark.sql(
+      "SELECT * FROM ts_forecast_inspect_by('series', g, ds, y, 'AutoETS')")
+    assert(sortedRows(inspect) == sortedRows(
+      graft.ops.TsForecastOp.forecastInspectBy(spark.table("series"), "g", "ds", "y", "AutoETS")))
+
+    val explain = spark.sql(
+      "SELECT * FROM ts_forecast_explain_by('series', g, ds, y, 'MSTL', 5)")
+    assert(sortedRows(explain) == sortedRows(
+      graft.ops.TsForecastOp.forecastExplainBy(spark.table("series"), "g", "ds", "y", "MSTL", 5)))
   }
 
   test("operator forms: ts_fill_gaps_operator / ts_fill_forward_operator") {
