@@ -111,4 +111,28 @@ class ParallelCorrectnessSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toDF("id_a", "id_b")
     invariant(llm.TextOps.dedupClusters(_), pairs)
   }
+
+  test("dedupExact (hash-prefilter form) invariant to partitioning") {
+    val s = spark
+    import s.implicits._
+    val docs = (1L to 120L).map(i => (i, s"doc content ${i % 37}"))
+      .toDF("doc_id", "text")
+    invariant(llm.TextOps.dedupExact(_, Seq("text"), "doc_id"), docs)
+  }
+
+  test("persisted IVF probe invariant to corpus partitioning at write time") {
+    val s = spark
+    import s.implicits._
+    val corpus = (0 until 60)
+      .map(i => (i.toLong, Array.tabulate(6)(j => math.sin(i * (j + 2)).abs + 0.1)))
+      .toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 5)
+    def probe(c: DataFrame): DataFrame = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-ivf-inv").toString
+      llm.SimilarityOps.ivfWriteIndex(c, "vec_id", "embedding", nLists = 6, dir)
+      llm.SimilarityOps.ivfProbeIndex(s, dir, queries, "vec_id", "embedding",
+        k = 5, nProbe = 6)
+    }
+    invariant(probe, corpus)
+  }
 }
