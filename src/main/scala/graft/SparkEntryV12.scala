@@ -97,6 +97,17 @@ object SparkEntryV12 {
         "vec_id", "embedding", k = 10, nLists = 16, nProbe = 16)
         .select(col("qid"), col("vid"), round(col("sim"), 6).as("sim"))
     }),
+    // int8 symmetric quantization, exploded to scalar rows: per-vector
+    // scale maxabs/127, HALF_UP component rounding — DuckDB replays the
+    // identical IEEE expression, so the 4×-storage path is hash-checked
+    "emb_quantize" -> ((s, dir) => {
+      val q = graft.llm.SimilarityOps.quantizeEmbeddings(
+        t(s, dir, "embeddings").filter(col("vec_id") < 200), "embedding")
+      q.select(col("vec_id"), round(col("qvec_scale"), 6).as("qscale"),
+          posexplode(col("qvec")))
+        .select(col("vec_id"), col("qscale"), col("pos"),
+          col("col").cast(IntegerType).as("q"))
+    }),
     // the persisted-index path (centroid_id-partitioned parquet layout),
     // probed exhaustively → same brute-force oracle as ann_ivf_topk: the
     // write→partition-pruned-read round trip is hash-checked end to end
@@ -159,6 +170,15 @@ object SparkEntryV12 {
         |FROM documents""".stripMargin,
     "ann_ivf_topk" -> IvfBruteForceOracle,
     "ann_ivf_index_topk" -> IvfBruteForceOracle,
+    "emb_quantize" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings WHERE vec_id < 200),
+        |m AS (SELECT vec_id, v,
+        |        list_aggregate(list_transform(v, x -> abs(x)), 'max') AS ma FROM e)
+        |SELECT vec_id, round(ma / 127.0, 6) AS qscale, z.u.pos AS pos, z.u.q AS q
+        |FROM m, LATERAL (SELECT unnest(list_transform(v, (x, i) ->
+        |  {'pos': CAST(i - 1 AS INTEGER),
+        |   'q': CAST(CASE WHEN ma = 0 THEN 0 ELSE round(x * 127.0 / ma) END AS INTEGER)})) AS u) z""".stripMargin,
     "ts_detect_periods_methods" ->
       """SELECT g, method, CAST(8.0 AS DOUBLE) AS detected
         |FROM (SELECT DISTINCT o_orderpriority AS g FROM orders) gs,

@@ -360,6 +360,30 @@ object SimilarityOps {
     probeJoin(lists, probes, k, queries.schema(idCol).dataType)
   }
 
+  /** Symmetric int8 quantization of an embedding column: per-vector scale
+    * `maxabs/127`, components rounded HALF_UP to [-127, 127]. Cuts embedding
+    * storage 4× (the dominant byte cost of a vector corpus at scale) at a
+    * bounded per-component error of `scale/2`. Output columns: `{out}`
+    * (ARRAY<TINYINT>) and `{out}_scale` (DOUBLE — 0.0 marks an all-zero
+    * vector, which dequantizes back to all zeros). Pure codegen column
+    * expressions — no UDF on the corpus-sized path. */
+  def quantizeEmbeddings(df: DataFrame, vecCol: String, out: String = "qvec"): DataFrame = {
+    val v = col(vecCol).cast(ArrayType(DoubleType))
+    val maxAbs = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    df.withColumn("_ma", maxAbs)
+      .withColumn(s"${out}_scale", col("_ma") / 127.0)
+      .withColumn(out, when(col("_ma") === 0.0,
+          transform(v, _ => lit(0).cast(ByteType)))
+        .otherwise(transform(v, x => round(x * 127.0 / col("_ma"), 0).cast(ByteType))))
+      .drop("_ma")
+  }
+
+  /** Inverse of [[quantizeEmbeddings]]: component × scale. */
+  def dequantizeEmbeddings(df: DataFrame, qCol: String, scaleCol: String,
+                           out: String): DataFrame =
+    df.withColumn(out,
+      transform(col(qCol), q => q.cast(DoubleType) * col(scaleCol)))
+
   /** Embedding-cosine near-duplicate removal: drop rows whose embedding is
     * ≥ minSim-similar to a lower-id row (LSH-bucketed candidate generation). */
   def dedupByEmbedding(df: DataFrame, idCol: String, vecCol: String, dim: Int,

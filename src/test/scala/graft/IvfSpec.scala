@@ -123,6 +123,38 @@ class IvfSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the probed-centroid set must prune list partitions at the scan")
   }
 
+  test("int8 quantization: bounded error, zero-vector safety, cosine survives") {
+    val corpus = clustered
+    val q = SimilarityOps.quantizeEmbeddings(corpus, "embedding")
+    val deq = SimilarityOps.dequantizeEmbeddings(q, "qvec", "qvec_scale", "deq")
+    // roundtrip error ≤ scale/2 per component (symmetric rounding bound)
+    val bad = deq.select(col("embedding").cast("array<double>").as("a"),
+        col("deq"), col("qvec_scale"))
+      .withColumn("err", expr(
+        "aggregate(zip_with(a, deq, (x, y) -> abs(x - y)), 0.0D, (m, e) -> greatest(m, e))"))
+      .filter(col("err") > col("qvec_scale") / 2 + 1e-12)
+      .count()
+    assert(bad == 0, "per-component error must be bounded by scale/2")
+    // cosine is scale-invariant, so quantized vectors can be scored WITHOUT
+    // dequantizing: top-k over int8 recovers the exact top-k on this fixture
+    val qCorpus = q.select(col("vec_id"), col("qvec").cast("array<double>").as("embedding"))
+    val qQueries = qCorpus.filter(col("vec_id") < 8)
+    val exact = resultSet(SimilarityOps.bruteForceTopK(
+      corpus, corpus.filter(col("vec_id") < 8), "vec_id", "embedding", 5))
+    val quantized = resultSet(SimilarityOps.bruteForceTopK(
+      qCorpus, qQueries, "vec_id", "embedding", 5))
+    val recall = (quantized intersect exact).size.toDouble / exact.size
+    assert(recall >= 0.9, f"int8 top-k recall $recall%.3f")
+    // an all-zero vector quantizes to scale 0 and dequantizes to zeros
+    val s = spark
+    import s.implicits._
+    val z = SimilarityOps.quantizeEmbeddings(
+      Seq((1L, Array.fill(4)(0.0f))).toDF("vec_id", "embedding"), "embedding")
+    val zr = SimilarityOps.dequantizeEmbeddings(z, "qvec", "qvec_scale", "deq")
+      .select("deq").head().getSeq[Double](0)
+    assert(zr.forall(_ == 0.0))
+  }
+
   test("a mis-dimensioned vector fails fast instead of skewing the mean") {
     val s = spark
     import s.implicits._
