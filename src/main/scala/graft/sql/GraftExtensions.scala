@@ -48,6 +48,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `ts_forecast_inspect_by(source, group_col, date_col, target_col, method[, params])`
   *    and `ts_forecast_explain_by(…, method, horizon[, params])`
   *    (ts_macros.cpp:605, :687)
+  *  - `ts_forecast_exog_by(source, group_col, date_col, target_col,
+  *    array('x1', …), future_source, future_date_col, array('x1', …),
+  *    frequency[, method[, horizon[, params]]])` and the group-less
+  *    `ts_forecast_exog(source, date_col, target_col, xregs, future_source,
+  *    future_date_col, future_xregs[, method[, horizon[, params]]])`
+  *    (ts_macros.cpp:756, :830)
   *  - `ts_fill_gaps_operator(source, group_col, date_col, value_col, frequency)`
   *    and `ts_fill_forward_operator(source, group_col, date_col, value_col,
   *    target_date, frequency)` — the reference's all-string operator forms
@@ -89,6 +95,7 @@ object TableMacros {
     "ts_forecast_by", "ts_stats_by", "ts_fill_gaps_by", "ts_backtest_auto_by",
     "ts_forecast", "ts_cv_folds_by", "ts_data_quality_by", "ts_features_by",
     "ts_forecast_inspect_by", "ts_forecast_explain_by",
+    "ts_forecast_exog", "ts_forecast_exog_by",
     // all-string operator forms (ts_gaps.cpp:13, ts_fill_forward_operator.cpp:22)
     "ts_fill_gaps_operator", "ts_fill_forward_operator")
 
@@ -124,6 +131,14 @@ object TableMacros {
       }
     }
     def source(e: Expression) = spark.table(str(e, "source"))
+    def strList(e: Expression, what: String): Seq[String] = e match {
+      case f: UnresolvedFunction if f.nameParts.map(_.toLowerCase) == Seq("array") =>
+        f.arguments.map(a => ident(a, what))
+      case org.apache.spark.sql.catalyst.expressions.CreateArray(items, _) =>
+        items.map(a => ident(a, what))
+      case Literal(null, _) => Seq.empty
+      case other => fail(s"$what must be array('col', …), got $other")
+    }
 
     val df = (name, args) match {
       case ("ts_forecast_by", Seq(src, g, ds, y, method, horizon, freq, rest @ _*)) =>
@@ -163,6 +178,28 @@ object TableMacros {
         if (rest.length > 1) fail("too many arguments")
         graft.ops.TsForecastOp.forecastInspectBy(source(src), ident(g, "group_col"),
           ident(ds, "date_col"), ident(y, "target_col"), str(method, "method"), params)
+      // exog macros (ts_macros.cpp:756, :830): positional up to the
+      // reference's named defaults method:='AutoARIMA', horizon:=12, params
+      case ("ts_forecast_exog_by",
+          Seq(src, g, ds, y, xregs, fsrc, fds, fxregs, freq, rest @ _*)) =>
+        if (rest.length > 3) fail("too many arguments")
+        graft.ops.TsExogOp.forecastExogBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "target_col"), strList(xregs, "xreg_cols"),
+          source(fsrc), ident(fds, "future_date_col"),
+          strList(fxregs, "future_xreg_cols"),
+          rest.headOption.map(str(_, "method")).getOrElse("AutoARIMA"),
+          rest.lift(1).map(int(_, "horizon")).getOrElse(12),
+          str(freq, "frequency"),
+          rest.lift(2).map(paramsMap).getOrElse(Map.empty))
+      case ("ts_forecast_exog", Seq(src, ds, y, xregs, fsrc, fds, fxregs, rest @ _*)) =>
+        if (rest.length > 3) fail("too many arguments")
+        graft.ops.TsExogOp.forecastExog(source(src),
+          ident(ds, "date_col"), ident(y, "target_col"), strList(xregs, "xreg_cols"),
+          source(fsrc), ident(fds, "future_date_col"),
+          strList(fxregs, "future_xreg_cols"),
+          rest.headOption.map(str(_, "method")).getOrElse("AutoARIMA"),
+          rest.lift(1).map(int(_, "horizon")).getOrElse(12),
+          params = rest.lift(2).map(paramsMap).getOrElse(Map.empty))
       case ("ts_forecast_explain_by", Seq(src, g, ds, y, method, horizon, rest @ _*)) =>
         val params = rest.headOption.map(paramsMap).getOrElse(Map.empty[String, String])
         if (rest.length > 1) fail("too many arguments")

@@ -96,6 +96,28 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.ops.TsForecastOp.forecastExplainBy(spark.table("series"), "g", "ds", "y", "MSTL", 5)))
   }
 
+  test("ts_forecast_exog_by SQL == Scala API (array-literal xreg columns)") {
+    val sp = spark
+    import sp.implicits._
+    val hist = (0 until 40).map { i =>
+      ("a", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        10.0 + 0.5 * i + 2.0 * (i % 3), (i % 3).toDouble)
+    }.toDF("g", "ds", "y", "promo")
+    val fut = (40 until 47).map { i =>
+      ("a", java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        (i % 3).toDouble)
+    }.toDF("g", "ds", "promo")
+    hist.createOrReplaceTempView("exog_hist")
+    fut.createOrReplaceTempView("exog_future")
+    val sql = spark.sql("SELECT * FROM ts_forecast_exog_by('exog_hist', g, ds, y, " +
+      "array('promo'), 'exog_future', ds, array('promo'), '1d', 'AutoARIMA', 7)")
+    val api = graft.ops.TsExogOp.forecastExogBy(spark.table("exog_hist"),
+      "g", "ds", "y", Seq("promo"), spark.table("exog_future"), "ds", Seq("promo"),
+      "AutoARIMA", 7, "1d")
+    assert(sortedRows(sql) == sortedRows(api))
+    assert(sql.count() == 7)
+  }
+
   test("operator forms: ts_fill_gaps_operator / ts_fill_forward_operator") {
     val gaps = spark.sql(
       "SELECT * FROM ts_fill_gaps_operator('series', 'g', 'ds', 'y', '1d')")
