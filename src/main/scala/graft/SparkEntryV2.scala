@@ -38,13 +38,15 @@ object SparkEntryV2 {
   /** SeasonalNaive backtest with the given fold metric, rounded for the
     * cross-engine hash compare (one row builder per supported metric). */
   private def backtestRounded(s: SparkSession, dir: String, metric: String): DataFrame =
-    TsCvOp.backtestAutoBy(dailyEvents(s, dir), "g", "ds", "y", 7, 2, "1d",
-      Map("method" -> "SeasonalNaive", "seasonal_period" -> "7"), metric)
-      .select(col("fold_id"), col("g"), col("ds"),
-        round(col("yhat"), 6).as("yhat"), round(col("actual"), 6).as("actual"),
-        round(col("error"), 6).as("error"), round(col("abs_error"), 6).as("abs_error"),
-        round(col("yhat_lower"), 4).as("yhat_lower"), round(col("yhat_upper"), 4).as("yhat_upper"),
-        col("model_name"), round(col("fold_metric_score"), 6).as("fold_metric_score"))
+    roundBacktest(TsCvOp.backtestAutoBy(dailyEvents(s, dir), "g", "ds", "y", 7, 2, "1d",
+      Map("method" -> "SeasonalNaive", "seasonal_period" -> "7"), metric))
+
+  private def roundBacktest(df: DataFrame): DataFrame =
+    df.select(col("fold_id"), col("g"), col("ds"),
+      round(col("yhat"), 6).as("yhat"), round(col("actual"), 6).as("actual"),
+      round(col("error"), 6).as("error"), round(col("abs_error"), 6).as("abs_error"),
+      round(col("yhat_lower"), 4).as("yhat_lower"), round(col("yhat_upper"), 4).as("yhat_upper"),
+      col("model_name"), round(col("fold_metric_score"), 6).as("fold_metric_score"))
 
   /** The ts_backtest_snaive oracle parameterized by the fold-metric SQL
     * (`fmExpr` aggregates over prd's actual/yhat columns). */
@@ -209,6 +211,15 @@ object SparkEntryV2 {
     // the round-5 metric-set parity additions (ts_backtest_native.cpp:332-353)
     "ts_backtest_bias" -> ((s, dir) => backtestRounded(s, dir, "bias")),
     "ts_backtest_r2" -> ((s, dir) => backtestRounded(s, dir, "r2")),
+    // the SQL-string macro route to the same backtest — shares the Scala
+    // row's oracle, so macro expansion of the heaviest macro is hash-checked
+    "sql_macro_backtest_by" -> ((s, dir) => {
+      graft.sql.Register.registerAll(s)
+      dailyEvents(s, dir).createOrReplaceTempView("_macro_bt_series")
+      roundBacktest(s.sql("SELECT * FROM ts_backtest_auto_by('_macro_bt_series', " +
+        "g, ds, y, 7, 2, '1d', map('method', 'SeasonalNaive', 'seasonal_period', '7'), " +
+        "NULL, 'rmse')"))
+    }),
     "ts_check_leakage" -> ((s, dir) => {
       val folds = TsCvOp.cvFoldsBy(dailyEvents(s, dir), "g", "ds", "y", 1, 7)
       TsCvOp.checkLeakage(folds.withColumn("_is_test", col("split") === "test"),
@@ -526,6 +537,8 @@ object SparkEntryV2 {
         |WHERE n >= 2 AND te + 7 < n
         |  AND (pos <= te OR (pos > te AND pos <= te + 7))""".stripMargin),
     "ts_backtest_snaive" -> backtestOracle(
+      "sqrt(avg((actual - yhat) * (actual - yhat)))"),
+    "sql_macro_backtest_by" -> backtestOracle(
       "sqrt(avg((actual - yhat) * (actual - yhat)))"),
     "ts_backtest_bias" -> backtestOracle("avg(yhat - actual)"),
     // same Σa² − (Σa)²/n arithmetic as the Spark expression

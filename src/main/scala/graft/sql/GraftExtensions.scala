@@ -48,6 +48,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `ts_forecast_inspect_by(source, group_col, date_col, target_col, method[, params])`
   *    and `ts_forecast_explain_by(…, method, horizon[, params])`
   *    (ts_macros.cpp:605, :687)
+  *  - `ts_conformal_by(backtest_results, group_col, actual_col, forecast_col,
+  *    point_forecast_col[, params])` — params keys alpha / method
+  *    (ts_macros.cpp:1453)
   *  - `ts_forecast_exog_by(source, group_col, date_col, target_col,
   *    array('x1', …), future_source, future_date_col, array('x1', …),
   *    frequency[, method[, horizon[, params]]])` and the group-less
@@ -95,7 +98,7 @@ object TableMacros {
     "ts_forecast_by", "ts_stats_by", "ts_fill_gaps_by", "ts_backtest_auto_by",
     "ts_forecast", "ts_cv_folds_by", "ts_data_quality_by", "ts_features_by",
     "ts_forecast_inspect_by", "ts_forecast_explain_by",
-    "ts_forecast_exog", "ts_forecast_exog_by",
+    "ts_forecast_exog", "ts_forecast_exog_by", "ts_conformal_by",
     // all-string operator forms (ts_gaps.cpp:13, ts_fill_forward_operator.cpp:22)
     "ts_fill_gaps_operator", "ts_fill_forward_operator")
 
@@ -178,6 +181,15 @@ object TableMacros {
         if (rest.length > 1) fail("too many arguments")
         graft.ops.TsForecastOp.forecastInspectBy(source(src), ident(g, "group_col"),
           ident(ds, "date_col"), ident(y, "target_col"), str(method, "method"), params)
+      // ts_conformal_by (ts_macros.cpp:1453): params carries alpha / method
+      case ("ts_conformal_by", Seq(src, g, actual, fc, point, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        val p = rest.headOption.map(paramsMap).getOrElse(Map.empty[String, String])
+        graft.ops.TsConformalOp.conformalBy(source(src), ident(g, "group_col"),
+          ident(actual, "actual_col"), ident(fc, "forecast_col"),
+          ident(point, "point_forecast_col"),
+          p.get("alpha").map(_.toDouble).getOrElse(0.1),
+          p.getOrElse("method", "symmetric"))
       // exog macros (ts_macros.cpp:756, :830): positional up to the
       // reference's named defaults method:='AutoARIMA', horizon:=12, params
       case ("ts_forecast_exog_by",

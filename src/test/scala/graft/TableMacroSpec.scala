@@ -118,6 +118,18 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql.count() == 7)
   }
 
+  test("ts_conformal_by SQL == Scala API over a backtest-results table") {
+    spark.sql("SELECT * FROM ts_backtest_auto_by('series', g, ds, y, 7, 2, '1d', " +
+        "map('method', 'Naive'))")
+      .createOrReplaceTempView("bt_results")
+    val sql = spark.sql("SELECT * FROM ts_conformal_by('bt_results', g, actual, " +
+      "yhat, yhat, map('alpha', '0.2', 'method', 'asymmetric'))")
+    val api = graft.ops.TsConformalOp.conformalBy(spark.table("bt_results"),
+      "g", "actual", "yhat", "yhat", 0.2, "asymmetric")
+    assert(sortedRows(sql) == sortedRows(api))
+    assert(sql.count() > 0)
+  }
+
   test("operator forms: ts_fill_gaps_operator / ts_fill_forward_operator") {
     val gaps = spark.sql(
       "SELECT * FROM ts_fill_gaps_operator('series', 'g', 'ds', 'y', '1d')")
