@@ -57,18 +57,22 @@ class CheckpointStrategySpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("superseded iterates are released: storage does not grow with rounds") {
-    spark.conf.set(graft.llm.Pin.ModeKey, "disk")
-    try {
-      val before = spark.sparkContext.getPersistentRDDs.keySet
-      val out = TextOps.dedupClusters(chainPairs)
-      out.count()
-      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
-      // the chain needs >=3 label-propagation rounds; only the FINAL iterate
-      // may still hold storage (it backs the returned plan) — every
-      // superseded label table and the edge list must have been unpersisted
-      assert(leaked.size <= 1,
-        s"expected at most the final iterate pinned, found ${leaked.size} new persistent RDDs")
-    } finally spark.conf.set(graft.llm.Pin.ModeKey, "local")
+    // same contract in BOTH release-capable modes: the chain needs >=3
+    // label-propagation rounds; only the FINAL iterate may still hold
+    // storage (it backs the returned plan) — every superseded label table
+    // and the edge list must have been unpersisted (disk: Dataset.unpersist;
+    // local: the checkpointed RDD inside the LogicalRDD leaf)
+    for (mode <- Seq("disk", "local")) {
+      spark.conf.set(graft.llm.Pin.ModeKey, mode)
+      try {
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        val out = TextOps.dedupClusters(chainPairs)
+        out.count()
+        val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+        assert(leaked.size <= 1,
+          s"[$mode] expected at most the final iterate pinned, found ${leaked.size} new persistent RDDs")
+      } finally spark.conf.set(graft.llm.Pin.ModeKey, "local")
+    }
   }
 
   test("ivfTrain under reliable mode matches local mode") {
