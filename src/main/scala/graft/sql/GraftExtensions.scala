@@ -51,6 +51,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - `ts_conformal_by(backtest_results, group_col, actual_col, forecast_col,
   *    point_forecast_col[, params])` — params keys alpha / method
   *    (ts_macros.cpp:1453)
+  *  - prep family: `ts_drop_constant_by(source, group_col, value_col)`,
+  *    `ts_drop_short_by(source, group_col, min_length)`,
+  *    `ts_fill_nulls_const_by(source, group_col, date_col, value_col, fill_value)`,
+  *    `ts_fill_nulls_forward_by` / `ts_fill_nulls_backward_by(source, group_col,
+  *    date_col, value_col)`, `ts_diff_by(…, diff_order)` (ts_macros.cpp:174-341)
+  *  - detection family: `ts_detrend_by(…, method)`,
+  *    `ts_detect_changepoints_by(…[, params])` (hazard_lambda,
+  *    include_probabilities), `ts_mstl_decomposition_by(…[, params])`
+  *    (periods CSV, insufficient_data), `ts_detect_periods_by(…[, params])`
+  *    (method, max_period, min_confidence) (ts_macros.cpp:419-526, :1858)
   *  - `ts_forecast_exog_by(source, group_col, date_col, target_col,
   *    array('x1', …), future_source, future_date_col, array('x1', …),
   *    frequency[, method[, horizon[, params]]])` and the group-less
@@ -99,6 +109,10 @@ object TableMacros {
     "ts_forecast", "ts_cv_folds_by", "ts_data_quality_by", "ts_features_by",
     "ts_forecast_inspect_by", "ts_forecast_explain_by",
     "ts_forecast_exog", "ts_forecast_exog_by", "ts_conformal_by",
+    "ts_drop_constant_by", "ts_drop_short_by", "ts_fill_nulls_const_by",
+    "ts_fill_nulls_forward_by", "ts_fill_nulls_backward_by", "ts_diff_by",
+    "ts_detrend_by", "ts_detect_changepoints_by", "ts_mstl_decomposition_by",
+    "ts_detect_periods_by",
     // all-string operator forms (ts_gaps.cpp:13, ts_fill_forward_operator.cpp:22)
     "ts_fill_gaps_operator", "ts_fill_forward_operator")
 
@@ -118,6 +132,14 @@ object TableMacros {
       case Literal(v: Int, _) => v
       case Literal(v: Long, _) => v.toInt
       case other => fail(s"$what must be an integer literal, got $other")
+    }
+    def dbl(e: Expression, what: String): Double = e match {
+      case Literal(v: Double, _) => v
+      case Literal(v: Float, _) => v.toDouble
+      case Literal(v: Int, _) => v.toDouble
+      case Literal(v: Long, _) => v.toDouble
+      case Literal(v: org.apache.spark.sql.types.Decimal, _) => v.toDouble
+      case other => fail(s"$what must be a numeric literal, got $other")
     }
     def paramsMap(e: Expression): Map[String, String] = {
       def entries(kvs: Seq[Expression]): Map[String, String] =
@@ -181,6 +203,51 @@ object TableMacros {
         if (rest.length > 1) fail("too many arguments")
         graft.ops.TsForecastOp.forecastInspectBy(source(src), ident(g, "group_col"),
           ident(ds, "date_col"), ident(y, "target_col"), str(method, "method"), params)
+      // data-preparation macros (ts_macros.cpp:174-341)
+      case ("ts_drop_constant_by", Seq(src, g, y)) =>
+        graft.ops.TsPrep.dropConstantBy(source(src), ident(g, "group_col"),
+          ident(y, "value_col"))
+      case ("ts_drop_short_by", Seq(src, g, minLen)) =>
+        graft.ops.TsPrep.dropShortBy(source(src), ident(g, "group_col"),
+          int(minLen, "min_length").toLong)
+      case ("ts_fill_nulls_const_by", Seq(src, g, ds, y, fill)) =>
+        graft.ops.TsPrep.fillNullsConstBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "value_col"), dbl(fill, "fill_value"))
+      case ("ts_fill_nulls_forward_by", Seq(src, g, ds, y)) =>
+        graft.ops.TsPrep.fillNullsForwardBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "value_col"))
+      case ("ts_fill_nulls_backward_by", Seq(src, g, ds, y)) =>
+        graft.ops.TsPrep.fillNullsBackwardBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "value_col"))
+      case ("ts_diff_by", Seq(src, g, ds, y, order)) =>
+        graft.ops.TsPrep.diffBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "value_col"), int(order, "diff_order"))
+      // decomposition / detection macros (ts_macros.cpp:419-526, :1858)
+      case ("ts_detrend_by", Seq(src, g, ds, y, method)) =>
+        graft.ops.TsDecompositionOp.detrendBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "value_col"), str(method, "method"))
+      case ("ts_detect_changepoints_by", Seq(src, g, ds, y, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        val p = rest.headOption.map(paramsMap).getOrElse(Map.empty[String, String])
+        graft.ops.TsChangepointOp.detectChangepointsBy(source(src),
+          ident(g, "group_col"), ident(ds, "date_col"), ident(y, "value_col"),
+          p.get("hazard_lambda").map(_.toDouble).getOrElse(250.0),
+          p.get("include_probabilities").forall(_.toBoolean))
+      case ("ts_mstl_decomposition_by", Seq(src, g, ds, y, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        val p = rest.headOption.map(paramsMap).getOrElse(Map.empty[String, String])
+        val periods = p.get("periods").map(_.split(',').map(_.trim.toInt).toSeq)
+          .getOrElse(Seq(7))
+        graft.ops.TsDecompositionOp.mstlDecompositionBy(source(src),
+          ident(g, "group_col"), ident(ds, "date_col"), ident(y, "value_col"),
+          periods, p.getOrElse("insufficient_data", "skip"))
+      case ("ts_detect_periods_by", Seq(src, g, ds, y, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        val p = rest.headOption.map(paramsMap).getOrElse(Map.empty[String, String])
+        graft.ops.TsDecompositionOp.detectPeriodsBy(source(src),
+          ident(g, "group_col"), ident(ds, "date_col"), ident(y, "value_col"),
+          p.getOrElse("method", "fft"), p.get("max_period").map(_.toInt),
+          p.get("min_confidence").map(_.toDouble))
       // ts_conformal_by (ts_macros.cpp:1453): params carries alpha / method
       case ("ts_conformal_by", Seq(src, g, actual, fc, point, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")

@@ -118,6 +118,33 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql.count() == 7)
   }
 
+  test("prep + detection macro families == Scala API") {
+    def eq(sql: String, api: DataFrame): Unit =
+      assert(sortedRows(spark.sql(sql)) == sortedRows(api), sql)
+    val t = spark.table("series")
+    eq("SELECT * FROM ts_drop_constant_by('series', g, y)",
+      graft.ops.TsPrep.dropConstantBy(t, "g", "y"))
+    eq("SELECT * FROM ts_drop_short_by('series', g, 30)",
+      graft.ops.TsPrep.dropShortBy(t, "g", 30L))
+    eq("SELECT * FROM ts_fill_nulls_const_by('series', g, ds, y, 0.5)",
+      graft.ops.TsPrep.fillNullsConstBy(t, "g", "ds", "y", 0.5))
+    eq("SELECT * FROM ts_fill_nulls_forward_by('series', g, ds, y)",
+      graft.ops.TsPrep.fillNullsForwardBy(t, "g", "ds", "y"))
+    eq("SELECT * FROM ts_diff_by('series', g, ds, y, 1)",
+      graft.ops.TsPrep.diffBy(t, "g", "ds", "y", 1))
+    eq("SELECT * FROM ts_detrend_by('series', g, ds, y, 'linear')",
+      graft.ops.TsDecompositionOp.detrendBy(t, "g", "ds", "y", "linear"))
+    eq("SELECT * FROM ts_detect_changepoints_by('series', g, ds, y, " +
+        "map('hazard_lambda', '100.0'))",
+      graft.ops.TsChangepointOp.detectChangepointsBy(t, "g", "ds", "y", 100.0))
+    eq("SELECT * FROM ts_mstl_decomposition_by('series', g, ds, y, " +
+        "map('periods', '7'))",
+      graft.ops.TsDecompositionOp.mstlDecompositionBy(t, "g", "ds", "y", Seq(7)))
+    eq("SELECT * FROM ts_detect_periods_by('series', g, ds, y, " +
+        "map('method', 'acf'))",
+      graft.ops.TsDecompositionOp.detectPeriodsBy(t, "g", "ds", "y", "acf"))
+  }
+
   test("ts_conformal_by SQL == Scala API over a backtest-results table") {
     spark.sql("SELECT * FROM ts_backtest_auto_by('series', g, ds, y, 7, 2, '1d', " +
         "map('method', 'Naive'))")
