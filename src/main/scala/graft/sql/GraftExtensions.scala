@@ -56,6 +56,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `ts_fill_nulls_const_by(source, group_col, date_col, value_col, fill_value)`,
   *    `ts_fill_nulls_forward_by` / `ts_fill_nulls_backward_by(source, group_col,
   *    date_col, value_col)`, `ts_diff_by(…, diff_order)` (ts_macros.cpp:174-341)
+  *  - metric family: `ts_{mae,mse,rmse,mape,smape,r2,bias}_by(source,
+  *    date_col, actual_col, forecast_col)`,
+  *    `ts_mase_by(…, baseline_col)`, `ts_rmae_by(…, pred1_col, pred2_col)`,
+  *    `ts_coverage_by(…, lower_col, upper_col)`,
+  *    `ts_quantile_loss_by(…, quantile)` — group columns = every other
+  *    input column, output column named after the metric
+  *    (ts_macros.cpp:2017-2127)
   *  - detection family: `ts_detrend_by(…, method)`,
   *    `ts_detect_changepoints_by(…[, params])` (hazard_lambda,
   *    include_probabilities), `ts_mstl_decomposition_by(…[, params])`
@@ -113,6 +120,9 @@ object TableMacros {
     "ts_fill_nulls_forward_by", "ts_fill_nulls_backward_by", "ts_diff_by",
     "ts_detrend_by", "ts_detect_changepoints_by", "ts_mstl_decomposition_by",
     "ts_detect_periods_by",
+    "ts_mae_by", "ts_mse_by", "ts_rmse_by", "ts_mape_by", "ts_smape_by",
+    "ts_r2_by", "ts_bias_by", "ts_mase_by", "ts_rmae_by", "ts_coverage_by",
+    "ts_quantile_loss_by",
     // all-string operator forms (ts_gaps.cpp:13, ts_fill_forward_operator.cpp:22)
     "ts_fill_gaps_operator", "ts_fill_forward_operator")
 
@@ -203,6 +213,27 @@ object TableMacros {
         if (rest.length > 1) fail("too many arguments")
         graft.ops.TsForecastOp.forecastInspectBy(source(src), ident(g, "group_col"),
           ident(ds, "date_col"), ident(y, "target_col"), str(method, "method"), params)
+      // metric macros (ts_macros.cpp:2017-2127): group cols = everything
+      // except the date/value columns; output column named after the metric
+      case (m, Seq(src, ds, actual, fc))
+          if Set("ts_mae_by", "ts_mse_by", "ts_rmse_by", "ts_mape_by",
+            "ts_smape_by", "ts_r2_by", "ts_bias_by").contains(m) =>
+        graft.ops.TsMetricsOp.metricBy(source(src), ident(ds, "date_col"),
+          ident(actual, "actual_col"), ident(fc, "forecast_col"),
+          m.stripPrefix("ts_").stripSuffix("_by"))
+      case ("ts_mase_by", Seq(src, ds, actual, fc, baseline)) =>
+        graft.ops.TsMetricsOp.maseBy(source(src), ident(ds, "date_col"),
+          ident(actual, "actual_col"), ident(fc, "forecast_col"),
+          ident(baseline, "baseline_col"))
+      case ("ts_rmae_by", Seq(src, ds, actual, p1, p2)) =>
+        graft.ops.TsMetricsOp.rmaeBy(source(src), ident(ds, "date_col"),
+          ident(actual, "actual_col"), ident(p1, "pred1_col"), ident(p2, "pred2_col"))
+      case ("ts_coverage_by", Seq(src, ds, actual, lo, hi)) =>
+        graft.ops.TsMetricsOp.coverageBy(source(src), ident(ds, "date_col"),
+          ident(actual, "actual_col"), ident(lo, "lower_col"), ident(hi, "upper_col"))
+      case ("ts_quantile_loss_by", Seq(src, ds, actual, fc, q)) =>
+        graft.ops.TsMetricsOp.quantileLossBy(source(src), ident(ds, "date_col"),
+          ident(actual, "actual_col"), ident(fc, "forecast_col"), dbl(q, "quantile"))
       // data-preparation macros (ts_macros.cpp:174-341)
       case ("ts_drop_constant_by", Seq(src, g, y)) =>
         graft.ops.TsPrep.dropConstantBy(source(src), ident(g, "group_col"),

@@ -145,6 +145,45 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.ops.TsDecompositionOp.detectPeriodsBy(t, "g", "ds", "y", "acf"))
   }
 
+  test("metric macros: group-column inference, closed forms, all 11 names") {
+    val sp = spark
+    import sp.implicits._
+    // two groups; forecast = actual + 1 → mae 1, bias 1, mse 1, rmse 1;
+    // baseline = actual + 2 → mase = 1/2; coverage: half the rows inside
+    // group columns are inferred as "everything except date/value cols", so
+    // each view carries exactly the columns its macro consumes (the
+    // reference contract: a metrics input table is group+date+values)
+    val base = (0 until 20).map { i =>
+      (if (i < 10) "g1" else "g2", i, 10.0 + i, 11.0 + i, 12.0 + i,
+        if (i % 2 == 0) 9.0 + i else 10.5 + i, 20.0 + i)
+    }.toDF("grp", "ds", "actual", "fc", "baseline", "lo", "hi")
+    base.select("grp", "ds", "actual", "fc").createOrReplaceTempView("metrics_in")
+    base.select("grp", "ds", "actual", "fc", "baseline")
+      .createOrReplaceTempView("metrics_in3")
+    base.select("grp", "ds", "actual", "lo", "hi")
+      .createOrReplaceTempView("metrics_cov")
+    def one(sql: String): Map[String, Double] =
+      spark.sql(sql).collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val mae = one("SELECT * FROM ts_mae_by('metrics_in', ds, actual, fc)")
+    assert(mae.keySet == Set("g1", "g2") && mae.values.forall(v => math.abs(v - 1.0) < 1e-12))
+    assert(one("SELECT * FROM ts_bias_by('metrics_in', ds, actual, fc)")
+      .values.forall(v => math.abs(v - 1.0) < 1e-12))
+    val mase = one("SELECT * FROM ts_mase_by('metrics_in3', ds, actual, fc, baseline)")
+    assert(mase.values.forall(v => math.abs(v - 0.5) < 1e-12))
+    val cov = one("SELECT * FROM ts_coverage_by('metrics_cov', ds, actual, lo, hi)")
+    assert(cov.values.forall(v => math.abs(v - 0.5) < 1e-12),
+      "alternating rows sit below the lower bound")
+    val ql = one("SELECT * FROM ts_quantile_loss_by('metrics_in', ds, actual, fc, 0.5)")
+    assert(ql.values.forall(v => math.abs(v - 0.5) < 1e-12), "pinball(0.5) = |err|/2")
+    // the remaining names resolve and emit their metric column
+    for (m <- Seq("mse", "rmse", "mape", "smape", "r2")) {
+      val df = spark.sql(s"SELECT * FROM ts_${m}_by('metrics_in', ds, actual, fc)")
+      assert(df.columns.toSeq == Seq("grp", m) && df.count() == 2, m)
+    }
+    val rmae = spark.sql("SELECT * FROM ts_rmae_by('metrics_in3', ds, actual, fc, baseline)")
+    assert(rmae.columns.toSeq == Seq("grp", "rmae") && rmae.count() == 2)
+  }
+
   test("ts_conformal_by SQL == Scala API over a backtest-results table") {
     spark.sql("SELECT * FROM ts_backtest_auto_by('series', g, ds, y, 7, 2, '1d', " +
         "map('method', 'Naive'))")
