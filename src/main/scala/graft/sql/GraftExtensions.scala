@@ -56,6 +56,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `ts_fill_nulls_const_by(source, group_col, date_col, value_col, fill_value)`,
   *    `ts_fill_nulls_forward_by` / `ts_fill_nulls_backward_by(source, group_col,
   *    date_col, value_col)`, `ts_diff_by(…, diff_order)` (ts_macros.cpp:174-341)
+  *  - hierarchy natives: `ts_combine_keys(source[, params])` /
+  *    `ts_aggregate_hierarchy(source[, params])` (input columns positional:
+  *    date, value, ids…), `ts_split_keys(source[, params])` (input:
+  *    unique_id, date, value; params keys separator/columns),
+  *    `ts_validate_separator(source[, params])`
   *  - metric family: `ts_{mae,mse,rmse,mape,smape,r2,bias}_by(source,
   *    date_col, actual_col, forecast_col)`,
   *    `ts_mase_by(…, baseline_col)`, `ts_rmae_by(…, pred1_col, pred2_col)`,
@@ -123,6 +128,8 @@ object TableMacros {
     "ts_mae_by", "ts_mse_by", "ts_rmse_by", "ts_mape_by", "ts_smape_by",
     "ts_r2_by", "ts_bias_by", "ts_mase_by", "ts_rmae_by", "ts_coverage_by",
     "ts_quantile_loss_by",
+    "ts_combine_keys", "ts_split_keys", "ts_aggregate_hierarchy",
+    "ts_validate_separator",
     // all-string operator forms (ts_gaps.cpp:13, ts_fill_forward_operator.cpp:22)
     "ts_fill_gaps_operator", "ts_fill_forward_operator")
 
@@ -213,6 +220,45 @@ object TableMacros {
         if (rest.length > 1) fail("too many arguments")
         graft.ops.TsForecastOp.forecastInspectBy(source(src), ident(g, "group_col"),
           ident(ds, "date_col"), ident(y, "target_col"), str(method, "method"), params)
+      // hierarchy natives (ts_combine_keys.cpp:213, ts_split_keys.cpp:403,
+      // ts_aggregate_hierarchy.cpp:437, ts_validate_separator.cpp:268):
+      // columns are POSITIONAL in the input table — (date, value, ids…) for
+      // combine/aggregate, (unique_id, date, value) for split — with the
+      // separator (and split's columns list) in the params map
+      case ("ts_combine_keys", Seq(src, rest @ _*)) if rest.length <= 1 =>
+        val t = source(src)
+        if (t.columns.length < 3) fail("input needs (date, value, id…) columns")
+        val sep = rest.headOption.map(paramsMap).getOrElse(Map.empty)
+          .getOrElse("separator", "|")
+        graft.ops.Hierarchy.combineKeys(t, t.columns(0), t.columns(1),
+          t.columns.drop(2).toSeq, sep)
+      case ("ts_aggregate_hierarchy", Seq(src, rest @ _*)) if rest.length <= 1 =>
+        val t = source(src)
+        if (t.columns.length < 3) fail("input needs (date, value, id…) columns")
+        val sep = rest.headOption.map(paramsMap).getOrElse(Map.empty)
+          .getOrElse("separator", "|")
+        graft.ops.Hierarchy.aggregateHierarchy(t, t.columns(0), t.columns(1),
+          t.columns.drop(2).toSeq, sep)
+      case ("ts_split_keys", Seq(src, rest @ _*)) if rest.length <= 1 =>
+        val t = source(src)
+        if (t.columns.length != 3) fail("input must be (unique_id, date, value)")
+        val p = rest.headOption.map(paramsMap).getOrElse(Map.empty)
+        val sep = p.getOrElse("separator", "|")
+        val names = p.get("columns").map(_.split(',').map(_.trim).toSeq).getOrElse(Nil)
+        val nParts = if (names.nonEmpty) names.length else {
+          // like the native: count parts in the first non-null unique_id
+          val probe = t.select(t.columns(0))
+            .filter(org.apache.spark.sql.functions.col(t.columns(0)).isNotNull)
+            .limit(1).collect()
+          if (probe.isEmpty) 1
+          else probe(0).getString(0).split(java.util.regex.Pattern.quote(sep), -1).length
+        }
+        graft.ops.Hierarchy.splitKeys(t, t.columns(0), nParts, sep, names)
+      case ("ts_validate_separator", Seq(src, rest @ _*)) if rest.length <= 1 =>
+        val t = source(src)
+        val sep = rest.headOption.map(paramsMap).getOrElse(Map.empty)
+          .getOrElse("separator", "|")
+        graft.ops.Hierarchy.validateSeparator(t, t.columns.toSeq, sep)
       // metric macros (ts_macros.cpp:2017-2127): group cols = everything
       // except the date/value columns; output column named after the metric
       case (m, Seq(src, ds, actual, fc))

@@ -184,6 +184,30 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rmae.columns.toSeq == Seq("grp", "rmae") && rmae.count() == 2)
   }
 
+  test("hierarchy macros: combine/split round trip, rollup, separator check") {
+    val sp = spark
+    import sp.implicits._
+    Seq((java.sql.Date.valueOf("2024-01-01"), 10.0, "east", "s1"),
+      (java.sql.Date.valueOf("2024-01-01"), 20.0, "west", "s2"),
+      (java.sql.Date.valueOf("2024-01-02"), 30.0, "east", "s1"))
+      .toDF("ds", "y", "region", "store").createOrReplaceTempView("hier")
+    val combined = spark.sql("SELECT * FROM ts_combine_keys('hier')")
+    assert(combined.columns.toSeq == Seq("unique_id", "ds", "y"))
+    assert(combined.select("unique_id").distinct().collect().map(_.getString(0)).sorted
+      .toSeq == Seq("east|s1", "west|s2"))
+    combined.createOrReplaceTempView("hier_combined")
+    val split = spark.sql(
+      "SELECT * FROM ts_split_keys('hier_combined', map('columns', 'region,store'))")
+    assert(split.columns.contains("region") && split.columns.contains("store"))
+    assert(sortedRows(split.select("region", "store")) ==
+      sortedRows(spark.table("hier").select("region", "store")))
+    val rolled = spark.sql("SELECT * FROM ts_aggregate_hierarchy('hier')")
+    assert(sortedRows(rolled) == sortedRows(graft.ops.Hierarchy.aggregateHierarchy(
+      spark.table("hier"), "ds", "y", Seq("region", "store"))))
+    val check = spark.sql("SELECT * FROM ts_validate_separator('hier')").collect()
+    assert(check.length == 1)
+  }
+
   test("ts_conformal_by SQL == Scala API over a backtest-results table") {
     spark.sql("SELECT * FROM ts_backtest_auto_by('series', g, ds, y, 7, 2, '1d', " +
         "map('method', 'Naive'))")
