@@ -84,18 +84,10 @@ object SparkEntryV9 {
           round(col("timing_variability"), 6).as("timing_variability"),
           col("is_regular"), col("n_peaks"))),
     // perfect sinusoid: stable timing, stable amplitude, seasonal — theory
-    "ts_classify_seasonality_by" -> ((s, dir) => {
-      val clUdf = udf((vs: Seq[Double], nu: Seq[Boolean]) => {
-        val clean = Imputation.fillInterpolate(vs.toArray, nu.map(!_).toArray)
-        if (clean.length < 14 || clean.exists(_.isNaN)) None
-        else Some(SeasonalityExt.classify(clean, 7))
-      })
-      Series.gather(sinusoid7(s, dir), "g", "ds", "y")
-        .select(col("g"), clUdf(col("_vs"), col("_nu")).as("_c"))
-        .filter(col("_c").isNotNull)
-        .select(col("g"), col("_c.timing_classification"), col("_c.modulation_type"),
-          col("_c.has_stable_timing"), col("_c.is_seasonal"))
-    }),
+    "ts_classify_seasonality_by" -> ((s, dir) =>
+      graft.ops.TsDecompositionOp.classifySeasonalityBy(sinusoid7(s, dir), "g", "ds", "y", 7)
+        .select(col("g"), col("timing_classification"), col("modulation_type"),
+          col("has_stable_timing"), col("is_seasonal"))),
     "ts_amplitude_modulation_by" -> ((s, dir) => {
       val amUdf = udf((vs: Seq[Double], nu: Seq[Boolean]) => {
         val clean = Imputation.fillInterpolate(vs.toArray, nu.map(!_).toArray)
@@ -108,18 +100,10 @@ object SparkEntryV9 {
         .select(col("g"), col("_a.is_seasonal"), col("_a.modulation_type"),
           col("_a.has_modulation"))
     }),
-    "ts_analyze_seasonality_by" -> ((s, dir) => {
-      val anUdf = udf((vs: Seq[Double], nu: Seq[Boolean]) => {
-        val clean = Imputation.fillInterpolate(vs.toArray, nu.map(!_).toArray)
-        if (clean.length < 4 || clean.exists(_.isNaN)) None
-        else Some(SeasonalityExt.analyze(clean))
-      })
-      Series.gather(sinusoid7(s, dir), "g", "ds", "y")
-        .select(col("g"), anUdf(col("_vs"), col("_nu")).as("_a"))
-        .filter(col("_a").isNotNull)
-        .select(col("g"), col("_a.primary_period"), col("_a.is_seasonal"),
-          round(col("_a.trend_strength"), 6).as("trend_strength"))
-    }),
+    "ts_analyze_seasonality_by" -> ((s, dir) =>
+      graft.ops.TsDecompositionOp.analyzeSeasonalityBy(sinusoid7(s, dir), "g", "ds", "y")
+        .select(col("g"), col("primary_period"), col("is_seasonal"),
+          round(col("trend_strength"), 6).as("trend_strength"))),
     // contract: one instantaneous-period estimate per input point
     "ts_instantaneous_period_by" -> ((s, dir) => {
       val ipUdf = udf((vs: Seq[Double], nu: Seq[Boolean]) => {

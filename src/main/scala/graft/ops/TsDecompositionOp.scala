@@ -153,4 +153,48 @@ object TsDecompositionOp {
         col("_o.timingVariability").as("timing_variability"),
         col("_o.isRegular").as("is_regular"), col("_o.nPeaks").as("n_peaks"))
   }
+
+  /** ts_analyze_seasonality_by (seasonality.rs:380-440): per-group detected
+    * periods with clamped-ACF strengths, primary period and trend/seasonal
+    * strength. Groups shorter than 4 clean points are skipped. */
+  def analyzeSeasonalityBy(df: DataFrame, groupCol: String, dsCol: String, yCol: String,
+                           maxPeriod: Option[Int] = None): DataFrame = {
+    val u = udf((vs: Seq[Double], nu: Seq[Boolean]) => {
+      val clean = Imputation.fillInterpolate(vs.toArray, nu.map(!_).toArray)
+      if (clean.length < 4 || clean.exists(_.isNaN)) None
+      else Some(graft.kernels.SeasonalityExt.analyze(clean, maxPeriod))
+    })
+    Series.gather(df, groupCol, dsCol, yCol)
+      .select(col(groupCol), u(col("_vs"), col("_nu")).as("_a"))
+      .filter(col("_a").isNotNull)
+      .select(col(groupCol), col("_a.periods").as("periods"),
+        col("_a.strengths").as("strengths"),
+        col("_a.primary_period").as("primary_period"),
+        col("_a.trend_strength").as("trend_strength"),
+        col("_a.seasonal_strength").as("seasonal_strength"),
+        col("_a.is_seasonal").as("is_seasonal"))
+  }
+
+  /** ts_classify_seasonality_by (ts_macros.cpp:461; seasonality_ext timing
+    * classification): per-group stability/modulation classification at a
+    * fixed period. Groups shorter than two full cycles are skipped. */
+  def classifySeasonalityBy(df: DataFrame, groupCol: String, dsCol: String, yCol: String,
+                            period: Int): DataFrame = {
+    val u = udf((vs: Seq[Double], nu: Seq[Boolean]) => {
+      val clean = Imputation.fillInterpolate(vs.toArray, nu.map(!_).toArray)
+      if (clean.length < 2 * period || clean.exists(_.isNaN)) None
+      else Some(graft.kernels.SeasonalityExt.classify(clean, period))
+    })
+    Series.gather(df, groupCol, dsCol, yCol)
+      .select(col(groupCol), u(col("_vs"), col("_nu")).as("_c"))
+      .filter(col("_c").isNotNull)
+      .select(col(groupCol), col("_c.timing_classification").as("timing_classification"),
+        col("_c.modulation_type").as("modulation_type"),
+        col("_c.has_stable_timing").as("has_stable_timing"),
+        col("_c.timing_variability").as("timing_variability"),
+        col("_c.seasonal_strength").as("seasonal_strength"),
+        col("_c.is_seasonal").as("is_seasonal"),
+        col("_c.cycle_strengths").as("cycle_strengths"),
+        col("_c.weak_seasons").as("weak_seasons"))
+  }
 }

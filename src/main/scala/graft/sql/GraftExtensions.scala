@@ -130,6 +130,7 @@ object TableMacros {
     "ts_quantile_loss_by",
     "ts_combine_keys", "ts_split_keys", "ts_aggregate_hierarchy",
     "ts_validate_separator",
+    "ts_analyze_seasonality_by", "ts_classify_seasonality_by",
     // all-string operator forms (ts_gaps.cpp:13, ts_fill_forward_operator.cpp:22)
     "ts_fill_gaps_operator", "ts_fill_forward_operator")
 
@@ -318,6 +319,16 @@ object TableMacros {
         graft.ops.TsDecompositionOp.mstlDecompositionBy(source(src),
           ident(g, "group_col"), ident(ds, "date_col"), ident(y, "value_col"),
           periods, p.getOrElse("insufficient_data", "skip"))
+      case ("ts_analyze_seasonality_by", Seq(src, g, ds, y, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        val p = rest.headOption.map(paramsMap).getOrElse(Map.empty[String, String])
+        graft.ops.TsDecompositionOp.analyzeSeasonalityBy(source(src),
+          ident(g, "group_col"), ident(ds, "date_col"), ident(y, "value_col"),
+          p.get("max_period").map(_.toInt))
+      case ("ts_classify_seasonality_by", Seq(src, g, ds, y, period)) =>
+        graft.ops.TsDecompositionOp.classifySeasonalityBy(source(src),
+          ident(g, "group_col"), ident(ds, "date_col"), ident(y, "value_col"),
+          int(period, "period"))
       case ("ts_detect_periods_by", Seq(src, g, ds, y, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
         val p = rest.headOption.map(paramsMap).getOrElse(Map.empty[String, String])

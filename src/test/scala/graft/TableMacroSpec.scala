@@ -143,6 +143,16 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     eq("SELECT * FROM ts_detect_periods_by('series', g, ds, y, " +
         "map('method', 'acf'))",
       graft.ops.TsDecompositionOp.detectPeriodsBy(t, "g", "ds", "y", "acf"))
+    eq("SELECT * FROM ts_analyze_seasonality_by('series', g, ds, y)",
+      graft.ops.TsDecompositionOp.analyzeSeasonalityBy(t, "g", "ds", "y"))
+    eq("SELECT * FROM ts_classify_seasonality_by('series', g, ds, y, 7)",
+      graft.ops.TsDecompositionOp.classifySeasonalityBy(t, "g", "ds", "y", 7))
+    // the wave series must be recognized as 7-periodic through the SQL route
+    val wave = spark.sql(
+      "SELECT * FROM ts_analyze_seasonality_by('series', g, ds, y)")
+      .filter(col("g") === "wave").head()
+    assert(wave.getAs[Boolean]("is_seasonal") &&
+      wave.getAs[Int]("primary_period") == 7)
   }
 
   test("metric macros: group-column inference, closed forms, all 11 names") {
