@@ -87,6 +87,36 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("text analysis ops run unchanged on streams (stateless codegen columns)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // textStats / qualityScore / languageId are pure column expressions, so
+    // the same code path scores documents in a batch job and per-batch in a
+    // streaming ingestion pipeline — no adaptation layer
+    val input = MemoryStream[(Long, String)]
+    val scored = graft.llm.TextOps.qualityScore(
+      input.toDF().toDF("doc_id", "text"), "text")
+    val query = scored.writeStream.format("memory").queryName("quality_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "A well formed English sentence with reasonable length and words."),
+        (2L, "x"))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, quality_score FROM quality_out")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows(1L) > rows(2L), "the real sentence must outscore the fragment")
+      // identical scores to the batch path on the same rows
+      val batch = graft.llm.TextOps.qualityScore(
+        Seq((1L, "A well formed English sentence with reasonable length and words."),
+          (2L, "x")).toDF("doc_id", "text"), "text")
+        .select("doc_id", "quality_score")
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(rows == batch)
+    } finally query.stop()
+  }
+
   test("bandDocuments produces 4 bands per doc with consistent band ids") {
     val s = spark
     import s.implicits._
