@@ -58,7 +58,8 @@ object Ets {
   /** Run the ETS recursions; returns (sse-like likelihood pieces, fitted, final states).
     * Returns None when the recursion degenerates (non-finite states). */
   private def run(y: Array[Double], spec: Spec, m: Int,
-                  alpha: Double, beta: Double, gamma: Double, phi: Double):
+                  alpha: Double, beta: Double, gamma: Double, phi: Double,
+                  wantFitted: Boolean = true):
       Option[(Double, Double, Array[Double], Double, Double, Array[Double])] = {
     val n = y.length
     val hasT = spec.trend != 'N'
@@ -94,7 +95,9 @@ object Ets {
       s(0) = if (multS) 1.0 else 0.0
     }
 
-    val fitted = new Array[Double](n)
+    // the optimizer calls this thousands of times per series and discards the
+    // fitted path — skip the n-length allocation there (numerics identical)
+    val fitted = if (wantFitted) new Array[Double](n) else null
     var sse = 0.0
     var sumLogMu = 0.0
     var i = 0
@@ -103,7 +106,7 @@ object Ets {
       val si = if (hasS) s(i % m) else (if (multS) 1.0 else 0.0)
       val mu = if (hasS) { if (multS) trendVal * si else trendVal + si } else trendVal
       if (!java.lang.Double.isFinite(mu)) return None
-      fitted(i) = mu
+      if (wantFitted) fitted(i) = mu
       val e = if (spec.error == 'M') {
         if (math.abs(mu) < 1e-10) return None
         (y(i) - mu) / mu
@@ -138,7 +141,7 @@ object Ets {
     * additive error: n·ln(SSE/n); multiplicative: n·ln(SSE_rel/n) + 2Σln|μ|. */
   private def likelihood(y: Array[Double], spec: Spec, m: Int, p: Array[Double]): Double = {
     val phi = if (spec.damped) p(3) else 1.0
-    run(y, spec, m, p(0), p(1), p(2), phi) match {
+    run(y, spec, m, p(0), p(1), p(2), phi, wantFitted = false) match {
       case Some((sse, sumLogMu, _, _, _, _)) =>
         val n = y.length
         if (sse <= 0.0) return -1e300
