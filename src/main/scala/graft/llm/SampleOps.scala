@@ -1,0 +1,110 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, reproducible sampling for training-data pipelines.
+  *
+  * Every op keys off a counter-style hash — the same xorshift-multiply
+  * mixer modulo P = 2^31−1 as `kernels.Conformal.bootstrapIndex`, chosen
+  * because every intermediate stays far below 2^63 so any BIGINT engine
+  * (the DuckDB oracle included) replays the draw bit-for-bit.
+  *
+  * Why hash sampling instead of `rand()` / `TABLESAMPLE` at 100 TB:
+  *   - the keep/drop decision depends only on (seed, id) — never on task
+  *     order, partition count, retries, or speculative execution — so a
+  *     sample is reproducible across runs AND across cluster sizes, and a
+  *     row keeps the same fate when the pipeline is re-run incrementally;
+  *   - it is a partition-local `Filter` over pure codegen'd integer ops: no
+  *     shuffle, no RNG state to seed per-task, and Catalyst pushes the
+  *     surviving-column pruning straight into the scan;
+  *   - nested rates compose: `rate=0.1` of the corpus is a strict subset of
+  *     `rate=0.2` with the same seed (the bucket is fixed; only the
+  *     threshold moves), which makes scaling-law subsample ladders cheap.
+  */
+object SampleOps {
+
+  /** Modulus of the mixer (Mersenne prime 2^31 − 1). */
+  val P = 2147483647L
+  private val Mult = 2654435761L % P // Knuth multiplicative constant, reduced
+
+  /** Uniform hash bucket in [0, P) from an integer id and a seed.
+    * Mixer: x0 = (pmod(id, P)·Mult + seed) mod P, then three rounds of
+    * x ← ((x ⊕ (x ≫ 16)) · 48271) mod P  (48271: Park–Miller multiplier).
+    * Max intermediate: P·48271 < 2^47 — BIGINT-safe in any engine. */
+  def hashBucket(id: Column, seed: Long): Column = {
+    val s0 = ((seed % P) + P) % P
+    var x: Column = (pmod(id, lit(P)) * lit(Mult) + lit(s0)) % P
+    var r = 0
+    while (r < 3) {
+      x = (x.bitwiseXOR(shiftright(x, 16)) * lit(48271L)) % P
+      r += 1
+    }
+    x
+  }
+
+  /** Integer threshold for a [0,1] rate (compare bucket < threshold). */
+  def rateThreshold(rate: Double): Long = {
+    require(rate >= 0.0 && rate <= 1.0, s"sampling rate must be in [0,1], got $rate")
+    math.floor(rate * P).toLong
+  }
+
+  /** Bernoulli sample: keep each row iff hash(seed, id) < rate·P.
+    * A plain codegen'd filter — no shuffle, no state, reproducible. */
+  def sampleBernoulli(df: DataFrame, idCol: String, rate: Double, seed: Long): DataFrame =
+    df.filter(hashBucket(col(idCol), seed) < lit(rateThreshold(rate)))
+
+  /** Deterministic train/validation/test (or any n-way) split assignment.
+    * `weights` must sum to ~1; rows land in the first label whose cumulative
+    * threshold exceeds their bucket, so the assignment is total and stable.
+    * Emits the label into `out` without moving any data. */
+  def assignSplit(df: DataFrame, idCol: String, weights: Seq[(String, Double)],
+                  seed: Long, out: String = "split"): DataFrame = {
+    require(weights.nonEmpty, "assignSplit needs at least one (label, weight)")
+    require(weights.forall(_._2 >= 0.0), "split weights must be non-negative")
+    val total = weights.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9, s"split weights must sum to 1, got $total")
+    val bucket = hashBucket(col(idCol), seed)
+    val cum = weights.scanLeft(0.0)(_ + _._2).tail // cumulative upper edges
+    // the last label is the otherwise-branch so float edge rounding can
+    // never leave a row unlabeled
+    val expr = weights.init.zip(cum.init).foldLeft(Option.empty[Column]) {
+      case (acc, ((label, _), cumW)) =>
+        val cond = bucket < lit(rateThreshold(cumW))
+        Some(acc.fold(when(cond, lit(label)))(_.when(cond, lit(label))))
+    }
+    val labeled = expr.fold(lit(weights.last._1))(_.otherwise(lit(weights.last._1)))
+    df.withColumn(out, labeled)
+  }
+
+  /** Stratified Bernoulli sample: per-stratum rates (e.g. per language),
+    * unknown strata fall back to `defaultRate`. Still a pure filter — the
+    * per-stratum threshold is a literal CASE, not a join, so the op stays
+    * inside whole-stage codegen and shuffles nothing. */
+  def sampleStratified(df: DataFrame, idCol: String, strataCol: String,
+                       rates: Map[String, Double], defaultRate: Double,
+                       seed: Long): DataFrame = {
+    val thresh = rates.toSeq.sortBy(_._1).foldLeft(Option.empty[Column]) {
+      case (acc, (k, r)) =>
+        val c = col(strataCol) === lit(k)
+        Some(acc.fold(when(c, lit(rateThreshold(r))))(_.when(c, lit(rateThreshold(r)))))
+    }.fold(lit(rateThreshold(defaultRate)): Column)(_.otherwise(lit(rateThreshold(defaultRate))))
+    df.filter(hashBucket(col(idCol), seed) < thresh)
+  }
+
+  /** The oracle-side replay of [[hashBucket]] as a SQL CTE chain: returns
+    * (cteSql, bucketColName). `fromSql` must expose `idExpr`. Used by the
+    * driver oracles; kept here so the SQL and the Column expr share one
+    * definition of the constants. */
+  def hashBucketSqlCtes(fromSql: String, idExpr: String, seed: Long): (String, String) = {
+    val s0 = ((seed % P) + P) % P
+    val x0 = s"((($idExpr) % $P + $P) % $P * $Mult + $s0) % $P"
+    val cte = new StringBuilder(s"_h0 AS (SELECT *, $x0 AS _x0 FROM $fromSql)")
+    var r = 0
+    while (r < 3) {
+      cte.append(s", _h${r + 1} AS (SELECT *, (xor(_x$r, _x$r >> 16) * 48271) % $P AS _x${r + 1} FROM _h$r)")
+      r += 1
+    }
+    (cte.toString, "_x3")
+  }
+}

@@ -66,6 +66,58 @@ object TextOps {
       split(regexp_replace(col(textCol), "([\\p{Punct}])", " $1 "), "\\s+"),
       x => length(x) > 0)).cast(LongType))
 
+  /** Canonical text normalization for dedup/training prep: lowercase,
+    * collapse runs of whitespace to single spaces, trim. The whitespace
+    * class is spelled explicitly ([ \t\n\r\f]) rather than \s so the
+    * semantics are identical across regex engines (Java \s additionally
+    * matches \x0B; RE2 does not). Pure codegen column expression. */
+  def textNormalize(df: DataFrame, textCol: String, out: String = "text_norm"): DataFrame =
+    df.withColumn(out, trim(lower(regexp_replace(col(textCol), "[ \\t\\n\\r\\f]+", " "))))
+
+  /** PII scrubbing for training corpora: masks URLs, email addresses, and
+    * long digit runs (7+ — phone/account/id numbers) with typed tags.
+    * URLs first so an address inside a URL can't leave a dangling scheme.
+    * Patterns avoid lookarounds so any RE2-class engine applies the same
+    * replacements. A narrow per-row map — no shuffle, codegen'd. */
+  def piiScrub(df: DataFrame, textCol: String, out: String = "text_scrubbed"): DataFrame = {
+    val noUrl = regexp_replace(col(textCol), "https?://[^ \\t\\n\\r\\f]+", "<URL>")
+    val noEmail = regexp_replace(noUrl, "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+", "<EMAIL>")
+    df.withColumn(out, regexp_replace(noEmail, "[0-9]{7,}", "<ID>"))
+  }
+
+  /** Split documents into overlapping fixed-token-count windows — the
+    * standard context-window chunking step of an LLM training/RAG pipeline.
+    * Tokens are whitespace-delimited; each chunk carries `maxTokens` tokens
+    * and consecutive chunks overlap by `overlap`. Emits
+    * (…, chunk_id, chunk_text, chunk_tokens).
+    *
+    * Scale shape: a narrow per-row generator — `sequence` + `posexplode`
+    * over array slices, no shuffle, no UDF; a 100 TB corpus chunks at scan
+    * parallelism. Chunk COUNT per row is data-dependent, so output skew
+    * follows document-length skew; downstream repartition is the caller's
+    * choice (chunks are usually written straight back to parquet). */
+  def chunkByTokens(df: DataFrame, idCol: String, textCol: String,
+                    maxTokens: Int, overlap: Int = 0): DataFrame = {
+    require(maxTokens > 0, s"maxTokens must be positive, got $maxTokens")
+    require(overlap >= 0 && overlap < maxTokens,
+      s"overlap must be in [0, maxTokens), got $overlap")
+    val step = maxTokens - overlap
+    val toks = split(trim(col(textCol)), "[ \\t\\n\\r\\f]+")
+    // number of windows starting at 0, step, 2·step … that still begin
+    // before the end of the token array (at least one chunk per document)
+    val nChunks = greatest(
+      ceil((size(toks).cast(DoubleType) - overlap) / step).cast(LongType), lit(1L))
+    df.withColumn("_toks", toks)
+      .withColumn("_nc", nChunks)
+      .select(col("*"), posexplode(sequence(lit(0L), col("_nc") - 1)).as(Seq("_pos", "_i")))
+      .withColumn("chunk_id", col("_i"))
+      .withColumn("chunk_text",
+        array_join(slice(col("_toks"), (col("_i") * step + 1).cast(IntegerType), lit(maxTokens)), " "))
+      .withColumn("chunk_tokens",
+        size(slice(col("_toks"), (col("_i") * step + 1).cast(IntegerType), lit(maxTokens))).cast(LongType))
+      .drop("_toks", "_nc", "_pos", "_i")
+  }
+
   /** Character n-gram shingles of a normalized text, as a distinct array —
     * building block for MinHash / Jaccard dedup. */
   def shingles(textCol: Column, n: Int): Column = {

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{SampleOps, TextOps}
+
+/** Deterministic sampling + corpus-curation ops: reproducibility, subset
+  * nesting across rates, split totality, chunk reconstruction, scrubbing. */
+class SampleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-sample-ops")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def ids(n: Int) = {
+    val sp = spark
+    import sp.implicits._
+    (0L until n.toLong).toDF("id")
+  }
+
+  test("sampleBernoulli is deterministic, rate-accurate, and partition-invariant") {
+    val df = ids(20000)
+    val a = SampleOps.sampleBernoulli(df, "id", 0.3, seed = 7).collect().map(_.getLong(0)).toSet
+    val b = SampleOps.sampleBernoulli(df.repartition(13), "id", 0.3, seed = 7)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "sample must not depend on partitioning")
+    val rate = a.size.toDouble / 20000
+    assert(math.abs(rate - 0.3) < 0.02, s"empirical rate $rate should be ~0.3")
+    // a different seed draws a genuinely different sample
+    val c = SampleOps.sampleBernoulli(df, "id", 0.3, seed = 8).collect().map(_.getLong(0)).toSet
+    assert(a != c)
+  }
+
+  test("samples nest: rate 0.1 with the same seed is a subset of rate 0.3") {
+    val df = ids(5000)
+    val small = SampleOps.sampleBernoulli(df, "id", 0.1, 42).collect().map(_.getLong(0)).toSet
+    val big = SampleOps.sampleBernoulli(df, "id", 0.3, 42).collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big), "hash-threshold samples must be nested in rate")
+  }
+
+  test("assignSplit labels every row exactly once with ~requested proportions") {
+    val df = ids(20000)
+    val out = SampleOps.assignSplit(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), 42)
+    assert(out.count() == 20000)
+    val counts = out.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    assert(math.abs(counts("train") / 20000.0 - 0.8) < 0.02)
+    assert(math.abs(counts("val") / 20000.0 - 0.1) < 0.01)
+    assert(math.abs(counts("test") / 20000.0 - 0.1) < 0.01)
+    // splits are disjoint by construction (single label column); stable
+    val again = SampleOps.assignSplit(df, "id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), 42)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+  }
+
+  test("sampleStratified applies per-stratum rates with a default") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 9000L).map(i => (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "fr"))
+      .toDF("id", "lang")
+    val out = SampleOps.sampleStratified(df, "id", "lang",
+      Map("en" -> 0.5, "zh" -> 0.0), defaultRate = 0.2, seed = 1)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("en") / 3000.0 - 0.5) < 0.05)
+    assert(!counts.contains("zh"), "rate-0 stratum must vanish")
+    assert(math.abs(counts("fr") / 3000.0 - 0.2) < 0.05)
+  }
+
+  test("validation: bad rates and weights fail fast") {
+    val df = ids(10)
+    intercept[IllegalArgumentException](SampleOps.sampleBernoulli(df, "id", 1.2, 1))
+    intercept[IllegalArgumentException](SampleOps.assignSplit(df, "id", Seq("a" -> 0.5), 1))
+    intercept[IllegalArgumentException](
+      SampleOps.assignSplit(df, "id", Seq("a" -> 0.7, "b" -> -0.3, "c" -> 0.6), 1))
+    intercept[IllegalArgumentException](TextOps.chunkByTokens(df, "id", "id", 4, 4))
+  }
+
+  test("chunkByTokens: overlapped windows reconstruct the token stream") {
+    val sp = spark
+    import sp.implicits._
+    val text = (1 to 100).map(i => s"w$i").mkString(" ")
+    val df = Seq((1L, text), (2L, "short doc"), (3L, "exact four token doc")).toDF("doc_id", "text")
+    val out = TextOps.chunkByTokens(df, "doc_id", "text", maxTokens = 32, overlap = 8)
+      .select("doc_id", "chunk_id", "chunk_text", "chunk_tokens")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val d1 = out.filter(_._1 == 1L).sortBy(_._2)
+    // 100 tokens, window 32, step 24 → ceil((100-8)/24) = 4 chunks
+    assert(d1.length == 4)
+    assert(d1.forall(c => c._4 == c._3.split(" ").length))
+    assert(d1.head._3.startsWith("w1 ") && d1.last._3.endsWith(" w100"))
+    // consecutive chunks overlap by exactly 8 tokens
+    val t0 = d1(0)._3.split(" "); val t1 = d1(1)._3.split(" ")
+    assert(t0.takeRight(8).sameElements(t1.take(8)))
+    // de-overlapped concatenation reproduces the original token stream
+    val rebuilt = d1.head._3.split(" ") ++ d1.tail.flatMap(_._3.split(" ").drop(8))
+    assert(rebuilt.sameElements(text.split(" ")))
+    // short docs yield exactly one whole chunk
+    assert(out.filter(_._1 == 2L).map(c => (c._2, c._3)).toSeq == Seq((0L, "short doc")))
+  }
+
+  test("piiScrub masks urls, emails, and long digit runs; normalize canonicalizes") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L,
+      "Mail a.b+c@x-mail.example.org or see https://ex.org/a?b=1 code 123456789 but keep 42 and a@b short"))
+      .toDF("id", "text")
+    val got = TextOps.piiScrub(df, "text").select("text_scrubbed").head().getString(0)
+    assert(got == "Mail <EMAIL> or see <URL> code <ID> but keep 42 and a@b short")
+    val norm = TextOps.textNormalize(
+      Seq((1L, "  A\t\tB   c\nD  ")).toDF("id", "text"), "text")
+      .select("text_norm").head().getString(0)
+    assert(norm == "a b c d")
+  }
+}
