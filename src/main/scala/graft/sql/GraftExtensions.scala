@@ -132,7 +132,12 @@ object TableMacros {
     "ts_validate_separator",
     "ts_analyze_seasonality_by", "ts_classify_seasonality_by",
     // all-string operator forms (ts_gaps.cpp:13, ts_fill_forward_operator.cpp:22)
-    "ts_fill_gaps_operator", "ts_fill_forward_operator")
+    "ts_fill_gaps_operator", "ts_fill_forward_operator",
+    // corpus-curation surface (beyond the reference — the LLM pipeline ops)
+    "sample_bernoulli", "sample_stratified", "assign_split",
+    "text_normalize", "pii_scrub", "chunk_by_tokens",
+    "text_stats", "text_quality_score", "token_count", "language_id",
+    "dedup_exact")
 
   def expand(spark: SparkSession, name: String, args: Seq[Expression]): LogicalPlan = {
     def fail(msg: String): Nothing =
@@ -173,6 +178,21 @@ object TableMacros {
         case other => fail(s"params must be map('k','v', …) with string literals, got $other")
       }
     }
+    // map('k', 0.5, …) with numeric values, order-preserving for splits
+    def ratesSeq(e: Expression): Seq[(String, Double)] = {
+      def entries(kvs: Seq[Expression]): Seq[(String, Double)] =
+        kvs.grouped(2).map {
+          case Seq(k, v) => str(k, "rates key") -> dbl(v, "rates value")
+          case _ => fail("rates map must have an even number of key/value items")
+        }.toSeq
+      e match {
+        case f: UnresolvedFunction if f.nameParts.map(_.toLowerCase) == Seq("map") =>
+          entries(f.arguments)
+        case CreateMap(kvs, _) => entries(kvs)
+        case other => fail(s"rates must be map('k', rate, …), got $other")
+      }
+    }
+    def ratesMap(e: Expression): Map[String, Double] = ratesSeq(e).toMap
     def source(e: Expression) = spark.table(str(e, "source"))
     def strList(e: Expression, what: String): Seq[String] = e match {
       case f: UnresolvedFunction if f.nameParts.map(_.toLowerCase) == Seq("array") =>
@@ -398,6 +418,37 @@ object TableMacros {
         graft.ops.TsCvOp.backtestAutoBy(source(src), ident(g, "group_col"),
           ident(ds, "date_col"), ident(y, "target_col"), int(horizon, "horizon"),
           int(folds, "folds"), str(freq, "frequency"), params, metric)
+      // ------------------------------------------ corpus-curation macros
+      case ("sample_bernoulli", Seq(src, id, rate, seed)) =>
+        graft.llm.SampleOps.sampleBernoulli(source(src), ident(id, "id_col"),
+          dbl(rate, "rate"), dbl(seed, "seed").toLong)
+      case ("sample_stratified", Seq(src, id, strata, rates, defRate, seed)) =>
+        graft.llm.SampleOps.sampleStratified(source(src), ident(id, "id_col"),
+          ident(strata, "strata_col"), ratesMap(rates), dbl(defRate, "default_rate"),
+          dbl(seed, "seed").toLong)
+      case ("assign_split", Seq(src, id, weights, seed)) =>
+        graft.llm.SampleOps.assignSplit(source(src), ident(id, "id_col"),
+          ratesSeq(weights), dbl(seed, "seed").toLong)
+      case ("text_normalize", Seq(src, text)) =>
+        graft.llm.TextOps.textNormalize(source(src), ident(text, "text_col"))
+      case ("pii_scrub", Seq(src, text)) =>
+        graft.llm.TextOps.piiScrub(source(src), ident(text, "text_col"))
+      case ("chunk_by_tokens", Seq(src, id, text, maxTok, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.TextOps.chunkByTokens(source(src), ident(id, "id_col"),
+          ident(text, "text_col"), int(maxTok, "max_tokens"),
+          rest.headOption.map(int(_, "overlap")).getOrElse(0))
+      case ("text_stats", Seq(src, text)) =>
+        graft.llm.TextOps.textStats(source(src), ident(text, "text_col"))
+      case ("text_quality_score", Seq(src, text)) =>
+        graft.llm.TextOps.qualityScore(source(src), ident(text, "text_col"))
+      case ("token_count", Seq(src, text)) =>
+        graft.llm.TextOps.tokenCount(source(src), ident(text, "text_col"))
+      case ("language_id", Seq(src, text)) =>
+        graft.llm.TextOps.languageId(source(src), ident(text, "text_col"))
+      case ("dedup_exact", Seq(src, id, keys)) =>
+        graft.llm.TextOps.dedupExact(source(src), strList(keys, "key_cols"),
+          ident(id, "id_col"))
       case _ =>
         fail(s"wrong number of arguments (${args.length}) — see GraftExtensions scaladoc")
     }

@@ -117,6 +117,41 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("curation ops run unchanged on streams (sample, scrub, chunk)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // sampling is a stateless hash filter and chunking a stateless generator,
+    // so the batch operators ARE the streaming operators — and because the
+    // sample decision depends only on (seed, id), a restarted/replayed batch
+    // keeps the same rows (exactly-once-friendly)
+    val input = MemoryStream[(Long, String)]
+    val staged = graft.llm.TextOps.chunkByTokens(
+      graft.llm.TextOps.piiScrub(
+        graft.llm.SampleOps.sampleBernoulli(
+          input.toDF().toDF("doc_id", "text"), "doc_id", 0.6, seed = 5),
+        "text"),
+      "doc_id", "text_scrubbed", maxTokens = 4)
+    val query = staged.writeStream.format("memory").queryName("curated_out")
+      .outputMode("append").start()
+    val rows = (0L until 50L).map(i => (i, s"doc $i mail bot$i@spam.example.net tail words here"))
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT doc_id, chunk_id, chunk_text FROM curated_out")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      val batch = graft.llm.TextOps.chunkByTokens(
+        graft.llm.TextOps.piiScrub(
+          graft.llm.SampleOps.sampleBernoulli(rows.toDF("doc_id", "text"), "doc_id", 0.6, 5),
+          "text"),
+        "doc_id", "text_scrubbed", maxTokens = 4)
+        .select("doc_id", "chunk_id", "chunk_text")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).sorted.toSeq
+      assert(streamed == batch, "stream and batch paths must agree row-for-row")
+      assert(streamed.nonEmpty && streamed.forall(!_._3.contains("@")), "PII must be masked")
+    } finally query.stop()
+  }
+
   test("bandDocuments produces 4 bands per doc with consistent band ids") {
     val s = spark
     import s.implicits._

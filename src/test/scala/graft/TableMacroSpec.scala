@@ -269,6 +269,48 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(s2.sql("SELECT * FROM ts_stats_by('mini', 'g', 'ds', 'y', '1')").count() == 1)
   }
 
+  test("corpus-curation macros == Scala API") {
+    val sp = spark
+    import sp.implicits._
+    (0L until 200L).map(i => (i, s"Doc $i body with  WORDS and code ${i * 1111111}", if (i % 2 == 0) "en" else "de"))
+      .toDF("doc_id", "text", "lang").createOrReplaceTempView("docs")
+    val docs = spark.table("docs")
+
+    def eq(sql: String, api: DataFrame): Unit = {
+      val got = spark.sql(sql)
+      assert(got.columns.toSeq == api.columns.toSeq, sql)
+      assert(sortedRows(got) == sortedRows(api), sql)
+    }
+    eq("SELECT * FROM sample_bernoulli('docs', doc_id, 0.25, 42)",
+      graft.llm.SampleOps.sampleBernoulli(docs, "doc_id", 0.25, 42))
+    eq("SELECT * FROM sample_stratified('docs', doc_id, lang, map('en', 0.5), 0.1, 42)",
+      graft.llm.SampleOps.sampleStratified(docs, "doc_id", "lang", Map("en" -> 0.5), 0.1, 42))
+    eq("SELECT * FROM assign_split('docs', doc_id, map('train', 0.8, 'val', 0.1, 'test', 0.1), 42)",
+      graft.llm.SampleOps.assignSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), 42))
+    eq("SELECT * FROM text_normalize('docs', text)",
+      graft.llm.TextOps.textNormalize(docs, "text"))
+    eq("SELECT * FROM pii_scrub('docs', text)",
+      graft.llm.TextOps.piiScrub(docs, "text"))
+    eq("SELECT * FROM chunk_by_tokens('docs', doc_id, text, 4, 1)",
+      graft.llm.TextOps.chunkByTokens(docs, "doc_id", "text", 4, 1))
+    eq("SELECT * FROM text_stats('docs', text)",
+      graft.llm.TextOps.textStats(docs, "text"))
+    eq("SELECT * FROM text_quality_score('docs', text)",
+      graft.llm.TextOps.qualityScore(docs, "text"))
+    eq("SELECT * FROM token_count('docs', text)",
+      graft.llm.TextOps.tokenCount(docs, "text"))
+    eq("SELECT * FROM language_id('docs', text)",
+      graft.llm.TextOps.languageId(docs, "text"))
+    eq("SELECT * FROM dedup_exact('docs', doc_id, array('lang'))",
+      graft.llm.TextOps.dedupExact(docs, Seq("lang"), "doc_id"))
+    // macros compose: sampled split counts via plain SQL over the macro
+    val n = spark.sql("SELECT split, count(*) AS c FROM " +
+      "assign_split('docs', doc_id, map('train', 0.9, 'test', 0.1), 7) GROUP BY 1")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(n.values.sum == 200 && n.keySet == Set("train", "test"))
+  }
+
   test("bad arguments produce a clear error, not a planner crash") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, 'Naive')").collect()
