@@ -65,6 +65,17 @@ object SparkEntryV14 {
       TextOps.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
         maxTokens = 32, overlap = 8)
         .select(col("doc_id"), col("chunk_id"), col("chunk_text"), col("chunk_tokens"))),
+    "pack_sequences" -> ((s, dir) =>
+      TextOps.packSequences(
+        TextOps.chunkByTokens(t(s, dir, "documents"), "doc_id", "text",
+          maxTokens = 32, overlap = 8),
+        "doc_id", "chunk_id", "chunk_tokens", budget = 256, nBuckets = 8)
+        .select(col("doc_id"), col("chunk_id"), col("pack_id"))),
+    "decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextOps.contaminatedIds(docs, docs.filter(col("doc_id") % 50 === 0),
+        "doc_id", "text", n = 13)
+    }),
   )
 
   def oracleSql: Map[String, String] = {
@@ -98,6 +109,43 @@ object SparkEntryV14 {
            |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
            |    '[0-9]{7,}', '<ID>', 'g') AS text_scrubbed
            |FROM documents""".stripMargin,
+      "pack_sequences" -> {
+        val (hashCtes, bucket) = SampleOps.hashBucketSqlCtes("chunks", "doc_id", 0L)
+        s"""WITH toks AS (
+           |  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') AS _t FROM documents),
+           |nc AS (
+           |  SELECT doc_id, _t,
+           |         greatest(CAST(ceil((len(_t) - 8) / 24.0) AS BIGINT), 1) AS _nc
+           |  FROM toks),
+           |e AS (SELECT doc_id, _t, UNNEST(generate_series(0, _nc - 1)) AS _i FROM nc),
+           |chunks AS (
+           |  SELECT doc_id, _i AS chunk_id,
+           |         len(list_slice(_t, _i * 24 + 1, _i * 24 + 32)) AS chunk_tokens
+           |  FROM e),
+           |$hashCtes,
+           |packed AS (
+           |  SELECT doc_id, chunk_id, $bucket % 8 AS _bucket,
+           |         sum(chunk_tokens) OVER (PARTITION BY $bucket % 8
+           |           ORDER BY doc_id, chunk_id
+           |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - chunk_tokens AS _cum
+           |  FROM _h3)
+           |SELECT doc_id, chunk_id,
+           |       _bucket * 4294967296 + CAST(floor(_cum / 256) AS BIGINT) AS pack_id
+           |FROM packed""".stripMargin
+      },
+      "decontaminate" ->
+        """WITH ctoks AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f]+') AS _t FROM documents),
+          |cg AS (
+          |  SELECT doc_id, array_to_string(list_slice(_t, _i, _i + 12), ' ') AS gram
+          |  FROM (SELECT doc_id, _t, UNNEST(generate_series(1, len(_t) - 12)) AS _i
+          |        FROM ctoks WHERE len(_t) >= 13)),
+          |bg AS (
+          |  SELECT DISTINCT array_to_string(list_slice(_t, _i, _i + 12), ' ') AS gram
+          |  FROM (SELECT _t, UNNEST(generate_series(1, len(_t) - 12)) AS _i
+          |        FROM (SELECT string_split_regex(trim(text), '[ \t\n\r\f]+') AS _t
+          |              FROM documents WHERE doc_id % 50 = 0) WHERE len(_t) >= 13))
+          |SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram)""".stripMargin,
       "doc_chunks" ->
         """WITH toks AS (
           |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f]+') AS _t FROM documents),

@@ -118,6 +118,70 @@ object TextOps {
       .drop("_toks", "_nc", "_pos", "_i")
   }
 
+  /** Pack chunked documents into fixed-token-budget training rows
+    * (budget-boundary packing): rows are laid out in a deterministic
+    * order and cut into packs at multiples of `budget` tokens, so
+    * `pack_id = bucket · 2^32 + floor(running_tokens_before / budget)`.
+    * A row may straddle a boundary (packs can overflow by up to one row's
+    * tokens — the standard approximation; true greedy bin packing needs a
+    * sequential accumulator reset, which no distributed window expresses
+    * without giving up parallelism).
+    *
+    * Scale shape: the corpus is salted into `nBuckets` independent streams
+    * by a hash of the id, and the running total is a window WITHIN a
+    * bucket — one shuffle on the bucket key, each bucket's window sorts
+    * only corpus/nBuckets rows, no global ordering bottleneck. The layout
+    * is still deterministic (bucket = hash(id), order = (id, chunk)) so a
+    * re-run packs identically — unlike `monotonically_increasing_id`
+    * or zipWithIndex layouts, which depend on partition sizes. */
+  def packSequences(df: DataFrame, idCol: String, orderCol: String,
+                    tokensCol: String, budget: Int, nBuckets: Int = 1024,
+                    out: String = "pack_id"): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(nBuckets > 0, s"nBuckets must be positive, got $nBuckets")
+    val bucket = pmod(SampleOps.hashBucket(col(idCol), seed = 0L), lit(nBuckets.toLong))
+    val w = Window.partitionBy(col("_bucket"))
+      .orderBy(col(idCol), col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_bucket", bucket)
+      .withColumn("_cum", sum(col(tokensCol)).over(w) - col(tokensCol))
+      .withColumn(out, col("_bucket") * lit(4294967296L) + floor(col("_cum") / budget))
+      .drop("_bucket", "_cum")
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing at least one
+    * token n-gram (n=13 is the common contamination window) with any
+    * document in `benchmarks`. Returns the distinct flagged ids.
+    *
+    * Scale shape: the corpus side explodes to one row per n-gram but
+    * shuffles only (ngram-hash, id) pairs — the 64-bit hash is a prefilter
+    * and the join ALSO compares the gram text, so a hash collision cannot
+    * flag an innocent document. The benchmark side (eval sets — tiny next
+    * to a training corpus) is distinct-ed first; AQE broadcasts it when
+    * small, so the corpus-sized side joins without shuffling at all in the
+    * common case. */
+  def contaminatedIds(corpus: DataFrame, benchmarks: DataFrame,
+                      idCol: String, textCol: String, n: Int = 13): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
+    def grams(df: DataFrame, keep: Seq[Column]): DataFrame = {
+      val toks = split(trim(col(textCol)), "[ \\t\\n\\r\\f]+")
+      df.withColumn("_toks", toks)
+        .filter(size(col("_toks")) >= n)
+        .select(keep :+ explode(transform(
+          sequence(lit(1), size(col("_toks")) - (n - 1)),
+          i => array_join(slice(col("_toks"), i, lit(n)), " "))).as("_gram"): _*)
+    }
+    val corpusGrams = grams(corpus, Seq(col(idCol)))
+      .select(col(idCol), xxhash64(col("_gram")).as("_gh"), col("_gram"))
+    val benchGrams = grams(benchmarks, Seq.empty)
+      .select(xxhash64(col("_gram")).as("_gh"), col("_gram").as("_bgram"))
+      .distinct()
+    corpusGrams
+      .join(benchGrams, corpusGrams("_gh") === benchGrams("_gh") &&
+        corpusGrams("_gram") === benchGrams("_bgram"))
+      .select(col(idCol)).distinct()
+  }
+
   /** Character n-gram shingles of a normalized text, as a distinct array —
     * building block for MinHash / Jaccard dedup. */
   def shingles(textCol: Column, n: Int): Column = {

@@ -137,7 +137,7 @@ object TableMacros {
     "sample_bernoulli", "sample_stratified", "assign_split",
     "text_normalize", "pii_scrub", "chunk_by_tokens",
     "text_stats", "text_quality_score", "token_count", "language_id",
-    "dedup_exact")
+    "dedup_exact", "pack_sequences", "decontaminate")
 
   def expand(spark: SparkSession, name: String, args: Seq[Expression]): LogicalPlan = {
     def fail(msg: String): Nothing =
@@ -449,6 +449,16 @@ object TableMacros {
       case ("dedup_exact", Seq(src, id, keys)) =>
         graft.llm.TextOps.dedupExact(source(src), strList(keys, "key_cols"),
           ident(id, "id_col"))
+      case ("pack_sequences", Seq(src, id, ord, toks, budget, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.TextOps.packSequences(source(src), ident(id, "id_col"),
+          ident(ord, "order_col"), ident(toks, "tokens_col"), int(budget, "budget"),
+          rest.headOption.map(int(_, "n_buckets")).getOrElse(1024))
+      case ("decontaminate", Seq(src, bench, id, text, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.TextOps.contaminatedIds(source(src), source(bench),
+          ident(id, "id_col"), ident(text, "text_col"),
+          rest.headOption.map(int(_, "n")).getOrElse(13))
       case _ =>
         fail(s"wrong number of arguments (${args.length}) — see GraftExtensions scaladoc")
     }

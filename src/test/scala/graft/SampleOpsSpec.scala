@@ -113,6 +113,55 @@ class SampleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.filter(_._1 == 2L).map(c => (c._2, c._3)).toSeq == Seq((0L, "short doc")))
   }
 
+  test("packSequences: deterministic layout, bounded pack sizes, conservation") {
+    val sp = spark
+    import sp.implicits._
+    // 400 chunks of 10-40 tokens across 50 docs
+    val chunks = (0L until 400L).map(i => (i % 50, i / 50, 10L + (i % 4) * 10L))
+      .toDF("doc_id", "chunk_id", "chunk_tokens")
+    val packed = TextOps.packSequences(chunks, "doc_id", "chunk_id", "chunk_tokens",
+      budget = 100, nBuckets = 4)
+    assert(packed.count() == 400, "packing must not drop or duplicate rows")
+    // identical assignment regardless of input partitioning (layout is
+    // (hash-bucket, id, chunk), never partition order)
+    val again = TextOps.packSequences(chunks.repartition(7), "doc_id", "chunk_id",
+      "chunk_tokens", budget = 100, nBuckets = 4)
+    assert(packed.except(again).count() == 0 && again.except(packed).count() == 0)
+    // each pack holds <= budget + (max row tokens - 1); it can only overflow
+    // by the straddling row
+    val sizes = packed.groupBy("pack_id").agg(sum("chunk_tokens").as("tok"))
+      .collect().map(_.getLong(1))
+    assert(sizes.forall(_ <= 100 + 40 - 1), s"pack overflow bound violated: ${sizes.max}")
+    assert(sizes.sum == chunks.agg(sum("chunk_tokens")).head().getLong(0))
+    // packs within a bucket are dense: all but the last reach the boundary
+    val perPack = packed.groupBy("pack_id").agg(sum("chunk_tokens").as("tok"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byBucket = perPack.groupBy(_._1 / 4294967296L)
+    byBucket.foreach { case (_, ps) =>
+      val nonLast = ps.sortBy(_._1).init
+      assert(nonLast.forall(_._2 >= 100 - 39), "non-final packs must be near the budget")
+    }
+  }
+
+  test("contaminatedIds flags 13-gram overlap with benchmarks, not shorter overlap") {
+    val sp = spark
+    import sp.implicits._
+    val benchText = (1 to 30).map(i => s"b$i").mkString(" ")
+    val bench = Seq((100L, benchText)).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains b5..b17 = 13 consecutive benchmark tokens → contaminated
+      (1L, "clean prefix " + (5 to 17).map(i => s"b$i").mkString(" ") + " clean suffix"),
+      // only 12 consecutive benchmark tokens → clean
+      (2L, "clean prefix " + (5 to 16).map(i => s"b$i").mkString(" ") + " clean suffix"),
+      // same 13 tokens but interrupted → clean
+      (3L, (5 to 11).map(i => s"b$i").mkString(" ") + " X " + (12 to 17).map(i => s"b$i").mkString(" ")),
+      (4L, "entirely unrelated words in this document body")
+    ).toDF("doc_id", "text")
+    val flagged = TextOps.contaminatedIds(corpus, bench, "doc_id", "text", n = 13)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L))
+  }
+
   test("piiScrub masks urls, emails, and long digit runs; normalize canonicalizes") {
     val sp = spark
     import sp.implicits._

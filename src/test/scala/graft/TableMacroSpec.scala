@@ -304,6 +304,14 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.llm.TextOps.languageId(docs, "text"))
     eq("SELECT * FROM dedup_exact('docs', doc_id, array('lang'))",
       graft.llm.TextOps.dedupExact(docs, Seq("lang"), "doc_id"))
+    graft.llm.TextOps.chunkByTokens(docs, "doc_id", "text", 4, 1)
+      .createOrReplaceTempView("doc_chunks_v")
+    eq("SELECT * FROM pack_sequences('doc_chunks_v', doc_id, chunk_id, chunk_tokens, 64, 4)",
+      graft.llm.TextOps.packSequences(spark.table("doc_chunks_v"),
+        "doc_id", "chunk_id", "chunk_tokens", 64, 4))
+    spark.sql("SELECT * FROM docs WHERE doc_id < 5").createOrReplaceTempView("bench_v")
+    eq("SELECT * FROM decontaminate('docs', 'bench_v', doc_id, text, 3)",
+      graft.llm.TextOps.contaminatedIds(docs, spark.table("bench_v"), "doc_id", "text", 3))
     // macros compose: sampled split counts via plain SQL over the macro
     val n = spark.sql("SELECT split, count(*) AS c FROM " +
       "assign_split('docs', doc_id, map('train', 0.9, 'test', 0.1), 7) GROUP BY 1")
