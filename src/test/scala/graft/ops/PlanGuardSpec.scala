@@ -162,6 +162,43 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("curation ops: sampling/chunking shuffle nothing; packing shuffles once") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val sp = spark
+    import sp.implicits._
+    val docs = (0L until 100L).map(i => (i, s"some words for doc $i repeated words"))
+      .toDF("doc_id", "text")
+
+    // Bernoulli sampling / split assignment / scrub / chunk: pure narrow
+    // codegen — ZERO exchanges, so at 100 TB they run at scan parallelism
+    val narrowOps = Seq(
+      graft.llm.SampleOps.sampleBernoulli(docs, "doc_id", 0.5, 1),
+      graft.llm.SampleOps.assignSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.5), 1),
+      graft.llm.TextOps.piiScrub(docs, "text"),
+      graft.llm.TextOps.textNormalize(docs, "text"),
+      graft.llm.TextOps.chunkByTokens(docs, "doc_id", "text", 8, 2))
+    narrowOps.foreach { df =>
+      val ex = df.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+      assert(ex.isEmpty, s"narrow curation op must not shuffle:\n${df.queryExecution.executedPlan}")
+    }
+
+    // packing: exactly ONE shuffle, keyed by the salt bucket — the window
+    // sorts per-bucket slices, never a single global ordering
+    val chunks = graft.llm.TextOps.chunkByTokens(docs, "doc_id", "text", 8, 2)
+    val packed = graft.llm.TextOps.packSequences(chunks, "doc_id", "chunk_id",
+      "chunk_tokens", budget = 32, nBuckets = 16)
+    val pex = packed.queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+    assert(pex.length == 1, s"packing must shuffle exactly once, got ${pex.length}")
+    assert(pex.head.outputPartitioning.toString.contains("_bucket") ||
+      pex.head.child.output.exists(_.name == "_bucket"),
+      "the single packing shuffle must be keyed by the salt bucket")
+
+    // decontamination: hash-join on gram hashes, never a cartesian
+    val decon = graft.llm.TextOps.contaminatedIds(docs, docs.limit(3), "doc_id", "text", 3)
+    val dplan = decon.queryExecution.executedPlan.toString
+    assert(!dplan.contains("CartesianProduct") && !dplan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("flagship forecast: one shuffle on the group key, no cartesian") {
     val df = graft.ops.TsForecastOp.forecastBy(
       spark.read.parquet(s"$sfDir/events.parquet")
