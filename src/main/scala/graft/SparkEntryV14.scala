@@ -76,6 +76,10 @@ object SparkEntryV14 {
       TextOps.contaminatedIds(docs, docs.filter(col("doc_id") % 50 === 0),
         "doc_id", "text", n = 13)
     }),
+    "text_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), col("dup_token_frac"),
+          col("dup_2gram_frac"), col("dup_3gram_frac"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -146,6 +150,19 @@ object SparkEntryV14 {
           |        FROM (SELECT string_split_regex(trim(text), '[ \t\n\r\f]+') AS _t
           |              FROM documents WHERE doc_id % 50 = 0) WHERE len(_t) >= 13))
           |SELECT DISTINCT doc_id FROM cg JOIN bg USING (gram)""".stripMargin,
+      "text_repetition" ->
+        """WITH t AS (
+          |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f]+') AS tk FROM documents),
+          |g AS (
+          |  SELECT doc_id, tk,
+          |    [array_to_string(list_slice(tk, i, i + 1), ' ') FOR i IN generate_series(1, len(tk) - 1)] AS g2,
+          |    [array_to_string(list_slice(tk, i, i + 2), ' ') FOR i IN generate_series(1, len(tk) - 2)] AS g3
+          |  FROM t)
+          |SELECT doc_id,
+          |  CASE WHEN len(tk) > 0 THEN round(1.0 - len(list_distinct(tk)) / len(tk), 6) ELSE 0.0 END AS dup_token_frac,
+          |  CASE WHEN len(g2) > 0 THEN round(1.0 - len(list_distinct(g2)) / len(g2), 6) ELSE 0.0 END AS dup_2gram_frac,
+          |  CASE WHEN len(g3) > 0 THEN round(1.0 - len(list_distinct(g3)) / len(g3), 6) ELSE 0.0 END AS dup_3gram_frac
+          |FROM g""".stripMargin,
       "doc_chunks" ->
         """WITH toks AS (
           |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f]+') AS _t FROM documents),

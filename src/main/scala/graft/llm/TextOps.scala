@@ -118,6 +118,32 @@ object TextOps {
       .drop("_toks", "_nc", "_pos", "_i")
   }
 
+  /** Within-document repetition signals (Gopher-style quality filters,
+    * Rae et al. 2021 §A1.1): the fraction of repeated tokens / 2-grams /
+    * 3-grams. High values mark boilerplate and degenerate generations.
+    * All pure array expressions (`array_distinct` over gram arrays) — no
+    * shuffle, no per-doc groupBy; a corpus scores at scan parallelism. */
+  def repetitionStats(df: DataFrame, textCol: String): DataFrame = {
+    val toks = split(trim(col(textCol)), "[ \\t\\n\\r\\f]+")
+    // guard: Spark's sequence(1, 0) DESCENDS instead of yielding empty
+    def gramArr(tc: Column, n: Int): Column =
+      when(size(tc) >= n,
+        transform(sequence(lit(1), size(tc) - (n - 1)),
+          i => array_join(slice(tc, i, lit(n)), " ")))
+        .otherwise(array().cast(ArrayType(StringType)))
+    def dupFrac(arr: Column): Column = {
+      val tot = size(arr)
+      when(tot > 0,
+        round(lit(1.0) - size(array_distinct(arr)).cast(DoubleType) / tot.cast(DoubleType), 6))
+        .otherwise(0.0)
+    }
+    df.withColumn("_tk", toks)
+      .withColumn("dup_token_frac", dupFrac(col("_tk")))
+      .withColumn("dup_2gram_frac", dupFrac(gramArr(col("_tk"), 2)))
+      .withColumn("dup_3gram_frac", dupFrac(gramArr(col("_tk"), 3)))
+      .drop("_tk")
+  }
+
   /** Pack chunked documents into fixed-token-budget training rows
     * (budget-boundary packing): rows are laid out in a deterministic
     * order and cut into packs at multiples of `budget` tokens, so

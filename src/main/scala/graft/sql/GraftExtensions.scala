@@ -137,7 +137,7 @@ object TableMacros {
     "sample_bernoulli", "sample_stratified", "assign_split",
     "text_normalize", "pii_scrub", "chunk_by_tokens",
     "text_stats", "text_quality_score", "token_count", "language_id",
-    "dedup_exact", "pack_sequences", "decontaminate")
+    "dedup_exact", "pack_sequences", "decontaminate", "text_repetition")
 
   def expand(spark: SparkSession, name: String, args: Seq[Expression]): LogicalPlan = {
     def fail(msg: String): Nothing =
@@ -449,6 +449,8 @@ object TableMacros {
       case ("dedup_exact", Seq(src, id, keys)) =>
         graft.llm.TextOps.dedupExact(source(src), strList(keys, "key_cols"),
           ident(id, "id_col"))
+      case ("text_repetition", Seq(src, text)) =>
+        graft.llm.TextOps.repetitionStats(source(src), ident(text, "text_col"))
       case ("pack_sequences", Seq(src, id, ord, toks, budget, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
         graft.llm.TextOps.packSequences(source(src), ident(id, "id_col"),

@@ -162,6 +162,25 @@ class SampleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(flagged == Set(1L))
   }
 
+  test("repetitionStats: dup fractions match hand counts, degenerate text scores high") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "a b c d"),                  // all unique: 0 everywhere
+      (2L, "spam spam spam spam"),      // 4 tokens 1 distinct; 3 bigrams 1 distinct
+      (3L, "x"),                        // single token: no bigrams/trigrams
+      (4L, "a b a b a b")               // tokens 6/2; bigrams 5 distinct 2; trigrams 4 distinct 2
+    ).toDF("doc_id", "text")
+    val got = graft.llm.TextOps.repetitionStats(df, "text")
+      .select("doc_id", "dup_token_frac", "dup_2gram_frac", "dup_3gram_frac")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(got(1L) == ((0.0, 0.0, 0.0)))
+    assert(got(2L) == ((0.75, math.rint((1 - 1.0 / 3) * 1e6) / 1e6, 0.5)))
+    assert(got(3L) == ((0.0, 0.0, 0.0)))
+    assert(got(4L)._1 == math.rint((1 - 2.0 / 6) * 1e6) / 1e6)
+    assert(got(4L)._2 == 0.6 && got(4L)._3 == 0.5)
+  }
+
   test("piiScrub masks urls, emails, and long digit runs; normalize canonicalizes") {
     val sp = spark
     import sp.implicits._

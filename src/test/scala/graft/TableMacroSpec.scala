@@ -304,6 +304,8 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.llm.TextOps.languageId(docs, "text"))
     eq("SELECT * FROM dedup_exact('docs', doc_id, array('lang'))",
       graft.llm.TextOps.dedupExact(docs, Seq("lang"), "doc_id"))
+    eq("SELECT * FROM text_repetition('docs', text)",
+      graft.llm.TextOps.repetitionStats(docs, "text"))
     graft.llm.TextOps.chunkByTokens(docs, "doc_id", "text", 4, 1)
       .createOrReplaceTempView("doc_chunks_v")
     eq("SELECT * FROM pack_sequences('doc_chunks_v', doc_id, chunk_id, chunk_tokens, 64, 4)",
