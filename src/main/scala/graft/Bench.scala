@@ -204,6 +204,22 @@ object Bench {
     docs10.count()
     val minhash10 = median3(onceDf(
       llm.TextOps.minHashLshPairs(docs10, "doc_id", "text")))
+    // curation pipeline at 10× corpus: normalize→scrub→sample→chunk→pack
+    // (narrow codegen + one bucket shuffle), and 13-gram decontamination
+    // against a 1%-sized benchmark set
+    val curate10 = median3(onceDf(
+      llm.TextOps.packSequences(
+        llm.TextOps.chunkByTokens(
+          llm.TextOps.piiScrub(
+            llm.TextOps.textNormalize(
+              llm.SampleOps.sampleBernoulli(docs10, "doc_id", 0.5, seed = 42),
+              "text"),
+            "text_norm"),
+          "doc_id", "text_scrubbed", maxTokens = 64, overlap = 8),
+        "doc_id", "chunk_id", "chunk_tokens", budget = 512)))
+    val decon10 = median3(onceDf(
+      llm.TextOps.contaminatedIds(docs10,
+        docs10.filter(col("doc_id") % 100 === 0), "doc_id", "text")))
     docs10.unpersist()
     // IVF at 10× corpus: index built once (train/assign untimed, as in the
     // base protocol — a persisted index is the production deployment), the
@@ -228,6 +244,8 @@ object Bench {
       "\"" + k + f"""\":{"sec":$v%.3f,"ms_per_series":${v * 1000.0 / (nSeries1 * 10)}%.4f}"""
     } ++ Seq(
       f""""dedup_minhash_docs":{"sec":$minhash10%.3f,"ms_per_doc":${minhash10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
+      f""""curate_pipeline_docs":{"sec":$curate10%.3f,"ms_per_doc":${curate10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
+      f""""decontaminate_docs":{"sec":$decon10%.3f,"ms_per_doc":${decon10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
       f""""ann_ivf_probe":{"sec":$probe10%.3f,"ms_per_query":${probe10 * 1000.0 / nQueries}%.3f}"""
     )).mkString("{", ",",
       s""","n_series":${nSeries1 * 10},"n_docs":${nDocs1 * 10},"n_vectors":${nEmb1 * 10},"n_queries":$nQueries}""")
