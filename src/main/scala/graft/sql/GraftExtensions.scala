@@ -79,6 +79,10 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `ts_forecast_exog(source, date_col, target_col, xregs, future_source,
   *    future_date_col, future_xregs[, method[, horizon[, params]]])`
   *    (ts_macros.cpp:756, :830)
+  *  - domain curation: `extract_domain(source, url_col)`,
+  *    `domain_filter(source, id_col, domain_col, array('d1', …)[, mode])`
+  *    (mode block|allow, default block),
+  *    `cap_per_domain(source, id_col, domain_col, cap, seed)`
   *  - `ts_fill_gaps_operator(source, group_col, date_col, value_col, frequency)`
   *    and `ts_fill_forward_operator(source, group_col, date_col, value_col,
   *    target_date, frequency)` — the reference's all-string operator forms
@@ -137,7 +141,8 @@ object TableMacros {
     "sample_bernoulli", "sample_stratified", "assign_split",
     "text_normalize", "pii_scrub", "chunk_by_tokens",
     "text_stats", "text_quality_score", "token_count", "language_id",
-    "dedup_exact", "pack_sequences", "decontaminate", "text_repetition")
+    "dedup_exact", "pack_sequences", "decontaminate", "text_repetition",
+    "extract_domain", "domain_filter", "cap_per_domain")
 
   def expand(spark: SparkSession, name: String, args: Seq[Expression]): LogicalPlan = {
     def fail(msg: String): Nothing =
@@ -461,6 +466,26 @@ object TableMacros {
         graft.llm.TextOps.contaminatedIds(source(src), source(bench),
           ident(id, "id_col"), ident(text, "text_col"),
           rest.headOption.map(int(_, "n")).getOrElse(13))
+      // domain-level curation (DomainOps)
+      case ("extract_domain", Seq(src, url)) =>
+        graft.llm.DomainOps.extractDomain(source(src), ident(url, "url_col"))
+      case ("domain_filter", Seq(src, id, domain, list, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        val entries = list match {
+          case f: UnresolvedFunction if f.nameParts.map(_.toLowerCase) == Seq("array") =>
+            f.arguments.map(a => str(a, "domain entry"))
+          case org.apache.spark.sql.catalyst.expressions.CreateArray(items, _) =>
+            items.map(a => str(a, "domain entry"))
+          case other => fail(s"domains must be array('d1', …), got $other")
+        }
+        val domains = spark.createDataset(entries)(
+          org.apache.spark.sql.Encoders.STRING).toDF("domain")
+        graft.llm.DomainOps.filterByDomainList(source(src), ident(id, "id_col"),
+          ident(domain, "domain_col"), domains,
+          rest.headOption.map(str(_, "mode")).getOrElse("block"))
+      case ("cap_per_domain", Seq(src, id, domain, cap, seed)) =>
+        graft.llm.DomainOps.capPerDomain(source(src), ident(id, "id_col"),
+          ident(domain, "domain_col"), int(cap, "cap"), dbl(seed, "seed").toLong)
       case _ =>
         fail(s"wrong number of arguments (${args.length}) — see GraftExtensions scaladoc")
     }

@@ -321,6 +321,30 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(n.values.sum == 200 && n.keySet == Set("train", "test"))
   }
 
+  test("domain curation macros == Scala API") {
+    val sp = spark
+    import sp.implicits._
+    (0L until 60L).map(i => (i, s"https://www.site${i % 6}.example.com/p/$i"))
+      .toDF("doc_id", "url").createOrReplaceTempView("pages")
+    val pages = spark.table("pages")
+
+    def eq(sql: String, api: DataFrame): Unit = {
+      val got = spark.sql(sql)
+      assert(got.columns.toSeq == api.columns.toSeq, sql)
+      assert(sortedRows(got) == sortedRows(api), sql)
+    }
+    eq("SELECT * FROM extract_domain('pages', url)",
+      graft.llm.DomainOps.extractDomain(pages, "url"))
+    graft.llm.DomainOps.extractDomain(pages, "url").createOrReplaceTempView("paged")
+    val paged = spark.table("paged")
+    val list = Seq("site0.example.com", "site3.example.com").toDF("domain")
+    eq("SELECT * FROM domain_filter('paged', doc_id, domain, " +
+      "array('site0.example.com', 'site3.example.com'), 'block')",
+      graft.llm.DomainOps.filterByDomainList(paged, "doc_id", "domain", list, "block"))
+    eq("SELECT * FROM cap_per_domain('paged', doc_id, domain, 4, 42)",
+      graft.llm.DomainOps.capPerDomain(paged, "doc_id", "domain", 4, 42L))
+  }
+
   test("bad arguments produce a clear error, not a planner crash") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, 'Naive')").collect()
