@@ -1,0 +1,109 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Deterministic token-budget data mixing: select documents per mixture
+  * component (domain/source/language) until each component's token budget is
+  * met — the final assembly step of a training-data pipeline ("X% web, Y%
+  * code, capped at N tokens total").
+  *
+  * Selection order within a component is the [[SampleOps.hashBucket]]
+  * priority (then id) — reproducible across runs, cluster sizes and
+  * incremental re-runs, and consistent with the sampling ops: a doc that
+  * survives a budget cut keeps surviving when the budget grows.
+  *
+  * Scale design — the naive plan (cumulative sum over a Window partitioned
+  * by component) funnels each component's ENTIRE corpus slice through one
+  * partition: the fold_id straggler bomb at 100 TB scale. Instead the exact
+  * prefix rule is computed in two phases:
+  *
+  *  1. a (component × coarse-bucket) token histogram — ≤ budgets.size ×
+  *     `nCoarse` rows, aggregated with map-side partial combine. The
+  *     running prefix over THAT is a window over a tiny table, and tells
+  *     every coarse bucket whether it falls wholly inside the budget,
+  *     wholly outside, or on the boundary;
+  *  2. only the (at most one per component) boundary bucket's rows — an
+  *     expected `1/nCoarse` slice of the component — go through an exact
+  *     per-row cumulative sum. Everything else is a broadcast-joined
+  *     codegen filter.
+  *
+  * A document is kept iff its inclusive prefix token sum ≤ the component
+  * budget. Rows with non-positive token counts and rows in components
+  * without a budget are dropped.
+  */
+object MixOps {
+
+  private val P = SampleOps.P
+
+  /** Per-component budgets from mixture weights: floor(weight · total). */
+  def budgetsFromWeights(weights: Map[String, Double], totalBudget: Long): Map[String, Long] = {
+    require(weights.values.forall(_ >= 0.0), "mixture weights must be non-negative")
+    require(totalBudget >= 0, s"totalBudget must be non-negative, got $totalBudget")
+    weights.map { case (k, w) => k -> math.floor(w * totalBudget).toLong }
+  }
+
+  /** Select rows to meet per-component token budgets (see object doc).
+    * `budgets` is a driver-side map — mixture components are a bounded spec
+    * (dozens of sources/languages), not an unbounded key space; for
+    * unbounded per-web-domain CAPS use [[DomainOps.capPerDomain]].
+    * Returns the surviving input rows, original columns unchanged. */
+  def selectPerDomainBudget(df: DataFrame, idCol: String, domainCol: String,
+                            tokenCol: String, budgets: Map[String, Long],
+                            seed: Long, nCoarse: Int = 4096): DataFrame = {
+    require(budgets.nonEmpty, "selectPerDomainBudget needs at least one (component, budget)")
+    require(budgets.values.forall(_ >= 0L), "token budgets must be non-negative")
+    require(nCoarse >= 1, s"nCoarse must be >= 1, got $nCoarse")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val outCols = df.columns.toSeq.map(col)
+    val width = P / nCoarse + 1 // coarse bucket = _b / width, order-compatible with _b
+    val budgetDf = budgets.toSeq.sortBy(_._1).toDF(domainCol, "_budget")
+    val base = df
+      .filter(col(tokenCol) > 0)
+      .join(broadcast(budgetDf), Seq(domainCol)) // unbudgeted components drop here
+      .withColumn("_b", SampleOps.hashBucket(col(idCol), seed))
+      .withColumn("_coarse", (col("_b") / width).cast(LongType))
+    // phase 1: tiny histogram + its running prefix (window over ≤
+    // budgets.size × nCoarse rows — bounded, not corpus-sized)
+    val hist = base.groupBy(col(domainCol), col("_coarse"))
+      .agg(sum(col(tokenCol)).as("_t"))
+    val wHist = Window.partitionBy(col(domainCol)).orderBy(col("_coarse"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("_before", coalesce(sum(col("_t")).over(wHist), lit(0L)))
+    // phase 2: classify each row's coarse bucket via broadcast join
+    val tagged = base.join(broadcast(cum), Seq(domainCol, "_coarse"))
+    val fullKeep = tagged.filter(col("_before") + col("_t") <= col("_budget"))
+    val boundary = tagged.filter(
+      col("_before") < col("_budget") && col("_before") + col("_t") > col("_budget"))
+    // exact per-row prefix only on the boundary slice (one coarse bucket per
+    // component — an expected 1/nCoarse of the component's rows)
+    val wRow = Window.partitionBy(col(domainCol)).orderBy(col("_b"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryKeep = boundary
+      .withColumn("_cum", col("_before") + sum(col(tokenCol)).over(wRow))
+      .filter(col("_cum") <= col("_budget"))
+      .drop("_cum")
+    fullKeep.unionByName(boundaryKeep).select(outCols: _*)
+  }
+
+  /** Single-budget convenience: select rows (hash-priority order) until the
+    * corpus-wide token budget is met. */
+  def selectToTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
+                          budget: Long, seed: Long, nCoarse: Int = 4096): DataFrame = {
+    val tagged = df.withColumn("_dom", lit("_all"))
+    selectPerDomainBudget(tagged, idCol, "_dom", tokenCol,
+      Map("_all" -> budget), seed, nCoarse).drop("_dom")
+  }
+
+  /** Mixture convenience: weights + a total budget (see
+    * [[budgetsFromWeights]]). */
+  def mixToTokenBudget(df: DataFrame, idCol: String, domainCol: String,
+                       tokenCol: String, weights: Map[String, Double],
+                       totalBudget: Long, seed: Long,
+                       nCoarse: Int = 4096): DataFrame =
+    selectPerDomainBudget(df, idCol, domainCol, tokenCol,
+      budgetsFromWeights(weights, totalBudget), seed, nCoarse)
+}

@@ -311,9 +311,10 @@ object SimilarityOps {
   /** Join probe lists with the (possibly disk-resident) inverted lists and
     * reduce to per-query top-k through the bounded-heap Aggregator. */
   private def probeJoin(assigned: DataFrame, probes: DataFrame, k: Int,
-                        vidType: DataType): DataFrame = {
+                        vidType: DataType, excludeSelf: Boolean = false): DataFrame = {
     val topk = udaf(new TopKAggregator(k), ExpressionEncoder[(Long, Double)]())
-    probes.join(assigned, Seq("centroid_id"))
+    val joined = probes.join(assigned, Seq("centroid_id"))
+    (if (excludeSelf) joined.filter(col("qid") =!= col("vid")) else joined)
       .withColumn("sim", cosine(col("_qv"), col("_cv")))
       .filter(!isnan(col("sim")))
       .select(col("qid"), col("vid").cast(LongType).as("vid"), col("sim"))
@@ -392,4 +393,78 @@ object SimilarityOps {
       .select(col("id_b").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }
+
+  // ------------------------------------------------------------- SemDeDup
+
+  /** SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space with a k-means
+    * centroid table (the IVF trainer doubles as the clusterer), then
+    * generate candidate pairs ONLY within each cluster — pairwise cost is
+    * Σ m_c² over cluster sizes instead of corpus², and every corpus-sized
+    * stage shuffles on `centroid_id` alone (the key a stored corpus is
+    * bucketed by at scale, so the self-join co-locates without a new
+    * exchange). Clusters larger than `maxClusterSize` are excluded from
+    * pair generation — a degenerate cluster of m rows is an O(m²)
+    * straggler/OOM bomb at 100 TB (same cap discipline as
+    * [[lshNearPairs]]); re-cluster hot clusters with more lists for full
+    * recall. Output: (id_a, id_b, sim) with id_a < id_b and sim ≥ minSim. */
+  def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
+                    centroids: DataFrame, minSim: Double,
+                    maxClusterSize: Int = 1000): DataFrame = {
+    val assigned = ivfAssign(df, idCol, vecCol, centroids)
+    // cluster histogram is ≤ nLists rows; AQE picks the join strategy
+    val okClusters = assigned.groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("_cn"))
+      .filter(col("_cn") <= maxClusterSize).select(col("centroid_id"))
+    val capped = assigned.join(okClusters, Seq("centroid_id"))
+    val l = capped.select(col("vid").as("id_a"), col("_cv").as("_va"), col("centroid_id"))
+    val r = capped.select(col("vid").as("id_b"), col("_cv").as("_vb"), col("centroid_id"))
+    l.join(r, Seq("centroid_id")).filter(col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("_va"), col("_vb")))
+      .filter(col("sim") >= minSim)
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
+  /** SemDeDup keep-set: train centroids (or accept a pre-trained table via
+    * [[semDedupPairs]] + an anti-join) and drop every row that is
+    * ≥ minSim-similar to a lower-id row in its cluster — the deterministic
+    * "keep one exemplar per semantic group" rule. */
+  def semDedup(df: DataFrame, idCol: String, vecCol: String, nLists: Int,
+               minSim: Double, iters: Int = 2,
+               maxClusterSize: Int = 1000): DataFrame =
+    semDedupWithCentroids(df, idCol, vecCol,
+      ivfTrain(df, idCol, vecCol, nLists, iters), minSim, maxClusterSize)
+
+  /** [[semDedup]] against a pre-trained centroid table (the production
+    * shape: cluster once, dedup incrementally). */
+  def semDedupWithCentroids(df: DataFrame, idCol: String, vecCol: String,
+                            centroids: DataFrame, minSim: Double,
+                            maxClusterSize: Int = 1000): DataFrame = {
+    val dupIds = semDedupPairs(df, idCol, vecCol, centroids, minSim, maxClusterSize)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
+  // ------------------------------------------------------------ kNN graph
+
+  /** k-nearest-neighbor graph over the corpus itself (self-match excluded):
+    * every row's k most-cosine-similar other rows, via the IVF probe path —
+    * the corpus is both the query side and the searched side, so the join
+    * is per-inverted-list (shuffle key: centroid_id), never corpus×corpus.
+    * With nProbe = nLists the graph is exact; smaller nProbe trades recall
+    * for touching nProbe/nLists of the corpus per query row. Feeds
+    * graph-based curation (connected-component dedup over semantic edges,
+    * density scoring). Output: (qid, vid, sim), ties by vid ascending. */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String, k: Int,
+               nLists: Int, nProbe: Int, iters: Int = 2): DataFrame =
+    knnGraphWithCentroids(df, idCol, vecCol, k,
+      ivfTrain(df, idCol, vecCol, nLists, iters), nProbe)
+
+  /** [[knnGraph]] against a pre-trained centroid table (the production
+    * shape: centroids persisted once, graph refreshed incrementally). */
+  def knnGraphWithCentroids(df: DataFrame, idCol: String, vecCol: String,
+                            k: Int, centroids: DataFrame, nProbe: Int): DataFrame =
+    probeJoin(ivfAssign(df, idCol, vecCol, centroids),
+      probeSelection(df, idCol, vecCol, nProbe, centroids),
+      k, df.schema(idCol).dataType, excludeSelf = true)
 }

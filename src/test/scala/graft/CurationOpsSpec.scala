@@ -1,0 +1,162 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{MixOps, SimilarityOps, TextOps}
+
+/** Round-16 curation ops: SemDeDup semantics + cluster cap, kNN-graph
+  * exactness vs brute force, boilerplate line removal, token histogram,
+  * and token-budget mixing (exact prefix semantics, boundary handling,
+  * partition invariance). */
+class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-curation-ops")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Two tight clusters around orthogonal axes + one planted near-dup in
+    * each, far from each other (cos between clusters ≈ 0). */
+  private def clusteredVecs = {
+    val sp = spark
+    import sp.implicits._
+    Seq(
+      (0L, Seq(1.0, 0.01, 0.0, 0.0)),
+      (1L, Seq(1.0, 0.011, 0.0, 0.0)), // near-dup of 0
+      (2L, Seq(0.9, 0.3, 0.0, 0.0)),   // same cluster, below floor
+      (3L, Seq(0.0, 0.0, 1.0, 0.02)),
+      (4L, Seq(0.0, 0.0, 1.0, 0.021)), // near-dup of 3
+      (5L, Seq(0.0, 0.0, 0.3, 0.9))    // same cluster, below floor
+    ).toDF("id", "vec")
+  }
+
+  test("semDedupPairs finds in-cluster near-dups only; semDedup keeps one exemplar") {
+    val df = clusteredVecs
+    val centroids = SimilarityOps.ivfTrain(df, "id", "vec", nLists = 2, iters = 2)
+    val pairs = SimilarityOps.semDedupPairs(df, "id", "vec", centroids, minSim = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((0L, 1L), (3L, 4L)), s"got $pairs")
+    val kept = SimilarityOps.semDedupWithCentroids(df, "id", "vec", centroids, 0.999)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 2L, 3L, 5L), s"got $kept")
+  }
+
+  test("semDedupPairs cluster cap drops over-cap clusters from pair generation") {
+    val sp = spark
+    import sp.implicits._
+    // all six vectors land in one cluster with nLists = 1
+    val df = clusteredVecs
+    val centroids = SimilarityOps.ivfTrain(df, "id", "vec", nLists = 1, iters = 1)
+    val uncapped = SimilarityOps.semDedupPairs(df, "id", "vec", centroids, 0.999)
+    assert(uncapped.count() == 2)
+    val capped = SimilarityOps.semDedupPairs(df, "id", "vec", centroids, 0.999,
+      maxClusterSize = 5)
+    assert(capped.count() == 0, "a 6-row cluster must be excluded at cap 5")
+  }
+
+  test("knnGraph with exhaustive probing equals brute force with self excluded") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(5)
+    val df = (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextGaussian()))).toDF("id", "vec")
+    val graph = SimilarityOps.knnGraph(df, "id", "vec", k = 3, nLists = 4, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force: corpus as its own query set, drop self rows, take top 3
+    val brute = SimilarityOps.bruteForceTopK(df, df, "id", "vec", k = 4)
+      .filter(col("qid") =!= col("vid"))
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("sim").desc, col("vid"))))
+      .filter(col("rk") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(graph == brute)
+    assert(!graph.exists { case (q, v) => q == v }, "self edges must be excluded")
+  }
+
+  test("removeBoilerplateLines strips only lines above maxDocs, preserving order and blanks") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (0 until 8).map { i =>
+      (i.toLong, s"HEADER\nbody $i\n\ntail ${i % 2}")
+    }.toDF("id", "text")
+    // HEADER in 8 docs (> 3, stripped); 'tail 0'/'tail 1' in 4 docs each
+    // (> 3, stripped); body lines unique (kept); blank line kept
+    val out = TextOps.removeBoilerplateLines(docs, "id", "text", maxDocs = 3)
+      .orderBy("id").collect()
+    assert(out.map(_.getAs[String]("text_clean")).toSeq ==
+      (0 until 8).map(i => s"body $i\n"))
+    assert(out.forall(_.getAs[Long]("text_clean_lines_removed") == 2L))
+    // at maxDocs = 4 the tail lines survive
+    val loose = TextOps.removeBoilerplateLines(docs, "id", "text", maxDocs = 4)
+      .orderBy("id").collect()
+    assert(loose.map(_.getAs[String]("text_clean")).toSeq ==
+      (0 until 8).map(i => s"body $i\n\ntail ${i % 2}"))
+  }
+
+  test("topTokens ranks by count desc then token asc, deterministically") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq("b b b a a c", "a  b\tz", "Z c").toDF("text")
+    val top = TextOps.topTokens(docs, "text", k = 3).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    // lowercase folds Z into z; b:4, a:3, c:2, z:2 — c beats z on the
+    // token-asc tiebreak at the k boundary
+    val expected = Seq(("b", 4L, 1), ("a", 3L, 2), ("c", 2L, 3))
+    assert(top.sortBy(_._3).toSeq == expected, s"got ${top.toSeq}")
+  }
+
+  test("selectPerDomainBudget implements the exact prefix rule and is partition-invariant") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (0L until 300L).map(i => (i, s"dom${i % 3}", 10L + i % 7)).toDF("id", "dom", "toks")
+    val budgets = Map("dom0" -> 250L, "dom1" -> 1000000L, "dom2" -> 0L)
+    val out = MixOps.selectPerDomainBudget(docs, "id", "dom", "toks", budgets, seed = 3,
+      nCoarse = 16) // tiny nCoarse forces multi-row boundary buckets
+    val kept = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // reference: per-domain cumsum in hash order must stay within budget,
+    // and the NEXT candidate must overflow (maximality)
+    val bucketOf = docs.withColumn("_b", graft.llm.SampleOps.hashBucket(col("id"), 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    for (dom <- Seq("dom0", "dom1", "dom2")) {
+      val all = (0L until 300L).filter(i => s"dom${i % 3}" == dom)
+        .sortBy(i => (bucketOf(i), i))
+      val toks = all.map(i => 10L + i % 7)
+      val cums = toks.scanLeft(0L)(_ + _).tail
+      val expect = all.zip(cums).takeWhile(_._2 <= budgets(dom)).map(_._1).toSet
+      val got = kept.filter(_._2 == dom).map(_._1).toSet
+      assert(got == expect, s"$dom: got ${got.size}, expected ${expect.size}")
+    }
+    // unbudgeted domains are dropped entirely
+    val capped0 = kept.filter(_._2 == "dom2")
+    assert(capped0.isEmpty)
+    // partition invariance
+    val out2 = MixOps.selectPerDomainBudget(docs.repartition(7), "id", "dom", "toks",
+      budgets, seed = 3, nCoarse = 16).collect().map(_.getLong(0)).toSet
+    assert(out2 == kept.map(_._1).toSet)
+  }
+
+  test("selectToTokenBudget: budget growth is monotone (supersets)") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (0L until 200L).map(i => (i, 5L + i % 11)).toDF("id", "toks")
+    val small = MixOps.selectToTokenBudget(docs, "id", "toks", budget = 300L, seed = 1)
+      .collect().map(_.getLong(0)).toSet
+    val large = MixOps.selectToTokenBudget(docs, "id", "toks", budget = 900L, seed = 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(large), "a grown budget must keep every previously kept doc")
+    assert(small.nonEmpty && large.size > small.size)
+  }
+}
