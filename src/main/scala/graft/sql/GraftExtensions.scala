@@ -83,6 +83,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `domain_filter(source, id_col, domain_col, array('d1', …)[, mode])`
   *    (mode block|allow, default block),
   *    `cap_per_domain(source, id_col, domain_col, cap, seed)`
+  *  - semantic + assembly: `semdedup(source, id_col, vec_col, n_lists,
+  *    min_sim[, iters[, max_cluster_size]])`, `knn_graph(source, id_col,
+  *    vec_col, k, n_lists, n_probe[, iters])`, `strip_boilerplate(source,
+  *    id_col, text_col, max_docs)`, `top_tokens(source, text_col, k)`,
+  *    `mix_token_budget(source, id_col, domain_col, token_col,
+  *    map('dom', budget, …), seed)`, `select_token_budget(source, id_col,
+  *    token_col, budget, seed)`
   *  - `ts_fill_gaps_operator(source, group_col, date_col, value_col, frequency)`
   *    and `ts_fill_forward_operator(source, group_col, date_col, value_col,
   *    target_date, frequency)` — the reference's all-string operator forms
@@ -142,7 +149,10 @@ object TableMacros {
     "text_normalize", "pii_scrub", "chunk_by_tokens",
     "text_stats", "text_quality_score", "token_count", "language_id",
     "dedup_exact", "pack_sequences", "decontaminate", "text_repetition",
-    "extract_domain", "domain_filter", "cap_per_domain")
+    "extract_domain", "domain_filter", "cap_per_domain",
+    // semantic + assembly surface (round 5 batch 16)
+    "semdedup", "knn_graph", "strip_boilerplate", "top_tokens",
+    "mix_token_budget", "select_token_budget")
 
   def expand(spark: SparkSession, name: String, args: Seq[Expression]): LogicalPlan = {
     def fail(msg: String): Nothing =
@@ -486,6 +496,32 @@ object TableMacros {
       case ("cap_per_domain", Seq(src, id, domain, cap, seed)) =>
         graft.llm.DomainOps.capPerDomain(source(src), ident(id, "id_col"),
           ident(domain, "domain_col"), int(cap, "cap"), dbl(seed, "seed").toLong)
+      // semantic + assembly surface (SimilarityOps / TextOps / MixOps)
+      case ("semdedup", Seq(src, id, vec, nLists, minSim, rest @ _*)) =>
+        if (rest.length > 2) fail("too many arguments")
+        graft.llm.SimilarityOps.semDedup(source(src), ident(id, "id_col"),
+          ident(vec, "vec_col"), int(nLists, "n_lists"), dbl(minSim, "min_sim"),
+          rest.headOption.map(int(_, "iters")).getOrElse(2),
+          rest.lift(1).map(int(_, "max_cluster_size")).getOrElse(1000))
+      case ("knn_graph", Seq(src, id, vec, k, nLists, nProbe, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.SimilarityOps.knnGraph(source(src), ident(id, "id_col"),
+          ident(vec, "vec_col"), int(k, "k"), int(nLists, "n_lists"),
+          int(nProbe, "n_probe"), rest.headOption.map(int(_, "iters")).getOrElse(2))
+      case ("strip_boilerplate", Seq(src, id, text, maxDocs)) =>
+        graft.llm.TextOps.removeBoilerplateLines(source(src), ident(id, "id_col"),
+          ident(text, "text_col"), int(maxDocs, "max_docs"))
+      case ("top_tokens", Seq(src, text, k)) =>
+        graft.llm.TextOps.topTokens(source(src), ident(text, "text_col"), int(k, "k"))
+      case ("mix_token_budget", Seq(src, id, domain, toks, budgets, seed)) =>
+        graft.llm.MixOps.selectPerDomainBudget(source(src), ident(id, "id_col"),
+          ident(domain, "domain_col"), ident(toks, "token_col"),
+          ratesMap(budgets).map { case (k, v) => k -> v.toLong },
+          dbl(seed, "seed").toLong)
+      case ("select_token_budget", Seq(src, id, toks, budget, seed)) =>
+        graft.llm.MixOps.selectToTokenBudget(source(src), ident(id, "id_col"),
+          ident(toks, "token_col"), dbl(budget, "budget").toLong,
+          dbl(seed, "seed").toLong)
       case _ =>
         fail(s"wrong number of arguments (${args.length}) — see GraftExtensions scaladoc")
     }

@@ -345,6 +345,38 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.llm.DomainOps.capPerDomain(paged, "doc_id", "domain", 4, 42L))
   }
 
+  test("semantic + assembly macros == Scala API") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(9)
+    (0L until 40L).map(i => (i, Seq.fill(8)(rnd.nextGaussian())))
+      .toDF("vec_id", "vec").createOrReplaceTempView("vecs")
+    val vecs = spark.table("vecs")
+    (0L until 120L).map(i => (i, s"dom${i % 3}", s"HEADER\nbody $i", 10L + i % 5))
+      .toDF("doc_id", "dom", "text", "toks").createOrReplaceTempView("mixdocs")
+    val mixdocs = spark.table("mixdocs")
+
+    def eq(sql: String, api: DataFrame): Unit = {
+      val got = spark.sql(sql)
+      assert(got.columns.toSeq == api.columns.toSeq, sql)
+      assert(sortedRows(got) == sortedRows(api), sql)
+    }
+    eq("SELECT * FROM semdedup('vecs', vec_id, vec, 4, 0.99)",
+      graft.llm.SimilarityOps.semDedup(vecs, "vec_id", "vec", 4, 0.99))
+    eq("SELECT * FROM knn_graph('vecs', vec_id, vec, 3, 4, 4)",
+      graft.llm.SimilarityOps.knnGraph(vecs, "vec_id", "vec", 3, 4, 4))
+    eq("SELECT * FROM strip_boilerplate('mixdocs', doc_id, text, 10)",
+      graft.llm.TextOps.removeBoilerplateLines(mixdocs, "doc_id", "text", 10))
+    eq("SELECT * FROM top_tokens('mixdocs', text, 5)",
+      graft.llm.TextOps.topTokens(mixdocs, "text", 5))
+    eq("SELECT * FROM mix_token_budget('mixdocs', doc_id, dom, toks, " +
+      "map('dom0', 200, 'dom1', 150), 11)",
+      graft.llm.MixOps.selectPerDomainBudget(mixdocs, "doc_id", "dom", "toks",
+        Map("dom0" -> 200L, "dom1" -> 150L), 11L))
+    eq("SELECT * FROM select_token_budget('mixdocs', doc_id, toks, 400, 13)",
+      graft.llm.MixOps.selectToTokenBudget(mixdocs, "doc_id", "toks", 400L, 13L))
+  }
+
   test("bad arguments produce a clear error, not a planner crash") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, 'Naive')").collect()
