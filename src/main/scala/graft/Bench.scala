@@ -220,6 +220,18 @@ object Bench {
     val decon10 = median3(onceDf(
       llm.TextOps.contaminatedIds(docs10,
         docs10.filter(col("doc_id") % 100 === 0), "doc_id", "text")))
+    // boilerplate strip at 10× corpus: a planted shared header exercises the
+    // heavy-hitter broadcast path (count pass + rebuild, text never shuffled)
+    val boiler10 = median3(onceDf(
+      llm.TextOps.removeBoilerplateLines(
+        docs10.withColumn("text", concat(lit("NAV HEADER\n"), col("text"))),
+        "doc_id", "text", maxDocs = 20)))
+    // token-budget mixing at 10× corpus: 20 components, two-phase exact
+    // prefix selection (histogram window + boundary-slice window only)
+    val mixBudgets = (0 until 20).map(i => s"src$i" -> 40000L).toMap
+    val mix10 = median3(onceDf(
+      llm.MixOps.selectPerDomainBudget(docs10, "doc_id", "source", "n_chars",
+        mixBudgets, seed = 11)))
     docs10.unpersist()
     // IVF at 10× corpus: index built once (train/assign untimed, as in the
     // base protocol — a persisted index is the production deployment), the
@@ -238,6 +250,17 @@ object Bench {
       llm.SimilarityOps.ivfProbeLists(assigned10, emb1.filter(col("vec_id") < nQueries),
         "vec_id", "embedding", k = 10, nProbe = 8, centroids10,
         emb1.schema("vec_id").dataType)))
+    // SemDeDup at 10× corpus against the shared centroid table: assignment +
+    // per-cluster pair generation (Σ m² over ~600-row clusters, never m²
+    // over the corpus)
+    val semdedup10 = median3(onceDf(
+      llm.SimilarityOps.semDedupPairs(emb10, "vec_id", "embedding",
+        centroids10, minSim = 0.99)))
+    // kNN graph at 10×: every corpus row probes 8/32 lists — the per-node
+    // cost is the honest all-corpus similarity-graph number
+    val knn10 = median3(onceDf(
+      llm.SimilarityOps.knnGraphWithCentroids(emb10, "vec_id", "embedding",
+        k = 10, centroids10, nProbe = 8)))
     emb10.unpersist()
 
     val scaleJson = (scaleRes.map { case (k, v) =>
@@ -246,7 +269,11 @@ object Bench {
       f""""dedup_minhash_docs":{"sec":$minhash10%.3f,"ms_per_doc":${minhash10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
       f""""curate_pipeline_docs":{"sec":$curate10%.3f,"ms_per_doc":${curate10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
       f""""decontaminate_docs":{"sec":$decon10%.3f,"ms_per_doc":${decon10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
-      f""""ann_ivf_probe":{"sec":$probe10%.3f,"ms_per_query":${probe10 * 1000.0 / nQueries}%.3f}"""
+      f""""boilerplate_docs":{"sec":$boiler10%.3f,"ms_per_doc":${boiler10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
+      f""""mix_budget_docs":{"sec":$mix10%.3f,"ms_per_doc":${mix10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
+      f""""ann_ivf_probe":{"sec":$probe10%.3f,"ms_per_query":${probe10 * 1000.0 / nQueries}%.3f}""",
+      f""""semdedup_vecs":{"sec":$semdedup10%.3f,"ms_per_vec":${semdedup10 * 1000.0 / (nEmb1 * 10)}%.4f}""",
+      f""""knn_graph_vecs":{"sec":$knn10%.3f,"ms_per_node":${knn10 * 1000.0 / (nEmb1 * 10)}%.4f}"""
     )).mkString("{", ",",
       s""","n_series":${nSeries1 * 10},"n_docs":${nDocs1 * 10},"n_vectors":${nEmb1 * 10},"n_queries":$nQueries}""")
 

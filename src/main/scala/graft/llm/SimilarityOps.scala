@@ -411,7 +411,11 @@ object SimilarityOps {
   def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, minSim: Double,
                     maxClusterSize: Int = 1000): DataFrame = {
-    val assigned = ivfAssign(df, idCol, vecCol, centroids)
+    // materialized once (same discipline as lshNearPairs): the assignment
+    // feeds the histogram AND both self-join sides — recomputing the
+    // corpus × nLists scoring three times otherwise. Freed by the
+    // ContextCleaner once the returned plan is unreachable.
+    val assigned = Pin(ivfAssign(df, idCol, vecCol, centroids)).df
     // cluster histogram is ≤ nLists rows; AQE picks the join strategy
     val okClusters = assigned.groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("_cn"))

@@ -199,6 +199,68 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!dplan.contains("CartesianProduct") && !dplan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("semdedup + knn graph: per-cluster joins only, no window, no cartesian") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val centroids = graft.llm.SimilarityOps.ivfTrain(emb, "vec_id", "embedding", 4, iters = 0)
+    val pairs = graft.llm.SimilarityOps.semDedupPairs(emb, "vec_id", "embedding",
+      centroids, minSim = 0.9)
+    val pplan = pairs.queryExecution.executedPlan
+    // (the only nested-loop join allowed is ivfAssign's single-row packed-
+    // centroid broadcast — same as the ivf guard above)
+    assert(!pplan.toString.contains("CartesianProduct"),
+      "intra-cluster pairs must come from the centroid_id equi-join")
+    assert(pplan.collect { case w: WindowExec => w }.isEmpty)
+    // every corpus-sized exchange is keyed by centroid_id alone — the key a
+    // stored corpus would be bucketed by, making the self-join exchange-free
+    val corpusShuffles = pplan.collect { case s: ShuffleExchangeExec => s }
+      .filter(_.child.output.exists(_.name == "_cv"))
+    assert(corpusShuffles.nonEmpty)
+    corpusShuffles.foreach(s =>
+      assert(s.outputPartitioning.toString.contains("centroid_id"),
+        s"corpus shuffle must key on centroid_id: ${s.outputPartitioning}"))
+    val graph = graft.llm.SimilarityOps.knnGraphWithCentroids(emb, "vec_id",
+      "embedding", k = 3, centroids, nProbe = 2)
+    val gplan = graph.queryExecution.executedPlan
+    assert(gplan.collect { case w: WindowExec => w }.isEmpty,
+      "the graph top-k must reduce through the bounded-heap Aggregator")
+    assert(!gplan.toString.contains("CartesianProduct"))
+  }
+
+  test("boilerplate strip: document text never shuffles; boiler set broadcasts") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val sp = spark
+    import sp.implicits._
+    val docs = (0L until 50L).map(i => (i, s"HEADER\nbody $i")).toDF("doc_id", "text")
+    val df = graft.llm.TextOps.removeBoilerplateLines(docs, "doc_id", "text", maxDocs = 5)
+    val plan = df.queryExecution.executedPlan
+    val shuffled = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffled.forall(!_.child.output.exists(_.name == "text")),
+      "only (hash, count) rows may cross an exchange — never document text")
+    assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "the heavy-hitter line set must broadcast to the rebuild side")
+  }
+
+  test("token-budget mix: no window runs over the raw corpus") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (0L until 200L).map(i => (i, s"dom${i % 2}", 10L + i % 3))
+      .toDF("doc_id", "dom", "toks")
+    val df = graft.llm.MixOps.selectPerDomainBudget(docs, "doc_id", "dom", "toks",
+      Map("dom0" -> 300L, "dom1" -> 400L), seed = 1)
+    val plan = df.queryExecution.executedPlan
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.length == 2, s"expected histogram + boundary windows, got ${windows.length}")
+    // neither window may consume the unreduced corpus: one sits over the
+    // coarse-bucket AGGREGATE, the other over the boundary-bucket
+    // restriction (a join whose pushed condition brackets _budget)
+    windows.foreach { w =>
+      val sub = w.child.toString
+      assert(sub.contains("HashAggregate") || sub.contains("_budget"),
+        s"window over the raw corpus:\n$w")
+    }
+  }
+
   test("flagship forecast: one shuffle on the group key, no cartesian") {
     val df = graft.ops.TsForecastOp.forecastBy(
       spark.read.parquet(s"$sfDir/events.parquet")
