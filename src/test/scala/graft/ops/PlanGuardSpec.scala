@@ -38,6 +38,16 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
+  /** events loader mirroring SparkEntry's: the ts column is only nanos-as-long
+    * under the legacy conf; plain timestamp parquet needs no conversion. */
+  private def events: org.apache.spark.sql.DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/events.parquet")
+    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    else df
+  }
+
   test("q3: lineitem is never a broadcast side and its scan is pruned") {
     val df = graft.SparkEntry.queries("q3_segment_revenue")(spark, sfDir)
     val plan = df.queryExecution.executedPlan
@@ -84,9 +94,7 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("backtest: gather-once shape — no train-row duplication across the shuffle") {
-    val series = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val series = events
       .groupBy(org.apache.spark.sql.functions.col("event_type").as("g"),
         org.apache.spark.sql.functions.col("ts").cast(
           org.apache.spark.sql.types.DateType).as("ds"))
@@ -263,9 +271,7 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("flagship forecast: one shuffle on the group key, no cartesian") {
     val df = graft.ops.TsForecastOp.forecastBy(
-      spark.read.parquet(s"$sfDir/events.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      events
         .groupBy(org.apache.spark.sql.functions.col("event_type").as("g"),
           org.apache.spark.sql.functions.col("ts").cast(
             org.apache.spark.sql.types.DateType).as("ds"))
