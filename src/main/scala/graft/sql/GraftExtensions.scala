@@ -113,13 +113,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   }
 }
 
-/** Expands graft table-macro calls during analysis (route 2 above). */
+/** Expands graft table-macro calls during analysis (route 2 above).
+  *
+  * Pruned on the UNRESOLVED_TABLE_VALUED_FUNCTION tree pattern: the analyzer
+  * runs every resolution rule to fixed point on every query, so an unguarded
+  * full-tree traversal taxes large plans (e.g. a many-way-union cached
+  * corpus) on EVERY analysis pass even when no macro call is present. With
+  * the pattern guard the rule is a constant-time bitmap check for the
+  * overwhelmingly common macro-free plan. */
 class TableMacroRule(spark: SparkSession) extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
-    case u: UnresolvedTableValuedFunction
-        if u.name.length == 1 && TableMacros.names.contains(u.name.head.toLowerCase) =>
-      TableMacros.expand(spark, u.name.head.toLowerCase, u.functionArgs)
-  }
+  import org.apache.spark.sql.catalyst.trees.TreePattern.UNRESOLVED_TABLE_VALUED_FUNCTION
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUpWithPruning(_.containsPattern(UNRESOLVED_TABLE_VALUED_FUNCTION)) {
+      case u: UnresolvedTableValuedFunction
+          if u.name.length == 1 && TableMacros.names.contains(u.name.head.toLowerCase) =>
+        TableMacros.expand(spark, u.name.head.toLowerCase, u.functionArgs)
+    }
 }
 
 /** The macro catalog and its expansion. The source argument is a table/view

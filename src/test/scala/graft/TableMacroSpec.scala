@@ -377,6 +377,53 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.llm.MixOps.selectToTokenBudget(mixdocs, "doc_id", "toks", 400L, 13L))
   }
 
+  test("TableMacroRule is pattern-pruned: macro-free plans cost ~nothing") {
+    // A session with the extension installed runs this rule to fixed point on
+    // EVERY query. On a large macro-free plan (a many-way-union corpus) the
+    // pruned rule must early-exit on the tree-pattern bitmap instead of
+    // walking the tree. Pin the behavior by racing the shipped rule against
+    // an unpruned twin on the same big plan: relative timing on the same
+    // machine is stable where absolute thresholds are not.
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    val sp = spark
+    import sp.implicits._
+    val leaf = (0 until 4).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    val big: LogicalPlan = (1 until 256)
+      .foldLeft(leaf)((acc, _) => acc.union(leaf))
+      .select(col("id"), upper(col("v")).as("v"))
+      .queryExecution.analyzed
+    assert(!big.containsPattern(
+      org.apache.spark.sql.catalyst.trees.TreePattern.UNRESOLVED_TABLE_VALUED_FUNCTION))
+
+    val pruned = new graft.sql.TableMacroRule(spark)
+    val unpruned = new org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan] {
+      override def apply(plan: LogicalPlan): LogicalPlan = plan.resolveOperatorsUp {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction
+            if u.name.length == 1 &&
+              graft.sql.TableMacros.names.contains(u.name.head.toLowerCase) =>
+          graft.sql.TableMacros.expand(spark, u.name.head.toLowerCase, u.functionArgs)
+      }
+    }
+    def time(rule: org.apache.spark.sql.catalyst.rules.Rule[LogicalPlan]): Long = {
+      (0 until 20).foreach(_ => rule(big)) // warm up
+      val t0 = System.nanoTime()
+      (0 until 200).foreach(_ => rule(big))
+      System.nanoTime() - t0
+    }
+    val tUnpruned = time(unpruned)
+    val tPruned = time(pruned)
+    // Judge A/B showed 5.6x end-to-end; at the rule level the gap is orders
+    // of magnitude. 2x is a deliberately loose floor that still fails if the
+    // pruning guard is ever dropped.
+    assert(tPruned * 2 < tUnpruned,
+      s"pruned rule ($tPruned ns) should be far cheaper than unpruned ($tUnpruned ns)")
+    // and the pruned rule still fires when the pattern IS present
+    val expanded = pruned(spark.sessionState.sqlParser.parsePlan(
+      "SELECT * FROM ts_stats_by('series', g, ds, y, '1d')"))
+    assert(!expanded.exists(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction]))
+  }
+
   test("bad arguments produce a clear error, not a planner crash") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, 'Naive')").collect()
