@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Focused scale10 A/B probe (not part of the driver contract): times the
+  * scale10 queries from [[Bench]] in isolation, with the SQL extension
+  * installed or not (GRAFT_EXT=0|1), so extension overhead and per-op
+  * regressions can be bisected without running the full bench. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val useExt = sys.env.getOrElse("GRAFT_EXT", "1") == "1"
+    val which = sys.env.getOrElse("GRAFT_PROBE", "fc,backtest").split(",").toSet
+    val b = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+    val spark = (if (useExt) b.withExtensions(new graft.sql.GraftExtensions) else b)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    val ev0 = spark.read.parquet(s"$sfDir/events.parquet")
+    val series = (if (ev0.schema("ts").dataType == LongType)
+        ev0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else ev0)
+      .groupBy(col("user_id").as("g"), col("ts").cast(DateType).as("ds"))
+      .agg(sum("value").as("y"))
+    val series10 = (0 until 10).map(i =>
+        series.withColumn("g", col("g") + lit(i * 100000000L)))
+      .reduce(_ unionByName _).coalesce(32).cache()
+    val n = series10.select("g").distinct().count()
+
+    def onceDf(df: => DataFrame): Double = {
+      val t0 = System.nanoTime()
+      df.write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def med5(run: => Double): (Double, Seq[Double]) = {
+      run; val ts = Seq.fill(5)(run).sorted; (ts(2), ts)
+    }
+    if (which("fc")) {
+      val (m, ts) = med5(onceDf(ops.TsForecastOp.forecastBy(series10, "g", "ds", "y",
+        "SeasonalNaive", 14, "1d", Map("seasonal_period" -> "7"))))
+      println(f"fc_snaive ext=$useExt sec=$m%.3f ms_per_series=${m * 1000 / n}%.4f all=${ts.map(t => f"$t%.3f")}")
+    }
+    if (which("backtest")) {
+      val (m, ts) = med5(onceDf(ops.TsCvOp.backtestAutoBy(series10, "g", "ds", "y",
+        7, 2, "1d", Map("method" -> "SeasonalNaive", "seasonal_period" -> "7"), "rmse")))
+      println(f"backtest ext=$useExt sec=$m%.3f ms_per_series=${m * 1000 / n}%.4f all=${ts.map(t => f"$t%.3f")}")
+    }
+    spark.stop()
+  }
+}

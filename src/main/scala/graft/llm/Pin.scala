@@ -43,10 +43,17 @@ private[graft] object Pin {
     * `disk`/`reliable` mode, at any time — the data is recomputable). */
   final case class Handle(df: DataFrame, release: () => Unit)
 
-  def apply(df: DataFrame): Handle =
+  /** Pin `df`. `eager = false` defers materialization to the first action
+    * that touches the pin (compute-once still guaranteed by the storage
+    * layer) — one fewer scheduled job when the caller's own plan will
+    * materialize it immediately anyway (backtest), at the cost of the
+    * first consumer paying the production time. Iterative loops should
+    * stay eager: a lazy pin inside a loop materializes under the NEXT
+    * round's job, hiding where time goes. */
+  def apply(df: DataFrame, eager: Boolean = true): Handle =
     df.sparkSession.conf.get(ModeKey, "local") match {
       case "local" =>
-        val cp = df.localCheckpoint(eager = true)
+        val cp = df.localCheckpoint(eager)
         // the checkpoint blocks belong to the RDD inside the LogicalRDD leaf
         val rdd: Option[RDD[_]] =
           cp.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
@@ -54,10 +61,10 @@ private[graft] object Pin {
       case "reliable" =>
         // reliable checkpoint files outlive the handle by design (that is
         // the fault-tolerance contract); cleanup is the ContextCleaner's job
-        Handle(df.checkpoint(eager = true), () => ())
+        Handle(df.checkpoint(eager), () => ())
       case "disk" =>
         val p = df.persist(StorageLevel.DISK_ONLY)
-        p.count()
+        if (eager) p.count()
         Handle(p, () => { p.unpersist(blocking = false); () })
       case other => throw new IllegalArgumentException(
         s"$ModeKey must be one of local|reliable|disk, got '$other'")

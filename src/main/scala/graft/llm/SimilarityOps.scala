@@ -403,27 +403,68 @@ object SimilarityOps {
     * Σ m_c² over cluster sizes instead of corpus², and every corpus-sized
     * stage shuffles on `centroid_id` alone (the key a stored corpus is
     * bucketed by at scale, so the self-join co-locates without a new
-    * exchange). Clusters larger than `maxClusterSize` are excluded from
-    * pair generation — a degenerate cluster of m rows is an O(m²)
-    * straggler/OOM bomb at 100 TB (same cap discipline as
-    * [[lshNearPairs]]); re-cluster hot clusters with more lists for full
-    * recall. Output: (id_a, id_b, sim) with id_a < id_b and sim ≥ minSim. */
+    * exchange). A cluster larger than `maxClusterSize` — exactly where
+    * near-duplicates concentrate — is SPLIT rather than skipped: an m-row
+    * cluster is an O(m²) straggler/OOM bomb at 100 TB (same cap discipline
+    * as [[lshNearPairs]]), so over-cap clusters are sub-bucketed by a
+    * deterministic sign-LSH code (⌈log₂(m/cap)⌉ hyperplane bits — semantic
+    * locality, so near-duplicates stay co-bucketed), and any sub-bucket
+    * still over cap (a degenerate near-identical cluster lands on one side
+    * of every hyperplane) gets a residual id-hash salt that bounds it
+    * unconditionally. Pair generation then runs within
+    * (centroid, lsh-code, salt); under-cap clusters get code 0 / salt 0, so
+    * their pairs are bit-identical to the uncapped join. Dedup inside an
+    * over-cap cluster is thus approximate (pairs across sub-buckets are not
+    * emitted — ≥1 exemplar per sub-bucket survives) instead of absent.
+    * Output: (id_a, id_b, sim) with id_a < id_b and sim ≥ minSim. */
   def semDedupPairs(df: DataFrame, idCol: String, vecCol: String,
                     centroids: DataFrame, minSim: Double,
                     maxClusterSize: Int = 1000): DataFrame = {
+    val MaxBits = 12 // ≤4096-way LSH split before the salt takes over
+    val SignSeed = 0x5eedL
+    val SaltSeed = 0x5a17L
     // materialized once (same discipline as lshNearPairs): the assignment
-    // feeds the histogram AND both self-join sides — recomputing the
-    // corpus × nLists scoring three times otherwise. Freed by the
-    // ContextCleaner once the returned plan is unreachable.
+    // feeds the histograms AND both self-join sides — recomputing the
+    // corpus × nLists scoring otherwise. Freed by the ContextCleaner once
+    // the returned plan is unreachable.
     val assigned = Pin(ivfAssign(df, idCol, vecCol, centroids)).df
-    // cluster histogram is ≤ nLists rows; AQE picks the join strategy
-    val okClusters = assigned.groupBy(col("centroid_id"))
+    // cluster histogram is ≤ nLists rows → broadcast onto the corpus
+    val hist = assigned.groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("_cn"))
-      .filter(col("_cn") <= maxClusterSize).select(col("centroid_id"))
-    val capped = assigned.join(okClusters, Seq("centroid_id"))
-    val l = capped.select(col("vid").as("id_a"), col("_cv").as("_va"), col("centroid_id"))
-    val r = capped.select(col("vid").as("id_b"), col("_cv").as("_vb"), col("centroid_id"))
-    l.join(r, Seq("centroid_id")).filter(col("id_a") < col("id_b"))
+    val nBits = when(col("_cn") <= maxClusterSize, lit(0)).otherwise(
+      least(lit(MaxBits),
+        ceil(log2(ceil(col("_cn").cast(DoubleType) / maxClusterSize))).cast(IntegerType)))
+    // sign-LSH bit b: sign of ⟨v, h_b⟩ with hyperplane components
+    // h_b[j] = ±1 from the SampleOps counter mixer on (b·8192 + j) —
+    // deterministic, partition-invariant, BIGINT-safe. Guarded by
+    // `b < nBits` so under-cap rows (the common case) never pay for the
+    // projections.
+    def proj(b: Int): Column = aggregate(
+      transform(col("_cv"), (x, j) =>
+        when(SampleOps.hashBucket(lit(b * 8192L) + j, SignSeed) % 2 === 0, x).otherwise(-x)),
+      lit(0.0), (acc, x) => acc + x)
+    val code = (0 until MaxBits).map { b =>
+      when(lit(b) < col("_nbits") && proj(b) >= 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bucketed = assigned.join(broadcast(hist), Seq("centroid_id"))
+      .withColumn("_nbits", nBits)
+      .withColumn("_sub", code)
+    // residual salt: sub-bucket histogram is ≤ nLists·2^MaxBits rows
+    // (bounded, still broadcastable); a sub-bucket of m₂ > cap rows is
+    // split ⌈m₂/cap⌉ ways by id hash — content-independent, so it bounds
+    // even a cluster of identical vectors.
+    val hist2 = bucketed.groupBy(col("centroid_id"), col("_sub"))
+      .agg(count(lit(1)).as("_cn2"))
+    val salted = bucketed.join(broadcast(hist2), Seq("centroid_id", "_sub"))
+      .withColumn("_salt",
+        when(col("_cn2") <= maxClusterSize, lit(0L)).otherwise(
+          SampleOps.hashBucket(col("vid"), SaltSeed) %
+            ceil(col("_cn2").cast(DoubleType) / maxClusterSize).cast(LongType)))
+    val l = salted.select(col("vid").as("id_a"), col("_cv").as("_va"),
+      col("centroid_id"), col("_sub"), col("_salt"))
+    val r = salted.select(col("vid").as("id_b"), col("_cv").as("_vb"),
+      col("centroid_id"), col("_sub"), col("_salt"))
+    l.join(r, Seq("centroid_id", "_sub", "_salt")).filter(col("id_a") < col("id_b"))
       .withColumn("sim", cosine(col("_va"), col("_vb")))
       .filter(col("sim") >= minSim)
       .select(col("id_a"), col("id_b"), col("sim"))

@@ -97,6 +97,10 @@ object TsCvOp {
   final case class CvFcStep(step: Int, yhat: Double, yhat_lower: Double,
                             yhat_upper: Double, model_name: String)
 
+  /** Per-fold kernel output of the all-folds-in-one-call backtest UDF. */
+  final case class CvFoldFc(fold_id: Long, test_start: Long, test_end: Long,
+                            steps: Seq[CvFcStep])
+
   /** ts_cv_forecast_by: fit per (fold, group) on train rows, predict at the
     * existing test-row dates (horizon = test-row count). Output preserves all
     * fold rows: (fold_id, group, ds, y, split, yhat, yhat_lower, yhat_upper,
@@ -237,40 +241,87 @@ object TsCvOp {
         if (isFixed) greatest(auto, lit(p.minTrainSize)) else auto
       }
 
-    val foldValid =
-      (if (isFixed) col("_train_end") + 1 >= p.minTrainSize else lit(true)) &&
-        (if (p.clipHorizon) col("_test_start") < col("_n")
-         else col("_test_start") + lit(horizon - 1) < col("_n"))
-    val trainStart: Column =
-      if (isFixed) greatest(col("_train_end") + 1 - p.minTrainSize, lit(0L)) else lit(0L)
-
-    val folded = gathered
-      .withColumn("_fold", explode(sequence(lit(1L), lit(nFolds.toLong))))
-      .withColumn("_train_end", init - 1 + (col("_fold") - 1) * lit(skip))
-      .withColumn("_test_start", col("_train_end") + 1 + lit(p.gap))
-      .withColumn("_test_end", least(col("_test_start") + lit(horizon - 1), col("_n") - 1))
-      .filter(foldValid)
-      .withColumn("_train", slice(col("_s"), (trainStart + 1).cast(IntegerType),
-        (col("_train_end") - trainStart + 1).cast(IntegerType)))
-      .withColumn("_test", slice(col("_s"), (col("_test_start") + 1).cast(IntegerType),
-        (col("_test_end") - col("_test_start") + 1).cast(IntegerType)))
-
-    val fcUdf = udf((vs: Seq[Double], nu: Seq[Boolean], h: Int) => {
-      try {
-        val out = Forecast.forecast(vs.toArray, nu.map(!_).toArray, opts.copy(horizon = h))
-        Some((0 until out.point.length).map(i =>
-          CvFcStep(i + 1, out.point(i), out.lower(i), out.upper(i), out.modelName)))
-      } catch {
-        case _: Forecast.InsufficientData | _: Forecast.ComputationError => None
+    // ONE kernel call per group computes every fold: the UDF receives the
+    // gathered series once and slices train windows internally, so the
+    // series arrays are never duplicated ×nFolds through an explode/slice
+    // (an expanding backtest would otherwise materialize ~nFolds·n/2
+    // elements per group before the kernel ever ran — the dominant cost at
+    // scale and the dominant measured cost at 10×). Fold boundary/validity
+    // arithmetic is identical to cvFoldsBy's column form, evaluated on
+    // (n, init) scalars.
+    val isClip = p.clipHorizon
+    val minTrain = p.minTrainSize
+    val gap = p.gap
+    val fcAllUdf = udf((vs: Seq[Double], nulls: Seq[Boolean], tNull: Seq[Boolean],
+                        n: Long, init: Long) => {
+      val acc = Seq.newBuilder[CvFoldFc]
+      var f = 1L
+      while (f <= nFolds) {
+        val trainEnd = init - 1 + (f - 1) * skip
+        val testStart = trainEnd + 1 + gap
+        val valid = (!isFixed || trainEnd + 1 >= minTrain) &&
+          (if (isClip) testStart < n else testStart + horizon - 1 < n)
+        if (valid) {
+          val testEnd = math.min(testStart + horizon - 1, n - 1)
+          val trainStart = if (isFixed) math.max(trainEnd + 1 - minTrain, 0L) else 0L
+          val vb = Array.newBuilder[Double]
+          val kb = Array.newBuilder[Boolean]
+          var i = trainStart.toInt
+          val end = math.min(trainEnd, n - 1).toInt
+          while (i <= end) {
+            if (!tNull(i)) { vb += vs(i); kb += !nulls(i) }
+            i += 1
+          }
+          val h = (testEnd - testStart + 1).toInt
+          try {
+            val o = Forecast.forecast(vb.result(), kb.result(), opts.copy(horizon = h))
+            acc += CvFoldFc(f, testStart, testEnd, (0 until o.point.length).map(j =>
+              CvFcStep(j + 1, o.point(j), o.lower(j), o.upper(j), o.modelName)))
+          } catch {
+            case _: Forecast.InsufficientData | _: Forecast.ComputationError => ()
+          }
+        }
+        f += 1
       }
+      acc.result()
     })
 
-    val test = folded
-      .withColumn("_ktrain", filter(col("_train"), e => e.getField("t").isNotNull))
-      .withColumn("_steps", fcUdf(col("_ktrain.v"), col("_ktrain.nu"), size(col("_test"))))
-      .filter(col("_steps").isNotNull)
+    // Compact per-(group, fold) forecast rows — the heavy kernel output
+    // BEFORE fan-out: one row per group-fold carrying two h-element arrays,
+    // ~horizon× smaller than the exploded output. The pinned payload is
+    // slim: the sort key `t` (micros) was only needed for ordering inside
+    // `_s`; the output reads v/nu/d alone.
+    val perFold = gathered
+      .withColumn("_pf", fcAllUdf(col("_s.v"), col("_s.nu"),
+        transform(col("_s"), e => e.getField("t").isNull), col("_n"), init))
+      .withColumn("_f", explode(col("_pf")))
+      .select(col("_f.fold_id").as("fold_id"), col(groupCol),
+        transform(
+          slice(col("_s"), (col("_f.test_start") + 1).cast(IntegerType),
+            (col("_f.test_end") - col("_f.test_start") + 1).cast(IntegerType)),
+          e => struct(e.getField("v").as("v"), e.getField("nu").as("nu"),
+            e.getField("d").as("d"))).as("_test"),
+        col("_f.steps").as("_steps"))
+
+    // Pin the compact kernel output so the per-fold score (a global aggregate
+    // over ALL groups) and the row-level output both read it WITHOUT either
+    // re-running the forecast kernel or shuffling the full exploded output:
+    // the earlier design repartitioned every output row on (fold_id, group)
+    // purely so ReuseExchange could share one exchange between the two
+    // branches — a corpus-sized shuffle whose only purpose was plan sharing.
+    // The pin replaces that exchange with one materialization of the
+    // ~horizon×-smaller pre-explode rows; everything above it is narrow.
+    // Storage/fault-tolerance follows spark.graft.checkpoint.mode
+    // (local | reliable | disk — llm/Pin.scala); the blocks back the
+    // returned plan, so they are freed by the ContextCleaner once the result
+    // is garbage-collected, like the LSH banded table. The pin is LAZY —
+    // there is no iteration here, so the first consumer (the fold-score
+    // broadcast build) materializes it without an extra scheduled job.
+    val pinned = graft.llm.Pin(perFold, eager = false).df
+
+    val out = pinned
       .withColumn("_z", explode(arrays_zip(col("_test"), col("_steps"))))
-      .select(col("_fold").as("fold_id"), col(groupCol),
+      .select(col("fold_id"), col(groupCol),
         col("_z._test.d").as(dsCol),
         col("_z._steps.yhat").as("yhat"),
         when(col("_z._test.nu"), lit(null).cast(DoubleType))
@@ -283,23 +334,12 @@ object TsCvOp {
       .withColumn("abs_error", abs(col("error")))
 
     // Per-fold score WITHOUT a fold_id-partitioned Window (which would funnel
-    // the whole output through ≤nFolds partitions). Both consumers hang off
-    // the same repartition(fold_id, group) exchange, so ReuseExchange runs
-    // the forecast kernel once: the score branch partial-aggregates map-side
-    // down to ≤nFolds rows, and the tiny result broadcast-joins back onto the
-    // evenly-distributed output rows.
-    val repart = test.repartition(col("fold_id"), col(groupCol))
-    // The `0.0 * hash(<all columns>)` term makes the score aggregate reference
-    // every output column, so column pruning cannot narrow this branch's
-    // repartition subplan: both branches stay canonically identical and
-    // ReuseExchange shares the one exchange (kernel runs once). Catalyst
-    // cannot legally fold `x * 0.0` (x could be NaN), and the added term is
-    // exactly +0.0 for any finite hash, so the score value is unchanged.
-    // PlanGuardSpec pins the resulting ReusedExchange.
-    val reusePin = max(hash(test.columns.map(col): _*)).cast(DoubleType) * lit(0.0)
-    val foldScores = repart.groupBy(col("fold_id"))
-      .agg((foldMetric(metric) + reusePin).as("fold_metric_score"))
-    repart.join(broadcast(foldScores), Seq("fold_id"))
+    // the whole output through ≤nFolds partitions at scale): a map-side
+    // partial aggregate collapses each task to ≤nFolds rows, the tiny result
+    // broadcast-joins back onto the evenly-distributed output rows.
+    val foldScores = out.groupBy(col("fold_id"))
+      .agg(foldMetric(metric).as("fold_metric_score"))
+    out.join(broadcast(foldScores), Seq("fold_id"))
       .select(col("fold_id"), col(groupCol), col(dsCol), col("yhat"), col("actual"),
         col("error"), col("abs_error"), col("yhat_lower"), col("yhat_upper"),
         col("model_name"), col("fold_metric_score"))

@@ -54,17 +54,36 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(0L, 2L, 3L, 5L), s"got $kept")
   }
 
-  test("semDedupPairs cluster cap drops over-cap clusters from pair generation") {
+  test("semDedupPairs splits over-cap clusters: a planted >cap cluster still dedups") {
     val sp = spark
     import sp.implicits._
-    // all six vectors land in one cluster with nLists = 1
-    val df = clusteredVecs
+    // worst case for the cap: 40 IDENTICAL vectors in one cluster (cap 10).
+    // The old behavior skipped the cluster entirely (0 pairs, all 40 kept);
+    // the split path must still dedup it. Identical vectors defeat the
+    // sign-LSH round (all land on the same side of every hyperplane), so
+    // this specifically exercises the residual id-hash salt: ⌈40/10⌉ = 4
+    // salt groups, every within-group pair found, ≥ 36 of 40 rows dropped.
+    val dupes = (0L until 40L).map(i => (i, Seq(1.0, 0.01, 0.0, 0.0)))
+    val far = Seq((100L, Seq(0.0, 0.0, 1.0, 0.0)), (101L, Seq(0.0, 0.0, 0.99, 0.1)))
+    val df = (dupes ++ far).toDF("id", "vec")
     val centroids = SimilarityOps.ivfTrain(df, "id", "vec", nLists = 1, iters = 1)
-    val uncapped = SimilarityOps.semDedupPairs(df, "id", "vec", centroids, 0.999)
-    assert(uncapped.count() == 2)
-    val capped = SimilarityOps.semDedupPairs(df, "id", "vec", centroids, 0.999,
-      maxClusterSize = 5)
-    assert(capped.count() == 0, "a 6-row cluster must be excluded at cap 5")
+    val pairs = SimilarityOps.semDedupPairs(df, "id", "vec", centroids, 0.999,
+      maxClusterSize = 10)
+    assert(pairs.count() > 0, "an over-cap cluster must still produce pairs")
+    // no pair crosses the similarity floor: the far vectors are not dups
+    assert(pairs.filter(col("id_a") >= 100L || col("id_b") >= 100L).count() == 0)
+    val kept = SimilarityOps.semDedupWithCentroids(df, "id", "vec", centroids, 0.999,
+      maxClusterSize = 10).collect().map(_.getLong(0)).toSet
+    assert(kept.count(_ < 40L) <= 4,
+      s"at most one exemplar per salt group may survive, kept ${kept.count(_ < 40L)}")
+    assert(kept.contains(0L), "the lowest id is always an exemplar")
+    assert((kept & Set(100L, 101L)) == Set(100L, 101L), "non-dup rows are untouched")
+    // and an under-cap cluster is bit-identical to the uncapped join
+    val small = clusteredVecs
+    val c2 = SimilarityOps.ivfTrain(small, "id", "vec", nLists = 1, iters = 1)
+    val uncapped = SimilarityOps.semDedupPairs(small, "id", "vec", c2, 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((0L, 1L), (3L, 4L)))
   }
 
   test("knnGraph with exhaustive probing equals brute force with self excluded") {

@@ -385,13 +385,13 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     // an unpruned twin on the same big plan: relative timing on the same
     // machine is stable where absolute thresholds are not.
     import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-    val sp = spark
-    import sp.implicits._
-    val leaf = (0 until 4).map(i => (i.toLong, s"v$i")).toDF("id", "v")
-    val big: LogicalPlan = (1 until 256)
-      .foldLeft(leaf)((acc, _) => acc.union(leaf))
-      .select(col("id"), upper(col("v")).as("v"))
-      .queryExecution.analyzed
+    // a freshly PARSED plan: resolveOperatorsUp skips subtrees already
+    // marked analyzed (DataFrame-built plans carry the flag on every child),
+    // so only an unresolved tree — what the analyzer actually hands each
+    // rule during fixed-point iteration — exposes the traversal cost
+    val bigSql = (0 until 256).map(_ => "SELECT id, upper(v) AS v FROM t")
+      .mkString(" UNION ALL ")
+    val big: LogicalPlan = spark.sessionState.sqlParser.parsePlan(bigSql)
     assert(!big.containsPattern(
       org.apache.spark.sql.catalyst.trees.TreePattern.UNRESOLVED_TABLE_VALUED_FUNCTION))
 

@@ -102,24 +102,26 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     val df = graft.ops.TsCvOp.backtestAutoBy(series, "g", "ds", "y", 7, 3, "1d",
       Map("method" -> "SeasonalNaive", "seasonal_period" -> "7"), "rmse")
     val plan = df.queryExecution.executedPlan
-    // fold fan-out must happen AFTER the per-group gather: the only
-    // shuffles are the input aggregation, the series gather, the output
-    // repartition shared by the score/join branches, and the ≤nFolds-row
-    // fold-score aggregation — a plan that exploded rows ×nFolds before the
-    // gather would add a duplicated-row exchange
+    // The kernel output is PINNED (llm.Pin) before fan-out, so the returned
+    // plan reads a materialized leaf: the only exchanges above it are the
+    // ≤nFolds-row fold-score aggregation shuffle and the score broadcast —
+    // no corpus-sized repartition of the exploded output, and the forecast
+    // kernel cannot run twice because both branches scan the same pin.
     val shuffles = plan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
     }
-    assert(shuffles.length <= 4,
-      s"backtest must not shuffle fold-duplicated rows, found ${shuffles.length} exchanges")
-    // the score and join branches must SHARE the post-kernel repartition
-    // exchange (ReuseExchange) — otherwise the forecast kernel runs twice
-    val reused = plan.collect {
-      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    assert(shuffles.length <= 1,
+      s"backtest output must only shuffle pre-aggregated fold scores, found ${shuffles.length} exchanges")
+    val rddLeaves = plan.collect {
+      case r: org.apache.spark.sql.execution.RDDScanExec => r
     }
-    assert(reused.exists(_.child.isInstanceOf[
-      org.apache.spark.sql.execution.exchange.ShuffleExchangeExec]),
-      "the fold-score branch must reuse the output repartition exchange, not recompute the kernel")
+    assert(rddLeaves.nonEmpty,
+      "both branches must read the pinned kernel output, not recompute it")
+    // the pin itself must hold the COMPACT pre-explode rows (arrays), not
+    // the exploded output — the explode must sit above the leaf
+    assert(plan.toString.contains("Generate explode") ||
+      plan.collect { case g: org.apache.spark.sql.execution.GenerateExec => g }.nonEmpty,
+      "fan-out (explode) must happen above the pinned leaf")
     // the fold metric must NOT be a Window partitioned by fold_id alone —
     // that funnels the whole backtest output through ≤nFolds partitions at
     // scale. It is a groupBy(fold_id) aggregate broadcast-joined back.
@@ -219,10 +221,11 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!pplan.toString.contains("CartesianProduct"),
       "intra-cluster pairs must come from the centroid_id equi-join")
     assert(pplan.collect { case w: WindowExec => w }.isEmpty)
-    // every corpus-sized exchange is keyed by centroid_id alone — the key a
-    // stored corpus would be bucketed by, making the self-join exchange-free
+    // every corpus-sized exchange leads with centroid_id (plus the over-cap
+    // sub-bucket/salt keys) — the cluster histograms broadcast, so the only
+    // corpus shuffles are the pair self-join's own exchanges
     val corpusShuffles = pplan.collect { case s: ShuffleExchangeExec => s }
-      .filter(_.child.output.exists(_.name == "_cv"))
+      .filter(_.child.output.exists(a => Set("_cv", "_va", "_vb").contains(a.name)))
     assert(corpusShuffles.nonEmpty)
     corpusShuffles.foreach(s =>
       assert(s.outputPartitioning.toString.contains("centroid_id"),
