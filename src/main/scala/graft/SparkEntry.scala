@@ -63,7 +63,7 @@ object SparkEntry {
 
   // shared by the Scala-API row and its SQL-table-macro twin (byte-identical
   // expansion is the macro contract, so they share one oracle)
-  private val FillGapsOracle = PurchaseCte +
+  private[graft] val fillGapsOracle = PurchaseCte +
     """, w AS (
       |  SELECT g, ds, y, lag(ds) OVER (PARTITION BY g ORDER BY ds) AS prev FROM p),
       |gaps AS (
@@ -91,7 +91,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queriesV1 ++ SparkEntryV2.queries ++ SparkEntryV3.queries ++ SparkEntryV4.queries ++ SparkEntryV5.queries ++ SparkEntryV6.queries ++ SparkEntryV7.queries ++ SparkEntryV8.queries ++ SparkEntryV9.queries ++ SparkEntryV10.queries ++ SparkEntryV11.queries ++ SparkEntryV12.queries ++ SparkEntryV13.queries ++ SparkEntryV14.queries ++ SparkEntryV15.queries ++ SparkEntryV16.queries
+    queriesV1 ++ SparkEntryV2.queries ++ SparkEntryV3.queries ++ SparkEntryV4.queries ++ SparkEntryV5.queries ++ SparkEntryV6.queries ++ SparkEntryV7.queries ++ SparkEntryV8.queries ++ SparkEntryV9.queries ++ SparkEntryV10.queries ++ SparkEntryV11.queries ++ SparkEntryV12.queries ++ SparkEntryV13.queries ++ SparkEntryV14.queries ++ SparkEntryV15.queries ++ SparkEntryV16.queries ++ SparkEntryV17.queries
 
   private def queriesV1: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ relational shell
@@ -236,7 +236,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    oracleSqlV1 ++ SparkEntryV2.oracleSql ++ SparkEntryV3.oracleSql ++ SparkEntryV4.oracleSql ++ SparkEntryV5.oracleSql ++ SparkEntryV6.oracleSql ++ SparkEntryV7.oracleSql ++ SparkEntryV8.oracleSql ++ SparkEntryV9.oracleSql ++ SparkEntryV10.oracleSql ++ SparkEntryV11.oracleSql ++ SparkEntryV12.oracleSql ++ SparkEntryV13.oracleSql ++ SparkEntryV14.oracleSql ++ SparkEntryV15.oracleSql ++ SparkEntryV16.oracleSql
+    oracleSqlV1 ++ SparkEntryV2.oracleSql ++ SparkEntryV3.oracleSql ++ SparkEntryV4.oracleSql ++ SparkEntryV5.oracleSql ++ SparkEntryV6.oracleSql ++ SparkEntryV7.oracleSql ++ SparkEntryV8.oracleSql ++ SparkEntryV9.oracleSql ++ SparkEntryV10.oracleSql ++ SparkEntryV11.oracleSql ++ SparkEntryV12.oracleSql ++ SparkEntryV13.oracleSql ++ SparkEntryV14.oracleSql ++ SparkEntryV15.oracleSql ++ SparkEntryV16.oracleSql ++ SparkEntryV17.oracleSql
 
   private def oracleSqlV1: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -284,9 +284,9 @@ object SparkEntry {
         |SELECT g, ds, y FROM c
         |WHERE g IN (SELECT g FROM c GROUP BY g
         |            HAVING min(y) != max(y) OR min(y) IS NULL OR max(y) IS NULL)""".stripMargin),
-    "ts_fill_gaps_by" -> FillGapsOracle,
+    "ts_fill_gaps_by" -> fillGapsOracle,
     // the SQL macro rows expand to the same plans — byte-identical oracles
-    "sql_macro_fill_gaps_by" -> FillGapsOracle,
+    "sql_macro_fill_gaps_by" -> fillGapsOracle,
     "ts_mae_by" -> (SeriesCte +
       """, w AS (SELECT g, y, lag(y) OVER (PARTITION BY g ORDER BY ds) AS pred FROM s)
         |SELECT g, round(avg(abs(y - pred)), 6) AS mae FROM w GROUP BY g""".stripMargin),

@@ -1,6 +1,6 @@
 package graft.sql
 
-import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedTableValuedFunction}
 import org.apache.spark.sql.catalyst.expressions.{CreateMap, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
@@ -104,11 +104,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // … while the injected table functions handle all-literal calls, which
     // Spark's builtin ResolveFunctions would otherwise reject with
     // UNRESOLVABLE_TABLE_VALUED_FUNCTION before the rule gets to run
-    TableMacros.names.foreach { n =>
+    TableMacros.allNames.foreach { n =>
       ext.injectTableFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(n),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           "graft.sql.TableMacros", n),
-        (exprs: Seq[Expression]) => TableMacros.expand(SparkSession.active, n, exprs)))
+        (exprs: Seq[Expression]) =>
+          TableMacros.expand(SparkSession.active, TableMacros.canonical(n), exprs)))
     }
   }
 }
@@ -126,8 +127,9 @@ class TableMacroRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUpWithPruning(_.containsPattern(UNRESOLVED_TABLE_VALUED_FUNCTION)) {
       case u: UnresolvedTableValuedFunction
-          if u.name.length == 1 && TableMacros.names.contains(u.name.head.toLowerCase) =>
-        TableMacros.expand(spark, u.name.head.toLowerCase, u.functionArgs)
+          if u.name.length == 1 && TableMacros.allNames.contains(u.name.head.toLowerCase) =>
+        TableMacros.expand(spark,
+          TableMacros.canonical(u.name.head.toLowerCase), u.functionArgs)
     }
 }
 
@@ -161,7 +163,31 @@ object TableMacros {
     "extract_domain", "domain_filter", "cap_per_domain",
     // semantic + assembly surface (round 5 batch 16)
     "semdedup", "knn_graph", "strip_boilerplate", "top_tokens",
-    "mix_token_budget", "select_token_budget")
+    "mix_token_budget", "select_token_budget",
+    // round 6: the remaining reference macro names (ts_macros.cpp:2131-2166)
+    "ts_stats", "ts_stats_summary", "ts_quality_report",
+    "ts_data_quality", "ts_data_quality_summary",
+    "ts_drop_zeros_by", "ts_drop_leading_zeros_by", "ts_drop_trailing_zeros_by",
+    "ts_drop_edge_zeros_by", "ts_drop_gappy_by",
+    "ts_fill_nulls_mean_by", "ts_fill_forward_by",
+    "ts_mark_unknown_by", "ts_fill_unknown_by",
+    "ts_validate_timestamps_by", "ts_validate_timestamps_summary_by",
+    "ts_cv_forecast_by", "ts_cv_split_by", "ts_cv_split_folds_by",
+    "ts_cv_split_index_by", "ts_cv_hydrate_by", "ts_check_leakage",
+    "ts_conformal_calibrate", "ts_conformal_apply_by", "ts_interval_width_by",
+    "ts_detect_peaks_by", "ts_detect_peaks",
+    "ts_analyze_peak_timing_by", "ts_analyze_peak_timing",
+    "ts_classify_seasonality", "ts_detect_changepoints", "ts_detect_periods",
+    "ts_features_table")
+
+  /** `anofox_fcst_` aliases for every reference macro name — the reference
+    * registers each table macro twice (ts_macros.cpp:2186-2196:
+    * `anofox_fcst_` + name); the curation/semantic surface is beyond the
+    * reference so it gets no alias. */
+  val aliases: Set[String] = names.filter(_.startsWith("ts_")).map("anofox_fcst_" + _)
+  val allNames: Set[String] = names ++ aliases
+  def canonical(n: String): String =
+    if (aliases.contains(n)) n.stripPrefix("anofox_fcst_") else n
 
   def expand(spark: SparkSession, name: String, args: Seq[Expression]): LogicalPlan = {
     def fail(msg: String): Nothing =
@@ -226,6 +252,36 @@ object TableMacros {
       case Literal(null, _) => Seq.empty
       case other => fail(s"$what must be array('col', …), got $other")
     }
+    // a timestamp literal: TIMESTAMP '…' (already a TimestampType literal),
+    // or a '2024-01-01[ 00:00:00]' string
+    def toTs(e: Expression, what: String): java.sql.Timestamp = e match {
+      case Literal(micros: Long, _: org.apache.spark.sql.types.TimestampType) =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(micros)
+      case Literal(s: UTF8String, StringType) =>
+        val raw = s.toString
+        java.sql.Timestamp.valueOf(if (raw.length == 10) raw + " 00:00:00" else raw)
+      case other => fail(s"$what must be a timestamp or date-string literal, got $other")
+    }
+    def tsList(e: Expression, what: String): Seq[java.sql.Timestamp] = e match {
+      case f: UnresolvedFunction if f.nameParts.map(_.toLowerCase) == Seq("array") =>
+        f.arguments.map(toTs(_, what))
+      case org.apache.spark.sql.catalyst.expressions.CreateArray(items, _) =>
+        items.map(toTs(_, what))
+      case other => fail(s"$what must be array(timestamp, …), got $other")
+    }
+    // a date-or-timestamp literal rendered as the string the Scala APIs take
+    def dateStr(e: Expression, what: String): String = e match {
+      case Literal(micros: Long, _: org.apache.spark.sql.types.TimestampType) =>
+        java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L), 0, java.time.ZoneOffset.UTC).toString
+      case Literal(days: Int, _: org.apache.spark.sql.types.DateType) =>
+        java.time.LocalDate.ofEpochDay(days.toLong).toString
+      case other => str(other, what)
+    }
+    // the reference's single-series (no group column) macro forms run the
+    // grouped operator over one synthetic group and drop it again
+    def singleSeries(t: DataFrame)(f: (DataFrame, String) => DataFrame): DataFrame =
+      f(t.withColumn("_g", org.apache.spark.sql.functions.lit(1)), "_g").drop("_g")
 
     val df = (name, args) match {
       case ("ts_forecast_by", Seq(src, g, ds, y, method, horizon, freq, rest @ _*)) =>
@@ -442,6 +498,164 @@ object TableMacros {
         graft.ops.TsCvOp.backtestAutoBy(source(src), ident(g, "group_col"),
           ident(ds, "date_col"), ident(y, "target_col"), int(horizon, "horizon"),
           int(folds, "folds"), str(freq, "frequency"), params, metric)
+      // ---------------- round 6: remaining reference macro names ----------
+      // stats / quality (ts_macros.cpp:31, :90, :106, :124, :151)
+      case ("ts_stats", Seq(src, g, ds, y, freq)) =>
+        graft.ops.TsStatsOp.statsBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "value_col"), str(freq, "frequency"))
+      case ("ts_stats_summary", Seq(src)) =>
+        graft.ops.TsStatsOp.statsSummary(source(src))
+      case ("ts_quality_report", Seq(src, minLen)) =>
+        graft.ops.TsStatsOp.qualityReport(source(src), int(minLen, "min_length").toLong)
+      // n_short and frequency accepted for signature parity (quality kernel
+      // derives both from the data), same as ts_data_quality_by
+      case ("ts_data_quality", Seq(src, g, ds, y, rest @ _*)) if rest.length <= 2 =>
+        graft.ops.TsStatsOp.dataQualityBy(source(src), ident(g, "unique_id_col"),
+          ident(ds, "date_col"), ident(y, "value_col"))
+      case ("ts_data_quality_summary", Seq(src, g, ds, y, rest @ _*)) if rest.length <= 1 =>
+        graft.ops.TsStatsOp.dataQualitySummary(source(src), ident(g, "unique_id_col"),
+          ident(ds, "date_col"), ident(y, "value_col"))
+      // drop family (ts_macros.cpp:208-400)
+      case ("ts_drop_zeros_by", Seq(src, g, y)) =>
+        graft.ops.TsPrep.dropZerosBy(source(src), ident(g, "group_col"),
+          ident(y, "value_col"))
+      case ("ts_drop_leading_zeros_by", Seq(src, g, ds, y)) =>
+        graft.ops.TsPrep.dropLeadingZerosBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "value_col"))
+      case ("ts_drop_trailing_zeros_by", Seq(src, g, ds, y)) =>
+        graft.ops.TsPrep.dropTrailingZerosBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "value_col"))
+      case ("ts_drop_edge_zeros_by", Seq(src, g, ds, y)) =>
+        graft.ops.TsPrep.dropEdgeZerosBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "value_col"))
+      case ("ts_drop_gappy_by", Seq(src, g, y, ratio)) =>
+        graft.ops.TsPrep.dropGappyBy(source(src), ident(g, "group_col"),
+          ident(y, "value_col"), dbl(ratio, "max_gap_ratio"))
+      // fills / unknown-horizon (ts_macros.cpp:306, :369, :944, :979)
+      case ("ts_fill_nulls_mean_by", Seq(src, g, ds, y)) =>
+        graft.ops.TsPrep.fillNullsMeanBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "value_col"))
+      case ("ts_fill_forward_by", Seq(src, g, ds, y, target, freq)) =>
+        graft.ops.TsPrep.fillForwardBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "value_col"),
+          dateStr(target, "target_date"), str(freq, "frequency"))
+      case ("ts_mark_unknown_by", Seq(src, g, ds, cutoff)) =>
+        graft.ops.TsPrep.markUnknownBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), dateStr(cutoff, "cutoff_date"))
+      case ("ts_fill_unknown_by", Seq(src, g, ds, y, cutoff, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        val p = rest.headOption.map(paramsMap).getOrElse(Map.empty[String, String])
+        graft.ops.TsPrep.fillUnknownBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "value_col"), dateStr(cutoff, "cutoff_date"),
+          p.getOrElse("strategy", "last_value"),
+          p.get("fill_value").map(_.toDouble).getOrElse(0.0))
+      case ("ts_validate_timestamps_by", Seq(src, g, ds, expected)) =>
+        graft.ops.TsPrep.validateTimestampsBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), tsList(expected, "expected_timestamps"))
+      case ("ts_validate_timestamps_summary_by", Seq(src, g, ds, expected)) =>
+        graft.ops.TsPrep.validateTimestampsSummaryBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), tsList(expected, "expected_timestamps"))
+      // cv family (ts_macros.cpp:731, :1121, :1203, :1223, :1319, :1409)
+      case ("ts_cv_forecast_by", Seq(src, g, ds, y, method, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.ops.TsCvOp.cvForecastBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "target_col"), str(method, "method"),
+          rest.headOption.map(paramsMap).getOrElse(Map.empty))
+      case ("ts_cv_split_by", Seq(src, g, ds, y, ends, horizon, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.ops.TsCvOp.cvSplitBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "target_col"),
+          tsList(ends, "training_end_times"), int(horizon, "horizon"),
+          rest.headOption.map(paramsMap).getOrElse(Map.empty))
+      // frequency accepted for signature parity (position-based fold
+      // arithmetic needs no calendar)
+      case ("ts_cv_split_folds_by", Seq(src, g, ds, ends, horizon, rest @ _*)) =>
+        if (rest.length > 2) fail("too many arguments")
+        val t = source(src).withColumn("_y",
+          org.apache.spark.sql.functions.lit(0))
+        graft.ops.TsCvOp.cvSplitFoldsBy(t, ident(g, "group_col"),
+          ident(ds, "date_col"), "_y", tsList(ends, "training_end_times"),
+          int(horizon, "horizon"),
+          rest.lift(1).map(paramsMap).getOrElse(Map.empty))
+      case ("ts_cv_split_index_by", Seq(src, g, ds, ends, horizon, rest @ _*)) =>
+        if (rest.length > 2) fail("too many arguments")
+        graft.ops.TsCvOp.cvSplitIndexBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), tsList(ends, "training_end_times"),
+          int(horizon, "horizon"),
+          rest.lift(1).map(paramsMap).getOrElse(Map.empty))
+      case ("ts_cv_hydrate_by", Seq(folds, src, g, ds, unknown, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.ops.TsCvOp.cvHydrateBy(source(folds), source(src),
+          ident(g, "group_col"), ident(ds, "date_col"),
+          strList(unknown, "unknown_features"))
+      case ("ts_check_leakage", Seq(src, isTest, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        val p = rest.headOption.map(paramsMap).getOrElse(Map.empty[String, String])
+        graft.ops.TsCvOp.checkLeakage(source(src),
+          p.getOrElse("group_col", "unique_id"), p.getOrElse("date_col", "date"),
+          ident(isTest, "is_test_col"))
+      // conformal helpers (ts_macros.cpp:1516, :1543, :1569)
+      case ("ts_conformal_calibrate", Seq(src, actual, fc, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        val p = rest.headOption.map(paramsMap).getOrElse(Map.empty[String, String])
+        graft.ops.TsConformalOp.conformalCalibrate(source(src),
+          ident(actual, "actual_col"), ident(fc, "forecast_col"),
+          p.get("alpha").map(_.toDouble).getOrElse(0.1))
+      case ("ts_conformal_apply_by", Seq(src, g, fc, score)) =>
+        graft.ops.TsConformalOp.conformalApplyBy(source(src), ident(g, "group_col"),
+          ident(fc, "forecast_col"), dbl(score, "conformity_score"))
+      case ("ts_interval_width_by", Seq(src, g, lo, hi)) =>
+        graft.ops.TsConformalOp.intervalWidthBy(source(src), ident(g, "group_col"),
+          ident(lo, "lower_col"), ident(hi, "upper_col"))
+      // peaks (ts_macros.cpp:1890-1973)
+      case ("ts_detect_peaks_by", Seq(src, g, ds, y, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        val p = rest.headOption.map(paramsMap).getOrElse(Map.empty[String, String])
+        graft.ops.TsDecompositionOp.detectPeaksBy(source(src), ident(g, "group_col"),
+          ident(ds, "date_col"), ident(y, "value_col"),
+          p.get("min_distance").map(_.toDouble), p.get("min_prominence").map(_.toDouble))
+      case ("ts_detect_peaks", Seq(src, ds, y, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        val p = rest.headOption.map(paramsMap).getOrElse(Map.empty[String, String])
+        singleSeries(source(src))((t, gc) =>
+          graft.ops.TsDecompositionOp.detectPeaksBy(t, gc, ident(ds, "date_col"),
+            ident(y, "value_col"), p.get("min_distance").map(_.toDouble),
+            p.get("min_prominence").map(_.toDouble)))
+      case ("ts_analyze_peak_timing_by", Seq(src, g, ds, y, period, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.ops.TsDecompositionOp.analyzePeakTimingBy(source(src),
+          ident(g, "group_col"), ident(ds, "date_col"), ident(y, "value_col"),
+          dbl(period, "period"))
+      case ("ts_analyze_peak_timing", Seq(src, ds, y, period, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        singleSeries(source(src))((t, gc) =>
+          graft.ops.TsDecompositionOp.analyzePeakTimingBy(t, gc,
+            ident(ds, "date_col"), ident(y, "value_col"), dbl(period, "period")))
+      // single-series forms of grouped detectors (ts_macros.cpp:489, :1644,
+      // :1790, :1824)
+      case ("ts_classify_seasonality", Seq(src, ds, y, period)) =>
+        singleSeries(source(src))((t, gc) =>
+          graft.ops.TsDecompositionOp.classifySeasonalityBy(t, gc,
+            ident(ds, "date_col"), ident(y, "value_col"), int(period, "period")))
+      case ("ts_detect_changepoints", Seq(src, ds, y, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        val p = rest.headOption.map(paramsMap).getOrElse(Map.empty[String, String])
+        singleSeries(source(src))((t, gc) =>
+          graft.ops.TsChangepointOp.detectChangepointsBy(t, gc,
+            ident(ds, "date_col"), ident(y, "value_col"),
+            p.get("hazard_lambda").map(_.toDouble).getOrElse(250.0),
+            p.get("include_probabilities").forall(_.toBoolean)))
+      case ("ts_detect_periods", Seq(src, ds, y, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        val p = rest.headOption.map(paramsMap).getOrElse(Map.empty[String, String])
+        singleSeries(source(src))((t, gc) =>
+          graft.ops.TsDecompositionOp.detectPeriodsBy(t, gc, ident(ds, "date_col"),
+            ident(y, "value_col"), p.getOrElse("method", "fft"),
+            p.get("max_period").map(_.toInt), p.get("min_confidence").map(_.toDouble)))
+      case ("ts_features_table", Seq(src, ds, y)) =>
+        singleSeries(source(src))((t, gc) =>
+          graft.ops.TsFeaturesOp.featuresBy(t, gc, ident(ds, "date_col"),
+            ident(y, "value_col")))
       // ------------------------------------------ corpus-curation macros
       case ("sample_bernoulli", Seq(src, id, rate, seed)) =>
         graft.llm.SampleOps.sampleBernoulli(source(src), ident(id, "id_col"),

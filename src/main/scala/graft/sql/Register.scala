@@ -25,9 +25,11 @@ object Register {
     Aggregators.registerAll(spark)
 
     // table macros: FROM ts_forecast_by('tbl', id, ds, y, 'AutoETS', 12, '1d')
-    TableMacros.names.foreach { name =>
+    // (incl. the reference's anofox_fcst_ aliases, ts_macros.cpp:2186-2196)
+    TableMacros.allNames.foreach { name =>
       spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
-        name, exprs => TableMacros.expand(spark, name, exprs), "built-in")
+        name, exprs => TableMacros.expand(spark, TableMacros.canonical(name), exprs),
+        "built-in")
     }
 
     def reg(name: String, f: org.apache.spark.sql.expressions.UserDefinedFunction): Unit = {

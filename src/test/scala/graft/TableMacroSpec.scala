@@ -377,6 +377,139 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.llm.MixOps.selectToTokenBudget(mixdocs, "doc_id", "toks", 400L, 13L))
   }
 
+  test("round-6 macro names: stats/quality/drop/fill/unknown/validate SQL == Scala API") {
+    def eq(sql: String, api: DataFrame): Unit = {
+      val s = spark.sql(sql)
+      assert(s.columns.toSeq == api.columns.toSeq, s"columns for: $sql")
+      assert(sortedRows(s) == sortedRows(api), s"rows for: $sql")
+    }
+    eq("SELECT * FROM ts_stats('series', g, ds, y, '1d')",
+      graft.ops.TsStatsOp.statsBy(spark.table("series"), "g", "ds", "y", "1d"))
+    graft.ops.TsStatsOp.statsBy(spark.table("series"), "g", "ds", "y", "1d")
+      .createOrReplaceTempView("stats_t")
+    eq("SELECT * FROM ts_stats_summary('stats_t')",
+      graft.ops.TsStatsOp.statsSummary(spark.table("stats_t")))
+    eq("SELECT * FROM ts_quality_report('stats_t', 10)",
+      graft.ops.TsStatsOp.qualityReport(spark.table("stats_t"), 10L))
+    eq("SELECT * FROM ts_data_quality('series', g, ds, y, 10, '1d')",
+      graft.ops.TsStatsOp.dataQualityBy(spark.table("series"), "g", "ds", "y"))
+    eq("SELECT * FROM ts_data_quality_summary('series', g, ds, y, 10)",
+      graft.ops.TsStatsOp.dataQualitySummary(spark.table("series"), "g", "ds", "y"))
+    eq("SELECT * FROM ts_drop_zeros_by('series', g, y)",
+      graft.ops.TsPrep.dropZerosBy(spark.table("series"), "g", "y"))
+    eq("SELECT * FROM ts_drop_leading_zeros_by('series', g, ds, y)",
+      graft.ops.TsPrep.dropLeadingZerosBy(spark.table("series"), "g", "ds", "y"))
+    eq("SELECT * FROM ts_drop_trailing_zeros_by('series', g, ds, y)",
+      graft.ops.TsPrep.dropTrailingZerosBy(spark.table("series"), "g", "ds", "y"))
+    eq("SELECT * FROM ts_drop_edge_zeros_by('series', g, ds, y)",
+      graft.ops.TsPrep.dropEdgeZerosBy(spark.table("series"), "g", "ds", "y"))
+    eq("SELECT * FROM ts_drop_gappy_by('series', g, y, 0.5)",
+      graft.ops.TsPrep.dropGappyBy(spark.table("series"), "g", "y", 0.5))
+    eq("SELECT * FROM ts_fill_nulls_mean_by('series', g, ds, y)",
+      graft.ops.TsPrep.fillNullsMeanBy(spark.table("series"), "g", "ds", "y"))
+    eq("SELECT * FROM ts_fill_forward_by('series', g, ds, y, '2024-02-05', '1d')",
+      graft.ops.TsPrep.fillForwardBy(spark.table("series"), "g", "ds", "y",
+        "2024-02-05", "1d"))
+    eq("SELECT * FROM ts_mark_unknown_by('series', g, ds, '2024-01-14')",
+      graft.ops.TsPrep.markUnknownBy(spark.table("series"), "g", "ds", "2024-01-14"))
+    eq("SELECT * FROM ts_fill_unknown_by('series', g, ds, y, '2024-01-14', " +
+      "map('strategy', 'default', 'fill_value', '7.5'))",
+      graft.ops.TsPrep.fillUnknownBy(spark.table("series"), "g", "ds", "y",
+        "2024-01-14", "default", 7.5))
+    val expected = Seq("2024-01-01", "2024-01-10", "2024-03-01")
+      .map(d => java.sql.Timestamp.valueOf(d + " 00:00:00"))
+    eq("SELECT * FROM ts_validate_timestamps_by('series', g, ds, " +
+      "array('2024-01-01', '2024-01-10', '2024-03-01'))",
+      graft.ops.TsPrep.validateTimestampsBy(spark.table("series"), "g", "ds", expected))
+    eq("SELECT * FROM ts_validate_timestamps_summary_by('series', g, ds, " +
+      "array('2024-01-01', '2024-01-10', '2024-03-01'))",
+      graft.ops.TsPrep.validateTimestampsSummaryBy(spark.table("series"), "g", "ds",
+        expected))
+  }
+
+  test("round-6 macro names: cv family / conformal / peaks / singles SQL == Scala API") {
+    def eq(sql: String, api: DataFrame): Unit = {
+      val s = spark.sql(sql)
+      assert(s.columns.toSeq == api.columns.toSeq, s"columns for: $sql")
+      assert(sortedRows(s) == sortedRows(api), s"rows for: $sql")
+    }
+    val ends = Seq("2024-01-14", "2024-01-21")
+      .map(d => java.sql.Timestamp.valueOf(d + " 00:00:00"))
+    eq("SELECT * FROM ts_cv_split_by('series', g, ds, y, " +
+      "array('2024-01-14', '2024-01-21'), 7)",
+      graft.ops.TsCvOp.cvSplitBy(spark.table("series"), "g", "ds", "y", ends, 7))
+    eq("SELECT * FROM ts_cv_split_index_by('series', g, ds, " +
+      "array('2024-01-14', '2024-01-21'), 7, '1d')",
+      graft.ops.TsCvOp.cvSplitIndexBy(spark.table("series"), "g", "ds", ends, 7))
+    val foldsSql = spark.sql("SELECT * FROM ts_cv_split_folds_by('series', g, ds, " +
+      "array('2024-01-14', '2024-01-21'), 7, '1d')")
+    val foldsApi = graft.ops.TsCvOp.cvSplitFoldsBy(
+      spark.table("series").withColumn("_y", lit(0)), "g", "ds", "_y", ends, 7)
+    assert(sortedRows(foldsSql) == sortedRows(foldsApi))
+    // cv_forecast over folds; hydrate over the index skeleton
+    spark.sql("SELECT * FROM ts_cv_folds_by('series', g, ds, y, 2, 7)")
+      .createOrReplaceTempView("folds_t")
+    eq("SELECT * FROM ts_cv_forecast_by('folds_t', g, ds, y, 'Naive')",
+      graft.ops.TsCvOp.cvForecastBy(spark.table("folds_t"), "g", "ds", "y", "Naive"))
+    spark.table("series").withColumn("feat1", col("y") * 2)
+      .createOrReplaceTempView("feat_t")
+    spark.sql("SELECT * FROM ts_cv_split_index_by('series', g, ds, " +
+      "array('2024-01-14', '2024-01-21'), 7, '1d')")
+      .createOrReplaceTempView("idx_t")
+    eq("SELECT * FROM ts_cv_hydrate_by('idx_t', 'feat_t', g, ds, array('feat1'))",
+      graft.ops.TsCvOp.cvHydrateBy(spark.table("idx_t"), spark.table("feat_t"),
+        "g", "ds", Seq("feat1")))
+    spark.table("idx_t").withColumn("is_test", col("split") === "test")
+      .createOrReplaceTempView("leak_t")
+    eq("SELECT * FROM ts_check_leakage('leak_t', is_test, " +
+      "map('group_col', 'g', 'date_col', 'ds'))",
+      graft.ops.TsCvOp.checkLeakage(spark.table("leak_t"), "g", "ds", "is_test"))
+    // conformal calibrate/apply/width over a backtest-results table
+    spark.sql("SELECT * FROM ts_backtest_auto_by('series', g, ds, y, 7, 2, '1d', " +
+        "map('method', 'Naive'))")
+      .createOrReplaceTempView("bt6")
+    eq("SELECT * FROM ts_conformal_calibrate('bt6', actual, yhat, map('alpha', '0.2'))",
+      graft.ops.TsConformalOp.conformalCalibrate(spark.table("bt6"),
+        "actual", "yhat", 0.2))
+    eq("SELECT * FROM ts_conformal_apply_by('bt6', g, yhat, 1.25)",
+      graft.ops.TsConformalOp.conformalApplyBy(spark.table("bt6"), "g", "yhat", 1.25))
+    eq("SELECT * FROM ts_interval_width_by('bt6', g, yhat_lower, yhat_upper)",
+      graft.ops.TsConformalOp.intervalWidthBy(spark.table("bt6"),
+        "g", "yhat_lower", "yhat_upper"))
+    // peaks, grouped and single
+    eq("SELECT * FROM ts_detect_peaks_by('series', g, ds, y)",
+      graft.ops.TsDecompositionOp.detectPeaksBy(spark.table("series"), "g", "ds", "y"))
+    eq("SELECT * FROM ts_analyze_peak_timing_by('series', g, ds, y, 7)",
+      graft.ops.TsDecompositionOp.analyzePeakTimingBy(spark.table("series"),
+        "g", "ds", "y", 7.0))
+    spark.table("series").filter(col("g") === "wave")
+      .createOrReplaceTempView("one_series")
+    assert(spark.sql("SELECT * FROM ts_detect_peaks('one_series', ds, y)").count() > 0)
+    assert(spark.sql(
+      "SELECT * FROM ts_analyze_peak_timing('one_series', ds, y, 7)").count() == 1)
+    assert(spark.sql(
+      "SELECT * FROM ts_classify_seasonality('one_series', ds, y, 7)").count() == 1)
+    assert(spark.sql(
+      "SELECT * FROM ts_detect_changepoints('one_series', ds, y)").count() > 0)
+    assert(spark.sql("SELECT * FROM ts_detect_periods('one_series', ds, y)").count() > 0)
+    val ft = spark.sql("SELECT * FROM ts_features_table('one_series', ds, y)")
+    assert(ft.count() == 1 && !ft.columns.contains("_g"))
+  }
+
+  test("anofox_fcst_ aliases resolve for every reference macro name") {
+    // every ts_* macro gets the reference's anofox_fcst_ prefix alias
+    // (ts_macros.cpp:2186-2196); spot-check one end-to-end and assert the
+    // registry covers the rest
+    val sql = spark.sql("SELECT * FROM anofox_fcst_ts_stats_by('series', g, ds, y, '1d')")
+    val api = graft.ops.TsStatsOp.statsBy(spark.table("series"), "g", "ds", "y", "1d")
+    assert(sortedRows(sql) == sortedRows(api))
+    val tsNames = graft.sql.TableMacros.names.filter(_.startsWith("ts_"))
+    assert(graft.sql.TableMacros.aliases == tsNames.map("anofox_fcst_" + _))
+    // and the alias parses through the extension route for a cv name too
+    assert(spark.sql("SELECT * FROM anofox_fcst_ts_cv_folds_by('series', g, ds, y, 2, 7)")
+      .count() > 0)
+  }
+
   test("TableMacroRule is pattern-pruned: macro-free plans cost ~nothing") {
     // A session with the extension installed runs this rule to fixed point on
     // EVERY query. On a large macro-free plan (a many-way-union corpus) the
