@@ -47,6 +47,54 @@ object ScaleProbe {
         "SeasonalNaive", 14, "1d", Map("seasonal_period" -> "7"))))
       println(f"fc_snaive ext=$useExt sec=$m%.3f ms_per_series=${m * 1000 / n}%.4f all=${ts.map(t => f"$t%.3f")}")
     }
+    if (which("knn")) {
+      val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val n1 = emb1.count()
+      val emb10 = (0 until 10).map(i =>
+          emb1.withColumn("vec_id", col("vec_id") + lit(i * 100000000L)))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      emb10.count()
+      val centroids10 = llm.SimilarityOps.ivfTrain(emb10, "vec_id", "embedding", 32)
+      val (m, ts) = med5(onceDf(llm.SimilarityOps.knnGraphWithCentroids(
+        emb10, "vec_id", "embedding", k = 10, centroids10, nProbe = 8)))
+      println(f"knn_graph ext=$useExt sec=$m%.3f ms_per_node=${m * 1000 / (n1 * 10)}%.4f all=${ts.map(t => f"$t%.3f")}")
+      val (ms, tss) = med5(onceDf(llm.SimilarityOps.semDedupPairs(
+        emb10, "vec_id", "embedding", centroids10, minSim = 0.99)))
+      println(f"semdedup ext=$useExt sec=$ms%.3f ms_per_vec=${ms * 1000 / (n1 * 10)}%.4f all=${tss.map(t => f"$t%.3f")}")
+      emb10.unpersist()
+    }
+    if (which("knnbisect")) {
+      // isolate the knn candidate pipeline's stages: same join + scoring
+      // volume, but reduced with a plain max() instead of the top-k UDAF
+      val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val emb10 = (0 until 10).map(i =>
+          emb1.withColumn("vec_id", col("vec_id") + lit(i * 100000000L)))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      emb10.count()
+      val centroids10 = llm.SimilarityOps.ivfTrain(emb10, "vec_id", "embedding", 32)
+      val assigned = llm.SimilarityOps.ivfAssign(emb10, "vec_id", "embedding", centroids10)
+        .localCheckpoint(true)
+      val probes = assigned.select(col("vid").as("qid"), col("_cv").as("_qv"),
+          col("centroid_id"))
+      val joined = probes
+        .withColumn("_qn", sqrt(expr("aggregate(_qv, 0D, (a, x) -> a + x * x)")))
+        .join(assigned.withColumn("_vn",
+          sqrt(expr("aggregate(_cv, 0D, (a, x) -> a + x * x)"))), Seq("centroid_id"))
+        .filter(col("qid") =!= col("vid"))
+        .withColumn("sim", graft.llm.SimilarityOps.cosine(col("_qv"), col("_cv")))
+        .filter(!isnan(col("sim")))
+        .select(col("qid"), col("vid"), col("sim"))
+      def onceD(df: => DataFrame): Double = {
+        val t0 = System.nanoTime()
+        df.write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      def m3(run: => Double): Double = { run; val ts = Seq.fill(3)(run).sorted; ts(1) }
+      val tMax = m3(onceD(joined.groupBy(col("qid")).agg(max(col("sim")).as("m"))))
+      println(f"knn_bisect max-agg sec=$tMax%.3f")
+      val tCount = m3(onceD(joined.groupBy(col("qid")).agg(count(lit(1)).as("c"))))
+      println(f"knn_bisect count-agg sec=$tCount%.3f")
+    }
     if (which("backtest")) {
       val (m, ts) = med5(onceDf(ops.TsCvOp.backtestAutoBy(series10, "g", "ds", "y",
         7, 2, "1d", Map("method" -> "SeasonalNaive", "seasonal_period" -> "7"), "rmse")))

@@ -33,6 +33,17 @@ object SimilarityOps {
         org.apache.spark.sql.GraftExpressionBridge.expression(a.cast(ArrayType(DoubleType))),
         org.apache.spark.sql.GraftExpressionBridge.expression(b.cast(ArrayType(DoubleType)))))
 
+  /** Native bounded top-k aggregate ([[graft.functions.TopKByScore]]) —
+    * primitive-array state, no per-row boxing or encoder round trip. The
+    * typed-Aggregator UDAF it replaces dominated the kNN-graph runtime
+    * (~8x measured on the same join volume). */
+  private def topKAgg(vid: Column, sim: Column, k: Int): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.TopKByScore(
+        org.apache.spark.sql.GraftExpressionBridge.expression(vid),
+        org.apache.spark.sql.GraftExpressionBridge.expression(sim),
+        k).toAggregateExpression())
+
   /** Bounded top-k accumulator state: parallel (vid, sim) arrays with a
     * fill cursor, capacity 2k+1 — product-encodable (plain arrays), unlike a
     * kryo-serialized collection which failed to round-trip through shuffle
@@ -96,19 +107,22 @@ object SimilarityOps {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
                      k: Int): DataFrame = {
     val vidType = corpus.schema(idCol).dataType
+    // per-side norms once (projection before the join), one dot pass per
+    // pair — bit-identical to the cosine expression (see probeJoin)
     val c = corpus.select(col(idCol).as("vid"), col(vecCol).cast(ArrayType(DoubleType)).as("_cv"))
+      .withColumn("_vn", sqrt(dot(col("_cv"), col("_cv"))))
     val q = queries.select(col(idCol).as("qid"), col(vecCol).cast(ArrayType(DoubleType)).as("_qv"))
+      .withColumn("_qn", sqrt(dot(col("_qv"), col("_qv"))))
     val pairs = c.crossJoin(broadcast(q))
-      .withColumn("sim", cosine(col("_qv"), col("_cv")))
+      .withColumn("sim", dot(col("_qv"), col("_cv")) / (col("_qn") * col("_vn")))
       // zero-norm vectors give NaN cosine; Spark sorts NaN above every real
       // value desc, which would steal top-k slots
       .filter(!isnan(col("sim")))
       .select(col("qid"), col("vid").cast(LongType).as("vid"), col("sim"))
-    val topk = udaf(new TopKAggregator(k), ExpressionEncoder[(Long, Double)]())
     pairs.groupBy(col("qid"))
-      .agg(topk(col("vid"), col("sim")).as("_top"))
+      .agg(topKAgg(col("vid"), col("sim"), k).as("_top"))
       .select(col("qid"), explode(col("_top")).as("_p"))
-      .select(col("qid"), col("_p._1").cast(vidType).as("vid"), col("_p._2").as("sim"))
+      .select(col("qid"), col("_p.vid").cast(vidType).as("vid"), col("_p.sim").as("sim"))
   }
 
   /** Random-hyperplane LSH bucketing: `nBits` signed projections → bucket id.
@@ -147,10 +161,14 @@ object SimilarityOps {
     val okBuckets = b.groupBy(col("bucket")).agg(count(lit(1)).as("_bn"))
       .filter(col("_bn") <= maxBucketSize).select(col("bucket"))
     val capped = b.join(okBuckets, Seq("bucket"))
-    val l = capped.select(col(idCol).as("id_a"), col("_v").as("_va"), col("bucket"))
-    val r = capped.select(col(idCol).as("id_b"), col("_v").as("_vb"), col("bucket"))
+    // per-side norms once, one dot pass per pair (bit-identical to the
+    // cosine expression — see probeJoin)
+    val l = capped.select(col(idCol).as("id_a"), col("_v").as("_va"),
+      sqrt(dot(col("_v"), col("_v"))).as("_na"), col("bucket"))
+    val r = capped.select(col(idCol).as("id_b"), col("_v").as("_vb"),
+      sqrt(dot(col("_v"), col("_v"))).as("_nb"), col("bucket"))
     l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("_va"), col("_vb")))
+      .withColumn("sim", dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
       .filter(col("sim") >= minSim)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
@@ -308,21 +326,53 @@ object SimilarityOps {
       .select(col("qid"), col("_qv"), col("_pp.cid").as("centroid_id"))
   }
 
-  /** Join probe lists with the (possibly disk-resident) inverted lists and
-    * reduce to per-query top-k through the bounded-heap Aggregator. */
+  /** [[graft.functions.ChunkTopK]] as a Column. */
+  private def chunkTopK(qid: Column, qv: Column, ids: Column, norms: Column,
+                        vecs: Column, k: Int, excludeSelf: Boolean): Column = {
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    B.column(graft.functions.ChunkTopK(B.expression(qid), B.expression(qv),
+      B.expression(ids), B.expression(norms), B.expression(vecs), k, excludeSelf))
+  }
+
+  /** Probe the inverted lists and reduce to per-query top-k — block-at-a-
+    * time, not row-at-a-time. Each probed list is PACKED into bounded
+    * chunks (≤ [[PackChunkSize]] vectors per row, chunk membership by id
+    * hash so skewed lists split evenly), the probe⋈chunk join emits only
+    * |probes|·chunksPerList rows, and [[graft.functions.ChunkTopK]] runs
+    * the scoring loop over each packed chunk in place. The row-at-a-time
+    * equi-join this replaces materialized one joined row PER CANDIDATE PAIR
+    * — |corpus|·nProbe·|list| rows each carrying two full embedding arrays;
+    * measured at 10× scale the row copying, not the arithmetic, dominated
+    * the kNN graph. Chunk results merge through the native bounded top-k
+    * aggregate. Scoring and selection semantics are bit-identical to the
+    * pair pipeline (ChunkTopK doc), so the exhaustive-probe oracle rows
+    * stay hash-exact. */
   private def probeJoin(assigned: DataFrame, probes: DataFrame, k: Int,
                         vidType: DataType, excludeSelf: Boolean = false): DataFrame = {
-    val topk = udaf(new TopKAggregator(k), ExpressionEncoder[(Long, Double)]())
-    val joined = probes.join(assigned, Seq("centroid_id"))
-    (if (excludeSelf) joined.filter(col("qid") =!= col("vid")) else joined)
-      .withColumn("sim", cosine(col("_qv"), col("_cv")))
-      .filter(!isnan(col("sim")))
-      .select(col("qid"), col("vid").cast(LongType).as("vid"), col("sim"))
+    // list histogram is ≤ nLists rows (bounded like the centroid table)
+    val hist = assigned.groupBy(col("centroid_id")).agg(count(lit(1)).as("_ln"))
+    val packed = assigned
+      .withColumn("_vl", col("vid").cast(LongType))
+      .join(broadcast(hist), Seq("centroid_id"))
+      .withColumn("_chunk", SampleOps.hashBucket(col("_vl"), 0xc4a11L) %
+        ceil(col("_ln").cast(DoubleType) / PackChunkSize).cast(LongType))
+      .groupBy(col("centroid_id"), col("_chunk"))
+      .agg(collect_list(struct(col("_vl").as("vid"),
+        sqrt(dot(col("_cv"), col("_cv"))).as("nrm"),
+        col("_cv").as("vec"))).as("_pk"))
+    probes.join(packed, Seq("centroid_id"))
+      .select(col("qid"), explode(chunkTopK(col("qid").cast(LongType), col("_qv"),
+        col("_pk.vid"), col("_pk.nrm"), col("_pk.vec"), k, excludeSelf)).as("_h"))
+      .select(col("qid"), col("_h.vid").as("vid"), col("_h.sim").as("sim"))
       .groupBy(col("qid"))
-      .agg(topk(col("vid"), col("sim")).as("_top"))
+      .agg(topKAgg(col("vid"), col("sim"), k).as("_top"))
       .select(col("qid"), explode(col("_top")).as("_t"))
-      .select(col("qid"), col("_t._1").cast(vidType).as("vid"), col("_t._2").as("sim"))
+      .select(col("qid"), col("_t.vid").cast(vidType).as("vid"), col("_t.sim").as("sim"))
   }
+
+  /** Max vectors per packed inverted-list chunk: bounds the packed row size
+    * (and therefore executor memory per row) regardless of list skew. */
+  private val PackChunkSize = 1024
 
   /** Probe pre-built inverted lists: `assigned` is ivfAssign's output
     * (vid, _cv, centroid_id) — e.g. the stored corpus bucketed by
@@ -428,9 +478,24 @@ object SimilarityOps {
     // corpus × nLists scoring otherwise. Freed by the ContextCleaner once
     // the returned plan is unreachable.
     val assigned = Pin(ivfAssign(df, idCol, vecCol, centroids)).df
-    // cluster histogram is ≤ nLists rows → broadcast onto the corpus
+    // cluster histogram is ≤ nLists rows — bounded like the centroid table,
+    // so inspecting it on the driver is safe at any corpus size. In the
+    // common no-over-cap case the whole sub-bucket/salt machinery (two
+    // broadcast joins + an extra aggregate) is skipped and the self-join
+    // runs directly on centroid_id.
     val hist = assigned.groupBy(col("centroid_id"))
       .agg(count(lit(1)).as("_cn"))
+    val anyOverCap = hist.filter(col("_cn") > maxClusterSize).limit(1).count() > 0
+    if (!anyOverCap) {
+      val l = assigned.select(col("vid").as("id_a"), col("_cv").as("_va"),
+        sqrt(dot(col("_cv"), col("_cv"))).as("_na"), col("centroid_id"))
+      val r = assigned.select(col("vid").as("id_b"), col("_cv").as("_vb"),
+        sqrt(dot(col("_cv"), col("_cv"))).as("_nb"), col("centroid_id"))
+      return l.join(r, Seq("centroid_id")).filter(col("id_a") < col("id_b"))
+        .withColumn("sim", dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
+        .filter(col("sim") >= minSim)
+        .select(col("id_a"), col("id_b"), col("sim"))
+    }
     val nBits = when(col("_cn") <= maxClusterSize, lit(0)).otherwise(
       least(lit(MaxBits),
         ceil(log2(ceil(col("_cn").cast(DoubleType) / maxClusterSize))).cast(IntegerType)))
@@ -460,12 +525,17 @@ object SimilarityOps {
         when(col("_cn2") <= maxClusterSize, lit(0L)).otherwise(
           SampleOps.hashBucket(col("vid"), SaltSeed) %
             ceil(col("_cn2").cast(DoubleType) / maxClusterSize).cast(LongType)))
+    // norms are projections computed once per side before the self-join, so
+    // per-pair scoring is a single dot pass — bit-identical to the cosine
+    // expression (same accumulation order, then dot / (√·√))
     val l = salted.select(col("vid").as("id_a"), col("_cv").as("_va"),
+      sqrt(dot(col("_cv"), col("_cv"))).as("_na"),
       col("centroid_id"), col("_sub"), col("_salt"))
     val r = salted.select(col("vid").as("id_b"), col("_cv").as("_vb"),
+      sqrt(dot(col("_cv"), col("_cv"))).as("_nb"),
       col("centroid_id"), col("_sub"), col("_salt"))
     l.join(r, Seq("centroid_id", "_sub", "_salt")).filter(col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("_va"), col("_vb")))
+      .withColumn("sim", dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
       .filter(col("sim") >= minSim)
       .select(col("id_a"), col("id_b"), col("sim"))
   }
