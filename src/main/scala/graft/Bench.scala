@@ -182,6 +182,9 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     def median3(run: => Double): Double = { run; val ts = Seq.fill(3)(run).sorted; ts(1) }
+    // LSH ops get median-of-5: their pin/GC lifecycle made single medians
+    // swing run-to-run, so they carry the widest measurement band
+    def median5(run: => Double): Double = { run; val ts = Seq.fill(5)(run).sorted; ts(2) }
     val scaleQs: Seq[(String, () => DataFrame)] = Seq(
       "fc_snaive_users" -> (() => ops.TsForecastOp.forecastBy(series10, "g", "ds", "y",
         "SeasonalNaive", 14, "1d", Map("seasonal_period" -> "7"))),
@@ -202,7 +205,7 @@ object Bench {
         .withColumn("text", concat(col("text"), lit(s" r$i"))))
       .reduce(_ unionByName _).coalesce(32).cache()
     docs10.count()
-    val minhash10 = median3(onceDf(
+    val minhash10 = median5(onceDf(
       llm.TextOps.minHashLshPairs(docs10, "doc_id", "text")))
     // curation pipeline at 10× corpus: normalize→scrub→sample→chunk→pack
     // (narrow codegen + one bucket shuffle), and 13-gram decontamination

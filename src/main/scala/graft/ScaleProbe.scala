@@ -95,6 +95,18 @@ object ScaleProbe {
       val tCount = m3(onceD(joined.groupBy(col("qid")).agg(count(lit(1)).as("c"))))
       println(f"knn_bisect count-agg sec=$tCount%.3f")
     }
+    if (which("minhash")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n1 = docs.count()
+      val docs10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", concat(col("text"), lit(s" r$i"))))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      docs10.count()
+      val (m, ts) = med5(onceDf(llm.TextOps.minHashLshPairs(docs10, "doc_id", "text")))
+      println(f"minhash ext=$useExt sec=$m%.3f ms_per_doc=${m * 1000 / (n1 * 10)}%.4f all=${ts.map(t => f"$t%.3f")}")
+      docs10.unpersist()
+    }
     if (which("backtest")) {
       val (m, ts) = med5(onceDf(ops.TsCvOp.backtestAutoBy(series10, "g", "ds", "y",
         7, 2, "1d", Map("method" -> "SeasonalNaive", "seasonal_period" -> "7"), "rmse")))

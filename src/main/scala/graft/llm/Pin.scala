@@ -40,7 +40,10 @@ private[graft] object Pin {
 
   /** A pinned DataFrame plus a release hook that frees its storage. Safe to
     * call after the pinned data's consumers have been materialized (or, in
-    * `disk`/`reliable` mode, at any time — the data is recomputable). */
+    * `disk`/`reliable` mode, at any time — the data is recomputable).
+    * Release BLOCKS until the blocks are gone: a fire-and-forget unpersist
+    * let superseded pins overlap their successors' allocation, which showed
+    * up as bimodal run-to-run timings in the LSH ops. */
   final case class Handle(df: DataFrame, release: () => Unit)
 
   /** Pin `df`. `eager = false` defers materialization to the first action
@@ -57,7 +60,7 @@ private[graft] object Pin {
         // the checkpoint blocks belong to the RDD inside the LogicalRDD leaf
         val rdd: Option[RDD[_]] =
           cp.queryExecution.analyzed.collectFirst { case l: LogicalRDD => l.rdd }
-        Handle(cp, () => rdd.foreach(_.unpersist(blocking = false)))
+        Handle(cp, () => rdd.foreach(_.unpersist(blocking = true)))
       case "reliable" =>
         // reliable checkpoint files outlive the handle by design (that is
         // the fault-tolerance contract); cleanup is the ContextCleaner's job
@@ -65,7 +68,7 @@ private[graft] object Pin {
       case "disk" =>
         val p = df.persist(StorageLevel.DISK_ONLY)
         if (eager) p.count()
-        Handle(p, () => { p.unpersist(blocking = false); () })
+        Handle(p, () => { p.unpersist(blocking = true); () })
       case other => throw new IllegalArgumentException(
         s"$ModeKey must be one of local|reliable|disk, got '$other'")
     }

@@ -155,8 +155,9 @@ object SimilarityOps {
     // production shape is exactly this, a persisted bucketed corpus. The pin
     // backs the returned plan (storage kind = spark.graft.checkpoint.mode;
     // freed by the ContextCleaner once the plan is unreachable)
-    val b = Pin(lshBuckets(df, idCol, vecCol, dim, nBits)
-      .select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)).as("_v"), col("bucket"))).df
+    val bPin = Pin(lshBuckets(df, idCol, vecCol, dim, nBits)
+      .select(col(idCol), col(vecCol).cast(ArrayType(DoubleType)).as("_v"), col("bucket")))
+    val b = bPin.df
     // bucket histogram is small (≤ 2^nBits rows); AQE picks the join strategy
     val okBuckets = b.groupBy(col("bucket")).agg(count(lit(1)).as("_bn"))
       .filter(col("_bn") <= maxBucketSize).select(col("bucket"))
@@ -167,10 +168,16 @@ object SimilarityOps {
       sqrt(dot(col("_v"), col("_v"))).as("_na"), col("bucket"))
     val r = capped.select(col(idCol).as("id_b"), col("_v").as("_vb"),
       sqrt(dot(col("_v"), col("_v"))).as("_nb"), col("bucket"))
-    l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
+    val pairs = l.join(r, Seq("bucket")).filter(col("id_a") < col("id_b"))
       .withColumn("sim", dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")))
       .filter(col("sim") >= minSim)
       .select(col("id_a"), col("id_b"), col("sim"))
+    // pin the (small) pair result eagerly and free the bucketed corpus NOW
+    // instead of leaving its blocks to the ContextCleaner (see
+    // minHashLshPairs — accumulating pins showed up as bench variance)
+    val result = Pin(pairs)
+    bPin.release()
+    result.df
   }
 
   // ---------------------------------------------------------------- IVF index

@@ -281,13 +281,16 @@ object TextOps {
     // materialize the banded table once (id, band, bucket — rows·bands, no
     // payloads): it feeds the histogram, the cap join, and BOTH sides of the
     // self-join, which would otherwise re-run the signature UDF four times.
-    // The pin backs the returned plan, so it cannot be released here — its
-    // storage kind is the spark.graft.checkpoint.mode conf (see Pin), and it
-    // is freed by the ContextCleaner once the returned plan is unreachable
-    val banded = Pin(withSig.select(col(idCol), posexplode(transform(
+    // Its storage kind is the spark.graft.checkpoint.mode conf (see Pin);
+    // it is released DETERMINISTICALLY below, once the (small) pair result
+    // has materialized — leaving it to the ContextCleaner let banded tables
+    // from successive calls pile up on the executors (observed as 3×
+    // run-to-run variance at 10× scale from the induced GC pressure)
+    val bandedPin = Pin(withSig.select(col(idCol), posexplode(transform(
       sequence(lit(0), lit(bands - 1)),
       b => xxhash64(concat_ws("_", slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")).df
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"))
+    val banded = bandedPin.df
     // Cap per-(band,bucket) population before the self-join: one boilerplate
     // bucket of m docs otherwise emits m² pairs (the classic LSH skew bomb at
     // corpus scale). Histogram size = distinct non-singleton buckets — often
@@ -299,10 +302,16 @@ object TextOps {
     val capped = banded.join(okBuckets, Seq("band", "bucket"))
     val a = capped.select(col(idCol).as("id_a"), col("band"), col("bucket"))
     val b = capped.select(col(idCol).as("id_b"), col("band").as("_band_b"), col("bucket").as("_bucket_b"))
-    a.join(b, col("band") === col("_band_b") && col("bucket") === col("_bucket_b") &&
+    val pairs = a.join(b,
+        col("band") === col("_band_b") && col("bucket") === col("_bucket_b") &&
         col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+    // the candidate-pair set is tiny next to the banded table (ids only,
+    // post-distinct): pin it eagerly so the banded blocks can be freed NOW
+    val result = Pin(pairs)
+    bandedPin.release()
+    result.df
   }
 
   /** Exact all-pairs n-gram Jaccard self-join via prefix filtering (the
