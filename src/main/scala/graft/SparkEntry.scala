@@ -19,16 +19,11 @@ import graft.ops.{TsForecastOp, TsPrep}
   */
 object SparkEntry {
 
-  /** Table loader. The events table is TIMESTAMP(NANOS) parquet, which
-    * Spark 4 refuses by default — read nanos as long and convert to a
-    * proper timestamp (micros) column. */
-  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = s.read.parquet(s"$dir/$name.parquet")
-    if (name == "events" && df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
-  }
+  /** Table loader — delegates to the shared [[Tables]] loader (the one
+    * owner of the events TIMESTAMP(NANOS) workaround; PlanGuardSpec reads
+    * through the same code path instead of a hand-copied conversion). */
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
 
   /** Exact order-independent sum: per-row round to fixed decimals, cast to
     * DECIMAL, sum (exact), cast back to double. Per-row double arithmetic is

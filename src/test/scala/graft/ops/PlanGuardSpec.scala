@@ -38,15 +38,11 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override def afterAll(): Unit = if (spark != null) spark.stop()
 
-  /** events loader mirroring SparkEntry's: the ts column is only nanos-as-long
-    * under the legacy conf; plain timestamp parquet needs no conversion. */
-  private def events: org.apache.spark.sql.DataFrame = {
-    val df = spark.read.parquet(s"$sfDir/events.parquet")
-    if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
-    else df
-  }
+  /** The SHARED events loader (graft.Tables) — the same code path
+    * SparkEntry reads through, so the nanos-as-long conversion cannot
+    * drift between the entry points and this spec. */
+  private def events: org.apache.spark.sql.DataFrame =
+    graft.Tables.events(spark, sfDir)
 
   test("q3: lineitem is never a broadcast side and its scan is pruned") {
     val df = graft.SparkEntry.queries("q3_segment_revenue")(spark, sfDir)
