@@ -541,10 +541,18 @@ object TextOps {
     val docLineHashes = array_distinct(filter(trimmedHashes, h => h.isNotNull))
     val counts = df.select(explode(docLineHashes).as("_lh"))
       .groupBy(col("_lh")).agg(count(lit(1)).as("_docs"))
+    // the heavy-hitter set is SORTED once at build time so the per-line
+    // membership probe is a binary search (SortedArrayContains) instead of
+    // an O(|boiler|) array scan per line — lines × log|boiler| total work
+    // even if a corpus yields thousands of shared lines
     val boiler = counts.filter(col("_docs") > maxDocs)
-      .agg(collect_list(col("_lh")).as("_boiler"))
+      .agg(sort_array(collect_list(col("_lh"))).as("_boiler"))
+    def sortedContains(arr: Column, v: Column): Column = {
+      val B = org.apache.spark.sql.GraftExpressionBridge
+      B.column(graft.functions.SortedArrayContains(B.expression(arr), B.expression(v)))
+    }
     val keptLines = filter(lineArr, l =>
-      length(trim(l)) === 0 || !array_contains(col("_boiler"), xxhash64(trim(l))))
+      length(trim(l)) === 0 || !sortedContains(col("_boiler"), xxhash64(trim(l))))
     df.crossJoin(broadcast(boiler))
       .withColumn(out, array_join(keptLines, "\n"))
       .withColumn(s"${out}_lines_removed",
