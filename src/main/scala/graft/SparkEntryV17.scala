@@ -47,7 +47,20 @@ object SparkEntryV17 {
         when(col("_pos") % 4 === 1, 5.0).otherwise(0.0).as("y"))
   }
 
+  /** Planted cross-document span: appended to the first ten documents, so
+    * doc 0 keeps it (first occurrence) and docs 1-9 lose exactly these
+    * tokens; any NATURAL repeated 8-grams in the corpus dedup too and the
+    * oracle replays them identically. */
+  private val Plant =
+    "graftplant alpha bravo charlie delta echo foxtrot golf hotel"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_spans" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").withColumn("text_aug",
+        when(col("doc_id") < 10, concat(col("text"), lit(" " + Plant)))
+          .otherwise(col("text")))
+      graft.llm.TextOps.removeDuplicatedSpans(aug, "doc_id", "text_aug", gramLen = 8)
+    }),
     "sql_macro_cv_split_by" -> ((s, dir) => {
       graft.sql.Register.registerAll(s)
       dailyEvents(s, dir).createOrReplaceTempView("_v17_daily")
@@ -81,7 +94,46 @@ object SparkEntryV17 {
     }),
   )
 
+  /** Full SQL replay of removeDuplicatedSpans: rolling 8-token windows,
+    * keep-first by (doc_id, position) per gram TEXT (the Spark side hashes
+    * the gram for shuffle width; grouping is identical modulo xxhash64
+    * collision), covered-position expansion, ordered rebuild. */
+  private val DedupSpansSql =
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id < 10 THEN text || ' $Plant' ELSE text END AS t
+       |  FROM documents),
+       |tk AS (SELECT doc_id,
+       |         list_filter(string_split_regex(trim(t), '[ \\t\\n\\r\\f]+'),
+       |                     x -> len(x) > 0) AS toks
+       |       FROM aug),
+       |win AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 6)) AS p FROM tk),
+       |occ AS (SELECT doc_id, p,
+       |          array_to_string(list_slice(toks, p, p + 7), ' ') AS gram
+       |        FROM win),
+       |r AS (SELECT doc_id, p,
+       |        row_number() OVER (PARTITION BY gram ORDER BY doc_id, p) AS rk,
+       |        count(*) OVER (PARTITION BY gram) AS cnt
+       |      FROM occ),
+       |dups AS (SELECT doc_id, p FROM r WHERE cnt >= 2 AND rk > 1),
+       |cov AS (SELECT DISTINCT doc_id, p + k.k AS idx
+       |        FROM dups, (SELECT unnest(range(0, 8)) AS k) k),
+       |tokpos AS (SELECT doc_id, unnest(toks) AS w,
+       |             generate_subscripts(toks, 1) AS i
+       |           FROM tk),
+       |kept AS (SELECT tp.doc_id, tp.w, tp.i FROM tokpos tp
+       |         WHERE NOT EXISTS (SELECT 1 FROM cov c
+       |                           WHERE c.doc_id = tp.doc_id AND c.idx = tp.i)),
+       |agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS txt,
+       |          count(*) AS nk
+       |        FROM kept GROUP BY doc_id),
+       |n AS (SELECT doc_id, len(toks) AS nt FROM tk)
+       |SELECT n.doc_id, coalesce(a.txt, '') AS text_clean,
+       |       CAST(n.nt - coalesce(a.nk, 0) AS BIGINT) AS text_clean_tokens_removed
+       |FROM n LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "dedup_spans" -> DedupSpansSql,
     "sql_macro_cv_split_by" -> SparkEntryV4.oracleSql("ts_cv_split_by"),
     "sql_macro_fill_forward_by" -> SparkEntryV3.oracleSql("ts_fill_forward_by"),
     "sql_macro_detect_peaks_by" -> SparkEntryV9.oracleSql("ts_detect_peaks_by"),

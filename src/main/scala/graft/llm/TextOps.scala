@@ -208,6 +208,61 @@ object TextOps {
       .select(col(idCol)).distinct()
   }
 
+  /** Cross-document duplicated-SPAN removal (exact-substring dedup in the
+    * spirit of Lee et al. 2022, "Deduplicating Training Data Makes Language
+    * Models Better", arXiv:2107.06499 — there built on a single-node suffix
+    * array): any `gramLen`-token window whose text occurs anywhere else in
+    * the corpus (or earlier in the same document) is removed from every
+    * occurrence EXCEPT the first, where "first" is the lexicographically
+    * smallest (id, position). Rebuilt text joins the surviving tokens with
+    * single spaces (whitespace is canonicalized by tokenization).
+    *
+    * Spark shape (suffix arrays don't distribute; rolling windows do):
+    *  1. one row per token window — linear in corpus tokens, shuffled on
+    *     the 64-bit gram hash only (the window text never leaves its row);
+    *  2. per-hash `min(struct(id, pos))` + count ≥ 2 marks every non-first
+    *     occurrence — no self-join, no m² term (a gram occurring m times
+    *     contributes m rows, not m²);
+    *  3. duplicated windows expand to their covered token positions,
+    *     `collect_set` per document (bounded by document length), and the
+    *     rebuild keeps tokens whose position is not covered — membership
+    *     via binary search over the sorted covered set.
+    *
+    * Output: (id, `out` = rebuilt text, `out`_tokens_removed). Documents
+    * shorter than `gramLen` tokens pass through (canonicalized) untouched. */
+  def removeDuplicatedSpans(df: DataFrame, idCol: String, textCol: String,
+                            gramLen: Int = 50, out: String = "text_clean"): DataFrame = {
+    require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
+    val toks = filter(split(trim(col(textCol)), "[ \\t\\n\\r\\f]+"), t => length(t) > 0)
+    val base = df.select(col(idCol), col(textCol)).withColumn("_toks", toks)
+    val occ = base
+      .filter(size(col("_toks")) >= gramLen)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(1), size(col("_toks")) - (gramLen - 1)),
+        i => xxhash64(array_join(slice(col("_toks"), i, lit(gramLen)), " ")))))
+      .withColumnRenamed("pos", "_p").withColumnRenamed("col", "_gh")
+    val repeated = occ.groupBy(col("_gh"))
+      .agg(min(struct(col(idCol), col("_p"))).as("_first"), count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= 2)
+    val dups = occ.join(repeated, Seq("_gh"))
+      .filter(struct(col(idCol), col("_p")) =!= col("_first"))
+    val covered = dups
+      .select(col(idCol),
+        explode(sequence(col("_p"), col("_p") + (gramLen - 1))).as("_idx"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("_idx").cast(LongType))).as("_cov"))
+    def sortedContains(arr: Column, v: Column): Column = {
+      val B = org.apache.spark.sql.GraftExpressionBridge
+      B.column(graft.functions.SortedArrayContains(B.expression(arr), B.expression(v)))
+    }
+    base.join(covered, Seq(idCol), "left")
+      .withColumn("_kept", when(col("_cov").isNull, col("_toks")).otherwise(
+        filter(col("_toks"), (t, i) => !sortedContains(col("_cov"), i.cast(LongType)))))
+      .select(col(idCol), array_join(col("_kept"), " ").as(out),
+        (size(col("_toks")) - size(col("_kept"))).cast(LongType)
+          .as(s"${out}_tokens_removed"))
+  }
+
   /** Character n-gram shingles of a normalized text, as a distinct array —
     * building block for MinHash / Jaccard dedup. */
   def shingles(textCol: Column, n: Int): Column = {

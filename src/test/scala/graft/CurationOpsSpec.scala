@@ -86,6 +86,37 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(uncapped == Set((0L, 1L), (3L, 4L)))
   }
 
+  test("removeDuplicatedSpans: keep-first, overlap coverage, short docs untouched") {
+    val sp = spark
+    import sp.implicits._
+    val plant = "alpha beta gamma delta epsilon"
+    val docs = Seq(
+      (0L, s"zero unique words here $plant trailing tail"),
+      (1L, s"one other opening $plant closing words"),
+      (2L, s"two begins $plant and again $plant ends"),
+      (3L, "three has no duplicated content at all"),
+      (4L, "tiny doc")).toDF("id", "text")
+    val outDf = graft.llm.TextOps.removeDuplicatedSpans(docs, "id", "text", gramLen = 5)
+    val out = outDf.collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    // doc 0 holds the first (id, pos) occurrence -> untouched
+    assert(out(0L) == (s"zero unique words here $plant trailing tail", 0L))
+    // doc 1's plant window is covered; surrounding words survive
+    assert(out(1L) == ("one other opening closing words", 5L))
+    // doc 2 loses BOTH its occurrences (neither is the global first)
+    assert(out(2L) == ("two begins and again ends", 10L))
+    // no duplicated grams -> canonicalized passthrough
+    assert(out(3L) == ("three has no duplicated content at all", 0L))
+    // shorter than gramLen -> untouched
+    assert(out(4L) == ("tiny doc", 0L))
+
+    // within-document repetition: the SECOND occurrence goes, first stays
+    val rep = Seq((7L, s"$plant filler one two three $plant")).toDF("id", "text")
+    val repOut = graft.llm.TextOps.removeDuplicatedSpans(rep, "id", "text", gramLen = 5)
+      .collect().head
+    assert(repOut.getString(1) == s"$plant filler one two three")
+    assert(repOut.getLong(2) == 5L)
+  }
+
   test("knnGraph with exhaustive probing equals brute force with self excluded") {
     val sp = spark
     import sp.implicits._

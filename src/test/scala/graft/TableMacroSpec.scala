@@ -304,6 +304,8 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.llm.TextOps.languageId(docs, "text"))
     eq("SELECT * FROM dedup_exact('docs', doc_id, array('lang'))",
       graft.llm.TextOps.dedupExact(docs, Seq("lang"), "doc_id"))
+    eq("SELECT * FROM dedup_spans('docs', doc_id, text, 4)",
+      graft.llm.TextOps.removeDuplicatedSpans(docs, "doc_id", "text", 4))
     eq("SELECT * FROM text_repetition('docs', text)",
       graft.llm.TextOps.repetitionStats(docs, "text"))
     graft.llm.TextOps.chunkByTokens(docs, "doc_id", "text", 4, 1)
