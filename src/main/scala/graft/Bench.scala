@@ -236,6 +236,18 @@ object Bench {
       llm.MixOps.selectPerDomainBudget(docs10, "doc_id", "source", "n_chars",
         mixBudgets, seed = 11)))
     docs10.unpersist()
+    // span dedup at 10× corpus: replicas are made gram-DISTINCT (translate
+    // mutates most tokens) so the measurement is the steady-state rolling-
+    // window + keep-first pipeline over natural repeats, not the
+    // pathological wall-to-wall case where every replica window dedups
+    val docsSpan10 = (0 until 10).map(i => docs
+        .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+        .withColumn("text", translate(col("text"), "eE", s"$i$i")))
+      .reduce(_ unionByName _).coalesce(32).cache()
+    docsSpan10.count()
+    val spans10 = median3(onceDf(
+      llm.TextOps.removeDuplicatedSpans(docsSpan10, "doc_id", "text", gramLen = 20)))
+    docsSpan10.unpersist()
     // IVF at 10× corpus: index built once (train/assign untimed, as in the
     // base protocol — a persisted index is the production deployment), the
     // timed number is steady-state pruned probing of 10× bigger lists
@@ -274,6 +286,7 @@ object Bench {
       f""""decontaminate_docs":{"sec":$decon10%.3f,"ms_per_doc":${decon10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
       f""""boilerplate_docs":{"sec":$boiler10%.3f,"ms_per_doc":${boiler10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
       f""""mix_budget_docs":{"sec":$mix10%.3f,"ms_per_doc":${mix10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
+      f""""dedup_spans_docs":{"sec":$spans10%.3f,"ms_per_doc":${spans10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
       f""""ann_ivf_probe":{"sec":$probe10%.3f,"ms_per_query":${probe10 * 1000.0 / nQueries}%.3f}""",
       f""""semdedup_vecs":{"sec":$semdedup10%.3f,"ms_per_vec":${semdedup10 * 1000.0 / (nEmb1 * 10)}%.4f}""",
       f""""knn_graph_vecs":{"sec":$knn10%.3f,"ms_per_node":${knn10 * 1000.0 / (nEmb1 * 10)}%.4f}"""

@@ -61,6 +61,10 @@ object SparkEntryV17 {
           .otherwise(col("text")))
       graft.llm.TextOps.removeDuplicatedSpans(aug, "doc_id", "text_aug", gramLen = 8)
     }),
+    "lm_unigram_score" -> ((s, dir) =>
+      graft.llm.TextOps.lmPerplexity(t(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 256, alpha = 0.5)
+        .select(col("doc_id"), col("n_tokens"), col("sum_logp"))),
     "sql_macro_cv_split_by" -> ((s, dir) => {
       graft.sql.Register.registerAll(s)
       dailyEvents(s, dir).createOrReplaceTempView("_v17_daily")
@@ -132,8 +136,33 @@ object SparkEntryV17 {
        |       CAST(n.nt - coalesce(a.nk, 0) AS BIGINT) AS text_clean_tokens_removed
        |FROM n LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** Full SQL replay of the unigram LM scorer: token counts, top-256
+    * vocabulary (count desc, token asc), add-0.5 smoothing over 257 classes,
+    * per-token left-join lookup with OOV fallback, per-document
+    * order-independent DECIMAL sum of 6-decimal-rounded logps. */
+  private val LmScoreSql =
+    """WITH tk AS (SELECT doc_id,
+      |       list_filter(string_split_regex(trim(text), '[ \t\n\r\f]+'),
+      |                   x -> len(x) > 0) AS toks
+      |     FROM documents),
+      |tok AS (SELECT doc_id, unnest(toks) AS token FROM tk),
+      |counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+      |n AS (SELECT sum(cnt) AS nn FROM counts),
+      |top AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT 256),
+      |lm AS (SELECT token, ln((cnt + 0.5) / (nn + 0.5 * 257)) AS logp FROM top, n),
+      |oov AS (SELECT ln(0.5 / (nn + 0.5 * 257)) AS olp FROM n),
+      |scored AS (SELECT t.doc_id, coalesce(lm.logp, o.olp) AS lp
+      |           FROM tok t LEFT JOIN lm ON t.token = lm.token, oov o),
+      |agg AS (SELECT doc_id, count(*) AS n_tokens,
+      |          CAST(sum(CAST(round(lp, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_logp
+      |        FROM scored GROUP BY doc_id)
+      |SELECT k.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+      |       coalesce(a.sum_logp, 0.0) AS sum_logp
+      |FROM tk k LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_spans" -> DedupSpansSql,
+    "lm_unigram_score" -> LmScoreSql,
     "sql_macro_cv_split_by" -> SparkEntryV4.oracleSql("ts_cv_split_by"),
     "sql_macro_fill_forward_by" -> SparkEntryV3.oracleSql("ts_fill_forward_by"),
     "sql_macro_detect_peaks_by" -> SparkEntryV9.oracleSql("ts_detect_peaks_by"),

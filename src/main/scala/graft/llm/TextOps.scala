@@ -263,6 +263,78 @@ object TextOps {
           .as(s"${out}_tokens_removed"))
   }
 
+  /** Add-alpha-smoothed unigram language model over a corpus (the CCNet
+    * quality-filter signal — Wenzek et al. 2020 score documents by LM
+    * perplexity; a unigram model is the engine-friendly first tier): the
+    * `vocabSize` most frequent tokens (ties by token ascending, so the
+    * vocabulary is deterministic) with
+    * `logp = ln((count + alpha) / (N + alpha·(vocabSize + 1)))`, where N is
+    * the TOTAL corpus token count, plus one NULL-token row carrying the
+    * out-of-vocabulary probability `alpha / (N + alpha·(vocabSize + 1))`.
+    *
+    * Scale shape: one token-count aggregation (map-side combined), a
+    * bounded TakeOrdered for the vocabulary, and an in-plan broadcast of
+    * the single totals row — no driver-side collection. */
+  def trainUnigramLm(corpus: DataFrame, textCol: String, vocabSize: Int = 65536,
+                     alpha: Double = 0.5): DataFrame = {
+    require(vocabSize >= 1 && alpha > 0.0, "vocabSize >= 1 and alpha > 0 required")
+    val toks = filter(split(trim(col(textCol)), "[ \\t\\n\\r\\f]+"), t => length(t) > 0)
+    val counts = corpus.select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("_n"))
+    val denom = col("_n") + lit(alpha * (vocabSize + 1))
+    val top = counts.orderBy(col("cnt").desc, col("token").asc).limit(vocabSize)
+    top.crossJoin(broadcast(totals))
+      .select(col("token"), col("cnt"),
+        log((col("cnt") + lit(alpha)) / denom).as("logp"))
+      .unionByName(totals.select(lit(null).cast(StringType).as("token"),
+        lit(0L).as("cnt"), log(lit(alpha) / denom).as("logp")))
+  }
+
+  /** Score documents under a [[trainUnigramLm]] model: per document the
+    * token count, exact log-probability sum, mean, and perplexity.
+    * Low-probability (high-perplexity) documents are boilerplate/gibberish
+    * candidates; CCNet buckets a corpus by exactly this signal.
+    *
+    * The token→logp lookup IS a broadcast hash join (the LM is bounded by
+    * construction): exploded tokens join the vocabulary, misses fall back
+    * to the NULL-row OOV probability — all codegen, no per-token UDF.
+    * `sum_logp` accumulates per-token logp ROUNDED to 6 decimals in DECIMAL
+    * space, so the sum is order-independent and engine-exact (the same
+    * discipline as the oracle money sums); `mean_logp`/`perplexity` are
+    * derived doubles. */
+  def lmScore(df: DataFrame, idCol: String, textCol: String,
+              lm: DataFrame): DataFrame = {
+    val toks = filter(split(trim(col(textCol)), "[ \\t\\n\\r\\f]+"), t => length(t) > 0)
+    val oov = lm.filter(col("token").isNull)
+      .select(col("logp").as("_oov"))
+    val vocab = lm.filter(col("token").isNotNull).select(col("token"), col("logp"))
+    val base = df.select(col(idCol), col(textCol)).withColumn("_toks", toks)
+    val perDoc = base
+      .select(col(idCol), explode(col("_toks")).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .crossJoin(broadcast(oov))
+      .withColumn("_lp", coalesce(col("logp"), col("_oov")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(round(col("_lp"), 6).cast(DecimalType(28, 6)))
+          .cast(DoubleType).as("sum_logp"))
+    base.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_logp"), lit(0.0)).as("sum_logp"))
+      .withColumn("mean_logp",
+        when(col("n_tokens") > 0, col("sum_logp") / col("n_tokens")))
+      .withColumn("perplexity",
+        when(col("n_tokens") > 0, exp(-col("sum_logp") / col("n_tokens"))))
+  }
+
+  /** Corpus self-perplexity: train the unigram LM on the corpus and score
+    * every document under it — the one-call quality-signal form. */
+  def lmPerplexity(df: DataFrame, idCol: String, textCol: String,
+                   vocabSize: Int = 65536, alpha: Double = 0.5): DataFrame =
+    lmScore(df, idCol, textCol, trainUnigramLm(df, textCol, vocabSize, alpha))
+
   /** Character n-gram shingles of a normalized text, as a distinct array —
     * building block for MinHash / Jaccard dedup. */
   def shingles(textCol: Column, n: Int): Column = {

@@ -85,6 +85,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `cap_per_domain(source, id_col, domain_col, cap, seed)`
   *  - span dedup: `dedup_spans(source, id_col, text_col, gram_len)`
   *    (cross-document duplicated-span removal, Lee et al. 2022)
+  *  - LM quality signal: `lm_perplexity(source, id_col, text_col[,
+  *    vocab_size[, alpha]])` (CCNet-style unigram self-perplexity)
   *  - semantic + assembly: `semdedup(source, id_col, vec_col, n_lists,
   *    min_sim[, iters[, max_cluster_size]])`, `knn_graph(source, id_col,
   *    vec_col, k, n_lists, n_probe[, iters])`, `strip_boilerplate(source,
@@ -161,7 +163,8 @@ object TableMacros {
     "sample_bernoulli", "sample_stratified", "assign_split",
     "text_normalize", "pii_scrub", "chunk_by_tokens",
     "text_stats", "text_quality_score", "token_count", "language_id",
-    "dedup_exact", "dedup_spans", "pack_sequences", "decontaminate", "text_repetition",
+    "dedup_exact", "dedup_spans", "lm_perplexity", "pack_sequences",
+    "decontaminate", "text_repetition",
     "extract_domain", "domain_filter", "cap_per_domain",
     // semantic + assembly surface (round 5 batch 16)
     "semdedup", "knn_graph", "strip_boilerplate", "top_tokens",
@@ -692,6 +695,12 @@ object TableMacros {
       case ("dedup_spans", Seq(src, id, text, gramLen)) =>
         graft.llm.TextOps.removeDuplicatedSpans(source(src), ident(id, "id_col"),
           ident(text, "text_col"), int(gramLen, "gram_len"))
+      case ("lm_perplexity", Seq(src, id, text, rest @ _*)) =>
+        if (rest.length > 2) fail("too many arguments")
+        graft.llm.TextOps.lmPerplexity(source(src), ident(id, "id_col"),
+          ident(text, "text_col"),
+          rest.headOption.map(int(_, "vocab_size")).getOrElse(65536),
+          rest.lift(1).map(dbl(_, "alpha")).getOrElse(0.5))
       case ("text_repetition", Seq(src, text)) =>
         graft.llm.TextOps.repetitionStats(source(src), ident(text, "text_col"))
       case ("pack_sequences", Seq(src, id, ord, toks, budget, rest @ _*)) =>

@@ -117,6 +117,33 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(repOut.getLong(2) == 5L)
   }
 
+  test("unigram LM: smoothed probs, OOV fallback, empty docs survive scoring") {
+    val sp = spark
+    import sp.implicits._
+    // corpus: "a" ×3, "b" ×2, "c" ×1; vocab 2 → c is OOV. N = 6, V+1 = 3.
+    val docs = Seq((1L, "a a b"), (2L, "a b c"), (3L, "")).toDF("id", "text")
+    val lm = graft.llm.TextOps.trainUnigramLm(docs, "text", vocabSize = 2, alpha = 0.5)
+      .collect().map(r => Option(r.getString(0)) -> (r.getLong(1), r.getDouble(2))).toMap
+    val denom = 6.0 + 0.5 * 3
+    assert(lm(Some("a"))._1 == 3L)
+    assert(math.abs(lm(Some("a"))._2 - math.log(3.5 / denom)) < 1e-12)
+    assert(math.abs(lm(Some("b"))._2 - math.log(2.5 / denom)) < 1e-12)
+    assert(lm(None)._1 == 0L, "the NULL row carries the OOV probability")
+    assert(math.abs(lm(None)._2 - math.log(0.5 / denom)) < 1e-12)
+    assert(!lm.contains(Some("c")), "c is below the vocab cutoff")
+
+    val scored = graft.llm.TextOps.lmPerplexity(docs, "id", "text", 2, 0.5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.isNullAt(4))).toMap
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val expected1 = 2 * r6(math.log(3.5 / denom)) + r6(math.log(2.5 / denom))
+    assert(scored(1L)._1 == 3L && math.abs(scored(1L)._2 - expected1) < 1e-9)
+    val expected2 = r6(math.log(3.5 / denom)) + r6(math.log(2.5 / denom)) +
+      r6(math.log(0.5 / denom))
+    assert(math.abs(scored(2L)._2 - expected2) < 1e-9, "OOV token uses the fallback")
+    assert(scored(3L) == ((0L, 0.0, true)), "empty docs score 0 tokens, null perplexity")
+  }
+
   test("knnGraph with exhaustive probing equals brute force with self excluded") {
     val sp = spark
     import sp.implicits._
