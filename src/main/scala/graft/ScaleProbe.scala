@@ -11,15 +11,28 @@ import org.apache.spark.sql.types._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val useExt = sys.env.getOrElse("GRAFT_EXT", "1") == "1"
+    // GRAFT_EXT: 1|both = full extension, 0|none = bare session,
+    // rule = resolution rule only, fns = injected table functions only
+    // (bisects which half of the extension a regression lives in)
+    val extMode = sys.env.getOrElse("GRAFT_EXT", "1") match {
+      case "1" => "both"
+      case "0" => "none"
+      case m => m
+    }
+    val useExt = extMode != "none"
     val which = sys.env.getOrElse("GRAFT_PROBE", "fc,backtest").split(",").toSet
     val b = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-    val spark = (if (useExt) b.withExtensions(new graft.sql.GraftExtensions) else b)
-      .getOrCreate()
+    val spark = (extMode match {
+      case "both" => b.withExtensions(new graft.sql.GraftExtensions)
+      case "rule" => b.withExtensions(ext =>
+        ext.injectResolutionRule(s => new graft.sql.TableMacroRule(s)))
+      case "fns" => b.withExtensions(ext => graft.sql.GraftExtensions.injectFns(ext))
+      case _ => b
+    }).getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
@@ -106,6 +119,29 @@ object ScaleProbe {
       val (m, ts) = med5(onceDf(llm.TextOps.minHashLshPairs(docs10, "doc_id", "text")))
       println(f"minhash ext=$useExt sec=$m%.3f ms_per_doc=${m * 1000 / (n1 * 10)}%.4f all=${ts.map(t => f"$t%.3f")}")
       docs10.unpersist()
+    }
+    if (which("btbisect")) {
+      // stage-boundary timings for the backtest plan: kernel-only (compact
+      // perFold rows, no pin), exploded rows (pin + explode, no score join),
+      // and the full scored output
+      ops.TsCvOp.backtestAutoBy(series10, "g", "ds", "y", 7, 2, "1d",
+        Map("method" -> "SeasonalNaive", "seasonal_period" -> "7"), "rmse")
+      def m3(run: => Double): Double = { run; val ts = Seq.fill(3)(run).sorted; ts(1) }
+      val tKernel = m3 {
+        ops.TsCvOp.backtestAutoBy(series10, "g", "ds", "y", 7, 2, "1d",
+          Map("method" -> "SeasonalNaive", "seasonal_period" -> "7"), "rmse")
+        onceDf(ops.TsCvOp.lastStages.perFold)
+      }
+      println(f"bt_kernel_only sec=$tKernel%.3f")
+      val tOut = m3 {
+        ops.TsCvOp.backtestAutoBy(series10, "g", "ds", "y", 7, 2, "1d",
+          Map("method" -> "SeasonalNaive", "seasonal_period" -> "7"), "rmse")
+        onceDf(ops.TsCvOp.lastStages.out)
+      }
+      println(f"bt_out_no_score sec=$tOut%.3f")
+      val tFull = m3(onceDf(ops.TsCvOp.backtestAutoBy(series10, "g", "ds", "y", 7, 2, "1d",
+        Map("method" -> "SeasonalNaive", "seasonal_period" -> "7"), "rmse")))
+      println(f"bt_full sec=$tFull%.3f")
     }
     if (which("backtest")) {
       val (m, ts) = med5(onceDf(ops.TsCvOp.backtestAutoBy(series10, "g", "ds", "y",

@@ -339,11 +339,20 @@ object TsCvOp {
     // broadcast-joins back onto the evenly-distributed output rows.
     val foldScores = out.groupBy(col("fold_id"))
       .agg(foldMetric(metric).as("fold_metric_score"))
-    out.join(broadcast(foldScores), Seq("fold_id"))
+    val full = out.join(broadcast(foldScores), Seq("fold_id"))
       .select(col("fold_id"), col(groupCol), col(dsCol), col("yhat"), col("actual"),
         col("error"), col("abs_error"), col("yhat_lower"), col("yhat_upper"),
         col("model_name"), col("fold_metric_score"))
+    lastStages = BacktestStages(perFold, pinned, out, full)
+    full
   }
+
+  /** Probe-only view of [[backtestAutoBy]]'s internal stages (the compact
+    * kernel output, its pin, the exploded rows, the scored result) so a
+    * bench harness can time each boundary; refreshed on every call. */
+  private[graft] case class BacktestStages(perFold: DataFrame, pinned: DataFrame,
+                                           out: DataFrame, full: DataFrame)
+  @volatile private[graft] var lastStages: BacktestStages = null
 
   /** ts_cv_split_by (ts_macros.cpp:1203 → _ts_cv_split_native): explicit
     * `trainingEndTimes` cutoffs; per fold, train = rows at/before the

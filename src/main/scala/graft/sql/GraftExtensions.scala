@@ -108,6 +108,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // … while the injected table functions handle all-literal calls, which
     // Spark's builtin ResolveFunctions would otherwise reject with
     // UNRESOLVABLE_TABLE_VALUED_FUNCTION before the rule gets to run
+    GraftExtensions.injectFns(ext)
+  }
+}
+
+object GraftExtensions {
+  private[graft] def injectFns(ext: SparkSessionExtensions): Unit =
     TableMacros.allNames.foreach { n =>
       ext.injectTableFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(n),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
@@ -115,7 +121,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         (exprs: Seq[Expression]) =>
           TableMacros.expand(SparkSession.active, TableMacros.canonical(n), exprs)))
     }
-  }
 }
 
 /** Expands graft table-macro calls during analysis (route 2 above).
