@@ -1,0 +1,208 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.llm.{MixOps, SampleOps, TextOps}
+
+/** Eighteenth batch: round-6 curation additions — cross-corpus dedup (the
+  * incremental-ingest shape: dedup a new crawl AGAINST the existing training
+  * corpus), C4- and Gopher-style heuristic quality filters (Raffel et al.
+  * 2020 §2.2; Rae et al. 2021 Table A1 — public cleaning rules), and the
+  * deterministic training-order shard (reproducible corpus permutation). */
+object SparkEntryV18 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/$name.parquet")
+  }
+
+  // planted augmentations exercising every signal branch on the synthetic
+  // word-soup corpus (which natively has no punctuation or line structure)
+  private val PlantLorem =
+    "\nLorem ipsum dolor sit amet. Second sentence here. Third sentence here."
+  private val PlantGood =
+    "\nThis line ends well. Another full sentence! A third one?\nAnd a quoted line.\""
+  private val PlantBrace =
+    "\nvar f = function() { return 1; }. Yes. Done."
+  private val PlantStops = " with the of and that be to have"
+  private val PlantBullets =
+    "\n- bullet one…\n- bullet two...\n* bullet three"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // incoming = fresh docs (id ≥ 400) ∪ relabeled copies of ref docs < 20;
+    // reference = docs < 400. threshold 1.0 ⇒ kept ⇔ no ref doc has the
+    // SAME 5-shingle set (LSH candidates are complete for identical sets —
+    // identical signatures collide in every band; verification removes all
+    // hash-collision false positives)
+    "dedup_against_corpus" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ref = docs.filter(col("doc_id") < 400)
+      val incoming = docs.filter(col("doc_id") >= 400).unionByName(
+        docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      TextOps.dedupAgainstCorpus(incoming, ref, "doc_id", "text",
+          threshold = 1.0, maxBucketSize = 1000000)
+        .select(col("doc_id"))
+    }),
+    "quality_c4" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").withColumn("text_aug",
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(PlantLorem)))
+          .when(col("doc_id") % 5 === 0, concat(col("text"), lit(PlantGood)))
+          .when(col("doc_id") % 11 === 0, concat(col("text"), lit(PlantBrace)))
+          .otherwise(col("text")))
+      TextOps.c4QualityFilter(aug, "text_aug")
+        .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_lines"),
+          round(col("terminal_line_ratio"), 6).as("terminal_line_ratio"),
+          col("has_lorem_ipsum"), col("has_brace"), col("has_javascript"),
+          col("c4_keep"))
+    }),
+    "quality_gopher" -> ((s, dir) => {
+      val aug = t(s, dir, "documents").withColumn("text_aug",
+        when(col("doc_id") % 4 === 0,
+          concat(col("text"), lit(" "), col("text"), lit(" "), col("text"), lit(PlantStops)))
+          .when(col("doc_id") % 9 === 0, concat(col("text"), lit(PlantBullets)))
+          .otherwise(col("text")))
+      TextOps.gopherQualityFilter(aug, "text_aug")
+        .select(col("doc_id"), col("n_words"),
+          round(col("mean_word_len"), 6).as("mean_word_len"),
+          round(col("symbol_word_ratio"), 6).as("symbol_word_ratio"),
+          round(col("bullet_line_ratio"), 6).as("bullet_line_ratio"),
+          round(col("ellipsis_line_ratio"), 6).as("ellipsis_line_ratio"),
+          round(col("alpha_word_ratio"), 6).as("alpha_word_ratio"),
+          col("stopword_hits"), col("gopher_keep"))
+    }),
+    "shard_deterministic" -> ((s, dir) =>
+      MixOps.deterministicShard(t(s, dir, "documents"), "doc_id",
+          nShards = 8, seed = 42)
+        .select(col("doc_id"), col("shard_id"), col("shard_pos"))),
+  )
+
+  /** Shingle-set CTE over a doc relation aliased `$from` (same construction
+    * as SparkEntryV2.DedupShingleEqualitySql). */
+  private def shingleSetSql(from: String): String =
+    s"""SELECT doc_id, list_sort(list_distinct(list_transform(
+       |    range(1, greatest(length(n) - 4, 1)), i -> n[i:i+4]))) AS ss
+       |  FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n FROM $from)""".stripMargin
+
+  private val DedupAgainstSql =
+    s"""WITH refd AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+       |inc AS (SELECT doc_id, text FROM documents WHERE doc_id >= 400
+       |        UNION ALL
+       |        SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id < 20),
+       |shr AS (${shingleSetSql("refd")}),
+       |shi AS (${shingleSetSql("inc")}),
+       |dup AS (SELECT DISTINCT i.doc_id FROM shi i
+       |        JOIN shr r ON i.ss = r.ss AND len(i.ss) > 0)
+       |SELECT doc_id FROM inc
+       |WHERE doc_id NOT IN (SELECT doc_id FROM dup)""".stripMargin
+
+  // SQL-escaped plants (single quotes are absent; backslash-free)
+  private def sqlLit(s: String): String = "'" + s.replace("\n", "' || chr(10) || '") + "'"
+
+  private val C4Sql = {
+    val lorem = sqlLit(PlantLorem)
+    val good = sqlLit(PlantGood) // double quotes are fine inside an SQL '…' literal
+    val brace = sqlLit(PlantBrace)
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 7 = 0 THEN text || $lorem
+       |         WHEN doc_id % 5 = 0 THEN text || $good
+       |         WHEN doc_id % 11 = 0 THEN text || $brace
+       |         ELSE text END AS t
+       |  FROM documents),
+       |sig AS (SELECT doc_id, t,
+       |  len(list_filter(string_split_regex(trim(t), '[ \\t\\n\\r\\f]+'), x -> len(x) > 0)) AS n_words,
+       |  length(t) - length(regexp_replace(t, '[.!?]', '', 'g')) AS n_sentences,
+       |  list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)), x -> len(x) > 0) AS lines
+       |  FROM aug),
+       |sig2 AS (SELECT doc_id, t, n_words, n_sentences,
+       |  len(lines) AS n_lines,
+       |  CASE WHEN len(lines) > 0
+       |       THEN len(list_filter(lines, x -> regexp_matches(x, '[.!?"]$$'))) * 1.0 / len(lines)
+       |       ELSE 0.0 END AS terminal_line_ratio,
+       |  contains(lower(t), 'lorem ipsum') AS has_lorem_ipsum,
+       |  contains(t, '{') AS has_brace,
+       |  contains(lower(t), 'javascript') AS has_javascript
+       |  FROM sig)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  CAST(n_sentences AS BIGINT) AS n_sentences,
+       |  CAST(n_lines AS BIGINT) AS n_lines,
+       |  round(terminal_line_ratio, 6) AS terminal_line_ratio,
+       |  has_lorem_ipsum, has_brace, has_javascript,
+       |  (n_sentences >= 3 AND n_words >= 5 AND NOT has_lorem_ipsum
+       |   AND NOT has_brace AND NOT has_javascript) AS c4_keep
+       |FROM sig2""".stripMargin
+  }
+
+  private val GopherSql = {
+    val stops = sqlLit(PlantStops)
+    val bullets = sqlLit(PlantBullets)
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    CASE WHEN doc_id % 4 = 0 THEN text || ' ' || text || ' ' || text || $stops
+       |         WHEN doc_id % 9 = 0 THEN text || $bullets
+       |         ELSE text END AS t
+       |  FROM documents),
+       |sig AS (SELECT doc_id, t,
+       |  list_filter(string_split_regex(trim(t), '[ \\t\\n\\r\\f]+'), x -> len(x) > 0) AS ws,
+       |  list_filter(list_transform(string_split(t, chr(10)), x -> trim(x)), x -> len(x) > 0) AS lines
+       |  FROM aug),
+       |sig2 AS (SELECT doc_id, t, len(ws) AS n_words,
+       |  CASE WHEN len(ws) > 0
+       |       THEN list_sum(list_transform(ws, x -> len(x))) * 1.0 / len(ws) ELSE 0.0 END AS mean_word_len,
+       |  CASE WHEN len(ws) > 0
+       |       THEN (length(t) - length(regexp_replace(t, '[#…]', '', 'g'))) * 1.0 / len(ws)
+       |       ELSE 0.0 END AS symbol_word_ratio,
+       |  CASE WHEN len(lines) > 0
+       |       THEN len(list_filter(lines, x -> regexp_matches(x, '^[-*•]'))) * 1.0 / len(lines)
+       |       ELSE 0.0 END AS bullet_line_ratio,
+       |  CASE WHEN len(lines) > 0
+       |       THEN len(list_filter(lines, x -> regexp_matches(x, '(\\.\\.\\.|…)$$'))) * 1.0 / len(lines)
+       |       ELSE 0.0 END AS ellipsis_line_ratio,
+       |  CASE WHEN len(ws) > 0
+       |       THEN len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0 / len(ws)
+       |       ELSE 0.0 END AS alpha_word_ratio,
+       |  (CASE WHEN contains(' ' || lower(t) || ' ', ' the ') THEN 1 ELSE 0 END
+       |   + CASE WHEN contains(' ' || lower(t) || ' ', ' be ') THEN 1 ELSE 0 END
+       |   + CASE WHEN contains(' ' || lower(t) || ' ', ' to ') THEN 1 ELSE 0 END
+       |   + CASE WHEN contains(' ' || lower(t) || ' ', ' of ') THEN 1 ELSE 0 END
+       |   + CASE WHEN contains(' ' || lower(t) || ' ', ' and ') THEN 1 ELSE 0 END
+       |   + CASE WHEN contains(' ' || lower(t) || ' ', ' that ') THEN 1 ELSE 0 END
+       |   + CASE WHEN contains(' ' || lower(t) || ' ', ' have ') THEN 1 ELSE 0 END
+       |   + CASE WHEN contains(' ' || lower(t) || ' ', ' with ') THEN 1 ELSE 0 END) AS stopword_hits
+       |  FROM sig)
+       |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       |  round(mean_word_len, 6) AS mean_word_len,
+       |  round(symbol_word_ratio, 6) AS symbol_word_ratio,
+       |  round(bullet_line_ratio, 6) AS bullet_line_ratio,
+       |  round(ellipsis_line_ratio, 6) AS ellipsis_line_ratio,
+       |  round(alpha_word_ratio, 6) AS alpha_word_ratio,
+       |  CAST(stopword_hits AS BIGINT) AS stopword_hits,
+       |  (n_words >= 50 AND n_words <= 100000
+       |   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |   AND symbol_word_ratio <= 0.1
+       |   AND bullet_line_ratio <= 0.9
+       |   AND ellipsis_line_ratio <= 0.3
+       |   AND alpha_word_ratio >= 0.8
+       |   AND stopword_hits >= 2) AS gopher_keep
+       |FROM sig2""".stripMargin
+  }
+
+  private val ShardSql = {
+    val (cteA, xA) = SampleOps.hashBucketSqlCtes("documents", "doc_id", 42L)
+    val (cteB, xB) = SampleOps.hashBucketSqlCtes("_h3", "doc_id", 43L, "_g")
+    s"""WITH $cteA, $cteB
+       |SELECT doc_id, $xA % 8 AS shard_id,
+       |  CAST(row_number() OVER (PARTITION BY $xA % 8 ORDER BY $xB, doc_id) - 1 AS BIGINT) AS shard_pos
+       |FROM _g3""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "dedup_against_corpus" -> DedupAgainstSql,
+    "quality_c4" -> C4Sql,
+    "quality_gopher" -> GopherSql,
+    "shard_deterministic" -> ShardSql,
+  )
+}

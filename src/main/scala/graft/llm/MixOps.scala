@@ -106,4 +106,32 @@ object MixOps {
                        nCoarse: Int = 4096): DataFrame =
     selectPerDomainBudget(df, idCol, domainCol, tokenCol,
       budgetsFromWeights(weights, totalBudget), seed, nCoarse)
+
+  /** Deterministic training-order shuffle + sharding: assign every row a
+    * shard (`shard_id` ∈ [0, nShards)) and a position within that shard
+    * (`shard_pos`, 0-based), together defining a reproducible pseudo-random
+    * permutation of the corpus — the global training order is
+    * (shard_id, shard_pos), independent of input partitioning, cluster size,
+    * and insertion order, so a re-run (or a resumed run on different
+    * hardware) reads the examples in the SAME order.
+    *
+    * shard_id = [[SampleOps.hashBucket]](id, seed) mod nShards; within a
+    * shard, rows order by (hashBucket(id, seed'), id) — a second,
+    * independently-seeded draw, so the within-shard order does not correlate
+    * with the shard assignment draw. The per-shard `row_number` Window is
+    * the intended scale shape: `nShards` is chosen ∝ corpus size (a shard IS
+    * a training file, bounded at a few GB), so each Window partition is
+    * bounded by the shard-file contract, never by the corpus — choosing
+    * nShards ~ corpus/shardBytes is the same discipline as sizing output
+    * files. */
+  def deterministicShard(df: DataFrame, idCol: String, nShards: Int,
+                         seed: Long): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    val shardDraw = SampleOps.hashBucket(col(idCol), seed)
+    val orderDraw = SampleOps.hashBucket(col(idCol), seed + 1)
+    df.withColumn("shard_id", pmod(shardDraw, lit(nShards.toLong)))
+      .withColumn("shard_pos", row_number().over(
+        Window.partitionBy(col("shard_id"))
+          .orderBy(orderDraw, col(idCol))).cast(LongType) - 1L)
+  }
 }

@@ -96,15 +96,19 @@ object SampleOps {
     * (cteSql, bucketColName). `fromSql` must expose `idExpr`. Used by the
     * driver oracles; kept here so the SQL and the Column expr share one
     * definition of the constants. */
-  def hashBucketSqlCtes(fromSql: String, idExpr: String, seed: Long): (String, String) = {
+  def hashBucketSqlCtes(fromSql: String, idExpr: String, seed: Long,
+                        prefix: String = "_h"): (String, String) = {
+    // distinct prefixes let two independent draws chain in one query
+    // (e.g. the shard draw feeding the order draw in deterministicShard)
+    val cp = if (prefix == "_h") "_x" else prefix + "x"
     val s0 = ((seed % P) + P) % P
     val x0 = s"((($idExpr) % $P + $P) % $P * $Mult + $s0) % $P"
-    val cte = new StringBuilder(s"_h0 AS (SELECT *, $x0 AS _x0 FROM $fromSql)")
+    val cte = new StringBuilder(s"${prefix}0 AS (SELECT *, $x0 AS ${cp}0 FROM $fromSql)")
     var r = 0
     while (r < 3) {
-      cte.append(s", _h${r + 1} AS (SELECT *, (xor(_x$r, _x$r >> 16) * 48271) % $P AS _x${r + 1} FROM _h$r)")
+      cte.append(s", $prefix${r + 1} AS (SELECT *, (xor($cp$r, $cp$r >> 16) * 48271) % $P AS $cp${r + 1} FROM $prefix$r)")
       r += 1
     }
-    (cte.toString, "_x3")
+    (cte.toString, s"${cp}3")
   }
 }

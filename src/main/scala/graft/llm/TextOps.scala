@@ -398,13 +398,25 @@ object TextOps {
     * on (band index, band hash), emit intra-bucket pairs. Scales as
     * sum(bucket²) per band — the classic LSH trade-off; band count tunes
     * recall vs cost. */
+  /** The (id, band, bucket) LSH banded table — the shared candidate-generation
+    * substrate for the self-join ([[minHashLshPairs]]) and the cross-corpus
+    * join ([[crossCorpusCandidates]]). bucket = xxhash64 of the band's
+    * signature slice, seeded by the band index so identical slices in
+    * different bands never collide into one bucket. */
+  private def bandedTable(df: DataFrame, idCol: String, textCol: String,
+                          numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    minHashSignature(df, textCol, numHashes, shingleSize)
+      .filter(size(col("minhash")) > 0)
+      .select(col(idCol), posexplode(transform(
+        sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws("_", slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
+  }
+
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 5,
                       maxBucketSize: Int = 1000): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    val withSig = minHashSignature(df, textCol, numHashes, shingleSize)
-      .filter(size(col("minhash")) > 0)
-      .select(col(idCol), col("minhash"))
     // materialize the banded table once (id, band, bucket — rows·bands, no
     // payloads): it feeds the histogram, the cap join, and BOTH sides of the
     // self-join, which would otherwise re-run the signature UDF four times.
@@ -413,10 +425,7 @@ object TextOps {
     // has materialized — leaving it to the ContextCleaner let banded tables
     // from successive calls pile up on the executors (observed as 3×
     // run-to-run variance at 10× scale from the induced GC pressure)
-    val bandedPin = Pin(withSig.select(col(idCol), posexplode(transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(concat_ws("_", slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket"))
+    val bandedPin = Pin(bandedTable(df, idCol, textCol, numHashes, bands, shingleSize))
     val banded = bandedPin.df
     // Cap per-(band,bucket) population before the self-join: one boilerplate
     // bucket of m docs otherwise emits m² pairs (the classic LSH skew bomb at
@@ -439,6 +448,69 @@ object TextOps {
     val result = Pin(pairs)
     bandedPin.release()
     result.df
+  }
+
+  /** Cross-corpus MinHash-LSH candidates: (id_in, id_ref) pairs where an
+    * incoming document shares at least one LSH band bucket with a reference
+    * document — the candidate stage of deduplicating a NEW crawl against an
+    * EXISTING training corpus (the dominant incremental-ingest shape at
+    * 100 TB: the reference side's banded table is computed once per corpus
+    * version and persisted; only the incoming side is signed per batch).
+    *
+    * Scale shape mirrors [[minHashLshPairs]]: both sides reduce to slim
+    * (id, band, bucket) tables, the join key is (band, bucket), and a bucket
+    * whose COMBINED population exceeds `maxBucketSize` is skipped — an
+    * over-cap bucket is shared boilerplate that emits |in|·|ref| pairs and
+    * belongs to [[removeBoilerplateLines]], not the pair join. Unlike the
+    * self-join there is no id_a < id_b constraint: the two sides are
+    * distinct corpora. */
+  def crossCorpusCandidates(incoming: DataFrame, reference: DataFrame,
+                            idCol: String, textCol: String,
+                            numHashes: Int = 64, bands: Int = 16,
+                            shingleSize: Int = 5,
+                            maxBucketSize: Int = 1000): DataFrame = {
+    val inPin = Pin(bandedTable(incoming, idCol, textCol, numHashes, bands, shingleSize))
+    val refPin = Pin(bandedTable(reference, idCol, textCol, numHashes, bands, shingleSize))
+    val inB = inPin.df.select(col(idCol).as("id_in"), col("band"), col("bucket"))
+    val refB = refPin.df.select(col(idCol).as("id_ref"), col("band"), col("bucket"))
+    val okBuckets = inB.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("_ni"))
+      .join(refB.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("_nr")),
+        Seq("band", "bucket"))
+      .filter(col("_ni") + col("_nr") <= maxBucketSize)
+      .select(col("band"), col("bucket"))
+    val pairs = inB.join(okBuckets, Seq("band", "bucket"))
+      .join(refB, Seq("band", "bucket"))
+      .select(col("id_in"), col("id_ref"))
+      .distinct()
+    val result = Pin(pairs)
+    inPin.release(); refPin.release()
+    result.df
+  }
+
+  /** Deduplicate an incoming batch AGAINST a reference corpus: drop incoming
+    * documents whose exact n-gram Jaccard similarity to ANY reference
+    * document is ≥ `threshold` (candidates from [[crossCorpusCandidates]],
+    * every candidate verified — LSH only generates, never decides). Returns
+    * the kept incoming rows with their original schema. */
+  def dedupAgainstCorpus(incoming: DataFrame, reference: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleSize: Int = 5, threshold: Double = 0.8,
+                         numHashes: Int = 64, bands: Int = 16,
+                         maxBucketSize: Int = 1000): DataFrame = {
+    val cand = crossCorpusCandidates(incoming, reference, idCol, textCol,
+      numHashes, bands, shingleSize, maxBucketSize)
+    val shIn = incoming.select(col(idCol).as("id_in"),
+      shingles(col(textCol), shingleSize).as("_sh_in"))
+    val shRef = reference.select(col(idCol).as("id_ref"),
+      shingles(col(textCol), shingleSize).as("_sh_ref"))
+    val dupIds = cand
+      .join(shIn, Seq("id_in")).join(shRef, Seq("id_ref"))
+      .withColumn("_j",
+        size(array_intersect(col("_sh_in"), col("_sh_ref"))).cast(DoubleType) /
+          size(array_union(col("_sh_in"), col("_sh_ref"))))
+      .filter(col("_j") >= threshold)
+      .select(col("id_in").as(idCol)).distinct()
+    incoming.join(dupIds, Seq(idCol), "left_anti")
   }
 
   /** Exact all-pairs n-gram Jaccard self-join via prefix filtering (the
@@ -714,5 +786,93 @@ object TextOps {
       .withColumn("rank", row_number().over(
         Window.partitionBy(pmod(col("cnt"), lit(1)))
           .orderBy(col("cnt").desc, col("token").asc)))
+  }
+
+  // --------------------------------------------- heuristic quality filters
+
+  /** C4-style document quality signals + keep flag (Raffel et al. 2020,
+    * "Exploring the Limits of Transfer Learning…", §2.2 — the public C4
+    * cleaning heuristics, evaluated at the document level): sentence count
+    * (terminal-punctuation marks), line counts, the fraction of lines that
+    * end in terminal punctuation, and the page-level disqualifiers (the
+    * placeholder phrase "lorem ipsum", curly braces — code —, and
+    * "javascript" boilerplate warnings). keep ⇔ ≥ `minSentences` sentences,
+    * ≥ `minWords` words, no disqualifier. Every signal is a codegen column
+    * expression on the row alone — no shuffle, no UDF; at 100 TB this is a
+    * map-only pass that fuses into whatever scan precedes it. */
+  def c4QualityFilter(df: DataFrame, textCol: String,
+                      minSentences: Int = 3, minWords: Int = 5): DataFrame = {
+    val t = col(textCol)
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val terminal = filter(lines, l => trim(l).rlike("[.!?\"]$"))
+    val words = filter(split(trim(t), "[ \\t\\n\\r\\f]+"), w => length(w) > 0)
+    val lower_t = lower(t)
+    df.withColumn("n_words", size(words).cast(LongType))
+      .withColumn("n_sentences",
+        (length(t) - length(regexp_replace(t, "[.!?]", ""))).cast(LongType))
+      .withColumn("n_lines", size(lines).cast(LongType))
+      .withColumn("terminal_line_ratio",
+        when(size(lines) > 0,
+          size(terminal).cast(DoubleType) / size(lines)).otherwise(0.0))
+      .withColumn("has_lorem_ipsum", lower_t.contains("lorem ipsum"))
+      .withColumn("has_brace", t.contains("{"))
+      .withColumn("has_javascript", lower_t.contains("javascript"))
+      .withColumn("c4_keep",
+        col("n_sentences") >= minSentences && col("n_words") >= minWords &&
+          !col("has_lorem_ipsum") && !col("has_brace") && !col("has_javascript"))
+  }
+
+  /** Gopher-style document quality signals + keep flag (Rae et al. 2021,
+    * "Scaling Language Models: … Gopher", Table A1 — the public repetition-
+    * free quality rules): word count bounds, mean word length bounds,
+    * symbol-to-word ratio (# and … as symbols), bullet-line and
+    * ellipsis-line fractions, the fraction of words containing ≥1 alphabetic
+    * character, and a stop-word requirement. Same scale shape as
+    * [[c4QualityFilter]]: pure codegen, map-only. */
+  def gopherQualityFilter(df: DataFrame, textCol: String,
+                          minWords: Int = 50, maxWords: Int = 100000,
+                          minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+                          maxSymbolRatio: Double = 0.1,
+                          maxBulletLineRatio: Double = 0.9,
+                          maxEllipsisLineRatio: Double = 0.3,
+                          minAlphaWordRatio: Double = 0.8,
+                          minStopwordHits: Int = 2): DataFrame = {
+    val t = col(textCol)
+    val words = filter(split(trim(t), "[ \\t\\n\\r\\f]+"), w => length(w) > 0)
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val nWords = size(words)
+    val stopwords = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    val stopHits = stopwords.map(w =>
+      when(concat(lit(" "), lower(t), lit(" ")).contains(s" $w "), 1).otherwise(0))
+      .reduce(_ + _)
+    df.withColumn("n_words", nWords.cast(LongType))
+      .withColumn("mean_word_len",
+        when(nWords > 0, aggregate(words, lit(0L), (a, w) => a + length(w))
+          .cast(DoubleType) / nWords).otherwise(0.0))
+      .withColumn("symbol_word_ratio",
+        when(nWords > 0,
+          (length(t) - length(regexp_replace(t, "[#…]", ""))).cast(DoubleType) / nWords)
+          .otherwise(0.0))
+      .withColumn("bullet_line_ratio",
+        when(size(lines) > 0,
+          size(filter(lines, l => trim(l).rlike("^[-*•]"))).cast(DoubleType) / size(lines))
+          .otherwise(0.0))
+      .withColumn("ellipsis_line_ratio",
+        when(size(lines) > 0,
+          size(filter(lines, l => trim(l).rlike("(\\.\\.\\.|…)$"))).cast(DoubleType) / size(lines))
+          .otherwise(0.0))
+      .withColumn("alpha_word_ratio",
+        when(nWords > 0,
+          size(filter(words, w => w.rlike("[A-Za-z]"))).cast(DoubleType) / nWords)
+          .otherwise(0.0))
+      .withColumn("stopword_hits", stopHits.cast(LongType))
+      .withColumn("gopher_keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanWordLen && col("mean_word_len") <= maxMeanWordLen &&
+          col("symbol_word_ratio") <= maxSymbolRatio &&
+          col("bullet_line_ratio") <= maxBulletLineRatio &&
+          col("ellipsis_line_ratio") <= maxEllipsisLineRatio &&
+          col("alpha_word_ratio") >= minAlphaWordRatio &&
+          col("stopword_hits") >= minStopwordHits)
   }
 }

@@ -85,6 +85,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `cap_per_domain(source, id_col, domain_col, cap, seed)`
   *  - span dedup: `dedup_spans(source, id_col, text_col, gram_len)`
   *    (cross-document duplicated-span removal, Lee et al. 2022)
+  *  - cross-corpus dedup: `dedup_against(source, reference, id_col,
+  *    text_col[, threshold])` (keep source rows with no near-dup in the
+  *    reference corpus)
+  *  - quality filters: `c4_quality_filter(source, text_col)` /
+  *    `gopher_quality_filter(source, text_col)` (Raffel et al. 2020 §2.2;
+  *    Rae et al. 2021 Table A1)
+  *  - training order: `shard_deterministic(source, id_col, n_shards, seed)`
   *  - LM quality signal: `lm_perplexity(source, id_col, text_col[,
   *    vocab_size[, alpha]])` (CCNet-style unigram self-perplexity)
   *  - semantic + assembly: `semdedup(source, id_col, vec_col, n_lists,
@@ -170,6 +177,9 @@ object TableMacros {
     "text_stats", "text_quality_score", "token_count", "language_id",
     "dedup_exact", "dedup_spans", "lm_perplexity", "pack_sequences",
     "decontaminate", "text_repetition",
+    // round 6: cross-corpus dedup, heuristic quality filters, training shard
+    "dedup_against", "c4_quality_filter", "gopher_quality_filter",
+    "shard_deterministic",
     "extract_domain", "domain_filter", "cap_per_domain",
     // semantic + assembly surface (round 5 batch 16)
     "semdedup", "knn_graph", "strip_boilerplate", "top_tokens",
@@ -708,6 +718,18 @@ object TableMacros {
           rest.lift(1).map(dbl(_, "alpha")).getOrElse(0.5))
       case ("text_repetition", Seq(src, text)) =>
         graft.llm.TextOps.repetitionStats(source(src), ident(text, "text_col"))
+      case ("dedup_against", Seq(src, ref, id, text, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.TextOps.dedupAgainstCorpus(source(src), source(ref),
+          ident(id, "id_col"), ident(text, "text_col"),
+          threshold = rest.headOption.map(dbl(_, "threshold")).getOrElse(0.8))
+      case ("c4_quality_filter", Seq(src, text)) =>
+        graft.llm.TextOps.c4QualityFilter(source(src), ident(text, "text_col"))
+      case ("gopher_quality_filter", Seq(src, text)) =>
+        graft.llm.TextOps.gopherQualityFilter(source(src), ident(text, "text_col"))
+      case ("shard_deterministic", Seq(src, id, nShards, seed)) =>
+        graft.llm.MixOps.deterministicShard(source(src), ident(id, "id_col"),
+          int(nShards, "n_shards"), int(seed, "seed").toLong)
       case ("pack_sequences", Seq(src, id, ord, toks, budget, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
         graft.llm.TextOps.packSequences(source(src), ident(id, "id_col"),

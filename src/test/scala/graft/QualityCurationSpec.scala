@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{MixOps, TextOps}
+
+/** Round-6 curation additions: cross-corpus dedup (incremental-ingest
+  * shape), C4/Gopher heuristic quality filters, and the deterministic
+  * training-order shard. */
+class QualityCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-quality-curation")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def longText(tag: String): String =
+    (1 to 30).map(i => s"${tag}x$i${tag.reverse}q$i").mkString(" ")
+
+  test("dedupAgainstCorpus drops incoming near-dups of the reference, keeps fresh docs") {
+    val sp = spark
+    import sp.implicits._
+    val ref = Seq(
+      (1L, longText("refdoc one")),
+      (2L, longText("refdoc two")),
+      (3L, longText("refdoc three"))).toDF("id", "text")
+    val incoming = Seq(
+      (100L, longText("refdoc one")),   // exact dup of ref 1
+      (101L, longText("fresh alpha")),  // genuinely new
+      (102L, longText("refdoc three")), // exact dup of ref 3
+      (103L, longText("fresh beta"))).toDF("id", "text")
+    val cand = TextOps.crossCorpusCandidates(incoming, ref, "id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((100L, 1L)) && cand.contains((102L, 3L)), s"got $cand")
+    assert(!cand.exists { case (i, _) => i == 101L || i == 103L }, s"got $cand")
+    val kept = TextOps.dedupAgainstCorpus(incoming, ref, "id", "text", threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(101L, 103L), s"got $kept")
+  }
+
+  test("crossCorpusCandidates skips over-cap buckets (shared boilerplate)") {
+    val sp = spark
+    import sp.implicits._
+    val boiler = longText("boilerplate shared")
+    val ref = (1L to 8L).map(i => (i, boiler)).toDF("id", "text")
+    val incoming = (100L to 107L).map(i => (i, boiler)).toDF("id", "text")
+    // combined bucket population 16 > cap 10 → no candidates from that bucket
+    val cand = TextOps.crossCorpusCandidates(incoming, ref, "id", "text",
+      maxBucketSize = 10)
+    assert(cand.count() == 0)
+    // with a permissive cap every (incoming, ref) pair is a candidate
+    val all = TextOps.crossCorpusCandidates(incoming, ref, "id", "text",
+      maxBucketSize = 1000)
+    assert(all.count() == 64)
+  }
+
+  test("c4QualityFilter keeps clean prose, rejects the C4 disqualifiers") {
+    val sp = spark
+    import sp.implicits._
+    val good = "This is a full sentence. Here is another one! And a third?\nAll lines end well."
+    val docs = Seq(
+      (1L, good),
+      (2L, "Lorem Ipsum dolor sit amet. Plus two more. Sentences here."),
+      (3L, "function f() { return 1; }. Has braces. Three sentences."),
+      (4L, "Enable JavaScript to view this page. Second sentence. Third sentence."),
+      (5L, "too short.")).toDF("id", "text")
+    val out = TextOps.c4QualityFilter(docs, "text")
+      .select(col("id"), col("c4_keep"), col("n_sentences"), col("terminal_line_ratio"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._1, s"good doc rejected: ${out(1L)}")
+    assert(out(1L)._2 == 4L) // . ! ? .
+    assert(out(1L)._3 == 1.0) // both lines end terminally
+    assert(!out(2L)._1) // lorem ipsum
+    assert(!out(3L)._1) // brace
+    assert(!out(4L)._1) // javascript
+    assert(!out(5L)._1) // one sentence, two words
+  }
+
+  test("gopherQualityFilter signal semantics and keep rule") {
+    val sp = spark
+    import sp.implicits._
+    val good = (1 to 60).map(i => s"with the quality of and that tokens be w$i").mkString(" ")
+    val docs = Seq(
+      (1L, good),
+      (2L, "short words only five here"), // < 50 words
+      (3L, (1 to 60).map(_ => "### ## #").mkString(" ")), // symbol ratio + no alpha
+      (4L, (1 to 60).map(i => s"- bullet line w$i\n").mkString), // all bullet lines
+      (5L, (1 to 60).map(i => s"zq$i xv$i").mkString(" "))) // no stopwords
+      .toDF("id", "text")
+    val out = TextOps.gopherQualityFilter(docs, "text")
+      .select(col("id"), col("gopher_keep"), col("n_words"), col("alpha_word_ratio"),
+        col("bullet_line_ratio"), col("stopword_hits"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getLong(5))).toMap
+    assert(out(1L)._1, s"good doc rejected: ${out(1L)}")
+    assert(out(1L)._5 >= 2)
+    assert(!out(2L)._1)
+    assert(!out(3L)._1 && out(3L)._3 == 0.0)
+    assert(!out(4L)._1 && out(4L)._4 == 1.0)
+    assert(!out(5L)._1 && out(5L)._5 == 0L)
+  }
+
+  test("deterministicShard is a partition-invariant permutation with dense shard positions") {
+    val sp = spark
+    import sp.implicits._
+    val df = (0L until 100L).map(i => (i, s"doc$i")).toDF("id", "payload")
+    val a = MixOps.deterministicShard(df, "id", nShards = 4, seed = 7)
+      .select("id", "shard_id", "shard_pos")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    // same assignment regardless of physical partitioning
+    val b = MixOps.deterministicShard(df.repartition(7), "id", nShards = 4, seed = 7)
+      .select("id", "shard_id", "shard_pos")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(a == b)
+    // every row exactly once; per-shard positions dense from 0
+    assert(a.size == 100)
+    a.values.groupBy(_._1).foreach { case (shard, rows) =>
+      val ps = rows.map(_._2).toSeq.sorted
+      assert(ps == (0L until ps.length.toLong), s"shard $shard positions not dense: $ps")
+    }
+    // a different seed produces a different permutation
+    val c = MixOps.deterministicShard(df, "id", nShards = 4, seed = 8)
+      .select("id", "shard_id", "shard_pos")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(a != c)
+  }
+}

@@ -561,6 +561,34 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       _.isInstanceOf[org.apache.spark.sql.catalyst.analysis.UnresolvedTableValuedFunction]))
   }
 
+  test("round-6 curation TVFs: dedup_against / quality filters / shard SQL == Scala API") {
+    val sp = spark
+    import sp.implicits._
+    def wordy(tag: String): String = (1 to 30).map(i => s"${tag}x$i${tag.reverse}q$i").mkString(" ")
+    Seq((1L, wordy("refone")), (2L, wordy("reftwo")))
+      .toDF("id", "text").createOrReplaceTempView("_tm_ref")
+    Seq((10L, wordy("refone")), (11L, wordy("fresh")))
+      .toDF("id", "text").createOrReplaceTempView("_tm_in")
+    val kept = spark.sql(
+      "SELECT * FROM dedup_against('_tm_in', '_tm_ref', id, text, 0.9)")
+    assert(sortedRows(kept) == sortedRows(graft.llm.TextOps.dedupAgainstCorpus(
+      spark.table("_tm_in"), spark.table("_tm_ref"), "id", "text", threshold = 0.9)))
+    assert(kept.select("id").collect().map(_.getLong(0)).toSet == Set(11L))
+
+    Seq((1L, "A sentence here. Another one! Ok?\nDone."), (2L, "short"))
+      .toDF("id", "text").createOrReplaceTempView("_tm_docs")
+    val c4 = spark.sql("SELECT * FROM c4_quality_filter('_tm_docs', text)")
+    assert(sortedRows(c4) == sortedRows(
+      graft.llm.TextOps.c4QualityFilter(spark.table("_tm_docs"), "text")))
+    val gopher = spark.sql("SELECT * FROM gopher_quality_filter('_tm_docs', text)")
+    assert(sortedRows(gopher) == sortedRows(
+      graft.llm.TextOps.gopherQualityFilter(spark.table("_tm_docs"), "text")))
+
+    val shard = spark.sql("SELECT * FROM shard_deterministic('_tm_docs', id, 4, 42)")
+    assert(sortedRows(shard) == sortedRows(graft.llm.MixOps.deterministicShard(
+      spark.table("_tm_docs"), "id", nShards = 4, seed = 42L)))
+  }
+
   test("bad arguments produce a clear error, not a planner crash") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, 'Naive')").collect()
