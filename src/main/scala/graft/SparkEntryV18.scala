@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.llm.{MixOps, SampleOps, TextOps}
+import graft.llm.{DomainOps, MixOps, SampleOps, TextOps}
 
 /** Eighteenth batch: round-6 curation additions — cross-corpus dedup (the
   * incremental-ingest shape: dedup a new crawl AGAINST the existing training
@@ -77,7 +77,43 @@ object SparkEntryV18 {
       MixOps.deterministicShard(t(s, dir, "documents"), "doc_id",
           nShards = 8, seed = 42)
         .select(col("doc_id"), col("shard_id"), col("shard_pos"))),
+    "text_hash_embed" -> ((s, dir) =>
+      TextOps.hashEmbed(t(s, dir, "documents").select(col("doc_id"), col("text")),
+          "doc_id", "text", dim = 16, seed = 7)
+        .select(col("doc_id"), posexplode(col("embedding")))
+        .select(col("doc_id"), col("pos"), round(col("col"), 6).as("v"))),
+    "url_canonicalize" -> ((s, dir) =>
+      DomainOps.canonicalizeUrl(
+          t(s, dir, "documents").withColumn("url", urlOf(col("doc_id"), col("source"))),
+          "url")
+        .select(col("doc_id"), col("url_canonical"))),
   )
+
+  /** Synthetic URL per document exercising every canonicalization branch:
+    * uppercase scheme/host + default https port + tracking param + fragment,
+    * default http port + trailing slash, mixed tracking/real params,
+    * scheme-less, protocol-relative, non-default port. */
+  private def urlOf(id: org.apache.spark.sql.Column,
+                    src: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(pmod(id, lit(6)) === 0,
+      concat(lit("HTTPS://WWW."), src, lit(".Example.com:443/Path/"), id.cast(StringType),
+        lit("/?utm_source=x&id="), id.cast(StringType), lit("#frag")))
+      .when(pmod(id, lit(6)) === 1,
+        concat(lit("http://"), src, lit(".example.org:80/a/b/?gclid=abc")))
+      .when(pmod(id, lit(6)) === 2,
+        concat(lit("https://"), src, lit(".example.net/x?id=1&utm_campaign=z&ref=tw")))
+      .when(pmod(id, lit(6)) === 3, concat(src, lit(".example.io/p/")))
+      .when(pmod(id, lit(6)) === 4, concat(lit("//cdn."), src, lit(".co.uk/lib.js?fbclid=1")))
+      .otherwise(concat(lit("http://"), src, lit(".example.com:8080/q?a=1&b=2")))
+
+  private val UrlCaseSql =
+    """CASE doc_id % 6
+      | WHEN 0 THEN concat('HTTPS://WWW.', source, '.Example.com:443/Path/', CAST(doc_id AS VARCHAR), '/?utm_source=x&id=', CAST(doc_id AS VARCHAR), '#frag')
+      | WHEN 1 THEN concat('http://', source, '.example.org:80/a/b/?gclid=abc')
+      | WHEN 2 THEN concat('https://', source, '.example.net/x?id=1&utm_campaign=z&ref=tw')
+      | WHEN 3 THEN concat(source, '.example.io/p/')
+      | WHEN 4 THEN concat('//cdn.', source, '.co.uk/lib.js?fbclid=1')
+      | ELSE concat('http://', source, '.example.com:8080/q?a=1&b=2') END""".stripMargin
 
   /** Shingle-set CTE over a doc relation aliased `$from` (same construction
     * as SparkEntryV2.DedupShingleEqualitySql). */
@@ -199,10 +235,66 @@ object SparkEntryV18 {
        |FROM _g3""".stripMargin
   }
 
+  /** Full replay of the feature-hashing embedding: per-token polynomial
+    * rolling hash mod P (seeded, left fold over codepoints — list_reduce
+    * seeds from the FIRST element, so the seed is prepended), bucket/sign
+    * split, per-bucket signed counts, dense 16-dim assembly via a MAP
+    * (DuckDB map[k] yields a LIST → `[1]` extracts), L2 normalization. */
+  private val HashEmbedSql =
+    """WITH tok AS (SELECT doc_id, unnest(list_filter(
+      |    string_split_regex(lower(trim(text)), '[ \t\n\r\f]+'), x -> len(x) > 0)) AS tok
+      |  FROM documents),
+      |th AS (SELECT doc_id, list_reduce(list_prepend(CAST(7 AS BIGINT),
+      |    list_transform(range(1, len(tok) + 1), i -> CAST(ord(tok[i:i]) AS BIGINT))),
+      |    (a, c) -> (a * 131 + c) % 2147483647) AS h FROM tok),
+      |bs AS (SELECT doc_id, (h >> 1) % 16 AS b,
+      |    CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM th),
+      |ag AS (SELECT doc_id, b, CAST(sum(sgn) AS BIGINT) AS s FROM bs GROUP BY 1, 2),
+      |mp AS (SELECT doc_id, map(list(b), list(s)) AS m FROM ag GROUP BY doc_id),
+      |dn AS (SELECT doc_id, list_transform(range(0, 16),
+      |    j -> CAST(coalesce(m[j][1], 0) AS DOUBLE)) AS raw FROM mp),
+      |nm AS (SELECT doc_id, raw,
+      |    sqrt(list_sum(list_transform(raw, x -> x * x))) AS norm FROM dn),
+      |emb AS (SELECT doc_id,
+      |    CASE WHEN norm > 0 THEN list_transform(raw, x -> round(x / norm, 6))
+      |         ELSE list_transform(raw, x -> round(x, 6)) END AS embedding FROM nm),
+      |fullv AS (SELECT d.doc_id,
+      |    coalesce(e.embedding,
+      |      list_transform(range(0, 16), j -> CAST(0.0 AS DOUBLE))) AS embedding
+      |  FROM documents d LEFT JOIN emb e USING (doc_id))
+      |SELECT doc_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+      |  unnest(embedding) AS v
+      |FROM fullv""".stripMargin
+
+  private val UrlCanonSql =
+    s"""WITH u AS (SELECT doc_id, $UrlCaseSql AS url FROM documents),
+       |s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*', '') AS nofrag FROM u),
+       |s2 AS (SELECT *, split_part(nofrag, '?', 1) AS base0,
+       |  CASE WHEN contains(nofrag, '?')
+       |       THEN substr(nofrag, len(split_part(nofrag, '?', 1)) + 2) ELSE '' END AS query
+       |  FROM s1),
+       |s3 AS (SELECT *, array_to_string(list_filter(string_split(query, '&'),
+       |    p -> NOT regexp_matches(p, '^(utm_[a-zA-Z0-9_]+|gclid|fbclid|msclkid|ref)=')
+       |         AND len(p) > 0), '&') AS qs,
+       |  CASE WHEN regexp_matches(base0, '[^/]/$$')
+       |       THEN regexp_replace(base0, '/$$', '') ELSE base0 END AS base1 FROM s2),
+       |s4 AS (SELECT *, regexp_extract(base1, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*', 0) AS sh
+       |  FROM s3),
+       |s5 AS (SELECT *, substr(base1, len(sh) + 1) AS rest, lower(sh) AS shl FROM s4),
+       |s6 AS (SELECT *,
+       |  CASE WHEN starts_with(shl, 'http://') THEN regexp_replace(shl, ':80$$', '')
+       |       WHEN starts_with(shl, 'https://') THEN regexp_replace(shl, ':443$$', '')
+       |       ELSE shl END AS shp FROM s5)
+       |SELECT doc_id,
+       |  concat(shp, rest, CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS url_canonical
+       |FROM s6""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "dedup_against_corpus" -> DedupAgainstSql,
     "quality_c4" -> C4Sql,
     "quality_gopher" -> GopherSql,
     "shard_deterministic" -> ShardSql,
+    "text_hash_embed" -> HashEmbedSql,
+    "url_canonicalize" -> UrlCanonSql,
   )
 }

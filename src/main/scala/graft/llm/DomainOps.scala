@@ -53,6 +53,44 @@ object DomainOps {
     df.withColumn(out, when(noWww === "", lit(null)).otherwise(noWww))
   }
 
+  /** Query parameters dropped by [[canonicalizeUrl]] — the common tracking
+    * decorations that make one page look like many distinct URLs to an
+    * exact-dedup pass. Anchored, RE2-safe. */
+  val TrackingParamPattern = "^(utm_[a-zA-Z0-9_]+|gclid|fbclid|msclkid|ref)="
+
+  /** Canonicalize a URL for identity/dedup purposes: strip the fragment,
+    * drop tracking query parameters ([[TrackingParamPattern]]), lowercase
+    * the scheme://host prefix (paths stay case-sensitive), strip the
+    * scheme's default port (`:80` for http, `:443` for https), and strip a
+    * single trailing slash from the path. A crawl that stores one canonical
+    * URL per page can exact-dedup re-crawled pages whose URLs differ only
+    * in tracking noise. Pure codegen column expressions (split/regexp/
+    * higher-order filter), no UDF — replayable by the SQL oracle. */
+  def canonicalizeUrl(df: DataFrame, urlCol: String,
+                      out: String = "url_canonical"): DataFrame = {
+    val u = col(urlCol)
+    val noFrag = regexp_replace(u, "#.*", "")
+    val base0 = substring_index(noFrag, "?", 1)
+    val query = when(noFrag.contains("?"),
+      noFrag.substr(length(base0) + 2, length(noFrag))).otherwise(lit(""))
+    val params = filter(split(query, "&"),
+      p => !p.rlike(TrackingParamPattern) && length(p) > 0)
+    val qs = array_join(params, "&")
+    // strip ONE trailing slash when it follows a non-slash (so a bare
+    // protocol-relative "//" is never collapsed)
+    val base1 = when(base0.rlike("[^/]/$"), regexp_replace(base0, "/$", ""))
+      .otherwise(base0)
+    val schemeHost = regexp_extract(base1, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/]*", 0)
+    val rest = base1.substr(length(schemeHost) + 1, length(base1))
+    val shLower = lower(schemeHost)
+    val shNoPort = when(shLower.startsWith("http://"), regexp_replace(shLower, ":80$", ""))
+      .when(shLower.startsWith("https://"), regexp_replace(shLower, ":443$", ""))
+      .otherwise(shLower)
+    val canon = concat(shNoPort, rest,
+      when(qs =!= "", concat(lit("?"), qs)).otherwise(lit("")))
+    df.withColumn(out, when(u.isNull, lit(null)).otherwise(canon))
+  }
+
   /** All dot-boundary suffixes of a host, deepest `MaxLabels` only:
     * `a.b.co.uk` → `[a.b.co.uk, b.co.uk, co.uk, uk]`. A blocklist entry
     * matches a host iff it equals one of these — i.e. matches the host

@@ -788,6 +788,53 @@ object TextOps {
           .orderBy(col("cnt").desc, col("token").asc)))
   }
 
+  // ------------------------------------------------- text featurization
+
+  /** Deterministic feature-hashing text embedding (the hashing trick —
+    * Weinberger et al. 2009, public): every token hashes to a bucket in
+    * [0, dim) with a ±1 sign, the per-bucket signed counts form the vector,
+    * L2-normalized. The bridge from raw text into the semantic ops: a corpus
+    * without precomputed neural embeddings can still run [[SimilarityOps]]'
+    * SemDeDup / kNN-graph / ANN paths over these vectors.
+    *
+    * The token hash is a polynomial-rolling hash mod P = 2^31−1 over
+    * codepoints (seeded; max intermediate P·131 + 1114111 < 2^39 —
+    * BIGINT-safe, so the DuckDB oracle replays it exactly). Scale shape:
+    * explode → groupBy(id, bucket) partial-sum → groupBy(id) map assembly —
+    * shuffle volume is (id, bucket, count) rows, bounded by min(tokens,
+    * rows·dim), NOT corpus text; the alternative per-row dim×tokens
+    * higher-order scan does no shuffle but 128× more compute. Docs with no
+    * tokens get the zero vector. */
+  def hashEmbed(df: DataFrame, idCol: String, textCol: String, dim: Int = 64,
+                seed: Long = 0L, out: String = "embedding"): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
+    val P = 2147483647L
+    val s0 = ((seed % P) + P) % P
+    val toks = filter(split(lower(trim(col(textCol))), "[ \\t\\n\\r\\f]+"),
+      t => length(t) > 0)
+    val tok = col("_tok")
+    val tokHash = aggregate(
+      transform(sequence(lit(1), length(tok)), i => ascii(tok.substr(i, lit(1))).cast(LongType)),
+      lit(s0), (acc, c) => (acc * lit(131L) + c) % lit(P))
+    val sums = df.select(col(idCol), explode(toks).as("_tok"))
+      .withColumn("_th", tokHash)
+      .withColumn("_bucket", pmod(shiftright(col("_th"), 1), lit(dim.toLong)))
+      .withColumn("_sgn", when(pmod(col("_th"), lit(2L)) === 0, lit(1L)).otherwise(lit(-1L)))
+      .groupBy(col(idCol), col("_bucket"))
+      .agg(sum(col("_sgn")).as("_s"))
+      .groupBy(col(idCol))
+      .agg(map_from_arrays(collect_list(col("_bucket")), collect_list(col("_s"))).as("_m"))
+      .withColumn("_raw", transform(sequence(lit(0), lit(dim - 1)),
+        j => coalesce(element_at(col("_m"), j), lit(0L)).cast(DoubleType)))
+      .withColumn("_norm", sqrt(aggregate(col("_raw"), lit(0.0), (a, x) => a + x * x)))
+      .select(col(idCol),
+        when(col("_norm") > 0, transform(col("_raw"), x => x / col("_norm")))
+          .otherwise(col("_raw")).as(out))
+    df.join(sums, Seq(idCol), "left")
+      .withColumn(out, coalesce(col(out),
+        transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0))))
+  }
+
   // --------------------------------------------- heuristic quality filters
 
   /** C4-style document quality signals + keep flag (Raffel et al. 2020,

@@ -179,7 +179,7 @@ object TableMacros {
     "decontaminate", "text_repetition",
     // round 6: cross-corpus dedup, heuristic quality filters, training shard
     "dedup_against", "c4_quality_filter", "gopher_quality_filter",
-    "shard_deterministic",
+    "shard_deterministic", "hash_embed", "canonicalize_url",
     "extract_domain", "domain_filter", "cap_per_domain",
     // semantic + assembly surface (round 5 batch 16)
     "semdedup", "knn_graph", "strip_boilerplate", "top_tokens",
@@ -730,6 +730,14 @@ object TableMacros {
       case ("shard_deterministic", Seq(src, id, nShards, seed)) =>
         graft.llm.MixOps.deterministicShard(source(src), ident(id, "id_col"),
           int(nShards, "n_shards"), int(seed, "seed").toLong)
+      case ("hash_embed", Seq(src, id, text, rest @ _*)) =>
+        if (rest.length > 2) fail("too many arguments")
+        graft.llm.TextOps.hashEmbed(source(src), ident(id, "id_col"),
+          ident(text, "text_col"),
+          rest.headOption.map(int(_, "dim")).getOrElse(64),
+          rest.lift(1).map(int(_, "seed")).getOrElse(0).toLong)
+      case ("canonicalize_url", Seq(src, url)) =>
+        graft.llm.DomainOps.canonicalizeUrl(source(src), ident(url, "url_col"))
       case ("pack_sequences", Seq(src, id, ord, toks, budget, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
         graft.llm.TextOps.packSequences(source(src), ident(id, "id_col"),

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.llm.{MixOps, TextOps}
+import graft.llm.{DomainOps, MixOps, SimilarityOps, TextOps}
 
 /** Round-6 curation additions: cross-corpus dedup (incremental-ingest
   * shape), C4/Gopher heuristic quality filters, and the deterministic
@@ -111,6 +111,57 @@ class QualityCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!out(3L)._1 && out(3L)._3 == 0.0)
     assert(!out(4L)._1 && out(4L)._4 == 1.0)
     assert(!out(5L)._1 && out(5L)._5 == 0L)
+  }
+
+  test("hashEmbed: unit norm, determinism, zero vector for empty text, similarity ordering") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),      // identical → identical vec
+      (3L, "alpha beta gamma delta unrelatedlongtoken"), // 4/5 shared tokens
+      (4L, "totally different words entirely here"),
+      (5L, "   ")).toDF("id", "text")               // no tokens → zero vec
+    val emb = TextOps.hashEmbed(docs, "id", "text", dim = 64, seed = 7)
+    val vecs = emb.select(col("id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    def dot(a: Seq[Double], b: Seq[Double]) = a.zip(b).map { case (x, y) => x * y }.sum
+    assert(vecs(1L) == vecs(2L))
+    assert(math.abs(dot(vecs(1L), vecs(1L)) - 1.0) < 1e-12, "unit norm")
+    assert(vecs(5L).forall(_ == 0.0), "empty text → zero vector")
+    assert(dot(vecs(1L), vecs(3L)) > dot(vecs(1L), vecs(4L)),
+      "shared-token doc must score closer than unrelated doc")
+    // partition invariance (the groupBy path must not depend on layout)
+    val emb2 = TextOps.hashEmbed(docs.repartition(5), "id", "text", dim = 64, seed = 7)
+      .select(col("id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(emb2 == vecs)
+    // the bridge: hashEmbed output feeds the semantic dedup path directly
+    val centroids = SimilarityOps.ivfTrain(emb, "id", "embedding", nLists = 2)
+    val pairs = SimilarityOps.semDedupPairs(emb, "id", "embedding", centroids, minSim = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)), s"got $pairs")
+  }
+
+  test("canonicalizeUrl strips fragments/tracking/default ports/trailing slash, lowers scheme+host") {
+    val sp = spark
+    import sp.implicits._
+    val urls = Seq(
+      (1L, "HTTPS://WWW.Example.com:443/Path/One/?utm_source=x&id=5#frag"),
+      (2L, "http://example.org:80/a/b/?gclid=abc"),
+      (3L, "https://example.net/x?id=1&utm_campaign=z&ref=tw"),
+      (4L, "sub.example.io/p/"),
+      (5L, "//cdn.example.co.uk/lib.js?fbclid=1"),
+      (6L, "http://example.com:8080/q?a=1&b=2")).toDF("id", "url")
+    val out = DomainOps.canonicalizeUrl(urls, "url")
+      .select(col("id"), col("url_canonical")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "https://www.example.com/Path/One?id=5", out(1L))
+    assert(out(2L) == "http://example.org/a/b", out(2L))
+    assert(out(3L) == "https://example.net/x?id=1", out(3L))
+    assert(out(4L) == "sub.example.io/p", out(4L))
+    assert(out(5L) == "//cdn.example.co.uk/lib.js", out(5L))
+    assert(out(6L) == "http://example.com:8080/q?a=1&b=2", out(6L)) // non-default port kept
   }
 
   test("deterministicShard is a partition-invariant permutation with dense shard positions") {

@@ -587,6 +587,15 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     val shard = spark.sql("SELECT * FROM shard_deterministic('_tm_docs', id, 4, 42)")
     assert(sortedRows(shard) == sortedRows(graft.llm.MixOps.deterministicShard(
       spark.table("_tm_docs"), "id", nShards = 4, seed = 42L)))
+
+    val embed = spark.sql("SELECT * FROM hash_embed('_tm_docs', id, text, 16, 7)")
+    assert(sortedRows(embed) == sortedRows(graft.llm.TextOps.hashEmbed(
+      spark.table("_tm_docs"), "id", "text", dim = 16, seed = 7L)))
+
+    Seq((1L, "HTTPS://Example.com:443/a/?utm_source=x&id=1#f"))
+      .toDF("id", "url").createOrReplaceTempView("_tm_urls")
+    val canon = spark.sql("SELECT * FROM canonicalize_url('_tm_urls', url)")
+    assert(canon.select("url_canonical").head.getString(0) == "https://example.com/a?id=1")
   }
 
   test("bad arguments produce a clear error, not a planner crash") {
