@@ -143,6 +143,29 @@ object ScaleProbe {
         Map("method" -> "SeasonalNaive", "seasonal_period" -> "7"), "rmse")))
       println(f"bt_full sec=$tFull%.3f")
     }
+    if (which("dedupagainst")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n1 = docs.count()
+      val docs10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", concat(col("text"), lit(s" r$i"))))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      docs10.count()
+      val (mFull, tsFull) = med5(onceDf(llm.TextOps.dedupAgainstCorpus(
+        docs10.filter(col("doc_id") < 100000000L),
+        docs10.filter(col("doc_id") >= 100000000L),
+        "doc_id", "text", threshold = 0.9)))
+      println(f"dedup_against_full ext=$useExt sec=$mFull%.3f ms_per_doc=${mFull * 1000 / (n1 * 10)}%.4f all=${tsFull.map(t => f"$t%.3f")}")
+      val idx = llm.TextOps.buildDedupIndex(
+        docs10.filter(col("doc_id") >= 100000000L), "doc_id", "text",
+        threshold = 0.9)
+      val (m, ts) = med5(onceDf(llm.TextOps.dedupAgainstIndex(
+        docs10.filter(col("doc_id") < 100000000L), idx, "doc_id", "text",
+        threshold = 0.9)))
+      println(f"dedup_against_steady ext=$useExt sec=$m%.3f ms_per_incoming_doc=${m * 1000 / n1}%.4f all=${ts.map(t => f"$t%.3f")}")
+      idx.release()
+      docs10.unpersist()
+    }
     if (which("backtest")) {
       val (m, ts) = med5(onceDf(ops.TsCvOp.backtestAutoBy(series10, "g", "ds", "y",
         7, 2, "1d", Map("method" -> "SeasonalNaive", "seasonal_period" -> "7"), "rmse")))

@@ -403,8 +403,8 @@ object TextOps {
     * join ([[crossCorpusCandidates]]). bucket = xxhash64 of the band's
     * signature slice, seeded by the band index so identical slices in
     * different bands never collide into one bucket. */
-  private def bandedTable(df: DataFrame, idCol: String, textCol: String,
-                          numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
+  private[graft] def bandedTable(df: DataFrame, idCol: String, textCol: String,
+                                 numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
     val rowsPerBand = numHashes / bands
     minHashSignature(df, textCol, numHashes, shingleSize)
       .filter(size(col("minhash")) > 0)
@@ -464,15 +464,77 @@ object TextOps {
     * belongs to [[removeBoilerplateLines]], not the pair join. Unlike the
     * self-join there is no id_a < id_b constraint: the two sides are
     * distinct corpora. */
+  /** Banding choice for an LSH candidate stage targeting Jaccard ≥ t: the
+    * fewest bands (longest rows-per-band) whose estimated recall at J = t,
+    * 1 − (1 − t^r)^b, stays ≥ 0.98. Fewer/longer bands suppress
+    * below-threshold candidates exponentially (r in the exponent), which is
+    * what keeps the verify join alive on a self-similar corpus — with the
+    * 16×4 default tuned for t ≈ 0.5, a t = 0.9 query on a high-overlap
+    * corpus produced 250+ false candidates per document, and the verify
+    * join dwarfed everything else. Exact duplicates collide under ANY
+    * banding (identical sets ⇒ identical signatures), so threshold-1.0
+    * recall is unaffected by the choice. */
+  def bandsForThreshold(numHashes: Int, threshold: Double): Int = {
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+    divisors.find { b =>
+      val r = numHashes / b
+      1.0 - math.pow(1.0 - math.pow(threshold, r.toDouble), b.toDouble) >= 0.98
+    }.getOrElse(numHashes)
+  }
+
+  /** The persisted per-corpus-version half of the cross-corpus dedup index:
+    * the reference side's (id, band, bucket) banded table and its 64-bit
+    * shingle-hash sets, both pinned. In production these two tables are
+    * written once per corpus version (they are exactly what you'd store
+    * next to the corpus, ~tens of bytes/doc); every incoming batch then
+    * pays only its OWN signatures. */
+  final case class CorpusDedupIndex(banded: DataFrame, shingleSets: DataFrame,
+                                    numHashes: Int, bands: Int, shingleSize: Int,
+                                    release: () => Unit)
+
+  /** Build (and pin) the reference-side index for [[dedupAgainstIndex]].
+    * `bands = 0` (the default) derives the banding from `threshold` via
+    * [[bandsForThreshold]] — the index bakes its banding in, so the
+    * incoming side reads the parameters back from the index. */
+  def buildDedupIndex(reference: DataFrame, idCol: String, textCol: String,
+                      numHashes: Int = 64, bands: Int = 0,
+                      shingleSize: Int = 5,
+                      threshold: Double = 0.8): CorpusDedupIndex = {
+    val b = if (bands > 0) bands else bandsForThreshold(numHashes, threshold)
+    val shingleSetUdf = udf((text: String) =>
+      shingleHashSet(if (text == null) "" else text, shingleSize))
+    val bandedPin = Pin(
+      bandedTable(reference, idCol, textCol, numHashes, b, shingleSize)
+        .select(col(idCol).as("id_ref"), col("band"), col("bucket")))
+    val shPin = Pin(reference.select(col(idCol).as("id_ref"),
+      shingleSetUdf(col(textCol)).as("_sh_ref")))
+    CorpusDedupIndex(bandedPin.df, shPin.df, numHashes, b, shingleSize,
+      () => { bandedPin.release(); shPin.release() })
+  }
+
   def crossCorpusCandidates(incoming: DataFrame, reference: DataFrame,
                             idCol: String, textCol: String,
                             numHashes: Int = 64, bands: Int = 16,
                             shingleSize: Int = 5,
                             maxBucketSize: Int = 1000): DataFrame = {
-    val inPin = Pin(bandedTable(incoming, idCol, textCol, numHashes, bands, shingleSize))
-    val refPin = Pin(bandedTable(reference, idCol, textCol, numHashes, bands, shingleSize))
+    val index = buildDedupIndex(reference, idCol, textCol, numHashes, bands,
+      shingleSize)
+    val result = crossCorpusCandidatesWithIndex(incoming, index, idCol, textCol,
+      maxBucketSize)
+    index.release()
+    result
+  }
+
+  /** [[crossCorpusCandidates]] against a prepared reference index (the
+    * production steady state: only the incoming batch is signed; signature
+    * parameters come from the index so the two sides always agree). */
+  def crossCorpusCandidatesWithIndex(incoming: DataFrame, index: CorpusDedupIndex,
+                                     idCol: String, textCol: String,
+                                     maxBucketSize: Int = 1000): DataFrame = {
+    val inPin = Pin(bandedTable(incoming, idCol, textCol,
+      index.numHashes, index.bands, index.shingleSize))
     val inB = inPin.df.select(col(idCol).as("id_in"), col("band"), col("bucket"))
-    val refB = refPin.df.select(col(idCol).as("id_ref"), col("band"), col("bucket"))
+    val refB = index.banded
     val okBuckets = inB.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("_ni"))
       .join(refB.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("_nr")),
         Seq("band", "bucket"))
@@ -483,7 +545,7 @@ object TextOps {
       .select(col("id_in"), col("id_ref"))
       .distinct()
     val result = Pin(pairs)
-    inPin.release(); refPin.release()
+    inPin.release()
     result.df
   }
 
@@ -495,22 +557,50 @@ object TextOps {
   def dedupAgainstCorpus(incoming: DataFrame, reference: DataFrame,
                          idCol: String, textCol: String,
                          shingleSize: Int = 5, threshold: Double = 0.8,
-                         numHashes: Int = 64, bands: Int = 16,
+                         numHashes: Int = 64, bands: Int = 0,
                          maxBucketSize: Int = 1000): DataFrame = {
-    val cand = crossCorpusCandidates(incoming, reference, idCol, textCol,
-      numHashes, bands, shingleSize, maxBucketSize)
-    val shIn = incoming.select(col(idCol).as("id_in"),
-      shingles(col(textCol), shingleSize).as("_sh_in"))
-    val shRef = reference.select(col(idCol).as("id_ref"),
-      shingles(col(textCol), shingleSize).as("_sh_ref"))
+    val index = buildDedupIndex(reference, idCol, textCol, numHashes, bands,
+      shingleSize, threshold)
+    val result = dedupAgainstIndex(incoming, index, idCol, textCol,
+      threshold, maxBucketSize)
+    index.release()
+    result
+  }
+
+  /** [[dedupAgainstCorpus]] against a prepared reference index — the
+    * production steady state (index built once per corpus version; each
+    * incoming batch pays only its own signatures + the verify join).
+    *
+    * Verification runs on the 64-bit shingle-HASH sets (the same compiled
+    * one-pass-per-document substrate the signatures use), not on string
+    * shingle arrays: materializing ~|text| substring objects per document
+    * measured 10× the whole op's cost and a multi-GB pin at 10× scale,
+    * while the hash set is one compiled pass and ~8 bytes per shingle.
+    * Jaccard over the hash sets equals text-shingle Jaccard up to 64-bit
+    * double-murmur collisions (~|set|²/2⁶⁴ per pair — negligible against
+    * any realistic threshold). */
+  def dedupAgainstIndex(incoming: DataFrame, index: CorpusDedupIndex,
+                        idCol: String, textCol: String,
+                        threshold: Double = 0.8,
+                        maxBucketSize: Int = 1000): DataFrame = {
+    val cand = crossCorpusCandidatesWithIndex(incoming, index, idCol, textCol,
+      maxBucketSize)
+    val shingleSetUdf = udf((text: String) =>
+      shingleHashSet(if (text == null) "" else text, index.shingleSize))
+    val shInPin = Pin(incoming.select(col(idCol).as("id_in"),
+      shingleSetUdf(col(textCol)).as("_sh_in")))
     val dupIds = cand
-      .join(shIn, Seq("id_in")).join(shRef, Seq("id_ref"))
+      .join(shInPin.df, Seq("id_in")).join(index.shingleSets, Seq("id_ref"))
       .withColumn("_j",
         size(array_intersect(col("_sh_in"), col("_sh_ref"))).cast(DoubleType) /
           size(array_union(col("_sh_in"), col("_sh_ref"))))
       .filter(col("_j") >= threshold)
       .select(col("id_in").as(idCol)).distinct()
-    incoming.join(dupIds, Seq(idCol), "left_anti")
+    // the drop-set is ids-only (tiny); pinning it lets the incoming-side
+    // shingle blocks free before the caller's anti-join materializes
+    val dropPin = Pin(dupIds)
+    shInPin.release()
+    incoming.join(dropPin.df, Seq(idCol), "left_anti")
   }
 
   /** Exact all-pairs n-gram Jaccard self-join via prefix filtering (the
@@ -800,11 +890,15 @@ object TextOps {
     * The token hash is a polynomial-rolling hash mod P = 2^31−1 over
     * codepoints (seeded; max intermediate P·131 + 1114111 < 2^39 —
     * BIGINT-safe, so the DuckDB oracle replays it exactly). Scale shape:
-    * explode → groupBy(id, bucket) partial-sum → groupBy(id) map assembly —
-    * shuffle volume is (id, bucket, count) rows, bounded by min(tokens,
-    * rows·dim), NOT corpus text; the alternative per-row dim×tokens
-    * higher-order scan does no shuffle but 128× more compute. Docs with no
-    * tokens get the zero vector. */
+    * ENTIRELY map-side — per row, tokens map to (bucket, ±1) pairs once,
+    * then a dim × tokens higher-order scan assembles the dense vector in
+    * place. The alternative (explode → groupBy(id, bucket) → join back)
+    * shuffles less arithmetic but re-shuffles the TEXT-carrying corpus on id
+    * for the join — at 100 TB, dim× extra integer ops per row are far
+    * cheaper than pushing the corpus through an exchange, so for the
+    * dims this op targets (≤ a few hundred) map-only wins outright. Zero
+    * exchanges, partition-invariant by construction; docs with no tokens
+    * get the zero vector (PlanGuardSpec pins the no-shuffle shape). */
   def hashEmbed(df: DataFrame, idCol: String, textCol: String, dim: Int = 64,
                 seed: Long = 0L, out: String = "embedding"): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
@@ -812,27 +906,30 @@ object TextOps {
     val s0 = ((seed % P) + P) % P
     val toks = filter(split(lower(trim(col(textCol))), "[ \\t\\n\\r\\f]+"),
       t => length(t) > 0)
-    val tok = col("_tok")
-    val tokHash = aggregate(
+    def tokHash(tok: Column): Column = aggregate(
       transform(sequence(lit(1), length(tok)), i => ascii(tok.substr(i, lit(1))).cast(LongType)),
       lit(s0), (acc, c) => (acc * lit(131L) + c) % lit(P))
-    val sums = df.select(col(idCol), explode(toks).as("_tok"))
-      .withColumn("_th", tokHash)
-      .withColumn("_bucket", pmod(shiftright(col("_th"), 1), lit(dim.toLong)))
-      .withColumn("_sgn", when(pmod(col("_th"), lit(2L)) === 0, lit(1L)).otherwise(lit(-1L)))
-      .groupBy(col(idCol), col("_bucket"))
-      .agg(sum(col("_sgn")).as("_s"))
-      .groupBy(col(idCol))
-      .agg(map_from_arrays(collect_list(col("_bucket")), collect_list(col("_s"))).as("_m"))
-      .withColumn("_raw", transform(sequence(lit(0), lit(dim - 1)),
-        j => coalesce(element_at(col("_m"), j), lit(0L)).cast(DoubleType)))
-      .withColumn("_norm", sqrt(aggregate(col("_raw"), lit(0.0), (a, x) => a + x * x)))
-      .select(col(idCol),
-        when(col("_norm") > 0, transform(col("_raw"), x => x / col("_norm")))
-          .otherwise(col("_raw")).as(out))
-    df.join(sums, Seq(idCol), "left")
-      .withColumn(out, coalesce(col(out),
-        transform(sequence(lit(0), lit(dim - 1)), _ => lit(0.0))))
+    val info = transform(toks, t => {
+      val h = tokHash(t)
+      struct(pmod(shiftright(h, 1), lit(dim.toLong)).as("b"),
+        when(pmod(h, lit(2L)) === 0, lit(1L)).otherwise(lit(-1L)).as("s"))
+    })
+    // one fold over the tokens builds the signed-count vector; the
+    // single-element-array + transform wrappers are let-bindings (a lambda
+    // variable is evaluated once), so neither the fold nor the norm is
+    // re-evaluated when referenced twice — CollapseProject would otherwise
+    // inline a withColumn chain and recompute the O(dim·tokens) fold per
+    // reference
+    val zero = transform(sequence(lit(0), lit(dim - 1)), _ => lit(0L))
+    val raw = aggregate(info, zero, (acc, ti) =>
+      transform(acc, (x, j) =>
+        x + when(j.cast(LongType) === ti.getField("b"), ti.getField("s")).otherwise(lit(0L))))
+    val emb = element_at(transform(array(raw), r =>
+      element_at(transform(
+        array(sqrt(aggregate(r, lit(0.0), (a, x) => a + x * x))), n =>
+          when(n > 0, transform(r, x => x.cast(DoubleType) / n))
+            .otherwise(transform(r, x => x.cast(DoubleType)))), lit(1))), lit(1))
+    df.withColumn(out, emb)
   }
 
   // --------------------------------------------- heuristic quality filters

@@ -234,6 +234,35 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!gplan.toString.contains("CartesianProduct"))
   }
 
+  test("round-6 curation ops: quality filters are map-only; embeddings and LSH bands shuffle no text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val sp = spark
+    import sp.implicits._
+    val docs = (0L until 40L).map(i => (i, s"some words w$i for doc $i")).toDF("doc_id", "text")
+
+    // C4/Gopher: pure codegen, zero exchanges — they must fuse into the scan
+    for (df <- Seq(graft.llm.TextOps.c4QualityFilter(docs, "text"),
+                   graft.llm.TextOps.gopherQualityFilter(docs, "text"))) {
+      assert(df.queryExecution.executedPlan
+        .collect { case s: ShuffleExchangeExec => s }.isEmpty,
+        "quality filters must be map-only")
+    }
+
+    // hashEmbed: entirely map-side — zero exchanges, text never shuffles
+    val emb = graft.llm.TextOps.hashEmbed(docs, "doc_id", "text", dim = 8, seed = 1)
+    assert(emb.queryExecution.executedPlan
+      .collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      "hashEmbed must be a map-only projection (the join-back variant re-shuffles corpus text)")
+
+    // the cross-corpus candidate substrate: (id, band, bucket) only, and it
+    // is built WITHOUT any exchange (signature + banding are map-side)
+    val banded = graft.llm.TextOps.bandedTable(docs, "doc_id", "text", 16, 4, 5)
+    assert(banded.columns.toSeq == Seq("doc_id", "band", "bucket"))
+    assert(banded.queryExecution.executedPlan
+      .collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      "the banded table must be a narrow map-side projection")
+  }
+
   test("boilerplate strip: document text never shuffles; boiler set broadcasts") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val sp = spark
