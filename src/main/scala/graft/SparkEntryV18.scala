@@ -87,6 +87,21 @@ object SparkEntryV18 {
           t(s, dir, "documents").withColumn("url", urlOf(col("doc_id"), col("source"))),
           "url")
         .select(col("doc_id"), col("url_canonical"))),
+    // corpus = docs with id % 3 != 0, benchmark = docs with id % 50 == 0:
+    // benchmark docs NOT divisible by 3 sit verbatim in the corpus
+    // (ratio 1.0), the others only via natural duplicate grams — both
+    // report branches exercised
+    "contamination_report" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      TextOps.contaminationReport(
+          docs.filter(col("doc_id") % 3 =!= 0),
+          docs.filter(col("doc_id") % 50 === 0)
+            .withColumnRenamed("doc_id", "bench_id"),
+          "doc_id", "bench_id", "text", n = 13)
+        .select(col("bench_id"), col("n_grams"), col("n_overlapping_grams"),
+          col("n_contaminated_docs"),
+          round(col("contamination_ratio"), 6).as("contamination_ratio"))
+    }),
   )
 
   /** Synthetic URL per document exercising every canonicalization branch:
@@ -289,7 +304,34 @@ object SparkEntryV18 {
        |  concat(shp, rest, CASE WHEN qs <> '' THEN '?' || qs ELSE '' END) AS url_canonical
        |FROM s6""".stripMargin
 
+  private val ContaminationReportSql =
+    """WITH cg AS (
+      |  SELECT doc_id, array_to_string(list_slice(_t, _i, _i + 12), ' ') AS gram
+      |  FROM (SELECT doc_id, _t, UNNEST(generate_series(1, len(_t) - 12)) AS _i
+      |        FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f]+') AS _t
+      |              FROM documents WHERE doc_id % 3 <> 0)
+      |        WHERE len(_t) >= 13)),
+      |bgr AS (
+      |  SELECT DISTINCT doc_id AS bench_id,
+      |    array_to_string(list_slice(_t, _i, _i + 12), ' ') AS gram
+      |  FROM (SELECT doc_id, _t, UNNEST(generate_series(1, len(_t) - 12)) AS _i
+      |        FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\r\f]+') AS _t
+      |              FROM documents WHERE doc_id % 50 = 0)
+      |        WHERE len(_t) >= 13)),
+      |tot AS (SELECT bench_id, count(*) AS n_grams FROM bgr GROUP BY 1),
+      |hit AS (SELECT b.bench_id,
+      |          count(DISTINCT b.gram) AS n_overlapping_grams,
+      |          count(DISTINCT c.doc_id) AS n_contaminated_docs
+      |        FROM bgr b JOIN cg c USING (gram) GROUP BY 1)
+      |SELECT t.bench_id, t.n_grams,
+      |  coalesce(h.n_overlapping_grams, 0) AS n_overlapping_grams,
+      |  coalesce(h.n_contaminated_docs, 0) AS n_contaminated_docs,
+      |  round(CAST(coalesce(h.n_overlapping_grams, 0) AS DOUBLE) / t.n_grams, 6)
+      |    AS contamination_ratio
+      |FROM tot t LEFT JOIN hit h USING (bench_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "contamination_report" -> ContaminationReportSql,
     "dedup_against_corpus" -> DedupAgainstSql,
     "quality_c4" -> C4Sql,
     "quality_gopher" -> GopherSql,

@@ -208,6 +208,53 @@ object TextOps {
       .select(col(idCol)).distinct()
   }
 
+  /** Per-benchmark-document contamination report: for every document of the
+    * evaluation set, how many of its `n`-gram windows occur anywhere in the
+    * training corpus, and in how many distinct corpus documents — the
+    * triage view over [[contaminatedIds]] ("which eval sets are compromised,
+    * and how badly") that decides whether to scrub the corpus or retire the
+    * benchmark. Output: (bench id, n_grams, n_overlapping_grams,
+    * n_contaminated_docs, contamination_ratio); benchmark documents shorter
+    * than `n` tokens carry no windows and are omitted, like
+    * [[contaminatedIds]].
+    *
+    * Scale shape is [[contaminatedIds]]' shape: the corpus side reduces to
+    * (id, gram-hash, gram) rows, the benchmark side is tiny and distinct-ed
+    * (AQE broadcasts it), the join confirms gram TEXT so a hash collision
+    * cannot inflate a count, and the aggregation is keyed by benchmark doc —
+    * bounded by the eval set, never the corpus. */
+  def contaminationReport(corpus: DataFrame, benchmarks: DataFrame,
+                          corpusIdCol: String, benchIdCol: String,
+                          textCol: String, n: Int = 13): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
+    def grams(df: DataFrame, keep: Seq[Column]): DataFrame = {
+      val toks = split(trim(col(textCol)), "[ \\t\\n\\r\\f]+")
+      df.withColumn("_toks", toks)
+        .filter(size(col("_toks")) >= n)
+        .select(keep :+ explode(transform(
+          sequence(lit(1), size(col("_toks")) - (n - 1)),
+          i => array_join(slice(col("_toks"), i, lit(n)), " "))).as("_gram"): _*)
+    }
+    val corpusGrams = grams(corpus, Seq(col(corpusIdCol).as("_cid")))
+      .select(col("_cid"), xxhash64(col("_gram")).as("_gh"), col("_gram"))
+    val benchGrams = grams(benchmarks, Seq(col(benchIdCol).as("_bid")))
+      .select(col("_bid"), xxhash64(col("_gram")).as("_gh"), col("_gram").as("_bgram"))
+      .distinct()
+    val totals = benchGrams.groupBy(col("_bid")).agg(count(lit(1)).as("n_grams"))
+    val hits = corpusGrams
+      .join(benchGrams, corpusGrams("_gh") === benchGrams("_gh") &&
+        corpusGrams("_gram") === benchGrams("_bgram"))
+      .groupBy(col("_bid"))
+      .agg(countDistinct(col("_bgram")).as("n_overlapping_grams"),
+        countDistinct(col("_cid")).as("n_contaminated_docs"))
+    totals.join(hits, Seq("_bid"), "left")
+      .select(col("_bid").as(benchIdCol), col("n_grams"),
+        coalesce(col("n_overlapping_grams"), lit(0L)).as("n_overlapping_grams"),
+        coalesce(col("n_contaminated_docs"), lit(0L)).as("n_contaminated_docs"),
+        (coalesce(col("n_overlapping_grams"), lit(0L)).cast(DoubleType) /
+          col("n_grams")).as("contamination_ratio"))
+  }
+
   /** Cross-document duplicated-SPAN removal (exact-substring dedup in the
     * spirit of Lee et al. 2022, "Deduplicating Training Data Makes Language
     * Models Better", arXiv:2107.06499 — there built on a single-node suffix

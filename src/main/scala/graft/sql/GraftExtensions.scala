@@ -180,6 +180,7 @@ object TableMacros {
     // round 6: cross-corpus dedup, heuristic quality filters, training shard
     "dedup_against", "c4_quality_filter", "gopher_quality_filter",
     "shard_deterministic", "hash_embed", "canonicalize_url",
+    "contamination_report",
     "extract_domain", "domain_filter", "cap_per_domain",
     // semantic + assembly surface (round 5 batch 16)
     "semdedup", "knn_graph", "strip_boilerplate", "top_tokens",
@@ -738,6 +739,12 @@ object TableMacros {
           rest.lift(1).map(int(_, "seed")).getOrElse(0).toLong)
       case ("canonicalize_url", Seq(src, url)) =>
         graft.llm.DomainOps.canonicalizeUrl(source(src), ident(url, "url_col"))
+      case ("contamination_report", Seq(src, bench, cid, bid, text, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.TextOps.contaminationReport(source(src), source(bench),
+          ident(cid, "corpus_id_col"), ident(bid, "bench_id_col"),
+          ident(text, "text_col"),
+          rest.headOption.map(int(_, "n")).getOrElse(13))
       case ("pack_sequences", Seq(src, id, ord, toks, budget, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
         graft.llm.TextOps.packSequences(source(src), ident(id, "id_col"),

@@ -164,6 +164,24 @@ class QualityCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(6L) == "http://example.com:8080/q?a=1&b=2", out(6L)) // non-default port kept
   }
 
+  test("contaminationReport counts overlapping grams and contaminated corpus docs per benchmark doc") {
+    val sp = spark
+    import sp.implicits._
+    val benchText = (1 to 20).map(i => s"bench$i").mkString(" ") // 20 tokens → 8 13-gram windows
+    val corpus = Seq(
+      (1L, benchText),                                  // full copy: all 8 windows
+      (2L, (1 to 14).map(i => s"bench$i").mkString(" ")), // prefix: windows 1-2
+      (3L, "entirely unrelated corpus text " + (1 to 20).map(i => s"c$i").mkString(" ")))
+      .toDF("id", "text")
+    val bench = Seq((100L, benchText), (101L, (1 to 20).map(i => s"clean$i").mkString(" ")))
+      .toDF("bid", "text")
+    val out = TextOps.contaminationReport(corpus, bench, "id", "bid", "text", n = 13)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(100L) == ((8L, 8L, 2L, 1.0)), s"got ${out(100L)}")
+    assert(out(101L) == ((8L, 0L, 0L, 0.0)), s"got ${out(101L)}")
+  }
+
   test("deterministicShard is a partition-invariant permutation with dense shard positions") {
     val sp = spark
     import sp.implicits._
