@@ -87,6 +87,10 @@ object SparkEntryV18 {
           t(s, dir, "documents").withColumn("url", urlOf(col("doc_id"), col("source"))),
           "url")
         .select(col("doc_id"), col("url_canonical"))),
+    "lm_bigram_score" -> ((s, dir) =>
+      TextOps.bigramPerplexity(t(s, dir, "documents"), "doc_id", "text",
+          vocabSize = 256, bigramVocabSize = 512, alpha = 0.5, lambda = 0.75)
+        .select(col("doc_id"), col("n_tokens"), col("sum_logp"))),
     // corpus = docs with id % 3 != 0, benchmark = docs with id % 50 == 0:
     // benchmark docs NOT divisible by 3 sit verbatim in the corpus
     // (ratio 1.0), the others only via natural duplicate grams — both
@@ -330,7 +334,47 @@ object SparkEntryV18 {
       |    AS contamination_ratio
       |FROM tot t LEFT JOIN hit h USING (bench_id)""".stripMargin
 
+  /** Full replay of the bigram interpolated LM: tokenization with positions,
+    * full token counts (contexts), top-256 unigram vocab, top-512 bigram
+    * table (ties by pair ascending), per-token
+    * ln(0.75·c₂/c₁ + 0.25·(c+0.5)/(N+0.5·257)) with the first token pure
+    * unigram, rounded-DECIMAL sums. λ = 0.75 and α = 0.5 are exact binary
+    * doubles, so every arithmetic step is bit-identical across engines. */
+  private val BigramScoreSql =
+    """WITH tk AS (SELECT doc_id,
+      |       list_filter(string_split_regex(trim(text), '[ \t\n\r\f]+'),
+      |                   x -> len(x) > 0) AS toks
+      |     FROM documents),
+      |ex AS (SELECT doc_id, toks[p] AS w,
+      |         CASE WHEN p > 1 THEN toks[p - 1] END AS wp
+      |       FROM (SELECT doc_id, toks, UNNEST(generate_series(1, len(toks))) AS p
+      |             FROM tk WHERE len(toks) > 0)),
+      |counts AS (SELECT w AS token, count(*) AS cnt FROM ex GROUP BY 1),
+      |n AS (SELECT sum(cnt) AS nn FROM counts),
+      |vocab AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT 256),
+      |big AS (SELECT wp AS b1, w AS b2, count(*) AS cnt2 FROM ex
+      |        WHERE wp IS NOT NULL GROUP BY 1, 2
+      |        ORDER BY cnt2 DESC, b1 ASC, b2 ASC LIMIT 512),
+      |sc AS (SELECT e.doc_id,
+      |         CASE WHEN e.wp IS NULL
+      |              THEN ln((coalesce(v.cnt, 0) + 0.5) / (n.nn + 0.5 * 257))
+      |              ELSE ln(0.75 * (CASE WHEN b.cnt2 IS NOT NULL
+      |                                   THEN b.cnt2 / c2.cnt ELSE 0.0 END)
+      |                      + 0.25 * ((coalesce(v.cnt, 0) + 0.5) / (n.nn + 0.5 * 257)))
+      |         END AS lp
+      |       FROM ex e
+      |       LEFT JOIN vocab v ON e.w = v.token
+      |       LEFT JOIN counts c2 ON e.wp = c2.token
+      |       LEFT JOIN big b ON e.wp = b.b1 AND e.w = b.b2, n),
+      |agg AS (SELECT doc_id, count(*) AS n_tokens,
+      |          CAST(sum(CAST(round(lp, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_logp
+      |        FROM sc GROUP BY 1)
+      |SELECT k.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+      |       coalesce(a.sum_logp, 0.0) AS sum_logp
+      |FROM tk k LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "lm_bigram_score" -> BigramScoreSql,
     "contamination_report" -> ContaminationReportSql,
     "dedup_against_corpus" -> DedupAgainstSql,
     "quality_c4" -> C4Sql,

@@ -382,6 +382,76 @@ object TextOps {
                    vocabSize: Int = 65536, alpha: Double = 0.5): DataFrame =
     lmScore(df, idCol, textCol, trainUnigramLm(df, textCol, vocabSize, alpha))
 
+  /** Bigram interpolated-LM self-perplexity (the second-tier CCNet-style
+    * quality signal; Jelinek-Mercer interpolation from the classic LM
+    * literature): P(w | w₋₁) = λ·c(w₋₁ w)/c(w₋₁) + (1−λ)·P_uni(w), with
+    * P_uni the add-alpha unigram of [[trainUnigramLm]], the bigram term
+    * restricted to the `bigramVocabSize` most frequent bigrams (ties by
+    * pair ascending — deterministic), and a document's FIRST token scored
+    * by the unigram alone (no context). Repetitive/templated text scores
+    * much higher probability under the bigram term than under unigrams, so
+    * this separates fluent-but-templated boilerplate from ordinary prose
+    * in a way the unigram tier cannot.
+    *
+    * Scale shape: token and bigram counts are map-side-combined
+    * aggregations (vocabulary-sized results); scoring joins the exploded
+    * (pos, w, w₋₁) rows against those vocab-sized tables (AQE broadcasts
+    * them when they fit) and reduces per document. `sum_logp` uses the
+    * same rounded-DECIMAL discipline as [[lmScore]], so the result is
+    * order-independent and oracle-exact. Defaults: λ = 0.75 (both λ and
+    * 1−λ are exact binary doubles, so any engine reproduces the
+    * interpolation bit-for-bit). */
+  def bigramPerplexity(df: DataFrame, idCol: String, textCol: String,
+                       vocabSize: Int = 65536, bigramVocabSize: Int = 1 << 20,
+                       alpha: Double = 0.5, lambda: Double = 0.75): DataFrame = {
+    require(vocabSize >= 1 && bigramVocabSize >= 1, "vocab sizes must be >= 1")
+    require(alpha > 0.0 && lambda >= 0.0 && lambda <= 1.0,
+      "alpha > 0 and lambda in [0,1] required")
+    val toks = filter(split(trim(col(textCol)), "[ \\t\\n\\r\\f]+"), t => length(t) > 0)
+    val base = df.select(col(idCol), col(textCol)).withColumn("_toks", toks)
+    // FULL token counts (contexts need true corpus counts, not the top-V cut)
+    val counts = base.select(explode(col("_toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("_n"))
+    val vocab = counts.orderBy(col("cnt").desc, col("token").asc).limit(vocabSize)
+    val ex = base.filter(size(col("_toks")) > 0)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(col("_toks"))),
+        i => struct(element_at(col("_toks"), i).as("w"),
+          when(i > 1, element_at(col("_toks"), i - 1)).as("wp")))).as("_t"))
+      .select(col(idCol), col("_t.w").as("_w"), col("_t.wp").as("_wp"))
+    val bigrams = ex.filter(col("_wp").isNotNull)
+      .groupBy(col("_wp").as("_b1"), col("_w").as("_b2"))
+      .agg(count(lit(1)).as("_cnt2"))
+      .orderBy(col("_cnt2").desc, col("_b1").asc, col("_b2").asc)
+      .limit(bigramVocabSize)
+    val denom = col("_n") + lit(alpha * (vocabSize + 1))
+    val perDoc = ex
+      .join(vocab.select(col("token").as("_w"), col("cnt").as("_cw")), Seq("_w"), "left")
+      .join(counts.select(col("token").as("_wp"), col("cnt").as("_cwp")), Seq("_wp"), "left")
+      .join(bigrams.select(col("_b1").as("_wp"), col("_b2").as("_w"), col("_cnt2")),
+        Seq("_wp", "_w"), "left")
+      .crossJoin(broadcast(totals))
+      .withColumn("_puni", (coalesce(col("_cw"), lit(0L)) + lit(alpha)) / denom)
+      .withColumn("_pbi",
+        when(col("_cnt2").isNotNull, col("_cnt2") / col("_cwp")).otherwise(lit(0.0)))
+      .withColumn("_lp",
+        when(col("_wp").isNull, log(col("_puni")))
+          .otherwise(log(lit(lambda) * col("_pbi") + lit(1.0 - lambda) * col("_puni"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(round(col("_lp"), 6).cast(DecimalType(28, 6)))
+          .cast(DoubleType).as("sum_logp"))
+    base.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_logp"), lit(0.0)).as("sum_logp"))
+      .withColumn("mean_logp",
+        when(col("n_tokens") > 0, col("sum_logp") / col("n_tokens")))
+      .withColumn("perplexity",
+        when(col("n_tokens") > 0, exp(-col("sum_logp") / col("n_tokens"))))
+  }
+
   /** Character n-gram shingles of a normalized text, as a distinct array —
     * building block for MinHash / Jaccard dedup. */
   def shingles(textCol: Column, n: Int): Column = {

@@ -180,7 +180,7 @@ object TableMacros {
     // round 6: cross-corpus dedup, heuristic quality filters, training shard
     "dedup_against", "c4_quality_filter", "gopher_quality_filter",
     "shard_deterministic", "hash_embed", "canonicalize_url",
-    "contamination_report",
+    "contamination_report", "lm_bigram_perplexity",
     "extract_domain", "domain_filter", "cap_per_domain",
     // semantic + assembly surface (round 5 batch 16)
     "semdedup", "knn_graph", "strip_boilerplate", "top_tokens",
@@ -739,6 +739,14 @@ object TableMacros {
           rest.lift(1).map(int(_, "seed")).getOrElse(0).toLong)
       case ("canonicalize_url", Seq(src, url)) =>
         graft.llm.DomainOps.canonicalizeUrl(source(src), ident(url, "url_col"))
+      case ("lm_bigram_perplexity", Seq(src, id, text, rest @ _*)) =>
+        if (rest.length > 4) fail("too many arguments")
+        graft.llm.TextOps.bigramPerplexity(source(src), ident(id, "id_col"),
+          ident(text, "text_col"),
+          rest.headOption.map(int(_, "vocab_size")).getOrElse(65536),
+          rest.lift(1).map(int(_, "bigram_vocab_size")).getOrElse(1 << 20),
+          rest.lift(2).map(dbl(_, "alpha")).getOrElse(0.5),
+          rest.lift(3).map(dbl(_, "lambda")).getOrElse(0.75))
       case ("contamination_report", Seq(src, bench, cid, bid, text, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
         graft.llm.TextOps.contaminationReport(source(src), source(bench),

@@ -182,6 +182,24 @@ class QualityCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(101L) == ((8L, 0L, 0L, 0.0)), s"got ${out(101L)}")
   }
 
+  test("bigramPerplexity: bigram-predictable text scores lower perplexity than shuffled text") {
+    val sp = spark
+    import sp.implicits._
+    // same unigram distribution in both docs, so the unigram tier cannot
+    // tell them apart — only the bigram term can
+    val ordered = (1 to 40).map(_ => "alpha beta gamma delta").mkString(" ")
+    val shuffled = new scala.util.Random(3).shuffle(
+      ((1 to 40).flatMap(_ => Seq("alpha", "beta", "gamma", "delta"))).toList).mkString(" ")
+    val docs = Seq((1L, ordered), (2L, shuffled), (3L, "")).toDF("id", "text")
+    val out = TextOps.bigramPerplexity(docs, "id", "text",
+        vocabSize = 16, bigramVocabSize = 32, lambda = 0.75)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 == 160L && out(2L)._1 == 160L)
+    assert(out(1L)._2 > out(2L)._2,
+      s"ordered text must have higher logp: ${out(1L)._2} vs ${out(2L)._2}")
+    assert(out(3L) == ((0L, 0.0)))
+  }
+
   test("deterministicShard is a partition-invariant permutation with dense shard positions") {
     val sp = spark
     import sp.implicits._
