@@ -50,6 +50,38 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("streaming curation pipeline: normalize → quality filter → exact dedup composes on a stream") {
+    // the curation family is stateless codegen (map-only), so it composes
+    // with streaming sources untouched — only the dedup stage carries state
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val filtered = graft.llm.TextOps.c4QualityFilter(
+      graft.llm.TextOps.textNormalize(input.toDF().toDF("ts", "text"), "text", "text"),
+      "text")
+      .filter(org.apache.spark.sql.functions.col("n_sentences") >= 2)
+      .select("ts", "text")
+    val out = StreamingDedup.exactDedupStream(filtered, "ts", "text")
+    val query = out.writeStream.format("memory").queryName("curate_stream_out")
+      .outputMode("append").start()
+    try {
+      def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+      input.addData(
+        (ts(1), "A Real Sentence. And Another!"),
+        (ts(2), "no punctuation so dropped"),
+        (ts(3), "a real sentence. and another!")) // dup of 1 after normalize
+      query.processAllAvailable()
+      input.addData((ts(4), "A real sentence. And another!"), // still dup across batches
+        (ts(5), "Fresh content here. Also fine!"))
+      query.processAllAvailable()
+      val texts = spark.sql("SELECT text FROM curate_stream_out")
+        .collect().map(_.getString(0)).sorted.toSeq
+      assert(texts == Seq("a real sentence. and another!", "fresh content here. also fine!"),
+        s"got $texts")
+    } finally query.stop()
+  }
+
   test("simhash band stream suppresses near-duplicates with bounded state") {
     val s = spark
     import s.implicits._
