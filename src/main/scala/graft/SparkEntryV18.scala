@@ -87,6 +87,10 @@ object SparkEntryV18 {
           t(s, dir, "documents").withColumn("url", urlOf(col("doc_id"), col("source"))),
           "url")
         .select(col("doc_id"), col("url_canonical"))),
+    "sample_temperature" -> ((s, dir) =>
+      SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
+          targetTotal = 200, tau = 2.0, seed = 5)
+        .select(col("doc_id"), col("source"))),
     "lm_bigram_score" -> ((s, dir) =>
       TextOps.bigramPerplexity(t(s, dir, "documents"), "doc_id", "text",
           vocabSize = 256, bigramVocabSize = 512, alpha = 0.5, lambda = 0.75)
@@ -373,7 +377,26 @@ object SparkEntryV18 {
       |       coalesce(a.sum_logp, 0.0) AS sum_logp
       |FROM tk k LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** Replay of temperatureSample at τ = 2: per-source sqrt weights rounded
+    * to 6 decimals, DECIMAL-summed total, the exact rate expression in the
+    * same association order, and the counter-hash keep filter. */
+  private val TemperatureSampleSql = {
+    val (hashCtes, bucket) = SampleOps.hashBucketSqlCtes("documents", "doc_id", 5L)
+    s"""WITH wts AS (SELECT source AS st, count(*) AS ns,
+       |    round(sqrt(count(*)), 6) AS w
+       |  FROM documents GROUP BY 1),
+       |tot AS (SELECT CAST(sum(CAST(w AS DECIMAL(28,6))) AS DOUBLE) AS s FROM wts),
+       |rts AS (SELECT st,
+       |    CAST(floor(least(1.0, 200.0 * w / s / ns) * 2147483647.0) AS BIGINT)
+       |      AS thresh
+       |  FROM wts, tot),
+       |$hashCtes
+       |SELECT doc_id, source FROM _h3 JOIN rts ON _h3.source = rts.st
+       |WHERE $bucket < thresh""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "sample_temperature" -> TemperatureSampleSql,
     "lm_bigram_score" -> BigramScoreSql,
     "contamination_report" -> ContaminationReportSql,
     "dedup_against_corpus" -> DedupAgainstSql,

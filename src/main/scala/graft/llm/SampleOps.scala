@@ -92,6 +92,46 @@ object SampleOps {
     df.filter(hashBucket(col(idCol), seed) < thresh)
   }
 
+  /** Temperature-based mixture sampling (the multilingual/multi-domain
+    * rebalancing rule used by large multilingual training runs — sample
+    * stratum s with probability ∝ n_s^(1/τ), so τ = 1 is proportional and
+    * larger τ flattens the mix toward uniform, up-weighting low-resource
+    * strata): keep each row of stratum s with rate
+    * min(1, target · w_s / S / n_s) where w_s = round(n_s^(1/τ), 6) and
+    * S = Σ w_s — expected output ≈ `targetTotal` rows distributed ∝ w_s.
+    * The keep decision is the deterministic [[hashBucket]] filter, so the
+    * sample composes/nests like every other sampling op here.
+    *
+    * Scale shape: one stratum-count aggregation (bounded by the number of
+    * languages/domains), rates derived IN-PLAN and broadcast-joined back, a
+    * codegen filter — no driver collection. Determinism across engines: w_s
+    * is rounded to 6 decimals and S accumulates in DECIMAL space (the
+    * exact-sum discipline), and the default τ = 2 makes n^(1/τ) = sqrt(n) —
+    * correctly rounded IEEE in every engine — so the oracle replays the
+    * rates bit-for-bit. */
+  def temperatureSample(df: DataFrame, idCol: String, strataCol: String,
+                        targetTotal: Long, tau: Double = 2.0,
+                        seed: Long = 0L): DataFrame = {
+    require(targetTotal >= 0, s"targetTotal must be non-negative, got $targetTotal")
+    require(tau > 0.0, s"tau must be positive, got $tau")
+    val w =
+      if (tau == 2.0) sqrt(col("_ns").cast(org.apache.spark.sql.types.DoubleType))
+      else pow(col("_ns").cast(org.apache.spark.sql.types.DoubleType), 1.0 / tau)
+    val weights = df.groupBy(col(strataCol).as("_st"))
+      .agg(count(lit(1)).as("_ns"))
+      .withColumn("_w", round(w, 6))
+    val total = weights.agg(
+      sum(col("_w").cast(org.apache.spark.sql.types.DecimalType(28, 6)))
+        .cast(org.apache.spark.sql.types.DoubleType).as("_S"))
+    val rates = weights.crossJoin(broadcast(total))
+      .withColumn("_rate", least(lit(1.0),
+        lit(targetTotal.toDouble) * col("_w") / col("_S") / col("_ns")))
+      .select(col("_st"), floor(col("_rate") * lit(P.toDouble)).as("_thresh"))
+    df.join(broadcast(rates), df(strataCol) === col("_st"))
+      .filter(hashBucket(col(idCol), seed) < col("_thresh"))
+      .drop("_st", "_thresh")
+  }
+
   /** The oracle-side replay of [[hashBucket]] as a SQL CTE chain: returns
     * (cteSql, bucketColName). `fromSql` must expose `idExpr`. Used by the
     * driver oracles; kept here so the SQL and the Column expr share one

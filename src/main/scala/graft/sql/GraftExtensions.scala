@@ -180,7 +180,7 @@ object TableMacros {
     // round 6: cross-corpus dedup, heuristic quality filters, training shard
     "dedup_against", "c4_quality_filter", "gopher_quality_filter",
     "shard_deterministic", "hash_embed", "canonicalize_url",
-    "contamination_report", "lm_bigram_perplexity",
+    "contamination_report", "lm_bigram_perplexity", "sample_temperature",
     "extract_domain", "domain_filter", "cap_per_domain",
     // semantic + assembly surface (round 5 batch 16)
     "semdedup", "knn_graph", "strip_boilerplate", "top_tokens",
@@ -739,6 +739,12 @@ object TableMacros {
           rest.lift(1).map(int(_, "seed")).getOrElse(0).toLong)
       case ("canonicalize_url", Seq(src, url)) =>
         graft.llm.DomainOps.canonicalizeUrl(source(src), ident(url, "url_col"))
+      case ("sample_temperature", Seq(src, id, strata, target, rest @ _*)) =>
+        if (rest.length > 2) fail("too many arguments")
+        graft.llm.SampleOps.temperatureSample(source(src), ident(id, "id_col"),
+          ident(strata, "strata_col"), int(target, "target_total").toLong,
+          rest.headOption.map(dbl(_, "tau")).getOrElse(2.0),
+          rest.lift(1).map(int(_, "seed")).getOrElse(0).toLong)
       case ("lm_bigram_perplexity", Seq(src, id, text, rest @ _*)) =>
         if (rest.length > 4) fail("too many arguments")
         graft.llm.TextOps.bigramPerplexity(source(src), ident(id, "id_col"),

@@ -200,6 +200,36 @@ class QualityCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == ((0L, 0.0)))
   }
 
+  test("temperatureSample flattens the mixture toward low-resource strata, deterministically") {
+    val sp = spark
+    import sp.implicits._
+    // 900 docs of "big", 100 of "small" → proportional 200-doc sample would
+    // take 180/20; τ=2 weights sqrt(900):sqrt(100) = 3:1 → expect ~150/50
+    val df = ((0L until 900L).map(i => (i, "big")) ++
+      (1000L until 1100L).map(i => (i, "small"))).toDF("id", "lang")
+    val out = graft.llm.SampleOps.temperatureSample(df, "id", "lang",
+      targetTotal = 200, tau = 2.0, seed = 11)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val big = counts.getOrElse("big", 0L).toDouble
+    val small = counts.getOrElse("small", 0L).toDouble
+    assert(small > 30 && small < 70, s"small stratum ~50 expected, got $small")
+    assert(big > 110 && big < 190, s"big stratum ~150 expected, got $big")
+    assert(big / small < 900.0 / 100.0, "mix must be flatter than proportional")
+    // deterministic across runs and partitionings
+    val again = graft.llm.SampleOps.temperatureSample(df.repartition(7), "id", "lang",
+      targetTotal = 200, tau = 2.0, seed = 11)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == out.select("id").collect().map(_.getLong(0)).toSet)
+    // a stratum whose rate caps at 1.0 is fully kept
+    val tiny = ((0L until 5L).map(i => (i, "rare")) ++
+      (100L until 1100L).map(i => (i, "common"))).toDF("id", "lang")
+    val keptRare = graft.llm.SampleOps.temperatureSample(tiny, "id", "lang",
+      targetTotal = 2000, tau = 2.0, seed = 1)
+      .filter(col("lang") === "rare").count()
+    assert(keptRare == 5L)
+  }
+
   test("deterministicShard is a partition-invariant permutation with dense shard positions") {
     val sp = spark
     import sp.implicits._
