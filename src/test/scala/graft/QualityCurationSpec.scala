@@ -164,6 +164,30 @@ class QualityCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(6L) == "http://example.com:8080/q?a=1&b=2", out(6L)) // non-default port kept
   }
 
+  test("canonicalizeUrl is idempotent; self-dedup against own corpus drops everything") {
+    val sp = spark
+    import sp.implicits._
+    val urls = Seq(
+      (1L, "HTTPS://WWW.Example.com:443/Path/One/?utm_source=x&id=5#frag"),
+      (2L, "http://example.org:80/a/b/?gclid=abc"),
+      (3L, "sub.example.io/p/"),
+      (4L, "//cdn.example.co.uk/lib.js?fbclid=1"),
+      (5L, "http://example.com:8080/q?a=1&b=2")).toDF("id", "url")
+    val once = DomainOps.canonicalizeUrl(urls, "url")
+      .select(col("id"), col("url_canonical").as("url"))
+    val twice = DomainOps.canonicalizeUrl(once, "url")
+      .select(col("id"), col("url_canonical").as("url"))
+    assert(once.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      twice.collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+
+    // a batch deduped against an identical reference corpus keeps nothing
+    // (every doc's shingle set equals its twin's)
+    val docs = (1L to 10L).map(i => (i, longText(s"self$i"))).toDF("id", "text")
+    val ref = docs.withColumn("id", col("id") + 100L)
+    assert(TextOps.dedupAgainstCorpus(docs, ref, "id", "text", threshold = 1.0)
+      .count() == 0L)
+  }
+
   test("contaminationReport counts overlapping grams and contaminated corpus docs per benchmark doc") {
     val sp = spark
     import sp.implicits._
