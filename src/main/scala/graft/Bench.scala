@@ -246,6 +246,11 @@ object Bench {
         llm.TextOps.c4QualityFilter(docs10, "text"), "text")))
     val hashEmbed10 = median3(onceDf(
       llm.TextOps.hashEmbed(docs10, "doc_id", "text", dim = 64, seed = 7)))
+    // bigram LM: trains the full count tables AND scores in one call — the
+    // self-perplexity quality-signal shape
+    val bigram10 = median3(onceDf(
+      llm.TextOps.bigramPerplexity(docs10, "doc_id", "text",
+        vocabSize = 65536, bigramVocabSize = 1 << 20)))
     // cross-corpus dedup: the reference index (banded table + shingle-hash
     // sets over 9/10 of the corpus) is built once per corpus version in
     // production, so it is untimed (same protocol as ann_ivf's index); the
@@ -314,6 +319,7 @@ object Bench {
       f""""dedup_spans_docs":{"sec":$spans10%.3f,"ms_per_doc":${spans10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
       f""""quality_filters_docs":{"sec":$quality10%.3f,"ms_per_doc":${quality10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
       f""""hash_embed_docs":{"sec":$hashEmbed10%.3f,"ms_per_doc":${hashEmbed10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
+      f""""lm_bigram_docs":{"sec":$bigram10%.3f,"ms_per_doc":${bigram10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
       f""""dedup_against_docs":{"sec":$dedupAgainst10%.3f,"ms_per_incoming_doc":${dedupAgainst10 * 1000.0 / nDocs1}%.4f}""",
       f""""ann_ivf_probe":{"sec":$probe10%.3f,"ms_per_query":${probe10 * 1000.0 / nQueries}%.3f}""",
       f""""semdedup_vecs":{"sec":$semdedup10%.3f,"ms_per_vec":${semdedup10 * 1000.0 / (nEmb1 * 10)}%.4f}""",

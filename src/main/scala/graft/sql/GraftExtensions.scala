@@ -93,7 +93,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    Rae et al. 2021 Table A1)
   *  - training order: `shard_deterministic(source, id_col, n_shards, seed)`
   *  - LM quality signal: `lm_perplexity(source, id_col, text_col[,
-  *    vocab_size[, alpha]])` (CCNet-style unigram self-perplexity)
+  *    vocab_size[, alpha]])` (CCNet-style unigram self-perplexity) and
+  *    `lm_bigram_perplexity(source, id_col, text_col[, vocab_size[,
+  *    bigram_vocab_size[, alpha[, lambda]]]])` (Jelinek-Mercer interpolated
+  *    bigram tier)
+  *  - mixture/order: `sample_temperature(source, id_col, strata_col,
+  *    target_total[, tau[, seed]])`, `shard_deterministic(source, id_col,
+  *    n_shards, seed)`
+  *  - featurization: `hash_embed(source, id_col, text_col[, dim[, seed]])`
+  *  - eval hygiene: `contamination_report(source, benchmarks, corpus_id_col,
+  *    bench_id_col, text_col[, n])`
   *  - semantic + assembly: `semdedup(source, id_col, vec_col, n_lists,
   *    min_sim[, iters[, max_cluster_size]])`, `knn_graph(source, id_col,
   *    vec_col, k, n_lists, n_probe[, iters])`, `strip_boilerplate(source,
