@@ -124,6 +124,7 @@ object ScaleProbe {
       // stage-boundary timings for the backtest plan: kernel-only (compact
       // perFold rows, no pin), exploded rows (pin + explode, no score join),
       // and the full scored output
+      System.setProperty("graft.backtest.probe", "1")
       ops.TsCvOp.backtestAutoBy(series10, "g", "ds", "y", 7, 2, "1d",
         Map("method" -> "SeasonalNaive", "seasonal_period" -> "7"), "rmse")
       def m3(run: => Double): Double = { run; val ts = Seq.fill(3)(run).sorted; ts(1) }

@@ -343,15 +343,19 @@ object TsCvOp {
       .select(col("fold_id"), col(groupCol), col(dsCol), col("yhat"), col("actual"),
         col("error"), col("abs_error"), col("yhat_lower"), col("yhat_upper"),
         col("model_name"), col("fold_metric_score"))
-    lastStages = BacktestStages(perFold, pinned, out, full)
+    if (probeEnabled) lastStages = BacktestStages(perFold, pinned, out, full)
     full
   }
 
   /** Probe-only view of [[backtestAutoBy]]'s internal stages (the compact
     * kernel output, its pin, the exploded rows, the scored result) so a
-    * bench harness can time each boundary; refreshed on every call. */
+    * bench harness can time each boundary. Captured ONLY when
+    * `-Dgraft.backtest.probe=1` (the ScaleProbe harness sets it): holding
+    * the pin-backed plans in a static field would otherwise keep each
+    * production call's checkpoint blocks referenced until the next call. */
   private[graft] case class BacktestStages(perFold: DataFrame, pinned: DataFrame,
                                            out: DataFrame, full: DataFrame)
+  private def probeEnabled: Boolean = sys.props.get("graft.backtest.probe").contains("1")
   @volatile private[graft] var lastStages: BacktestStages = null
 
   /** ts_cv_split_by (ts_macros.cpp:1203 → _ts_cv_split_native): explicit
