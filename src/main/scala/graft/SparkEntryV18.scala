@@ -87,6 +87,22 @@ object SparkEntryV18 {
           t(s, dir, "documents").withColumn("url", urlOf(col("doc_id"), col("source"))),
           "url")
         .select(col("doc_id"), col("url_canonical"))),
+    // the disk round trip of the same scenario: index written once per
+    // corpus version, loaded back, incoming deduped against the STORED
+    // layout — same oracle as dedup_against_corpus, so a serialization bug
+    // anywhere in the banded/shingle/meta layout is a hash mismatch
+    "dedup_against_index" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ref = docs.filter(col("doc_id") < 400)
+      val incoming = docs.filter(col("doc_id") >= 400).unionByName(
+        docs.filter(col("doc_id") < 20)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_dedup_idx").toString
+      TextOps.writeDedupIndex(ref, "doc_id", "text", idxDir, threshold = 1.0)
+      TextOps.dedupAgainstIndex(incoming, TextOps.loadDedupIndex(s, idxDir),
+          "doc_id", "text", threshold = 1.0, maxBucketSize = 1000000)
+        .select(col("doc_id"))
+    }),
     "sample_temperature" -> ((s, dir) =>
       SampleOps.temperatureSample(t(s, dir, "documents"), "doc_id", "source",
           targetTotal = 200, tau = 2.0, seed = 5)
@@ -396,6 +412,7 @@ object SparkEntryV18 {
   }
 
   def oracleSql: Map[String, String] = Map(
+    "dedup_against_index" -> DedupAgainstSql,
     "sample_temperature" -> TemperatureSampleSql,
     "lm_bigram_score" -> BigramScoreSql,
     "contamination_report" -> ContaminationReportSql,

@@ -629,6 +629,39 @@ object TextOps {
       () => { bandedPin.release(); shPin.release() })
   }
 
+  /** Persist the cross-corpus dedup index to storage: `path/banded`
+    * (id_ref, band, bucket), `path/shingles` (id_ref, 64-bit shingle-hash
+    * set) and `path/meta` (the signature parameters) — the durable form of
+    * [[buildDedupIndex]], written once per corpus version so every
+    * subsequent crawl batch deduplicates against it without touching the
+    * reference corpus text again (~tens of bytes/doc of index next to the
+    * corpus). */
+  def writeDedupIndex(reference: DataFrame, idCol: String, textCol: String,
+                      path: String, numHashes: Int = 64, bands: Int = 0,
+                      shingleSize: Int = 5, threshold: Double = 0.8): Unit = {
+    val spark = reference.sparkSession
+    val idx = buildDedupIndex(reference, idCol, textCol, numHashes, bands,
+      shingleSize, threshold)
+    idx.banded.write.mode("overwrite").parquet(s"$path/banded")
+    idx.shingleSets.write.mode("overwrite").parquet(s"$path/shingles")
+    import spark.implicits._
+    Seq((idx.numHashes, idx.bands, idx.shingleSize))
+      .toDF("num_hashes", "bands", "shingle_size")
+      .write.mode("overwrite").parquet(s"$path/meta")
+    idx.release()
+  }
+
+  /** Load a [[writeDedupIndex]] layout. The returned index reads from
+    * storage (release is a no-op — disk IS the materialization). */
+  def loadDedupIndex(spark: org.apache.spark.sql.SparkSession,
+                     path: String): CorpusDedupIndex = {
+    val m = spark.read.parquet(s"$path/meta").collect()(0)
+    CorpusDedupIndex(
+      spark.read.parquet(s"$path/banded"),
+      spark.read.parquet(s"$path/shingles"),
+      m.getInt(0), m.getInt(1), m.getInt(2), () => ())
+  }
+
   def crossCorpusCandidates(incoming: DataFrame, reference: DataFrame,
                             idCol: String, textCol: String,
                             numHashes: Int = 64, bands: Int = 16,

@@ -51,6 +51,23 @@ class QualityCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(101L, 103L), s"got $kept")
   }
 
+  test("dedup index survives a disk round trip with its signature parameters") {
+    val sp = spark
+    import sp.implicits._
+    val ref = Seq((1L, longText("persisted one")), (2L, longText("persisted two")))
+      .toDF("id", "text")
+    val incoming = Seq((10L, longText("persisted one")), (11L, longText("novel doc")))
+      .toDF("id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("graft-dedup-idx").toString
+    TextOps.writeDedupIndex(ref, "id", "text", dir, threshold = 0.9)
+    val idx = TextOps.loadDedupIndex(spark, dir)
+    assert(idx.numHashes == 64 && idx.shingleSize == 5)
+    assert(idx.bands == TextOps.bandsForThreshold(64, 0.9))
+    val kept = TextOps.dedupAgainstIndex(incoming, idx, "id", "text", threshold = 0.9)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(11L), s"got $kept")
+  }
+
   test("crossCorpusCandidates skips over-cap buckets (shared boilerplate)") {
     val sp = spark
     import sp.implicits._
