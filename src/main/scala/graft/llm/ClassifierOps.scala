@@ -1,0 +1,143 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Hashed Naive-Bayes document classifier — the fasttext-style linear
+  * quality filter used by large-scale pretraining pipelines (GPT-3 / The
+  * Pile / CCNet all gate web text with a cheap linear classifier trained on
+  * a high-quality seed corpus vs a random web sample; Brown et al. 2020
+  * §A.2, Wenzek et al. 2020 §4.3 describe the public recipe).
+  *
+  * Tokens hash into `numBuckets` feature buckets (the hashing trick —
+  * Weinberger et al. 2009), so the model is a BOUNDED table independent of
+  * vocabulary size: train is one map-side-combined count aggregation over
+  * (bucket, label) and score is a broadcast hash join — both scale shapes
+  * survive 100 TB unchanged. No gradient loop: Naive Bayes with add-alpha
+  * smoothing has a closed-form fit, which keeps the whole pipeline
+  * deterministic and oracle-replayable in plain SQL.
+  *
+  * Numeric discipline: per-bucket log-likelihood ratios are rounded to 6
+  * decimals at train time, and a document's score accumulates those rounded
+  * values in DECIMAL space — order-independent, engine-exact (same contract
+  * as [[TextOps.lmScore]]).
+  */
+object ClassifierOps {
+
+  private val P = 2147483647L // 2^31 − 1; poly-hash modulus, BIGINT-safe
+
+  /** Seeded polynomial rolling hash of a token mod P over codepoints —
+    * identical to [[TextOps.hashEmbed]]'s token hash so the two ops share
+    * one SQL replay idiom. */
+  private def tokHash(tok: Column, seed: Long): Column = {
+    val s0 = ((seed % P) + P) % P
+    aggregate(
+      transform(sequence(lit(1), length(tok)),
+        i => ascii(tok.substr(i, lit(1))).cast(LongType)),
+      lit(s0), (acc, c) => (acc * lit(131L) + c) % lit(P))
+  }
+
+  private def toks(textCol: String): Column =
+    filter(split(lower(trim(col(textCol))), "[ \\t\\n\\r\\f]+"),
+      t => length(t) > 0)
+
+  /** Train a hashed Naive-Bayes model on a labeled corpus.
+    *
+    * @param labeled  rows with `textCol` and a boolean/0-1 `labelCol`
+    *                 (true/1 = positive class, e.g. "high quality")
+    * @return the model as a bounded DataFrame:
+    *         one row per OBSERVED bucket `(bucket, c_pos, c_neg, llr)`,
+    *         a `bucket = NULL` row carrying the unseen-bucket fallback LLR,
+    *         and a `bucket = -1` row carrying the add-one-smoothed
+    *         log-prior ratio `log((D⁺+1)/(D⁻+1))`. Buckets live in
+    *         `[0, numBuckets)`, so the two marker rows cannot collide with
+    *         a real feature.
+    *
+    * llr(b) = log((c⁺(b)+α)/(N⁺+α·B)) − log((c⁻(b)+α)/(N⁻+α·B)) with
+    * token totals N± and B = numBuckets. Scale shape: explode → one
+    * (bucket, label) count aggregation (map-side combined, result ≤ B
+    * rows) → an in-plan broadcast of the single totals row. No driver
+    * collection; the corpus text never crosses an exchange (only hashed
+    * bucket ids shuffle). */
+  def nbTrain(labeled: DataFrame, textCol: String, labelCol: String,
+              numBuckets: Int = 1 << 20, alpha: Double = 0.5,
+              seed: Long = 0L): DataFrame = {
+    require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
+    require(alpha > 0.0, s"alpha must be > 0, got $alpha")
+    val y = col(labelCol).cast(BooleanType)
+    val ex = labeled.select(y.as("_y"), explode(toks(textCol)).as("_tok"))
+      .select(col("_y"), pmod(tokHash(col("_tok"), seed), lit(numBuckets.toLong)).as("bucket"))
+    val counts = ex.groupBy(col("bucket"))
+      .agg(sum(when(col("_y"), 1L).otherwise(0L)).as("c_pos"),
+        sum(when(col("_y"), 0L).otherwise(1L)).as("c_neg"))
+    val totals = counts.agg(
+      sum(col("c_pos")).as("_np"), sum(col("c_neg")).as("_nn"))
+    val docs = labeled.agg(
+      sum(when(y, 1L).otherwise(0L)).as("_dp"),
+      sum(when(y, 0L).otherwise(1L)).as("_dn"))
+    val denomP = coalesce(col("_np"), lit(0L)) + lit(alpha * numBuckets)
+    val denomN = coalesce(col("_nn"), lit(0L)) + lit(alpha * numBuckets)
+    def llrOf(cp: Column, cn: Column): Column =
+      round(log((cp + lit(alpha)) / denomP) - log((cn + lit(alpha)) / denomN), 6)
+    val buckets = counts.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("c_pos"), col("c_neg"),
+        llrOf(col("c_pos"), col("c_neg")).as("llr"))
+    val fallback = totals.select(
+      lit(null).cast(LongType).as("bucket"), lit(0L).as("c_pos"),
+      lit(0L).as("c_neg"), llrOf(lit(0L), lit(0L)).as("llr"))
+    val prior = docs.select(
+      lit(-1L).as("bucket"),
+      col("_dp").as("c_pos"), col("_dn").as("c_neg"),
+      round(log((col("_dp") + lit(1L)) / (col("_dn") + lit(1L)).cast(DoubleType)), 6).as("llr"))
+    buckets.unionByName(fallback).unionByName(prior)
+  }
+
+  /** Score documents under a [[nbTrain]] model: per document the token
+    * count, the accumulated LLR `score = prior + Σ_tokens llr(bucket(tok))`
+    * (DECIMAL-space sum of the model's 6-decimal LLRs — order-independent),
+    * and `pred = score > 0`.
+    *
+    * The bucket→llr lookup IS a broadcast hash join (the model is bounded
+    * by `numBuckets`); unseen buckets fall back to the NULL-row LLR. Pure
+    * codegen end to end — no UDF. `numBuckets`/`seed` must match the
+    * training call (they define the feature space). */
+  def nbScore(df: DataFrame, idCol: String, textCol: String, model: DataFrame,
+              numBuckets: Int = 1 << 20, seed: Long = 0L,
+              scoreOut: String = "nb_score", predOut: String = "nb_pred"): DataFrame = {
+    val fallback = model.filter(col("bucket").isNull)
+      .select(col("llr").as("_fb"))
+    val prior = model.filter(col("bucket") === -1L)
+      .select(col("llr").as("_prior"))
+    val feats = model.filter(col("bucket").isNotNull && col("bucket") >= 0L)
+      .select(col("bucket"), col("llr"))
+    val base = df.select(col(idCol), col(textCol)).withColumn("_toks", toks(textCol))
+    val perDoc = base
+      .select(col(idCol), explode(col("_toks")).as("_tok"))
+      .select(col(idCol), pmod(tokHash(col("_tok"), seed), lit(numBuckets.toLong)).as("bucket"))
+      .join(broadcast(feats), Seq("bucket"), "left")
+      .crossJoin(broadcast(fallback))
+      .withColumn("_llr", coalesce(col("llr"), col("_fb")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("_llr").cast(DecimalType(28, 6))).as("_sum"))
+    base.select(col(idCol)).crossJoin(broadcast(prior))
+      .join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        (coalesce(col("_sum"), lit(0).cast(DecimalType(28, 6)))
+          + col("_prior").cast(DecimalType(28, 6)))
+          .cast(DoubleType).as(scoreOut))
+      .withColumn(predOut, col(scoreOut) > 0.0)
+  }
+
+  /** One-call form: train on `labeled`, score `df` — the typical
+    * seed-corpus-vs-web-sample quality gate. */
+  def nbQualityFilter(df: DataFrame, idCol: String, textCol: String,
+                      labeled: DataFrame, labeledTextCol: String, labelCol: String,
+                      numBuckets: Int = 1 << 20, alpha: Double = 0.5,
+                      seed: Long = 0L): DataFrame =
+    nbScore(df, idCol, textCol,
+      nbTrain(labeled, labeledTextCol, labelCol, numBuckets, alpha, seed),
+      numBuckets, seed)
+}

@@ -1169,4 +1169,102 @@ object TextOps {
           col("alpha_word_ratio") >= minAlphaWordRatio &&
           col("stopword_hits") >= minStopwordHits)
   }
+
+  /** Partial-overlap decontamination: for every corpus document, the MAX
+    * n-gram-SET Jaccard similarity against any benchmark document, plus a
+    * keep flag. [[contaminatedIds]] flags only verbatim window hits; this
+    * catches paraphrase-shaped leakage — an eval item whose windows are
+    * scattered through a training document still accumulates set overlap
+    * even when no single 13-gram survives verbatim-threshold triage. The
+    * measure is EXACT (gram-hash join + text confirm, no LSH), so the
+    * result is deterministic and oracle-replayable.
+    *
+    * Output: (id, n_grams, max_jaccard, jaccard_keep) — one row per corpus
+    * document; documents shorter than `n` tokens carry no windows and score
+    * 0.0. keep ⇔ max_jaccard < threshold.
+    *
+    * Scale shape: corpus docs reduce to (id, distinct gram hash) rows —
+    * the text never crosses an exchange; the benchmark side is eval-set
+    * sized and distinct-ed (AQE broadcasts it), so the corpus-sized side
+    * joins map-side. The (corpus doc × bench doc) aggregation is bounded by
+    * actual overlaps, and the final max is per corpus doc. No m² blowup:
+    * a corpus gram matching b benchmark docs contributes b rows, and b is
+    * bounded by the eval set. */
+  def jaccardContamination(corpus: DataFrame, benchmarks: DataFrame,
+                           corpusIdCol: String, benchIdCol: String,
+                           textCol: String, n: Int = 13,
+                           threshold: Double = 0.8): DataFrame = {
+    require(n > 0, s"n-gram size must be positive, got $n")
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    def grams(df: DataFrame, id: Column): DataFrame = {
+      val toks = split(trim(col(textCol)), "[ \\t\\n\\r\\f]+")
+      df.withColumn("_toks", toks)
+        .filter(size(col("_toks")) >= n)
+        .select(id.as("_gid"), explode(transform(
+          sequence(lit(1), size(col("_toks")) - (n - 1)),
+          i => array_join(slice(col("_toks"), i, lit(n)), " "))).as("_gram"))
+        .distinct()
+    }
+    val corpusGrams = grams(corpus, col(corpusIdCol))
+      .select(col("_gid").as("_cid"), xxhash64(col("_gram")).as("_gh"), col("_gram"))
+    val benchGrams = grams(benchmarks, col(benchIdCol))
+      .select(col("_gid").as("_bid"), xxhash64(col("_gram")).as("_gh"),
+        col("_gram").as("_bgram"))
+    val corpusSizes = corpusGrams.groupBy(col("_cid")).agg(count(lit(1)).as("_na"))
+    val benchSizes = benchGrams.groupBy(col("_bid")).agg(count(lit(1)).as("_nb"))
+    val inter = corpusGrams
+      .join(benchGrams, corpusGrams("_gh") === benchGrams("_gh") &&
+        corpusGrams("_gram") === benchGrams("_bgram"))
+      .groupBy(col("_cid"), col("_bid")).agg(count(lit(1)).as("_inter"))
+    val best = inter
+      .join(broadcast(benchSizes), Seq("_bid"))
+      .join(corpusSizes, Seq("_cid"))
+      .select(col("_cid"),
+        (col("_inter").cast(DoubleType) /
+          (col("_na") + col("_nb") - col("_inter"))).as("_j"))
+      .groupBy(col("_cid")).agg(max(col("_j")).as("max_jaccard"))
+    corpus.select(col(corpusIdCol))
+      .join(corpusSizes.withColumnRenamed("_cid", corpusIdCol), Seq(corpusIdCol), "left")
+      .join(best.withColumnRenamed("_cid", corpusIdCol), Seq(corpusIdCol), "left")
+      .select(col(corpusIdCol),
+        coalesce(col("_na"), lit(0L)).as("n_grams"),
+        coalesce(col("max_jaccard"), lit(0.0)).as("max_jaccard"))
+      .withColumn("jaccard_keep", col("max_jaccard") < threshold)
+  }
+
+  /** HTML/markup stripping — the extraction step between a raw web crawl
+    * and every text-level curation op in this file (the public pipelines —
+    * C4, CCNet, RefinedWeb — all begin with a tag-strip/extract pass).
+    * Removes script/style/comment blocks wholesale (their CONTENT is code,
+    * not prose), turns block-level boundaries into newlines so downstream
+    * line-based signals ([[c4QualityFilter]]'s terminal-line ratio,
+    * [[removeBoilerplateLines]]) see the page's visual line structure,
+    * strips all remaining tags, decodes the six named entities HTML
+    * guarantees (&amp; &lt; &gt; &quot; &#39; &nbsp;), and collapses
+    * horizontal whitespace runs. Entity decode runs AFTER tag strip, so
+    * `&lt;script&gt;` in running text cannot smuggle a tag past removal.
+    *
+    * Every step is a codegen `regexp_replace` on the row alone — map-only,
+    * no shuffle, no UDF; the patterns avoid backreferences/lookaround so
+    * any RE2-class engine (and the DuckDB oracle) evaluates them
+    * identically. At 100 TB this fuses into the scan that reads the crawl. */
+  def htmlStrip(df: DataFrame, textCol: String, out: String = "text_plain"): DataFrame = {
+    val noScript = regexp_replace(col(textCol), "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blockNl = regexp_replace(noComment,
+      "(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)[^>]*>", "\n")
+    val noTag = regexp_replace(blockNl, "<[^>]*>", " ")
+    val entities = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTag) { case (c, (e, r)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(e),
+        java.util.regex.Matcher.quoteReplacement(r))
+    }
+    val collapsed = regexp_replace(decoded, "[ \\t\\f]+", " ")
+    val trimmedLines = regexp_replace(regexp_replace(collapsed,
+      "(?m)^ +", ""), "(?m) +$", "")
+    df.withColumn(out, trim(regexp_replace(trimmedLines, "\\n{2,}", "\n"), " \n"))
+  }
 }

@@ -194,6 +194,9 @@ object TableMacros {
     // semantic + assembly surface (round 5 batch 16)
     "semdedup", "knn_graph", "strip_boilerplate", "top_tokens",
     "mix_token_budget", "select_token_budget",
+    // round 6 batch 19: linear quality gate, partial-overlap decontamination,
+    // markup extraction
+    "nb_quality_filter", "decontaminate_jaccard", "html_strip",
     // round 6: the remaining reference macro names (ts_macros.cpp:2131-2166)
     "ts_stats", "ts_stats_summary", "ts_quality_report",
     "ts_data_quality", "ts_data_quality_summary",
@@ -824,6 +827,23 @@ object TableMacros {
         graft.llm.MixOps.selectToTokenBudget(source(src), ident(id, "id_col"),
           ident(toks, "token_col"), dbl(budget, "budget").toLong,
           dbl(seed, "seed").toLong)
+      case ("nb_quality_filter", Seq(src, id, text, lab, labText, labCol, rest @ _*)) =>
+        if (rest.length > 3) fail("too many arguments")
+        graft.llm.ClassifierOps.nbQualityFilter(source(src), ident(id, "id_col"),
+          ident(text, "text_col"), source(lab), ident(labText, "labeled_text_col"),
+          ident(labCol, "label_col"),
+          rest.headOption.map(int(_, "num_buckets")).getOrElse(1 << 20),
+          rest.lift(1).map(dbl(_, "alpha")).getOrElse(0.5),
+          rest.lift(2).map(int(_, "seed")).getOrElse(0).toLong)
+      case ("decontaminate_jaccard", Seq(src, bench, cid, bid, text, rest @ _*)) =>
+        if (rest.length > 2) fail("too many arguments")
+        graft.llm.TextOps.jaccardContamination(source(src), source(bench),
+          ident(cid, "corpus_id_col"), ident(bid, "bench_id_col"),
+          ident(text, "text_col"),
+          rest.headOption.map(int(_, "n")).getOrElse(13),
+          rest.lift(1).map(dbl(_, "threshold")).getOrElse(0.8))
+      case ("html_strip", Seq(src, text)) =>
+        graft.llm.TextOps.htmlStrip(source(src), ident(text, "text_col"))
       case _ =>
         fail(s"wrong number of arguments (${args.length}) — see GraftExtensions scaladoc")
     }
