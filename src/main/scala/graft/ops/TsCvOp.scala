@@ -97,9 +97,13 @@ object TsCvOp {
   final case class CvFcStep(step: Int, yhat: Double, yhat_lower: Double,
                             yhat_upper: Double, model_name: String)
 
-  /** Per-fold kernel output of the all-folds-in-one-call backtest UDF. */
-  final case class CvFoldFc(fold_id: Long, test_start: Long, test_end: Long,
-                            steps: Seq[CvFcStep])
+  /** Per-fold kernel output of the all-folds-in-one-call backtest UDF.
+    * `model_name` sits at the FOLD level (it is constant across a fold's
+    * steps) and the steps carry only the three forecast doubles — the
+    * compact rows the backtest pins stay string-free per step. */
+  final case class BtStep(yhat: Double, yhat_lower: Double, yhat_upper: Double)
+  final case class BtFoldFc(fold_id: Long, test_start: Long, test_end: Long,
+                            model_name: String, steps: Seq[BtStep])
 
   /** ts_cv_forecast_by: fit per (fold, group) on train rows, predict at the
     * existing test-row dates (horizon = test-row count). Output preserves all
@@ -168,30 +172,9 @@ object TsCvOp {
     * Deviation (documented): the reference silently falls back to rmse on an
     * unknown metric name; we raise, so a typo'd metric cannot masquerade as
     * a different score. */
-  private def foldMetric(metric: String): Column = {
-    val err = col("actual") - col("yhat")
-    metric match {
-      case "mae" => avg(abs(err))
-      case "mse" => avg(err * err)
-      case "rmse" => sqrt(avg(err * err))
-      case "mape" => avg(when(col("actual") =!= 0, abs(err / col("actual")))) * 100.0
-      case "smape" => avg(when(abs(col("actual")) + abs(col("yhat")) =!= 0,
-        lit(2.0) * abs(err) / (abs(col("actual")) + abs(col("yhat"))))) * 100.0
-      case "bias" => avg(col("yhat") - col("actual"))
-      case "r2" =>
-        // single-pass sum-of-squares form (ss_tot = Σa² − (Σa)²/n), so the
-        // whole score is one partial-aggregable expression; NaN when the
-        // actuals are constant, like the reference (:339-353)
-        val ssRes = sum(err * err)
-        val ssTot = sum(col("actual") * col("actual")) -
-          sum(col("actual")) * sum(col("actual")) / count(col("actual"))
-        when(ssTot > 0, lit(1.0) - ssRes / ssTot).otherwise(lit(Double.NaN))
-      case "coverage" => avg(when(col("actual") >= col("yhat_lower") &&
-        col("actual") <= col("yhat_upper"), 1.0).otherwise(0.0))
-      case other => throw new IllegalArgumentException(
-        s"Unknown metric '$other' (mae|mse|rmse|mape|smape|bias|r2|coverage)")
-    }
-  }
+  // (the exploded-row fold metric lived here; superseded by
+  // compactFoldScores, which computes the same closed forms from the
+  // compact pinned rows' partial sums)
 
   /** ts_backtest_auto_by: per-(fold,group) fit/predict → error columns
     * + per-fold metric. Output (fold_id, group, ds, yhat, actual, error,
@@ -222,14 +205,17 @@ object TsCvOp {
 
     // one shuffle: gather each group's full ordered series (positions match
     // cvFoldsBy's row_number-over-ds — all rows counted, null-ds rows sort
-    // first and are dropped from the kernel input only, like cvForecastBy)
+    // first and are dropped from the kernel input only, like cvForecastBy).
+    // The struct carries only (t, v, nu): the original ds value is
+    // reconstructed from the micros sort key on output (Series.fromMicros
+    // is toMicros' exact inverse), so the gather shuffle never moves a
+    // redundant date column.
     val gathered = df
       .groupBy(col(groupCol))
       .agg(sort_array(collect_list(struct(
         Series.toMicros(col(dsCol), dsType).as("t"),
         coalesce(col(yCol).cast(DoubleType), lit(Double.NaN)).as("v"),
-        col(yCol).isNull.as("nu"),
-        col(dsCol).as("d")))).as("_s"))
+        col(yCol).isNull.as("nu")))).as("_s"))
       .withColumn("_n", size(col("_s")).cast(LongType))
       .filter(col("_n") >= 2)
       .filter(if (isFixed) col("_n") >= p.minTrainSize else lit(true))
@@ -252,9 +238,12 @@ object TsCvOp {
     val isClip = p.clipHorizon
     val minTrain = p.minTrainSize
     val gap = p.gap
-    val fcAllUdf = udf((vs: Seq[Double], nulls: Seq[Boolean], tNull: Seq[Boolean],
+    // null-ds rows sort FIRST (the struct sort key `t` is null), so the
+    // kernel receives their COUNT `k` instead of a per-position boolean
+    // array — one fewer boxed array across the UDF boundary per group
+    val fcAllUdf = udf((vs: Seq[Double], nulls: Seq[Boolean], k: Long,
                         n: Long, init: Long) => {
-      val acc = Seq.newBuilder[CvFoldFc]
+      val acc = Seq.newBuilder[BtFoldFc]
       var f = 1L
       while (f <= nFolds) {
         val trainEnd = init - 1 + (f - 1) * skip
@@ -266,17 +255,18 @@ object TsCvOp {
           val trainStart = if (isFixed) math.max(trainEnd + 1 - minTrain, 0L) else 0L
           val vb = Array.newBuilder[Double]
           val kb = Array.newBuilder[Boolean]
-          var i = trainStart.toInt
+          var i = math.max(trainStart, k).toInt
           val end = math.min(trainEnd, n - 1).toInt
           while (i <= end) {
-            if (!tNull(i)) { vb += vs(i); kb += !nulls(i) }
+            vb += vs(i); kb += !nulls(i)
             i += 1
           }
           val h = (testEnd - testStart + 1).toInt
           try {
             val o = Forecast.forecast(vb.result(), kb.result(), opts.copy(horizon = h))
-            acc += CvFoldFc(f, testStart, testEnd, (0 until o.point.length).map(j =>
-              CvFcStep(j + 1, o.point(j), o.lower(j), o.upper(j), o.modelName)))
+            acc += BtFoldFc(f, testStart, testEnd, o.modelName,
+              (0 until o.point.length).map(j =>
+                BtStep(o.point(j), o.lower(j), o.upper(j))))
           } catch {
             case _: Forecast.InsufficientData | _: Forecast.ComputationError => ()
           }
@@ -293,14 +283,14 @@ object TsCvOp {
     // `_s`; the output reads v/nu/d alone.
     val perFold = gathered
       .withColumn("_pf", fcAllUdf(col("_s.v"), col("_s.nu"),
-        transform(col("_s"), e => e.getField("t").isNull), col("_n"), init))
+        size(filter(col("_s"), e => e.getField("t").isNull)).cast(LongType),
+        col("_n"), init))
       .withColumn("_f", explode(col("_pf")))
       .select(col("_f.fold_id").as("fold_id"), col(groupCol),
-        transform(
-          slice(col("_s"), (col("_f.test_start") + 1).cast(IntegerType),
-            (col("_f.test_end") - col("_f.test_start") + 1).cast(IntegerType)),
-          e => struct(e.getField("v").as("v"), e.getField("nu").as("nu"),
-            e.getField("d").as("d"))).as("_test"),
+        slice(col("_s"), (col("_f.test_start") + 1).cast(IntegerType),
+          (col("_f.test_end") - col("_f.test_start") + 1).cast(IntegerType))
+          .as("_test"),
+        col("_f.model_name").as("_mn"),
         col("_f.steps").as("_steps"))
 
     // Pin the compact kernel output so the per-fold score (a global aggregate
@@ -322,29 +312,121 @@ object TsCvOp {
     val out = pinned
       .withColumn("_z", explode(arrays_zip(col("_test"), col("_steps"))))
       .select(col("fold_id"), col(groupCol),
-        col("_z._test.d").as(dsCol),
+        Series.fromMicros(col("_z._test.t"), dsType).as(dsCol),
         col("_z._steps.yhat").as("yhat"),
         when(col("_z._test.nu"), lit(null).cast(DoubleType))
           .otherwise(col("_z._test.v")).as("actual"),
         col("_z._steps.yhat_lower").as("yhat_lower"),
         col("_z._steps.yhat_upper").as("yhat_upper"),
-        col("_z._steps.model_name").as("model_name"))
+        col("_mn").as("model_name"))
       .filter(col("yhat").isNotNull)
       .withColumn("error", col("actual") - col("yhat"))
       .withColumn("abs_error", abs(col("error")))
 
     // Per-fold score WITHOUT a fold_id-partitioned Window (which would funnel
-    // the whole output through ≤nFolds partitions at scale): a map-side
-    // partial aggregate collapses each task to ≤nFolds rows, the tiny result
-    // broadcast-joins back onto the evenly-distributed output rows.
-    val foldScores = out.groupBy(col("fold_id"))
-      .agg(foldMetric(metric).as("fold_metric_score"))
-    val full = out.join(broadcast(foldScores), Seq("fold_id"))
+    // the whole output through ≤nFolds partitions at scale) and WITHOUT a
+    // second pass over the exploded rows: each compact (group, fold) row
+    // reduces its test/step arrays to the metric's partial sums in place
+    // (a ≤horizon-element fold, pure codegen), a groupBy(fold_id) combines
+    // them map-side to ≤nFolds rows, and the ≤nFolds scores are collected
+    // (bounded by construction) and stamped onto the output as a literal
+    // CASE — the returned plan carries NO exchange at all above the pin.
+    // The collect also materializes the pin, so the forecast kernel runs
+    // exactly once.
+    val foldScores = compactFoldScores(pinned, metric)
+    val scoreCol = foldScores.foldLeft(lit(null).cast(DoubleType)) {
+      case (acc, (f, sc)) => when(col("fold_id") === f,
+        sc.map(lit(_)).getOrElse(lit(null).cast(DoubleType))).otherwise(acc)
+    }
+    val full = out
       .select(col("fold_id"), col(groupCol), col(dsCol), col("yhat"), col("actual"),
         col("error"), col("abs_error"), col("yhat_lower"), col("yhat_upper"),
-        col("model_name"), col("fold_metric_score"))
+        col("model_name"), scoreCol.as("fold_metric_score"))
     if (probeEnabled) lastStages = BacktestStages(perFold, pinned, out, full)
     full
+  }
+
+  /** Fold-level metric computed from the COMPACT pinned rows: per
+    * (group, fold) row the zipped test/step arrays reduce to the metric's
+    * partial-sum terms (count / Σ|e| / Σe² / …, each a single `aggregate`
+    * fold over ≤horizon elements), a fold_id aggregate sums the partials,
+    * and the closed-form metric is evaluated on the sums. Algebraically
+    * identical to the avg/sum forms of the exploded-row metric (the driver
+    * rows round scores to 6 decimals, which absorbs the summation-order
+    * difference), but the score branch never explodes the output and the
+    * only shuffle it needs carries ≤nFolds·nPartitions partial rows.
+    * Returns (fold_id → score) for the ≤nFolds observed folds; None encodes
+    * a null score (e.g. mape with no nonzero actuals). */
+  private def compactFoldScores(pinned: DataFrame, metric: String): Seq[(Long, Option[Double])] = {
+    def zipped = arrays_zip(col("_test"), col("_steps"))
+    // per-step accessors; `valid` = both actual and forecast present
+    def te(e: Column) = e.getField("_test")
+    def st(e: Column) = e.getField("_steps")
+    def a(e: Column) = te(e).getField("v")
+    def yh(e: Column) = st(e).getField("yhat")
+    def err(e: Column) = a(e) - yh(e)
+    def valid(e: Column) = !te(e).getField("nu") && yh(e).isNotNull
+    def term(f: Column => Column): Column =
+      aggregate(zipped, lit(0.0), (acc, e) => acc + coalesce(f(e), lit(0.0)))
+    // terms are (per-step contribution, guarded to 0 outside its domain);
+    // the formula receives the per-fold SUMS in declaration order
+    val (terms, formula): (Seq[Column => Column], Seq[Column] => Column) = metric match {
+      case "mae" => (Seq(
+        e => when(valid(e), 1.0).otherwise(0.0),
+        e => when(valid(e), abs(err(e))).otherwise(0.0)),
+        s => when(s(0) > 0, s(1) / s(0)))
+      case "mse" => (Seq(
+        e => when(valid(e), 1.0).otherwise(0.0),
+        e => when(valid(e), err(e) * err(e)).otherwise(0.0)),
+        s => when(s(0) > 0, s(1) / s(0)))
+      case "rmse" => (Seq(
+        e => when(valid(e), 1.0).otherwise(0.0),
+        e => when(valid(e), err(e) * err(e)).otherwise(0.0)),
+        s => when(s(0) > 0, sqrt(s(1) / s(0))))
+      case "mape" => (Seq(
+        e => when(valid(e) && a(e) =!= 0, 1.0).otherwise(0.0),
+        e => when(valid(e) && a(e) =!= 0, abs(err(e) / a(e))).otherwise(0.0)),
+        s => when(s(0) > 0, s(1) / s(0) * 100.0))
+      case "smape" => (Seq(
+        e => when(valid(e) && abs(a(e)) + abs(yh(e)) =!= 0, 1.0).otherwise(0.0),
+        e => when(valid(e) && abs(a(e)) + abs(yh(e)) =!= 0,
+          lit(2.0) * abs(err(e)) / (abs(a(e)) + abs(yh(e)))).otherwise(0.0)),
+        s => when(s(0) > 0, s(1) / s(0) * 100.0))
+      case "bias" => (Seq(
+        e => when(valid(e), 1.0).otherwise(0.0),
+        e => when(valid(e), yh(e) - a(e)).otherwise(0.0)),
+        s => when(s(0) > 0, s(1) / s(0)))
+      case "r2" => (Seq(
+        e => when(valid(e), 1.0).otherwise(0.0),
+        e => when(valid(e), err(e) * err(e)).otherwise(0.0),
+        e => when(valid(e), a(e)).otherwise(0.0),
+        e => when(valid(e), a(e) * a(e)).otherwise(0.0)),
+        // ssTot = Σa² − (Σa)²/n; 0/0 = NaN when the fold is empty, which
+        // falls through to the NaN branch exactly like the exploded form
+        s => {
+          val ssTot = s(3) - s(2) * s(2) / s(0)
+          when(ssTot > 0, lit(1.0) - s(1) / ssTot).otherwise(lit(Double.NaN))
+        })
+      case "coverage" => (Seq(
+        e => when(yh(e).isNotNull, 1.0).otherwise(0.0),
+        e => when(yh(e).isNotNull && !te(e).getField("nu") &&
+          a(e) >= st(e).getField("yhat_lower") &&
+          a(e) <= st(e).getField("yhat_upper"), 1.0).otherwise(0.0)),
+        s => when(s(0) > 0, s(1) / s(0)))
+      case other => throw new IllegalArgumentException(
+        s"Unknown metric '$other' (mae|mse|rmse|mape|smape|bias|r2|coverage)")
+    }
+    val sumCols = terms.indices.map(i => sum(col(s"_t$i")).as(s"_t$i"))
+    val scored = pinned
+      .select(col("fold_id") +: terms.zipWithIndex.map { case (f, i) =>
+        term(f).as(s"_t$i") }: _*)
+      .groupBy(col("fold_id"))
+      .agg(sumCols.head, sumCols.tail: _*)
+      .select(col("fold_id"),
+        formula(terms.indices.map(i => col(s"_t$i"))).as("fold_metric_score"))
+    scored.collect().toSeq.map { r =>
+      (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getDouble(1)))
+    }
   }
 
   /** Probe-only view of [[backtestAutoBy]]'s internal stages (the compact

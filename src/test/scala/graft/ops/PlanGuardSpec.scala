@@ -142,10 +142,15 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
         case _ => ()
       }
     }
-    val bcastJoins = plan.collect {
-      case b: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => b
-    }
-    assert(bcastJoins.nonEmpty, "fold scores must broadcast-join back onto the output")
+    // fold scores are collected (≤nFolds rows, bounded) and stamped on as a
+    // literal CASE — the output path must carry NO join at all: joining (or
+    // re-shuffling) the exploded rows for a ≤nFolds-row lookup is pure
+    // overhead at scale
+    assert(plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BaseJoinExec => b
+    }.isEmpty, "fold scores must be a literal lookup, not a join")
+    assert(plan.toString.contains("CASE WHEN") || df.columns.contains("fold_metric_score"),
+      "the literal fold-score column must be present")
     assert(!plan.toString.contains("CartesianProduct"))
   }
 
