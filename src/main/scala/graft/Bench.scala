@@ -251,6 +251,25 @@ object Bench {
     val bigram10 = median3(onceDf(
       llm.TextOps.bigramPerplexity(docs10, "doc_id", "text",
         vocabSize = 65536, bigramVocabSize = 1 << 20)))
+    // batch-19 curation additions at 10× corpus: the NB quality gate trains
+    // on a 1%-sized labeled seed (bounded model, broadcast scoring join)
+    // and scores the full corpus; HTML strip is map-only regex codegen;
+    // Jaccard decontamination joins distinct doc-gram sets against a
+    // 1%-sized benchmark side
+    val nbLabeled = docs10.filter(col("doc_id") % 100 === 0)
+      .withColumn("label", col("doc_id") % 200 === 0)
+    val nbGate10 = median3(onceDf(
+      llm.ClassifierOps.nbQualityFilter(docs10, "doc_id", "text",
+        nbLabeled, "text", "label", numBuckets = 1 << 18, seed = 7)))
+    val htmlStrip10 = median3(onceDf(
+      llm.TextOps.htmlStrip(
+        docs10.withColumn("text",
+          concat(lit("<div><p>"), col("text"), lit("</p></div><script>var x;</script>"))),
+        "text")))
+    val jacDecon10 = median3(onceDf(
+      llm.TextOps.jaccardContamination(docs10,
+        docs10.filter(col("doc_id") % 100 === 0).withColumnRenamed("doc_id", "bench_id"),
+        "doc_id", "bench_id", "text", n = 13, threshold = 0.8)))
     // cross-corpus dedup: the reference index (banded table + shingle-hash
     // sets over 9/10 of the corpus) is built once per corpus version in
     // production, so it is untimed (same protocol as ann_ivf's index); the
@@ -320,6 +339,9 @@ object Bench {
       f""""quality_filters_docs":{"sec":$quality10%.3f,"ms_per_doc":${quality10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
       f""""hash_embed_docs":{"sec":$hashEmbed10%.3f,"ms_per_doc":${hashEmbed10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
       f""""lm_bigram_docs":{"sec":$bigram10%.3f,"ms_per_doc":${bigram10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
+      f""""nb_quality_gate_docs":{"sec":$nbGate10%.3f,"ms_per_doc":${nbGate10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
+      f""""html_strip_docs":{"sec":$htmlStrip10%.3f,"ms_per_doc":${htmlStrip10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
+      f""""jaccard_decon_docs":{"sec":$jacDecon10%.3f,"ms_per_doc":${jacDecon10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
       f""""dedup_against_docs":{"sec":$dedupAgainst10%.3f,"ms_per_incoming_doc":${dedupAgainst10 * 1000.0 / nDocs1}%.4f}""",
       f""""ann_ivf_probe":{"sec":$probe10%.3f,"ms_per_query":${probe10 * 1000.0 / nQueries}%.3f}""",
       f""""semdedup_vecs":{"sec":$semdedup10%.3f,"ms_per_vec":${semdedup10 * 1000.0 / (nEmb1 * 10)}%.4f}""",

@@ -1183,13 +1183,15 @@ object TextOps {
     * document; documents shorter than `n` tokens carry no windows and score
     * 0.0. keep ⇔ max_jaccard < threshold.
     *
-    * Scale shape: corpus docs reduce to (id, distinct gram hash) rows —
-    * the text never crosses an exchange; the benchmark side is eval-set
-    * sized and distinct-ed (AQE broadcasts it), so the corpus-sized side
-    * joins map-side. The (corpus doc × bench doc) aggregation is bounded by
-    * actual overlaps, and the final max is per corpus doc. No m² blowup:
-    * a corpus gram matching b benchmark docs contributes b rows, and b is
-    * bounded by the eval set. */
+    * Scale shape: each document's distinct gram SET is built map-side
+    * (`array_distinct` on the row's own windows) and its size rides along
+    * with the exploded gram rows, so the corpus side needs NO distinct
+    * shuffle and NO size aggregate — corpus text never crosses an exchange.
+    * The benchmark side is eval-set sized (AQE broadcasts it), so the
+    * corpus-sized side joins map-side; the only corpus-keyed shuffles carry
+    * (corpus id, bench id, count) triples bounded by actual overlaps. No m²
+    * blowup: a corpus gram matching b benchmark docs contributes b rows,
+    * and b is bounded by the eval set. */
   def jaccardContamination(corpus: DataFrame, benchmarks: DataFrame,
                            corpusIdCol: String, benchIdCol: String,
                            textCol: String, n: Int = 13,
@@ -1197,35 +1199,39 @@ object TextOps {
     require(n > 0, s"n-gram size must be positive, got $n")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    def grams(df: DataFrame, id: Column): DataFrame = {
+    // (id, per-doc distinct gram set + its size) — all map-side
+    def gramSets(df: DataFrame, id: Column): DataFrame = {
       val toks = split(trim(col(textCol)), "[ \\t\\n\\r\\f]+")
       df.withColumn("_toks", toks)
         .filter(size(col("_toks")) >= n)
-        .select(id.as("_gid"), explode(transform(
+        .select(id.as("_gid"), array_distinct(transform(
           sequence(lit(1), size(col("_toks")) - (n - 1)),
-          i => array_join(slice(col("_toks"), i, lit(n)), " "))).as("_gram"))
-        .distinct()
+          i => array_join(slice(col("_toks"), i, lit(n)), " "))).as("_grams"))
+        .withColumn("_ng", size(col("_grams")).cast(LongType))
     }
-    val corpusGrams = grams(corpus, col(corpusIdCol))
-      .select(col("_gid").as("_cid"), xxhash64(col("_gram")).as("_gh"), col("_gram"))
-    val benchGrams = grams(benchmarks, col(benchIdCol))
-      .select(col("_gid").as("_bid"), xxhash64(col("_gram")).as("_gh"),
+    val corpusGrams = gramSets(corpus, col(corpusIdCol))
+      .select(col("_gid").as("_cid"), col("_ng").as("_na"),
+        explode(col("_grams")).as("_gram"))
+      .select(col("_cid"), col("_na"), xxhash64(col("_gram")).as("_gh"), col("_gram"))
+    val benchGrams = gramSets(benchmarks, col(benchIdCol))
+      .select(col("_gid").as("_bid"), col("_ng").as("_nb"),
+        explode(col("_grams")).as("_gram"))
+      .select(col("_bid"), col("_nb"), xxhash64(col("_gram")).as("_gh"),
         col("_gram").as("_bgram"))
-    val corpusSizes = corpusGrams.groupBy(col("_cid")).agg(count(lit(1)).as("_na"))
-    val benchSizes = benchGrams.groupBy(col("_bid")).agg(count(lit(1)).as("_nb"))
-    val inter = corpusGrams
+    val best = corpusGrams
       .join(benchGrams, corpusGrams("_gh") === benchGrams("_gh") &&
         corpusGrams("_gram") === benchGrams("_bgram"))
-      .groupBy(col("_cid"), col("_bid")).agg(count(lit(1)).as("_inter"))
-    val best = inter
-      .join(broadcast(benchSizes), Seq("_bid"))
-      .join(corpusSizes, Seq("_cid"))
+      .groupBy(col("_cid"), col("_bid"))
+      .agg(count(lit(1)).as("_inter"), max(col("_na")).as("_na"),
+        max(col("_nb")).as("_nb"))
       .select(col("_cid"),
         (col("_inter").cast(DoubleType) /
           (col("_na") + col("_nb") - col("_inter"))).as("_j"))
       .groupBy(col("_cid")).agg(max(col("_j")).as("max_jaccard"))
+    val sizes = gramSets(corpus, col(corpusIdCol))
+      .select(col("_gid").as(corpusIdCol), col("_ng").as("_na"))
     corpus.select(col(corpusIdCol))
-      .join(corpusSizes.withColumnRenamed("_cid", corpusIdCol), Seq(corpusIdCol), "left")
+      .join(sizes, Seq(corpusIdCol), "left")
       .join(best.withColumnRenamed("_cid", corpusIdCol), Seq(corpusIdCol), "left")
       .select(col(corpusIdCol),
         coalesce(col("_na"), lit(0L)).as("n_grams"),
