@@ -1,0 +1,147 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Byte-pair-encoding subword tokenizer — train + encode (Sennrich et al.
+  * 2016, "Neural Machine Translation of Rare Words with Subword Units",
+  * the public BPE recipe every modern tokenizer descends from). The
+  * whitespace/BPE-regex token counters elsewhere in this library
+  * approximate a tokenizer; this op LEARNS one from the corpus, so token
+  * budgets ([[MixOps]]) and packing ([[TextOps.packSequences]]) can run
+  * against the vocabulary that will actually tokenize the training run.
+  *
+  * Distributed shape (the standard scale design): the corpus is read ONCE
+  * into a word-frequency table (one map-side-combined aggregation, bounded
+  * by the language's word-type count, not the corpus), and every merge
+  * iteration runs on that types table alone — pair counting is a
+  * types-table aggregation, the argmax is a 1-row bounded collect, and the
+  * merge itself is a string `replace` over the types table. Iterates are
+  * pinned ([[Pin]]) so iteration k does not re-execute the k−1 previous
+  * merges.
+  *
+  * Determinism & oracle replay: a word's symbol state is its characters
+  * wrapped in sentinel bytes (<0x01> … <0x02>) and space-joined. Applying
+  * merge (a, b) is then literal non-overlapping left-to-right string
+  * replacement of `wrap(a) + " " + wrap(b)` with `wrap(ab)` — exactly
+  * BPE's greedy merge scan, with the sentinels making token boundaries
+  * unambiguous: adjacent merge sites `a b a b` both fire (no trailing
+  * space in the pattern), and a symbol that is a bare prefix/suffix of a
+  * longer symbol cannot false-match (the <0x02>…<0x01> boundary breaks
+  * it). Every engine's `replace` implements the same scan, so the whole
+  * train loop replays in plain SQL. Ties in pair counts break by the
+  * wrapped pair string ascending — binary string order, identical across
+  * engines (<0x02> sorts below every printable byte, which keeps the
+  * wrapped order consistent with the unwrapped one). */
+object BpeOps {
+
+  private val S1 = "\u0001" // token start sentinel
+  private val S2 = "\u0002" // token end sentinel
+
+  /** Lowercased whitespace words with the sentinel bytes scrubbed (they are
+    * the internal markers, so input text must not carry them). */
+  private def words(textCol: String): Column =
+    filter(split(regexp_replace(lower(trim(col(textCol))), "[\u0001\u0002]", ""),
+      "[ \\t\\n\\r\\f]+"), w => length(w) > 0)
+
+  /** The word's characters, each sentinel-wrapped, joined by single spaces. */
+  private def charState(w: Column): Column =
+    array_join(transform(sequence(lit(1), length(w)),
+      i => concat(lit(S1), w.substr(i, lit(1)), lit(S2))), " ")
+
+  private def wrap(tok: String): String = S1 + tok + S2
+
+  private def applyMerge(state: Column, left: String, right: String): Column =
+    regexp_replace(state,
+      java.util.regex.Pattern.quote(wrap(left) + " " + wrap(right)),
+      java.util.regex.Matcher.quoteReplacement(wrap(left + right)))
+
+  /** One learned merge: rank (1-based), the left/right symbols, the merged
+    * symbol, and the pair's frequency-weighted count at merge time. */
+  final case class BpeMerge(rank: Int, left: String, right: String,
+                            merged: String, pair_count: Long)
+
+  /** Train `numMerges` BPE merges on a corpus. Stops early when the best
+    * remaining pair's count drops below `minPairFreq` (merging a pair seen
+    * once cannot compress anything).
+    *
+    * Returns the ordered merge list; [[mergesToDf]] turns it into the
+    * table shape. The per-iteration driver collect is ONE row (the argmax
+    * pair) — bounded by construction, like ivfTrain's seed collect. */
+  def bpeTrain(corpus: DataFrame, textCol: String, numMerges: Int,
+               minPairFreq: Long = 2L): Seq[BpeMerge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(minPairFreq >= 1, s"minPairFreq must be >= 1, got $minPairFreq")
+    val types = corpus.select(explode(words(textCol)).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_freq"))
+      .select(col("_freq"), charState(col("_w")).as("_sym"))
+    var pin = Pin(types, eager = true)
+    val acc = Seq.newBuilder[BpeMerge]
+    var r = 1
+    var done = false
+    while (r <= numMerges && !done) {
+      val best = pin.df
+        .select(col("_freq"), split(col("_sym"), " ").as("_sy"))
+        // single-symbol words carry no pairs (Spark's `sequence(1, 0)`
+        // would run DESCENDING, not empty — filter them out first)
+        .filter(size(col("_sy")) >= 2)
+        .select(col("_freq"), explode(transform(
+          sequence(lit(1), size(col("_sy")) - 1),
+          i => concat(element_at(col("_sy"), i), lit(" "),
+            element_at(col("_sy"), i + 1))))
+          .as("_p"))
+        .groupBy(col("_p")).agg(sum(col("_freq")).as("_cnt"))
+        .orderBy(col("_cnt").desc, col("_p").asc)
+        .limit(1).collect()
+      if (best.isEmpty || best.head.getLong(1) < minPairFreq) done = true
+      else {
+        val Array(wa, wb) = best.head.getString(0).split(' ')
+        val (a, b) = (wa.substring(1, wa.length - 1), wb.substring(1, wb.length - 1))
+        acc += BpeMerge(r, a, b, a + b, best.head.getLong(1))
+        val next = pin.df.withColumn("_sym", applyMerge(col("_sym"), a, b))
+        val np = Pin(next, eager = true)
+        pin.release()
+        pin = np
+        r += 1
+      }
+    }
+    pin.release()
+    acc.result()
+  }
+
+  /** The merge list as a DataFrame (rank, left, right, merged, pair_count). */
+  def mergesToDf(spark: org.apache.spark.sql.SparkSession,
+                 merges: Seq[BpeMerge]): DataFrame = {
+    import spark.implicits._
+    merges.toDF("rank", "left", "right", "merged", "pair_count")
+  }
+
+  /** Encode documents with an ordered merge list: every word re-derives its
+    * character state and replays the merges in rank order (the standard
+    * encode rule). Output columns: `{out}` (ARRAY<STRING> subwords in
+    * order, sentinels stripped) and `{out}_count`. Pure codegen string work
+    * per row — the corpus never shuffles; the merge list compiles into the
+    * plan as `numMerges` stacked literal replaces (right for the moderate
+    * merge counts this op targets; a production 30k-merge vocabulary would
+    * tokenize in a dedicated kernel instead — documented deviation). */
+  def bpeEncode(df: DataFrame, textCol: String, merges: Seq[BpeMerge],
+                out: String = "bpe_tokens"): DataFrame = {
+    val encoded = transform(words(textCol), w =>
+      split(merges.foldLeft(charState(w)) { (state, m) =>
+        applyMerge(state, m.left, m.right)
+      }, " "))
+    val cleaned = transform(flatten(encoded),
+      t => regexp_replace(t, "[\u0001\u0002]", ""))
+    df.withColumn(out, cleaned)
+      .withColumn(s"${out}_count", size(col(out)).cast(LongType))
+  }
+
+  /** One-call form: train on the corpus, encode the corpus — the
+    * self-tokenization shape used for vocabulary studies and exact token
+    * budgeting. */
+  def bpeSelfEncode(df: DataFrame, textCol: String, numMerges: Int,
+                    minPairFreq: Long = 2L,
+                    out: String = "bpe_tokens"): DataFrame =
+    bpeEncode(df, textCol, bpeTrain(df, textCol, numMerges, minPairFreq), out)
+}

@@ -197,6 +197,7 @@ object TableMacros {
     // round 6 batch 19: linear quality gate, partial-overlap decontamination,
     // markup extraction
     "nb_quality_filter", "decontaminate_jaccard", "html_strip",
+    "bpe_train", "bpe_self_encode",
     // round 6: the remaining reference macro names (ts_macros.cpp:2131-2166)
     "ts_stats", "ts_stats_summary", "ts_quality_report",
     "ts_data_quality", "ts_data_quality_summary",
@@ -844,6 +845,17 @@ object TableMacros {
           rest.lift(1).map(dbl(_, "threshold")).getOrElse(0.8))
       case ("html_strip", Seq(src, text)) =>
         graft.llm.TextOps.htmlStrip(source(src), ident(text, "text_col"))
+      case ("bpe_train", Seq(src, text, nMerges, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.BpeOps.mergesToDf(spark,
+          graft.llm.BpeOps.bpeTrain(source(src), ident(text, "text_col"),
+            int(nMerges, "num_merges"),
+            rest.headOption.map(int(_, "min_pair_freq")).getOrElse(2).toLong))
+      case ("bpe_self_encode", Seq(src, text, nMerges, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.BpeOps.bpeSelfEncode(source(src), ident(text, "text_col"),
+          int(nMerges, "num_merges"),
+          rest.headOption.map(int(_, "min_pair_freq")).getOrElse(2).toLong)
       case _ =>
         fail(s"wrong number of arguments (${args.length}) — see GraftExtensions scaladoc")
     }

@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.BpeOps
+
+/** BPE train/encode against hand-computed merge sequences (the classic
+  * Sennrich worked example shape) plus the greedy-scan edge cases. */
+class BpeOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-bpe")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("merge sequence matches the hand-computed BPE on a planted corpus") {
+    val sp = spark
+    import sp.implicits._
+    // word counts: ab x6, abc x4, bc x3  ->
+    // pair counts r1: (a,b)=10, (b,c)=7  -> merge ab
+    // r2: (ab,c)=4, (b,c)=3             -> merge abc
+    // r3: (b,c)=3                       -> merge bc
+    val corpus = (Seq.fill(6)("ab") ++ Seq.fill(4)("abc") ++ Seq.fill(3)("bc"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val merges = BpeOps.bpeTrain(corpus, "text", numMerges = 5)
+    assert(merges.map(m => (m.left, m.right, m.merged, m.pair_count)) == Seq(
+      ("a", "b", "ab", 10L), ("ab", "c", "abc", 4L), ("b", "c", "bc", 3L)),
+      s"got $merges")
+  }
+
+  test("count ties break by pair string ascending, deterministically") {
+    val sp = spark
+    import sp.implicits._
+    // "xy" x2 and "pq" x2: pairs (p,q)=2 and (x,y)=2 tie -> (p,q) first
+    val corpus = Seq((1L, "xy pq"), (2L, "pq xy")).toDF("id", "text")
+    val m = BpeOps.bpeTrain(corpus, "text", numMerges = 1)
+    assert(m.head.merged == "pq", s"got $m")
+  }
+
+  test("greedy merge fires on adjacent chain sites and stops below minPairFreq") {
+    val sp = spark
+    import sp.implicits._
+    // "aaaa" x3: pairs (a,a)=9 -> merge aa; "aaaa" -> [aa, aa];
+    // then (aa,aa)=3 -> merge aaaa; then no pair has count >= 2
+    val corpus = Seq.tabulate(3)(i => (i.toLong, "aaaa")).toDF("id", "text")
+    val merges = BpeOps.bpeTrain(corpus, "text", numMerges = 10)
+    assert(merges.map(_.merged) == Seq("aa", "aaaa"), s"got $merges")
+    val enc = BpeOps.bpeEncode(corpus, "text", merges)
+      .select("bpe_tokens").head.getSeq[String](0)
+    assert(enc == Seq("aaaa"), s"got $enc")
+  }
+
+  test("encode applies merges in rank order and counts subwords per doc") {
+    val sp = spark
+    import sp.implicits._
+    val train = (Seq.fill(6)("ab") ++ Seq.fill(4)("abc") ++ Seq.fill(3)("bc"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val merges = BpeOps.bpeTrain(train, "text", numMerges = 3)
+    val docs = Seq((1L, "abc ab bc"), (2L, "cab"), (3L, "")).toDF("id", "text")
+    val rows = BpeOps.bpeEncode(docs, "text", merges)
+      .collect().map(r => r.getLong(0) ->
+        (r.getSeq[String](2).toList, r.getLong(3))).toMap
+    assert(rows(1L) == ((List("abc", "ab", "bc"), 3L)), s"got ${rows(1L)}")
+    // "cab": c + ab (merge 1 applies inside the word)
+    assert(rows(2L) == ((List("c", "ab"), 2L)), s"got ${rows(2L)}")
+    assert(rows(3L) == ((Nil, 0L)), s"got ${rows(3L)}")
+  }
+
+  test("BPE is SQL-callable as table macros (registry route)") {
+    val sp = spark
+    import sp.implicits._
+    graft.sql.Register.registerAll(sp)
+    (Seq.fill(6)("ab") ++ Seq.fill(4)("abc") ++ Seq.fill(3)("bc"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+      .createOrReplaceTempView("bpedocs")
+    val merges = sp.sql("SELECT merged FROM bpe_train('bpedocs', 'text', 5)")
+      .collect().map(_.getString(0)).toSeq
+    assert(merges == Seq("ab", "abc", "bc"), s"got $merges")
+    val counts = sp.sql(
+      "SELECT id, bpe_tokens_count FROM bpe_self_encode('bpedocs', 'text', 3)")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(counts.values.forall(_ == 1L), s"every train word is one token, got $counts")
+  }
+
+  test("training is partition-invariant") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = (Seq.fill(5)("hello") ++ Seq.fill(4)("help") ++ Seq.fill(2)("yelp"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val a = BpeOps.bpeTrain(corpus.repartition(1), "text", 4)
+    val b = BpeOps.bpeTrain(corpus.repartition(7), "text", 4)
+    assert(a == b)
+  }
+}
