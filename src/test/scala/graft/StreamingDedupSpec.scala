@@ -184,6 +184,37 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("batch-19/20 ops run unchanged on streams (html strip → BPE encode)") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // htmlStrip is stateless codegen and bpeEncode with a FROZEN merge list
+    // (trained offline — the standard deployment) is stateless string work,
+    // so the batch operators ARE the streaming ingest operators. (nbScore
+    // keeps a per-document aggregation, so on a stream it runs per
+    // micro-batch via foreachBatch like any other gate with a shuffle.)
+    val merges = graft.llm.BpeOps.bpeTrain(
+      Seq.fill(4)((1L, "abab")).toDF("id", "text"), "text", 2)
+    val input = MemoryStream[(Long, String)]
+    val piped = graft.llm.BpeOps.bpeEncode(
+      graft.llm.TextOps.htmlStrip(input.toDF().toDF("doc_id", "text"), "text",
+          out = "text_plain")
+        .drop("text").withColumnRenamed("text_plain", "text"),
+      "text", merges)
+    val query = piped.writeStream.format("memory").queryName("b19_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        (10L, "<p>abab abab</p><script>var x;</script>"),
+        (11L, "<div>ab cd</div>"))
+      query.processAllAvailable()
+      val rows = spark.sql("SELECT doc_id, bpe_tokens_count FROM b19_out")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // "abab abab" -> two single-token words; "ab cd" -> [ab] + [c, d]
+      assert(rows == Map(10L -> 2L, 11L -> 3L), s"got $rows")
+    } finally query.stop()
+  }
+
   test("bandDocuments produces 4 bands per doc with consistent band ids") {
     val s = spark
     import s.implicits._
