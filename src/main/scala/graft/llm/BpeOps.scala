@@ -86,10 +86,13 @@ object BpeOps {
         // single-symbol words carry no pairs (Spark's `sequence(1, 0)`
         // would run DESCENDING, not empty — filter them out first)
         .filter(size(col("_sy")) >= 2)
-        .select(col("_freq"), explode(transform(
+        // when-guard keeps the expression total even if an optimizer rule
+        // (inferred isnotnull constraints) evaluates it before the filter
+        .select(col("_freq"), explode(when(size(col("_sy")) >= 2, transform(
           sequence(lit(1), size(col("_sy")) - 1),
           i => concat(element_at(col("_sy"), i), lit(" "),
             element_at(col("_sy"), i + 1))))
+          .otherwise(array().cast(ArrayType(StringType))))
           .as("_p"))
         .groupBy(col("_p")).agg(sum(col("_freq")).as("_cnt"))
         .orderBy(col("_cnt").desc, col("_p").asc)

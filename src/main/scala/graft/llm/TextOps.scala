@@ -193,9 +193,10 @@ object TextOps {
       val toks = split(trim(col(textCol)), "[ \\t\\n\\r\\f]+")
       df.withColumn("_toks", toks)
         .filter(size(col("_toks")) >= n)
-        .select(keep :+ explode(transform(
+        .select(keep :+ explode(when(size(col("_toks")) >= n, transform(
           sequence(lit(1), size(col("_toks")) - (n - 1)),
-          i => array_join(slice(col("_toks"), i, lit(n)), " "))).as("_gram"): _*)
+          i => array_join(slice(col("_toks"), i, lit(n)), " ")))
+          .otherwise(array().cast(ArrayType(StringType)))).as("_gram"): _*)
     }
     val corpusGrams = grams(corpus, Seq(col(idCol)))
       .select(col(idCol), xxhash64(col("_gram")).as("_gh"), col("_gram"))
@@ -231,9 +232,10 @@ object TextOps {
       val toks = split(trim(col(textCol)), "[ \\t\\n\\r\\f]+")
       df.withColumn("_toks", toks)
         .filter(size(col("_toks")) >= n)
-        .select(keep :+ explode(transform(
+        .select(keep :+ explode(when(size(col("_toks")) >= n, transform(
           sequence(lit(1), size(col("_toks")) - (n - 1)),
-          i => array_join(slice(col("_toks"), i, lit(n)), " "))).as("_gram"): _*)
+          i => array_join(slice(col("_toks"), i, lit(n)), " ")))
+          .otherwise(array().cast(ArrayType(StringType)))).as("_gram"): _*)
     }
     val corpusGrams = grams(corpus, Seq(col(corpusIdCol).as("_cid")))
       .select(col("_cid"), xxhash64(col("_gram")).as("_gh"), col("_gram"))
@@ -284,9 +286,10 @@ object TextOps {
     val base = df.select(col(idCol), col(textCol)).withColumn("_toks", toks)
     val occ = base
       .filter(size(col("_toks")) >= gramLen)
-      .select(col(idCol), posexplode(transform(
+      .select(col(idCol), posexplode(when(size(col("_toks")) >= gramLen, transform(
         sequence(lit(1), size(col("_toks")) - (gramLen - 1)),
-        i => xxhash64(array_join(slice(col("_toks"), i, lit(gramLen)), " ")))))
+        i => xxhash64(array_join(slice(col("_toks"), i, lit(gramLen)), " "))))
+        .otherwise(array().cast(ArrayType(LongType)))))
       .withColumnRenamed("pos", "_p").withColumnRenamed("col", "_gh")
     val repeated = occ.groupBy(col("_gh"))
       .agg(min(struct(col(idCol), col("_p"))).as("_first"), count(lit(1)).as("_cnt"))
@@ -416,9 +419,9 @@ object TextOps {
     val vocab = counts.orderBy(col("cnt").desc, col("token").asc).limit(vocabSize)
     val ex = base.filter(size(col("_toks")) > 0)
       .select(col(idCol), explode(transform(
-        sequence(lit(1), size(col("_toks"))),
-        i => struct(element_at(col("_toks"), i).as("w"),
-          when(i > 1, element_at(col("_toks"), i - 1)).as("wp")))).as("_t"))
+        sequence(lit(1), greatest(size(col("_toks")), lit(1))),
+        i => struct(get(col("_toks"), i - 1).as("w"),
+          when(i > 1, get(col("_toks"), i - 2)).as("wp")))).as("_t"))
       .select(col(idCol), col("_t.w").as("_w"), col("_t.wp").as("_wp"))
     val bigrams = ex.filter(col("_wp").isNotNull)
       .groupBy(col("_wp").as("_b1"), col("_w").as("_b2"))
@@ -1204,9 +1207,10 @@ object TextOps {
       val toks = split(trim(col(textCol)), "[ \\t\\n\\r\\f]+")
       df.withColumn("_toks", toks)
         .filter(size(col("_toks")) >= n)
-        .select(id.as("_gid"), array_distinct(transform(
+        .select(id.as("_gid"), array_distinct(when(size(col("_toks")) >= n, transform(
           sequence(lit(1), size(col("_toks")) - (n - 1)),
-          i => array_join(slice(col("_toks"), i, lit(n)), " "))).as("_grams"))
+          i => array_join(slice(col("_toks"), i, lit(n)), " ")))
+          .otherwise(array().cast(ArrayType(StringType)))).as("_grams"))
         .withColumn("_ng", size(col("_grams")).cast(LongType))
     }
     val corpusGrams = gramSets(corpus, col(corpusIdCol))
