@@ -55,12 +55,22 @@ object MixOps {
                             seed: Long, nCoarse: Int = 4096): DataFrame = {
     require(budgets.nonEmpty, "selectPerDomainBudget needs at least one (component, budget)")
     require(budgets.values.forall(_ >= 0L), "token budgets must be non-negative")
-    require(nCoarse >= 1, s"nCoarse must be >= 1, got $nCoarse")
     val spark = df.sparkSession
     import spark.implicits._
+    selectWithBudgetDf(df, idCol, domainCol, tokenCol,
+      budgets.toSeq.sortBy(_._1).toDF(domainCol, "_budget"), seed, nCoarse)
+  }
+
+  /** Core of [[selectPerDomainBudget]] with the budgets as a (component,
+    * `_budget`) DataFrame — small by contract (one row per mixture
+    * component), broadcast at every use. Lets data-derived allocations
+    * ([[unimaxSelect]]) share the two-phase exact-prefix machinery. */
+  private[llm] def selectWithBudgetDf(df: DataFrame, idCol: String, domainCol: String,
+                                      tokenCol: String, budgetDf: DataFrame,
+                                      seed: Long, nCoarse: Int): DataFrame = {
+    require(nCoarse >= 1, s"nCoarse must be >= 1, got $nCoarse")
     val outCols = df.columns.toSeq.map(col)
     val width = P / nCoarse + 1 // coarse bucket = _b / width, order-compatible with _b
-    val budgetDf = budgets.toSeq.sortBy(_._1).toDF(domainCol, "_budget")
     val base = df
       .filter(col(tokenCol) > 0)
       .join(broadcast(budgetDf), Seq(domainCol)) // unbudgeted components drop here
@@ -124,6 +134,74 @@ object MixOps {
     * bounded by the shard-file contract, never by the corpus — choosing
     * nShards ~ corpus/shardBytes is the same discipline as sizing output
     * files. */
+  /** UniMax budget allocation (Chung et al. 2022, "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual Pretraining",
+    * ICLR 2023): distribute a total token budget across strata (languages)
+    * as uniformly as possible, capping every stratum at `maxEpochs` passes
+    * over its data, and waterfilling the freed-up budget into the larger
+    * strata.
+    *
+    * Closed form over the per-stratum totals (never a driver loop): sort
+    * strata by capacity `cap_l = ⌊maxEpochs · n_l⌋` ascending; stratum i is
+    * "capped" iff `cap_i · (L − i + 1) ≤ B − Σ_{j<i} cap_j` (for ascending
+    * caps the greedy flags are prefix-closed — the waterfilling lemma);
+    * capped strata get `cap_l`, the rest share the remainder equally
+    * (`⌊·⌋`, with the ≤ L−m−1 leftover tokens given one-each to the first
+    * strata in sort order, so `Σ budgets = min(B, Σ cap)` exactly).
+    *
+    * Scale: one groupBy(strata) over the corpus (map-side combined), then
+    * window math over the ≤ |strata| allocation rows — bounded, not
+    * corpus-sized.
+    *
+    * @return one row per stratum: (strataCol, `n_tokens`, `capacity`,
+    *         `budget`)
+    */
+  def unimaxAllocations(df: DataFrame, strataCol: String, tokenCol: String,
+                        totalBudget: Long, maxEpochs: Double): DataFrame = {
+    require(totalBudget >= 0, s"totalBudget must be non-negative, got $totalBudget")
+    require(maxEpochs > 0.0, s"maxEpochs must be > 0, got $maxEpochs")
+    val totals = df.filter(col(tokenCol) > 0)
+      .groupBy(col(strataCol))
+      .agg(sum(col(tokenCol)).cast(LongType).as("n_tokens"))
+      .withColumn("capacity", floor(col("n_tokens") * lit(maxEpochs)).cast(LongType))
+    // ≤ |strata| rows from here on: the single-partition windows are over a
+    // bounded spec-sized table, not the corpus
+    val wAll = Window.orderBy(col("capacity"), col(strataCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPrev = Window.orderBy(col("capacity"), col(strataCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy(lit(1))
+    val L = count(lit(1)).over(wTot)
+    val flagged = totals
+      .withColumn("_i", row_number().over(Window.orderBy(col("capacity"), col(strataCol))))
+      .withColumn("_pc_prev", coalesce(sum(col("capacity")).over(wPrev), lit(0L)))
+      .withColumn("_capped",
+        col("capacity") * (L - col("_i") + 1L) <= lit(totalBudget) - col("_pc_prev"))
+    val m = sum(when(col("_capped"), 1L).otherwise(0L)).over(wTot)
+    val pcM = sum(when(col("_capped"), col("capacity")).otherwise(0L)).over(wTot)
+    val nUncapped = L - m
+    val rem = lit(totalBudget) - pcM
+    val share = when(nUncapped > 0L, floor(rem / nUncapped).cast(LongType)).otherwise(lit(0L))
+    val leftover = when(nUncapped > 0L, rem - share * nUncapped).otherwise(lit(0L))
+    flagged
+      .withColumn("budget",
+        when(col("_capped"), col("capacity"))
+          .otherwise(share + when(col("_i") - m <= leftover, 1L).otherwise(0L)))
+      .select(col(strataCol), col("n_tokens"), col("capacity"), col("budget"))
+  }
+
+  /** UniMax selection: compute [[unimaxAllocations]] and select each
+    * stratum's documents to its allocated budget with the same
+    * deterministic hash-priority, two-phase exact-prefix rule as
+    * [[selectPerDomainBudget]]. Returns the surviving rows unchanged. */
+  def unimaxSelect(df: DataFrame, idCol: String, strataCol: String, tokenCol: String,
+                   totalBudget: Long, maxEpochs: Double, seed: Long,
+                   nCoarse: Int = 4096): DataFrame = {
+    val budgets = unimaxAllocations(df, strataCol, tokenCol, totalBudget, maxEpochs)
+      .select(col(strataCol), col("budget").as("_budget"))
+    selectWithBudgetDf(df, idCol, strataCol, tokenCol, budgets, seed, nCoarse)
+  }
+
   def deterministicShard(df: DataFrame, idCol: String, nShards: Int,
                          seed: Long): DataFrame = {
     require(nShards >= 1, s"nShards must be >= 1, got $nShards")

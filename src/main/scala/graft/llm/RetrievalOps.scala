@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Sparse lexical retrieval over the corpus: BM25 top-k (Robertson &
+  * Zaragoza 2009, "The Probabilistic Relevance Framework: BM25 and
+  * Beyond"), with Lucene's non-negative idf variant
+  * `ln(1 + (N − df + 0.5)/(df + 0.5))`.
+  *
+  * Pipeline uses: retrieval-based decontamination (find the corpus
+  * documents closest to each benchmark item), eval-set leakage triage, and
+  * nearest-neighbor corpus audits without an embedding model.
+  *
+  * Scale design (100 TB corpus, bounded query set): the query side is the
+  * SMALL side by construction (a benchmark / probe set) and is broadcast
+  * everywhere. The corpus-sized stages are (a) one scan that explodes
+  * tokens and immediately drops every non-query term via a broadcast
+  * semi-join — the surviving (doc, term) stream is proportional to query
+  * vocabulary hits, not corpus vocabulary — and (b) a groupBy (doc, term)
+  * with map-side combine. Per-query top-k is the bounded native
+  * [[graft.functions.TopKByScore]] aggregate (primitive-array heap state,
+  * no per-query sort). No corpus-sized window, no global sort.
+  */
+object RetrievalOps {
+
+  private def toks(textCol: Column): Column =
+    filter(split(lower(trim(textCol)), "[ \\t\\n\\r\\f]+"), t => length(t) > 0)
+
+  private def topKAgg(vid: Column, sim: Column, k: Int): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.TopKByScore(
+        org.apache.spark.sql.GraftExpressionBridge.expression(vid),
+        org.apache.spark.sql.GraftExpressionBridge.expression(sim),
+        k).toAggregateExpression())
+
+  /** BM25 top-k corpus documents per query.
+    *
+    * Ranking ties and cross-engine float drift: the per-(query, doc) score
+    * is rounded to 6 decimals BEFORE ranking, and rank breaks ties by
+    * doc id ascending — so the selected set and rank values replay exactly
+    * in an oracle whose `ln` differs in the last ulp.
+    *
+    * @return (qidCol, rank 1..k, docIdCol, score) — rank by
+    *         (score desc, doc id asc)
+    */
+  def bm25TopK(corpus: DataFrame, docIdCol: String, textCol: String,
+               queries: DataFrame, qidCol: String, qtextCol: String,
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 >= 0.0, s"k1 must be >= 0, got $k1")
+    require(b >= 0.0 && b <= 1.0, s"b must be in [0,1], got $b")
+    val docIdType = corpus.schema(docIdCol).dataType
+
+    // (doc, dl, term) — dl is the FULL document length (all tokens), fixed
+    // before the query-term filter
+    val corpTok = corpus.select(col(docIdCol).as("_doc"),
+        size(toks(col(textCol))).as("_dl"), explode(toks(col(textCol))).as("_term"))
+    // distinct query terms (small, broadcast): the early corpus-side filter
+    val qterms = queries.select(col(qidCol).as("_qid"),
+        explode(toks(col(qtextCol))).as("_term"))
+      .distinct()
+    val qvocab = qterms.select(col("_term")).distinct()
+
+    // corpus stats: one-row aggregate (N docs, avg doc length)
+    val stats = corpus.agg(
+      count(lit(1)).as("_n"),
+      coalesce(avg(size(toks(col(textCol)))), lit(0.0)).as("_avgdl"))
+
+    // (doc, term, tf, dl) over query-vocabulary hits only
+    val tf = corpTok.join(broadcast(qvocab), Seq("_term"))
+      .groupBy(col("_doc"), col("_term"))
+      .agg(count(lit(1)).as("_tf"), min(col("_dl")).as("_dl"))
+    // document frequency per query term (≤ |query vocab| rows)
+    val dfreq = tf.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
+
+    val scored = tf
+      .join(broadcast(dfreq), Seq("_term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        log(lit(1.0) + (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5))))
+      .withColumn("_w",
+        col("_idf") * (col("_tf") * lit(k1 + 1.0)) /
+          (col("_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl"))))
+    val perQuery = scored.join(broadcast(qterms), Seq("_term"))
+      .groupBy(col("_qid"), col("_doc"))
+      .agg(round(sum(col("_w")), 6).as("_score"))
+
+    perQuery
+      .select(col("_qid"), col("_doc").cast(LongType).as("_docL"), col("_score"))
+      .groupBy(col("_qid"))
+      .agg(topKAgg(col("_docL"), col("_score"), k).as("_top"))
+      .select(col("_qid"), posexplode(col("_top")))
+      .select(col("_qid").as(qidCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.vid").cast(docIdType).as(docIdCol), col("col.sim").as("score"))
+  }
+}

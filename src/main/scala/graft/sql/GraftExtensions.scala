@@ -198,6 +198,9 @@ object TableMacros {
     // markup extraction
     "nb_quality_filter", "decontaminate_jaccard", "html_strip",
     "bpe_train", "bpe_self_encode",
+    // round 6 batch 21: target-aware selection + lexical retrieval
+    "dsir_weights", "dsir_select", "bm25_topk",
+    "unimax_allocations", "unimax_select",
     // round 6: the remaining reference macro names (ts_macros.cpp:2131-2166)
     "ts_stats", "ts_stats_summary", "ts_quality_report",
     "ts_data_quality", "ts_data_quality_summary",
@@ -851,6 +854,37 @@ object TableMacros {
           graft.llm.BpeOps.bpeTrain(source(src), ident(text, "text_col"),
             int(nMerges, "num_merges"),
             rest.headOption.map(int(_, "min_pair_freq")).getOrElse(2).toLong))
+      case ("dsir_weights", Seq(src, tgt, id, text, rest @ _*)) =>
+        if (rest.length > 3) fail("too many arguments")
+        graft.llm.DsirOps.dsirWeights(source(src), source(tgt),
+          ident(id, "id_col"), ident(text, "text_col"),
+          numBuckets = rest.headOption.map(int(_, "num_buckets")).getOrElse(65536),
+          seed = rest.lift(1).map(int(_, "seed")).getOrElse(0).toLong,
+          alpha = rest.lift(2).map(dbl(_, "alpha")).getOrElse(0.5))
+      case ("dsir_select", Seq(src, tgt, id, text, k, rest @ _*)) =>
+        if (rest.length > 4) fail("too many arguments")
+        graft.llm.DsirOps.dsirSelect(source(src), source(tgt),
+          ident(id, "id_col"), ident(text, "text_col"), int(k, "k"),
+          numBuckets = rest.headOption.map(int(_, "num_buckets")).getOrElse(65536),
+          seed = rest.lift(1).map(int(_, "seed")).getOrElse(0).toLong,
+          alpha = rest.lift(2).map(dbl(_, "alpha")).getOrElse(0.5),
+          noiseSeed = rest.lift(3).map(int(_, "noise_seed")).getOrElse(1).toLong)
+      case ("bm25_topk", Seq(src, qsrc, id, text, qid, qtext, k, rest @ _*)) =>
+        if (rest.length > 2) fail("too many arguments")
+        graft.llm.RetrievalOps.bm25TopK(source(src), ident(id, "doc_id_col"),
+          ident(text, "text_col"), source(qsrc), ident(qid, "qid_col"),
+          ident(qtext, "query_text_col"), int(k, "k"),
+          k1 = rest.headOption.map(dbl(_, "k1")).getOrElse(1.2),
+          b = rest.lift(1).map(dbl(_, "b")).getOrElse(0.75))
+      case ("unimax_allocations", Seq(src, strata, toks, budget, epochs)) =>
+        graft.llm.MixOps.unimaxAllocations(source(src), ident(strata, "strata_col"),
+          ident(toks, "token_col"), dbl(budget, "total_budget").toLong,
+          dbl(epochs, "max_epochs"))
+      case ("unimax_select", Seq(src, id, strata, toks, budget, epochs, seed)) =>
+        graft.llm.MixOps.unimaxSelect(source(src), ident(id, "id_col"),
+          ident(strata, "strata_col"), ident(toks, "token_col"),
+          dbl(budget, "total_budget").toLong, dbl(epochs, "max_epochs"),
+          dbl(seed, "seed").toLong)
       case ("bpe_self_encode", Seq(src, text, nMerges, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
         graft.llm.BpeOps.bpeSelfEncode(source(src), ident(text, "text_col"),

@@ -1,0 +1,204 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{DsirOps, MixOps, RetrievalOps}
+
+/** Batch-21 curation ops: DSIR importance resampling (Xie et al. 2023),
+  * BM25 top-k retrieval (Robertson & Zaragoza 2009), and UniMax budget
+  * allocation (Chung et al. 2022). */
+class DsirRetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-dsir-retrieval")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  // ---------------------------------------------------------------- DSIR
+
+  private def rawCorpus = {
+    val sp = spark
+    import sp.implicits._
+    val techy = (1 to 15).map(_ => "spark shuffle partition join broadcast").mkString(" ")
+    val spammy = (1 to 15).map(i => s"cheap pills offer click free v$i").mkString(" ")
+    Seq(
+      (1L, techy),
+      (2L, spammy),
+      (3L, "spark shuffle partition join broadcast scan"),
+      (4L, "")
+    ).toDF("id", "text")
+  }
+
+  private def target = {
+    val sp = spark
+    import sp.implicits._
+    // repeats mirror the raw doc's structure so its repeat-boundary bigram
+    // ("broadcast spark") is IN-distribution for the target — DSIR scores
+    // n-gram distributions, and a bigram absent from the target but
+    // frequent in a raw doc is (correctly) heavily penalized
+    val rep = (1 to 8).map(_ => "spark shuffle partition join broadcast").mkString(" ")
+    Seq(
+      (100L, rep),
+      (101L, rep + " exchange stage")
+    ).toDF("tid", "text")
+  }
+
+  test("dsirWeights ranks target-like docs above off-target docs; empty doc scores 0") {
+    // small exemplar set => small alpha, or the smoothing mass alpha*B
+    // swamps the 22-feature target model (the published method's own
+    // guidance: smoothing must stay below the target sample's mass)
+    val w = DsirOps.dsirWeights(rawCorpus, target, "id", "text",
+        numBuckets = 256, seed = 3, alpha = 0.05)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(w.keySet == Set(1L, 2L, 3L, 4L))
+    // n_feats = unigrams + bigrams = 2n - 1 for an n-token doc
+    assert(w(3L)._1 == 2 * 6 - 1)
+    assert(w(4L) == ((0L, 0.0)))
+    assert(w(1L)._2 > w(2L)._2, s"target-like ${w(1L)} must outrank spam ${w(2L)}")
+    assert(w(3L)._2 > w(2L)._2, "target-vocabulary doc must outrank the spam doc")
+  }
+
+  test("dsirWeights is partition-invariant") {
+    def run(parts: Int) = DsirOps.dsirWeights(
+        rawCorpus.repartition(parts), target.repartition(parts), "id", "text",
+        numBuckets = 1024, seed = 7, alpha = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), math.round(r.getDouble(2) * 1e6)))
+      .toSet
+    assert(run(1) == run(5))
+  }
+
+  test("dsirSelect keeps k rows, prefers target-like docs, handles k > n") {
+    val sel = DsirOps.dsirSelect(rawCorpus, target, "id", "text", k = 2,
+      numBuckets = 256, seed = 3, alpha = 0.05, noiseSeed = 11)
+    val ids = sel.collect().map(_.getLong(0)).toSet
+    assert(ids.size == 2)
+    // the long target-like doc has a large weight margin over the Gumbel
+    // noise scale (O(1)); it must survive the resampling
+    assert(ids.contains(1L))
+    assert(!ids.contains(2L), "the long spam doc's weight margin is far below")
+    val all = DsirOps.dsirSelect(rawCorpus, target, "id", "text", k = 99,
+      numBuckets = 256, seed = 3, alpha = 0.05, noiseSeed = 11)
+    assert(all.count() == 4)
+  }
+
+  // ---------------------------------------------------------------- BM25
+
+  private def bmCorpus = {
+    val sp = spark
+    import sp.implicits._
+    Seq(
+      (1L, "x x y"),
+      (2L, "x z"),
+      (3L, "z z z w")
+    ).toDF("doc_id", "text")
+  }
+
+  test("bm25TopK matches the hand-computed score formula") {
+    val sp = spark
+    import sp.implicits._
+    val queries = Seq((10L, "x")).toDF("qid", "text")
+    val rows = RetrievalOps.bm25TopK(bmCorpus, "doc_id", "text", queries,
+        "qid", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // N=3, avgdl=3, df(x)=2 -> idf = ln(1 + 1.5/2.5)
+    val idf = math.log(1.6)
+    val s1 = BigDecimal(idf * 2 * 2.2 / (2 + 1.2 * (0.25 + 0.75 * 3.0 / 3))) // d1: tf=2, dl=3
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val s2 = BigDecimal(idf * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 2.0 / 3)))     // d2: tf=1, dl=2
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.toSeq == Seq((10L, 1, 1L, s1), (10L, 2, 2L, s2)), rows.toSeq.toString)
+  }
+
+  test("bm25TopK: multi-term scores add, k bounds output, ties break by doc id") {
+    val sp = spark
+    import sp.implicits._
+    val queries = Seq((10L, "x"), (11L, "z"), (12L, "x z")).toDF("qid", "text")
+    val byQ = RetrievalOps.bm25TopK(bmCorpus, "doc_id", "text", queries,
+        "qid", "text", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    // additivity (scores are rounded AFTER summing, tolerate the 1e-6 grid)
+    assert(math.abs(byQ((12L, 2L)) - (byQ((10L, 2L)) + byQ((11L, 2L)))) < 2e-6)
+    // k=1 keeps only the best
+    val top1 = RetrievalOps.bm25TopK(bmCorpus, "doc_id", "text",
+        Seq((10L, "x")).toDF("qid", "text"), "qid", "text", k = 1)
+      .collect()
+    assert(top1.length == 1 && top1.head.getLong(2) == 1L)
+    // exact duplicates tie and order by doc id
+    val dup = Seq((1L, "x y"), (2L, "x y"), (3L, "w")).toDF("doc_id", "text")
+    val tied = RetrievalOps.bm25TopK(dup, "doc_id", "text",
+        Seq((10L, "x")).toDF("qid", "text"), "qid", "text", k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(tied.toSeq == Seq((1, 1L), (2, 2L)))
+  }
+
+  test("bm25TopK: length normalization favors the shorter doc at equal tf") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = Seq((1L, "x a b c d e"), (2L, "x a")).toDF("doc_id", "text")
+    val rows = RetrievalOps.bm25TopK(corpus, "doc_id", "text",
+        Seq((10L, "x")).toDF("qid", "text"), "qid", "text", k = 2)
+      .collect().map(r => (r.getInt(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1, 2L), (2, 1L)))
+  }
+
+  // -------------------------------------------------------------- UniMax
+
+  test("unimaxAllocations waterfills: caps small strata, shares the rest") {
+    val sp = spark
+    import sp.implicits._
+    // strata token totals: a=100, b=300, c=1000; maxEpochs=2 -> caps 200/600/2000
+    val docs = ((1 to 10).map(i => (i.toLong, "a", 10L)) ++
+      (11 to 40).map(i => (i.toLong, "b", 10L)) ++
+      (41 to 140).map(i => (i.toLong, "c", 10L))).toDF("id", "lang", "toks")
+    def alloc(b: Long) = MixOps.unimaxAllocations(docs, "lang", "toks", b, 2.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // B=1000: a capped at 200; b,c share (1000-200)/2 = 400 each
+    assert(alloc(1000L) == Map(
+      "a" -> ((100L, 200L, 200L)), "b" -> ((300L, 600L, 400L)),
+      "c" -> ((1000L, 2000L, 400L))))
+    // B >= total capacity: everyone capped
+    assert(alloc(5000L).view.mapValues(_._3).toMap ==
+      Map("a" -> 200L, "b" -> 600L, "c" -> 2000L))
+    // leftover token goes to the first uncapped stratum in sort order
+    val a1001 = alloc(1001L)
+    assert(a1001("b")._3 == 401L && a1001("c")._3 == 400L)
+    assert(a1001.values.map(_._3).sum == 1001L)
+  }
+
+  test("unimaxSelect keeps each stratum within its budget, maximally, deterministically") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (0L until 300L).map(i => (i, s"l${i % 3}", 5L + i % 7)).toDF("id", "lang", "toks")
+    val out = MixOps.unimaxSelect(docs, "id", "lang", "toks",
+      totalBudget = 800L, maxEpochs = 1.0, seed = 3)
+    val kept = out.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val budgets = MixOps.unimaxAllocations(docs, "lang", "toks", 800L, 1.0)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val bucketOf = docs.withColumn("_b", graft.llm.SampleOps.hashBucket(col("id"), 3))
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    for (l <- Seq("l0", "l1", "l2")) {
+      val all = (0L until 300L).filter(i => s"l${i % 3}" == l).sortBy(i => (bucketOf(i), i))
+      val cums = all.map(i => 5L + i % 7).scanLeft(0L)(_ + _).tail
+      val expect = all.zip(cums).takeWhile(_._2 <= budgets(l)).map(_._1).toSet
+      assert(kept.filter(_._2 == l).map(_._1).toSet == expect, s"stratum $l")
+    }
+    // partition invariance
+    val out2 = MixOps.unimaxSelect(docs.repartition(7), "id", "lang", "toks",
+      totalBudget = 800L, maxEpochs = 1.0, seed = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(out2 == kept.map(_._1).toSet)
+  }
+}
