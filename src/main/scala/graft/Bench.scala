@@ -200,6 +200,7 @@ object Bench {
     // steady-state cost).
     val docs = t(spark, sfDir, "documents")
     val nDocs1 = docs.count()
+    val nQueries10 = 20L
     val docs10 = (0 until 10).map(i => docs
         .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
         .withColumn("text", concat(col("text"), lit(s" r$i"))))
@@ -284,6 +285,24 @@ object Bench {
         docs10.filter(col("doc_id") < 100000000L), againstIdx,
         "doc_id", "text", threshold = 0.9)))
     againstIdx.release()
+    // batch-21 at 10× corpus: DSIR trains both hashed-bigram models AND
+    // scores every doc in one call (two bounded bucket aggregations + one
+    // broadcast-join + per-doc sum); BM25 retrieves 20 probe queries
+    // against the full corpus (query-vocabulary filter first, bounded
+    // top-k aggregate); UniMax allocates per-language budgets and runs the
+    // two-phase exact-prefix selection
+    val dsir10 = median3(onceDf(
+      llm.DsirOps.dsirWeights(docs10,
+        docs10.filter(col("doc_id") % 100 === 0), "doc_id", "text",
+        numBuckets = 65536, seed = 3)))
+    val bm2510 = median3(onceDf(
+      llm.RetrievalOps.bm25TopK(docs10, "doc_id", "text",
+        docs.filter(col("doc_id") < nQueries10)
+          .select(col("doc_id").as("qid"), col("text")),
+        "qid", "text", k = 10)))
+    val unimax10 = median3(onceDf(
+      llm.MixOps.unimaxSelect(docs10, "doc_id", "lang", "n_chars",
+        totalBudget = 2000000L, maxEpochs = 0.5, seed = 9)))
     docs10.unpersist()
     // span dedup at 10× corpus: replicas are made gram-DISTINCT (translate
     // mutates most tokens) so the measurement is the steady-state rolling-
@@ -343,6 +362,9 @@ object Bench {
       f""""html_strip_docs":{"sec":$htmlStrip10%.3f,"ms_per_doc":${htmlStrip10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
       f""""jaccard_decon_docs":{"sec":$jacDecon10%.3f,"ms_per_doc":${jacDecon10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
       f""""dedup_against_docs":{"sec":$dedupAgainst10%.3f,"ms_per_incoming_doc":${dedupAgainst10 * 1000.0 / nDocs1}%.4f}""",
+      f""""dsir_weights_docs":{"sec":$dsir10%.3f,"ms_per_doc":${dsir10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
+      f""""bm25_topk":{"sec":$bm2510%.3f,"ms_per_query":${bm2510 * 1000.0 / nQueries10}%.3f}""",
+      f""""unimax_select_docs":{"sec":$unimax10%.3f,"ms_per_doc":${unimax10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
       f""""ann_ivf_probe":{"sec":$probe10%.3f,"ms_per_query":${probe10 * 1000.0 / nQueries}%.3f}""",
       f""""semdedup_vecs":{"sec":$semdedup10%.3f,"ms_per_vec":${semdedup10 * 1000.0 / (nEmb1 * 10)}%.4f}""",
       f""""knn_graph_vecs":{"sec":$knn10%.3f,"ms_per_node":${knn10 * 1000.0 / (nEmb1 * 10)}%.4f}"""

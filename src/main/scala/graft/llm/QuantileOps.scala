@@ -1,0 +1,99 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+
+/** Exact score-quantile selection at corpus scale: "keep the top X% of
+  * documents by quality score" — the thresholding step behind every
+  * classifier-based quality gate (CCNet perplexity terciles, fasttext
+  * quality top-k, DSIR weight cuts).
+  *
+  * The naive plan is a global sort (or a corpus-wide window rank) — the
+  * one-partition straggler at 100 TB. Instead the exact cutoff is found
+  * with the same two-phase discipline as [[MixOps.selectPerDomainBudget]],
+  * generalized from token prefix-sums to arbitrary DOUBLE scores via
+  * [[graft.functions.SortableDoubleBits]]:
+  *
+  *  1. a 65,536-bucket histogram over the TOP 16 BITS of the
+  *     order-preserving sortable-bits transform — bucket boundaries follow
+  *     score order, so a running count over the (bounded) histogram
+  *     locates the single bucket containing the k-th row;
+  *  2. rows in wholly-kept buckets pass a broadcast-joined codegen filter;
+  *     only the boundary bucket's rows (expected corpus/65,536) are ranked
+  *     exactly, by (score, id).
+  *
+  * Determinism: ties at the cutoff break by id ascending, so the selected
+  * set is unique and replayable (the oracle is a plain window rank).
+  * Degenerate case: a huge mass of IDENTICAL scores lands in one boundary
+  * bucket and its refinement ranks that mass in one partition — the same
+  * caveat as any order statistic over a constant column; real quality
+  * scores (perplexities, log-weights) don't mass on one double value.
+  * Null and NaN scores are dropped (a NaN quality signal is a broken
+  * signal, not a rankable one).
+  */
+object QuantileOps {
+
+  private def sortableBits(c: Column): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.SortableDoubleBits(
+        org.apache.spark.sql.GraftExpressionBridge.expression(c)))
+
+  /** Keep the exact `k` best rows by `scoreCol` (ties → smaller id wins).
+    * `k` is a Column so callers can derive it in-plan (see
+    * [[filterTopFraction]]); it must be a single value per row
+    * (a cross-joined broadcast scalar or a literal). */
+  private def selectTopKByKey(df: DataFrame, idCol: String, scoreCol: String,
+                              kCol: Column, highest: Boolean): DataFrame = {
+    val outCols = df.columns.toSeq.map(col)
+    val score = col(scoreCol).cast("double")
+    val bits = sortableBits(score)
+    // ~bits reverses the total order with no overflow, so the selection is
+    // always "smallest k by (_key, id)"
+    val keyed = df
+      .filter(score.isNotNull && !isnan(score))
+      .withColumn("_key", if (highest) bitwise_not(bits) else bits)
+      .withColumn("_k", kCol)
+    // order-preserving coarse bucket: top 16 bits (signed shift keeps order)
+    val bucketed = keyed.withColumn("_coarse", shiftright(col("_key"), 48))
+    val hist = bucketed.groupBy(col("_coarse")).agg(count(lit(1)).as("_cnt"))
+    val wHist = Window.orderBy(col("_coarse"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("_before", coalesce(sum(col("_cnt")).over(wHist), lit(0L)))
+    val tagged = bucketed.join(broadcast(cum), Seq("_coarse"))
+    val fullKeep = tagged.filter(col("_before") + col("_cnt") <= col("_k"))
+    val boundary = tagged.filter(
+      col("_before") < col("_k") && col("_before") + col("_cnt") > col("_k"))
+    // exact rank only inside the single boundary bucket
+    val wRow = Window.orderBy(col("_key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryKeep = boundary
+      .withColumn("_r", col("_before") + count(lit(1)).over(wRow))
+      .filter(col("_r") <= col("_k"))
+    fullKeep.select(outCols: _*).unionByName(boundaryKeep.select(outCols: _*))
+  }
+
+  /** Keep the exact `k` highest- (or lowest-) scoring rows. */
+  def selectTopK(df: DataFrame, idCol: String, scoreCol: String, k: Long,
+                 highest: Boolean = true): DataFrame = {
+    require(k >= 0, s"k must be non-negative, got $k")
+    selectTopKByKey(df, idCol, scoreCol, lit(k), highest)
+  }
+
+  /** Keep the exact top `frac` fraction of rows by score:
+    * `k = ⌊frac · N⌋` where N counts the rankable rows (non-null,
+    * non-NaN scores). N is derived IN-PLAN (a broadcast one-row aggregate),
+    * so no driver-side count action runs. */
+  def filterTopFraction(df: DataFrame, idCol: String, scoreCol: String,
+                        frac: Double, highest: Boolean = true): DataFrame = {
+    require(frac >= 0.0 && frac <= 1.0, s"frac must be in [0,1], got $frac")
+    val score = col(scoreCol).cast("double")
+    val n = df.filter(score.isNotNull && !isnan(score))
+      .agg(count(lit(1)).as("_n"))
+    val withK = df.crossJoin(broadcast(n))
+    selectTopKByKey(withK, idCol, scoreCol,
+      floor(col("_n") * lit(frac)).cast(LongType), highest)
+      .drop("_n")
+  }
+}

@@ -201,6 +201,8 @@ object TableMacros {
     // round 6 batch 21: target-aware selection + lexical retrieval
     "dsir_weights", "dsir_select", "bm25_topk",
     "unimax_allocations", "unimax_select",
+    // round 6 batch 22: exact score-quantile gates
+    "filter_top_fraction", "select_top_k",
     // round 6: the remaining reference macro names (ts_macros.cpp:2131-2166)
     "ts_stats", "ts_stats_summary", "ts_quality_report",
     "ts_data_quality", "ts_data_quality_summary",
@@ -876,6 +878,16 @@ object TableMacros {
           ident(qtext, "query_text_col"), int(k, "k"),
           k1 = rest.headOption.map(dbl(_, "k1")).getOrElse(1.2),
           b = rest.lift(1).map(dbl(_, "b")).getOrElse(0.75))
+      case ("filter_top_fraction", Seq(src, id, score, frac, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.QuantileOps.filterTopFraction(source(src), ident(id, "id_col"),
+          ident(score, "score_col"), dbl(frac, "frac"),
+          highest = rest.headOption.forall(e => str(e, "mode") == "highest"))
+      case ("select_top_k", Seq(src, id, score, k, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.QuantileOps.selectTopK(source(src), ident(id, "id_col"),
+          ident(score, "score_col"), dbl(k, "k").toLong,
+          highest = rest.headOption.forall(e => str(e, "mode") == "highest"))
       case ("unimax_allocations", Seq(src, strata, toks, budget, epochs)) =>
         graft.llm.MixOps.unimaxAllocations(source(src), ident(strata, "strata_col"),
           ident(toks, "token_col"), dbl(budget, "total_budget").toLong,

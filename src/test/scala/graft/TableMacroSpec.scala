@@ -598,6 +598,58 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon.select("url_canonical").head.getString(0) == "https://example.com/a?id=1")
   }
 
+  test("batch-21 TVFs: dsir / bm25 / unimax SQL == Scala API") {
+    val sp = spark
+    import sp.implicits._
+    Seq((1L, "spark shuffle join", "en", 3L), (2L, "cheap pills offer", "de", 3L),
+      (3L, "spark join scan", "en", 3L), (4L, "", "fr", 0L))
+      .toDF("id", "text", "lang", "toks").createOrReplaceTempView("_tm_raw")
+    Seq((100L, "spark shuffle join scan")).toDF("tid", "text")
+      .createOrReplaceTempView("_tm_tgt")
+
+    val w = spark.sql(
+      "SELECT * FROM dsir_weights('_tm_raw', '_tm_tgt', id, text, 256, 3, 0.05)")
+    assert(sortedRows(w) == sortedRows(graft.llm.DsirOps.dsirWeights(
+      spark.table("_tm_raw"), spark.table("_tm_tgt"), "id", "text",
+      numBuckets = 256, seed = 3L, alpha = 0.05)))
+    val sel = spark.sql(
+      "SELECT * FROM dsir_select('_tm_raw', '_tm_tgt', id, text, 2, 256, 3, 0.05, 11)")
+    assert(sortedRows(sel) == sortedRows(graft.llm.DsirOps.dsirSelect(
+      spark.table("_tm_raw"), spark.table("_tm_tgt"), "id", "text", k = 2,
+      numBuckets = 256, seed = 3L, alpha = 0.05, noiseSeed = 11L)))
+
+    Seq((10L, "spark join")).toDF("qid", "qtext").createOrReplaceTempView("_tm_q")
+    val bm = spark.sql(
+      "SELECT * FROM bm25_topk('_tm_raw', '_tm_q', id, text, qid, qtext, 3)")
+    assert(sortedRows(bm) == sortedRows(graft.llm.RetrievalOps.bm25TopK(
+      spark.table("_tm_raw"), "id", "text", spark.table("_tm_q"),
+      "qid", "qtext", k = 3)))
+
+    val alloc = spark.sql(
+      "SELECT * FROM unimax_allocations('_tm_raw', lang, toks, 4, 1.0)")
+    assert(sortedRows(alloc) == sortedRows(graft.llm.MixOps.unimaxAllocations(
+      spark.table("_tm_raw"), "lang", "toks", totalBudget = 4L, maxEpochs = 1.0)))
+    val us = spark.sql(
+      "SELECT * FROM unimax_select('_tm_raw', id, lang, toks, 4, 1.0, 9)")
+    assert(sortedRows(us) == sortedRows(graft.llm.MixOps.unimaxSelect(
+      spark.table("_tm_raw"), "id", "lang", "toks", totalBudget = 4L,
+      maxEpochs = 1.0, seed = 9L)))
+  }
+
+  test("batch-22 TVFs: filter_top_fraction / select_top_k SQL == Scala API") {
+    val sp = spark
+    import sp.implicits._
+    (0L until 50L).map(i => (i, math.cos(i.toDouble)))
+      .toDF("id", "score").createOrReplaceTempView("_tm_scored")
+    val tf = spark.sql("SELECT * FROM filter_top_fraction('_tm_scored', id, score, 0.2)")
+    assert(sortedRows(tf) == sortedRows(graft.llm.QuantileOps.filterTopFraction(
+      spark.table("_tm_scored"), "id", "score", 0.2)))
+    val lo = spark.sql("SELECT * FROM select_top_k('_tm_scored', id, score, 5, 'lowest')")
+    assert(sortedRows(lo) == sortedRows(graft.llm.QuantileOps.selectTopK(
+      spark.table("_tm_scored"), "id", "score", 5, highest = false)))
+    assert(lo.count() == 5)
+  }
+
   test("bad arguments produce a clear error, not a planner crash") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, 'Naive')").collect()
