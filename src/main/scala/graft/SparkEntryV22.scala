@@ -42,6 +42,19 @@ object SparkEntryV22 {
       QuantileOps.selectTopK(t(s, dir, "documents"), "doc_id", "n_chars", TopK,
           highest = false)
         .select(col("doc_id"), col("n_chars"))),
+    // exact global rank without a single-partition window (bounded
+    // per-bucket sorts + broadcast offsets)
+    "exact_rank_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("score",
+        SampleOps.hashBucket(col("doc_id"), ScoreSeed).cast("double") / lit(P.toDouble)
+          - lit(0.5))
+      QuantileOps.withExactRank(docs, "doc_id", "score")
+        .select(col("doc_id"), col("rank"))
+    }),
+    // CCNet-style tercile split over a tied integer signal
+    "quantile_buckets_chars" -> ((s, dir) =>
+      QuantileOps.quantileBuckets(t(s, dir, "documents"), "doc_id", "n_chars", 3)
+        .select(col("doc_id"), col("n_chars"), col("bucket"))),
   )
 
   def oracleSql: Map[String, String] = {
@@ -67,6 +80,20 @@ object SparkEntryV22 {
            |    row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE) ASC, doc_id) AS r
            |  FROM documents)
            |WHERE r <= $TopK""".stripMargin,
+      "exact_rank_score" ->
+        s"""WITH $ctes,
+           |sc AS (SELECT doc_id,
+           |    CAST($bucket AS DOUBLE) / $P - 0.5 AS score FROM _h3)
+           |SELECT doc_id, CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT)
+           |  AS rank
+           |FROM sc""".stripMargin,
+      "quantile_buckets_chars" ->
+        s"""WITH rk AS (SELECT doc_id, n_chars,
+           |    row_number() OVER (ORDER BY CAST(n_chars AS DOUBLE), doc_id) AS r,
+           |    count(*) OVER () AS n FROM documents)
+           |SELECT doc_id, n_chars,
+           |  CAST(floor((r - 1) * 3 / n) AS BIGINT) AS bucket
+           |FROM rk""".stripMargin,
     )
   }
 }

@@ -81,6 +81,51 @@ object QuantileOps {
     selectTopKByKey(df, idCol, scoreCol, lit(k), highest)
   }
 
+  /** Attach the exact global 1-based rank by (`scoreCol`, id) — WITHOUT a
+    * single-partition window: the coarse histogram's running count gives
+    * every bucket its global offset (broadcast), and the within-bucket
+    * row_number runs in a window PARTITIONED by the coarse bucket, so every
+    * sort partition is bounded by bucket occupancy (expected corpus/65,536)
+    * instead of the corpus. Rows with null/NaN scores are dropped (rank is
+    * undefined for them). `ascending=false` ranks best-first for
+    * "higher is better" scores. */
+  def withExactRank(df: DataFrame, idCol: String, scoreCol: String,
+                    ascending: Boolean = true, out: String = "rank"): DataFrame = {
+    val score = col(scoreCol).cast("double")
+    val bits = sortableBits(score)
+    val keyed = df
+      .filter(score.isNotNull && !isnan(score))
+      .withColumn("_key", if (ascending) bits else bitwise_not(bits))
+      .withColumn("_coarse", shiftright(col("_key"), 48))
+    val hist = keyed.groupBy(col("_coarse")).agg(count(lit(1)).as("_cnt"))
+    val wHist = Window.orderBy(col("_coarse"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cum = hist.withColumn("_before", coalesce(sum(col("_cnt")).over(wHist), lit(0L)))
+      .drop("_cnt")
+    val wIn = Window.partitionBy(col("_coarse")).orderBy(col("_key"), col(idCol))
+    keyed.join(broadcast(cum), Seq("_coarse"))
+      .withColumn(out, col("_before") + row_number().over(wIn).cast(LongType))
+      .drop("_coarse", "_key", "_before")
+  }
+
+  /** Exact quantile-bucket assignment: bucket `b ∈ [0, nBuckets)` with
+    * `b = ⌊(rank − 1) · nBuckets / N⌋` over the ascending (score, id) rank —
+    * the balanced-bucket rule (ntile), computed with [[withExactRank]]'s
+    * bounded-partition machinery instead of a corpus-wide window. The
+    * CCNet head/middle/tail perplexity split is `nBuckets = 3`. */
+  def quantileBuckets(df: DataFrame, idCol: String, scoreCol: String,
+                      nBuckets: Int, out: String = "bucket"): DataFrame = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val score = col(scoreCol).cast("double")
+    val n = df.filter(score.isNotNull && !isnan(score))
+      .agg(count(lit(1)).as("_n"))
+    withExactRank(df.crossJoin(broadcast(n)), idCol, scoreCol, ascending = true,
+        out = "_rank")
+      .withColumn(out,
+        floor((col("_rank") - 1L) * lit(nBuckets.toLong) / col("_n")).cast(LongType))
+      .drop("_rank", "_n")
+  }
+
   /** Keep the exact top `frac` fraction of rows by score:
     * `k = ⌊frac · N⌋` where N counts the rankable rows (non-null,
     * non-NaN scores). N is derived IN-PLAN (a broadcast one-row aggregate),

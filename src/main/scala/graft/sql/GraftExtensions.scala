@@ -201,8 +201,8 @@ object TableMacros {
     // round 6 batch 21: target-aware selection + lexical retrieval
     "dsir_weights", "dsir_select", "bm25_topk",
     "unimax_allocations", "unimax_select",
-    // round 6 batch 22: exact score-quantile gates
-    "filter_top_fraction", "select_top_k",
+    // round 6 batch 22: exact score-quantile gates + distributed ranking
+    "filter_top_fraction", "select_top_k", "exact_rank", "quantile_buckets",
     // round 6: the remaining reference macro names (ts_macros.cpp:2131-2166)
     "ts_stats", "ts_stats_summary", "ts_quality_report",
     "ts_data_quality", "ts_data_quality_summary",
@@ -888,6 +888,14 @@ object TableMacros {
         graft.llm.QuantileOps.selectTopK(source(src), ident(id, "id_col"),
           ident(score, "score_col"), dbl(k, "k").toLong,
           highest = rest.headOption.forall(e => str(e, "mode") == "highest"))
+      case ("exact_rank", Seq(src, id, score, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.QuantileOps.withExactRank(source(src), ident(id, "id_col"),
+          ident(score, "score_col"),
+          ascending = rest.headOption.forall(e => str(e, "order") != "descending"))
+      case ("quantile_buckets", Seq(src, id, score, nb)) =>
+        graft.llm.QuantileOps.quantileBuckets(source(src), ident(id, "id_col"),
+          ident(score, "score_col"), int(nb, "n_buckets"))
       case ("unimax_allocations", Seq(src, strata, toks, budget, epochs)) =>
         graft.llm.MixOps.unimaxAllocations(source(src), ident(strata, "strata_col"),
           ident(toks, "token_col"), dbl(budget, "total_budget").toLong,

@@ -72,6 +72,28 @@ class QuantileOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(QuantileOps.filterTopFraction(scored, "id", "score", 1.0).count() == 500)
   }
 
+  test("withExactRank equals the sorted reference; quantileBuckets is balanced") {
+    val ref = scored.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (s, id) }
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
+    val got = QuantileOps.withExactRank(scored.repartition(7), "id", "score")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank")).toMap
+    assert(got == ref)
+    // descending rank mirrors: rank_desc = N + 1 - rank_asc only when scores
+    // are distinct; with ties the id tiebreak keeps both orders deterministic
+    val desc = QuantileOps.withExactRank(scored, "id", "score", ascending = false)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank")).toMap
+    assert(desc.values.toSeq.sorted == (1L to 500L))
+    val buckets = QuantileOps.quantileBuckets(scored, "id", "score", 3)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("bucket")).toMap
+    assert(buckets.values.forall(b => b >= 0 && b < 3))
+    // balanced: floor((rank-1)*3/500) — sizes 167/167/166
+    val sizes = buckets.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(sizes == Map(0L -> 167, 1L -> 167, 2L -> 166), sizes.toString)
+    assert(buckets.toSeq.map { case (id, b) => (ref(id), b) }
+      .forall { case (r, b) => b == (r - 1) * 3 / 500 })
+  }
+
   test("cutoff ties break by id ascending") {
     val sp = spark
     import sp.implicits._
