@@ -108,6 +108,29 @@ object ScaleProbe {
       val tCount = m3(onceD(joined.groupBy(col("qid")).agg(count(lit(1)).as("c"))))
       println(f"knn_bisect count-agg sec=$tCount%.3f")
     }
+    if (which("dsir")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n1 = docs.count()
+      val docs10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", concat(col("text"), lit(s" r$i"))))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      docs10.count()
+      def m3(run: => Double): Double = { run; val ts = Seq.fill(3)(run).sorted; ts(1) }
+      val mFit = m3(onceDf(llm.DsirOps.dsirWeights(docs10,
+        docs10.filter(col("doc_id") % 100 === 0), "doc_id", "text",
+        numBuckets = 65536, seed = 3)))
+      println(f"dsir_fit_score sec=$mFit%.3f ms_per_doc=${mFit * 1000 / (n1 * 10)}%.4f")
+      // production steady state: model pinned once, batches score against it
+      val model = llm.DsirOps.fitModel(docs10,
+        docs10.filter(col("doc_id") % 100 === 0), "text",
+        numBuckets = 65536, seed = 3)
+      val pinned = llm.DsirOps.DsirModel(
+        llm.Pin(model.ratios).df, llm.Pin(model.unseen).df, 65536, 3L)
+      val mScore = m3(onceDf(llm.DsirOps.scoreWithModel(docs10, "doc_id", "text", pinned)))
+      println(f"dsir_score_only sec=$mScore%.3f ms_per_doc=${mScore * 1000 / (n1 * 10)}%.4f")
+      docs10.unpersist()
+    }
     if (which("minhash")) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val n1 = docs.count()

@@ -53,6 +53,18 @@ object SparkEntryV21 {
           .select(col("doc_id").as("qid"), col("text")),
         "qid", "text", k = BmK)
     }),
+    // the disk round trip of dsir_weights: fit once, persist, load, score —
+    // shares dsir_weights' oracle byte-for-byte, so a serialization bug in
+    // the ratios/unseen/meta layout is a hash mismatch
+    "dsir_model_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = DsirOps.fitModel(docs, docs.filter(col("doc_id") % 10 === 0),
+        "text", numBuckets = NB, seed = DsirSeed, alpha = Alpha)
+      val mdlDir = java.nio.file.Files.createTempDirectory("graft_dsir_mdl").toString
+      DsirOps.writeModel(model, mdlDir)
+      DsirOps.scoreWithModel(docs, "doc_id", "text", DsirOps.loadModel(s, mdlDir))
+        .select(col("doc_id"), col("n_feats"), round(col("logw"), 6).as("logw"))
+    }),
     "unimax_allocations" -> ((s, dir) =>
       MixOps.unimaxAllocations(t(s, dir, "documents"), "lang", "n_chars",
         UniBudget, UniEpochs)),
@@ -187,6 +199,7 @@ object SparkEntryV21 {
 
   def oracleSql: Map[String, String] = Map(
     "dsir_weights" -> dsirWeightsSql,
+    "dsir_model_score" -> dsirWeightsSql,
     "dsir_select" -> dsirSelectSql,
     "bm25_topk" -> bm25Sql,
     "unimax_allocations" -> unimaxAllocSql,

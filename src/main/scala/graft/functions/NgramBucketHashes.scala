@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native one-pass n-gram bucket hashing for DSIR featurization: emits the
+  * hashed unigram AND bigram buckets of a whitespace tokenization as one
+  * ARRAY<BIGINT>, walking the string once.
+  *
+  * Replaces the declarative composition
+  * `transform(tokens, tok → aggregate(chars(tok), seed, rolling))` whose
+  * per-token char-code array materialization and non-codegen lambda
+  * evaluation dominated the 10×-corpus DSIR benchmark (4.2 ms/doc; the
+  * whole remaining pipeline is ~0.03 ms/doc).
+  *
+  * Bit-parity contract with the declarative form (and the DuckDB oracle's
+  * `list_reduce(... (a,c) -> (a*131+c) % P)` replay):
+  *  - tokens: maximal runs split on space/tab/LF/CR/FF, empties dropped
+  *    (the caller lowercases/trims OUTSIDE, keeping this expression pure);
+  *  - unigram hash: fold `h ← (131·h + codepoint) mod P` from `h₀ = seed`
+  *    over the token's UNICODE CODEPOINTS (Spark's `ascii(substr(i,1))`
+  *    and DuckDB's `ord` are both codepoint-valued);
+  *  - bigram hash: the same fold over the exact string `"t1 t2"`;
+  *  - bucket: `hash mod numBuckets` (hash is already in [0, P));
+  *  - output order: all unigrams, then all bigrams (consumers aggregate,
+  *    but the order is pinned for determinism).
+  */
+case class NgramBucketHashes(child: Expression, numBuckets: Int, seed: Long)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a STRING input, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "ngram_bucket_hashes"
+
+  override protected def nullSafeEval(v: Any): Any =
+    NgramBucketHashes.compute(v.asInstanceOf[UTF8String], numBuckets, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.functions.NgramBucketHashes.compute($v, $numBuckets, ${seed}L);")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramBucketHashes =
+    copy(child = newChild)
+}
+
+object NgramBucketHashes {
+
+  private val P = 2147483647L
+
+  private def isSep(cp: Int): Boolean =
+    cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r' || cp == '\f'
+
+  /** One pass over the codepoints: per-token rolling hashes (h1), plus the
+    * previous token's hash CONTINUED through the joining space and the
+    * current token (the exact `"t1 t2"` fold — mathematically
+    * `h(t1)·131^(len2+1) + 32·131^len2 + fold(t2)`, tracked incrementally
+    * so no token is re-walked). */
+  def compute(s: UTF8String, numBuckets: Int, seed: Long): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val s0 = ((seed % P) + P) % P
+    val unis = new java.util.ArrayList[Long]()
+    val bis = new java.util.ArrayList[Long]()
+    var i = 0
+    var prevHash = -1L // previous token's full hash, -1 = none yet
+    while (i < n) {
+      // skip separators
+      var cp = 0
+      var inSep = true
+      while (i < n && inSep) {
+        cp = str.codePointAt(i)
+        if (isSep(cp)) i += Character.charCount(cp) else inSep = false
+      }
+      if (i < n) {
+        // current token: h = seeded fold; big = prev-token fold continued
+        // through ' ' then this token's codepoints
+        var h = s0
+        var big = if (prevHash >= 0) (prevHash * 131L + 32L) % P else -1L
+        var tokEnd = false
+        while (i < n && !tokEnd) {
+          cp = str.codePointAt(i)
+          if (isSep(cp)) tokEnd = true
+          else {
+            h = (h * 131L + cp) % P
+            if (big >= 0) big = (big * 131L + cp) % P
+            i += Character.charCount(cp)
+          }
+        }
+        unis.add(h % numBuckets)
+        if (big >= 0) bis.add(big % numBuckets)
+        prevHash = h
+      }
+    }
+    val out = new Array[Long](unis.size + bis.size)
+    var j = 0
+    while (j < unis.size) { out(j) = unis.get(j); j += 1 }
+    var k = 0
+    while (k < bis.size) { out(j + k) = bis.get(k); k += 1 }
+    new GenericArrayData(out)
+  }
+}

@@ -52,8 +52,20 @@ object DsirOps {
 
   /** Array of feature bucket ids for one document: hashed unigrams plus
     * hashed bigrams (adjacent pairs joined by one space — so the bigram
-    * hash is the rolling hash of the exact string `"t1 t2"`). */
-  private def featureBuckets(textCol: Column, numBuckets: Int, seed: Long): Column = {
+    * hash is the rolling hash of the exact string `"t1 t2"`). One-pass
+    * native expression ([[graft.functions.NgramBucketHashes]]); the
+    * lower/trim normalization stays columnar outside it. */
+  private def featureBuckets(textCol: Column, numBuckets: Int, seed: Long): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.NgramBucketHashes(
+        org.apache.spark.sql.GraftExpressionBridge.expression(lower(trim(textCol))),
+        numBuckets, seed))
+
+  /** The declarative composition the native expression replaced — kept as
+    * the bit-parity reference for DsirFeatureParitySpec (it IS the form the
+    * DuckDB oracle replays). */
+  private[graft] def featureBucketsReference(textCol: Column, numBuckets: Int,
+                                           seed: Long): Column = {
     val ts = toks(textCol)
     val unis = transform(ts, t => pmod(tokHash(t, seed), lit(numBuckets.toLong)))
     // size-1 bigrams "t_i t_{i+1}" (0-based get; the when-guard keeps
@@ -73,16 +85,21 @@ object DsirOps {
     df.select(explode(featureBuckets(col(textCol), numBuckets, seed)).as("_bkt"))
       .groupBy(col("_bkt")).agg(count(lit(1)).as("_cnt"))
 
-  /** Per-document DSIR log importance weights.
-    *
-    * @param raw     the corpus to score (id, text, …)
-    * @param target  the target-domain exemplar sample (text)
-    * @return raw's (idCol) plus `n_feats` (feature count incl. multiplicity)
-    *         and `logw` (the log importance weight; 0.0 for an empty doc)
-    */
-  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
-                  targetTextCol: String = "", numBuckets: Int = 65536,
-                  seed: Long = 0L, alpha: Double = 0.5): DataFrame = {
+  /** A fitted DSIR model: the per-observed-bucket log ratios
+    * (`_bkt`, `_lr`), the one-row unseen-bucket constant (`_lr0`), and the
+    * featurization parameters — everything needed to score any batch
+    * WITHOUT re-reading either training corpus (the train-once /
+    * score-incrementally production shape, like the persisted dedup
+    * index). Both tables are ≤ numBuckets rows — broadcastable. */
+  final case class DsirModel(ratios: DataFrame, unseen: DataFrame,
+                             numBuckets: Int, seed: Long)
+
+  /** Fit the two hashed-n-gram bag models and their smoothed log ratios.
+    * The only corpus-sized work is one bucket-count aggregation per side
+    * (key space ≤ numBuckets, map-side combined). */
+  def fitModel(raw: DataFrame, target: DataFrame, textCol: String,
+               targetTextCol: String = "", numBuckets: Int = 65536,
+               seed: Long = 0L, alpha: Double = 0.5): DsirModel = {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     require(alpha > 0.0, s"alpha must be > 0 (Laplace smoothing), got $alpha")
     val tcol = if (targetTextCol.isEmpty) textCol else targetTextCol
@@ -105,11 +122,18 @@ object DsirOps {
     val unseen = tt.crossJoin(tr).select(
       (log(lit(alpha) / (col("_tt") + aB)) - log(lit(alpha) / (col("_tr") + aB)))
         .as("_lr0"))
-    val feats = raw.select(col(idCol),
-      explode_outer(featureBuckets(col(textCol), numBuckets, seed)).as("_bkt"))
+    DsirModel(ratios, unseen, numBuckets, seed)
+  }
+
+  /** Score a batch with a fitted (possibly loaded-from-disk) model. */
+  def scoreWithModel(df: DataFrame, idCol: String, textCol: String,
+                     model: DsirModel): DataFrame = {
+    val feats = df.select(col(idCol),
+      explode_outer(featureBuckets(col(textCol), model.numBuckets, model.seed))
+        .as("_bkt"))
     feats
-      .join(broadcast(ratios), Seq("_bkt"), "left")
-      .crossJoin(broadcast(unseen))
+      .join(broadcast(model.ratios), Seq("_bkt"), "left")
+      .crossJoin(broadcast(model.unseen))
       .groupBy(col(idCol))
       .agg(
         count(col("_bkt")).as("n_feats"),
@@ -118,6 +142,38 @@ object DsirOps {
         coalesce(sum(when(col("_bkt").isNotNull,
           coalesce(col("_lr"), col("_lr0")))), lit(0.0)).as("logw"))
   }
+
+  /** Persist a fitted model: `path/ratios`, `path/unseen`, `path/meta`
+    * (featurization parameters ride with the weights so a scoring batch
+    * can never disagree with the fit). */
+  def writeModel(model: DsirModel, path: String): Unit = {
+    val spark = model.ratios.sparkSession
+    import spark.implicits._
+    model.ratios.write.mode("overwrite").parquet(s"$path/ratios")
+    model.unseen.write.mode("overwrite").parquet(s"$path/unseen")
+    Seq((model.numBuckets, model.seed)).toDF("num_buckets", "seed")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[writeModel]] layout. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession, path: String): DsirModel = {
+    val m = spark.read.parquet(s"$path/meta").collect()(0)
+    DsirModel(spark.read.parquet(s"$path/ratios"),
+      spark.read.parquet(s"$path/unseen"), m.getInt(0), m.getLong(1))
+  }
+
+  /** Per-document DSIR log importance weights (fit + score in one call).
+    *
+    * @param raw     the corpus to score (id, text, …)
+    * @param target  the target-domain exemplar sample (text)
+    * @return raw's (idCol) plus `n_feats` (feature count incl. multiplicity)
+    *         and `logw` (the log importance weight; 0.0 for an empty doc)
+    */
+  def dsirWeights(raw: DataFrame, target: DataFrame, idCol: String, textCol: String,
+                  targetTextCol: String = "", numBuckets: Int = 65536,
+                  seed: Long = 0L, alpha: Double = 0.5): DataFrame =
+    scoreWithModel(raw, idCol, textCol,
+      fitModel(raw, target, textCol, targetTextCol, numBuckets, seed, alpha))
 
   /** Gumbel top-k resampling over the DSIR weights: keep the k documents
     * with the largest `logw + g`, `g = −ln(−ln u)` a deterministic

@@ -110,6 +110,18 @@ import org.apache.spark.unsafe.types.UTF8String
   *    `mix_token_budget(source, id_col, domain_col, token_col,
   *    map('dom', budget, …), seed)`, `select_token_budget(source, id_col,
   *    token_col, budget, seed)`
+  *  - target-aware selection + retrieval: `dsir_weights(source, target,
+  *    id_col, text_col[, num_buckets[, seed[, alpha]]])` / `dsir_select(…,
+  *    k[, num_buckets[, seed[, alpha[, noise_seed]]]])` (Xie et al. 2023),
+  *    `bm25_topk(corpus, queries, doc_id, text, qid, qtext, k[, k1[, b]])`
+  *    (Robertson & Zaragoza 2009), `unimax_allocations(source, strata_col,
+  *    token_col, total_budget, max_epochs)` / `unimax_select(source, id,
+  *    strata, token_col, total_budget, max_epochs, seed)` (Chung et al.
+  *    2022)
+  *  - exact score-quantile gates: `filter_top_fraction(source, id, score,
+  *    frac[, mode])` / `select_top_k(source, id, score, k[, mode])` (mode
+  *    highest|lowest), `exact_rank(source, id, score[, order])` (order
+  *    ascending|descending), `quantile_buckets(source, id, score, n_buckets)`
   *  - `ts_fill_gaps_operator(source, group_col, date_col, value_col, frequency)`
   *    and `ts_fill_forward_operator(source, group_col, date_col, value_col,
   *    target_date, frequency)` — the reference's all-string operator forms

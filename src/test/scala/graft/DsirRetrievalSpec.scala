@@ -94,6 +94,48 @@ class DsirRetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(all.count() == 4)
   }
 
+  test("native NgramBucketHashes ≡ the declarative rolling-hash composition") {
+    val sp = spark
+    import sp.implicits._
+    val texts = Seq(
+      "spark shuffle partition", "one", "", "   ", "a  b\t\tc\nd\r\ne\ff",
+      "  leading and trailing  ", "MiXeD Case TOKENS", "数据 处理 管道",
+      "x", "tab\tsep", (1 to 50).map(i => s"tok$i").mkString(" "))
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    for ((nb, seed) <- Seq((256, 3L), (65536, 0L), (7, 123L))) {
+      val native = df.select(col("id"),
+        org.apache.spark.sql.GraftExpressionBridge.column(
+          graft.functions.NgramBucketHashes(
+            org.apache.spark.sql.GraftExpressionBridge.expression(
+              lower(trim(col("text")))), nb, seed)).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      val ref = df.select(col("id"),
+          DsirOps.featureBucketsReference(col("text"), nb, seed).as("f"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+      assert(native == ref, s"nb=$nb seed=$seed")
+    }
+  }
+
+  test("DSIR model survives a disk round trip; scoring a NEW batch works") {
+    val sp = spark
+    import sp.implicits._
+    val model = DsirOps.fitModel(rawCorpus, target, "text",
+      numBuckets = 256, seed = 3, alpha = 0.05)
+    val dir = java.nio.file.Files.createTempDirectory("dsir_mdl_spec").toString
+    DsirOps.writeModel(model, dir)
+    val loaded = DsirOps.loadModel(spark, dir)
+    val direct = DsirOps.dsirWeights(rawCorpus, target, "id", "text",
+        numBuckets = 256, seed = 3, alpha = 0.05)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaDisk = DsirOps.scoreWithModel(rawCorpus, "id", "text", loaded)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaDisk == direct)
+    // a batch the model never saw still scores (unseen features hit _lr0)
+    val fresh = Seq((50L, "entirely novel words here")).toDF("id", "text")
+    val scored = DsirOps.scoreWithModel(fresh, "id", "text", loaded).collect()
+    assert(scored.length == 1 && scored.head.getLong(1) == 7L)
+  }
+
   // ---------------------------------------------------------------- BM25
 
   private def bmCorpus = {
