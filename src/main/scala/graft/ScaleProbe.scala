@@ -42,7 +42,8 @@ object ScaleProbe {
       else ev0)
       .groupBy(col("user_id").as("g"), col("ts").cast(DateType).as("ds"))
       .agg(sum("value").as("y"))
-    val series10 = (0 until 10).map(i =>
+    val mult = sys.env.getOrElse("GRAFT_SCALE_MULT", "10").toInt
+    val series10 = (0 until mult).map(i =>
         series.withColumn("g", col("g") + lit(i * 100000000L)))
       .reduce(_ unionByName _).coalesce(32).cache()
     val n = series10.select("g").distinct().count()
