@@ -65,6 +65,16 @@ object SparkEntryV21 {
       DsirOps.scoreWithModel(docs, "doc_id", "text", DsirOps.loadModel(s, mdlDir))
         .select(col("doc_id"), col("n_feats"), round(col("logw"), 6).as("logw"))
     }),
+    // the streaming-compatible scorer (broadcast lookup map, stateless
+    // in-row sum) on the same corpus — shares dsir_weights' oracle; the
+    // in-row left-to-right sum lands on the same 6-decimal grid
+    "dsir_broadcast_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = DsirOps.fitModel(docs, docs.filter(col("doc_id") % 10 === 0),
+        "text", numBuckets = NB, seed = DsirSeed, alpha = Alpha)
+      DsirOps.scoreWithBroadcastModel(docs, "text", model)
+        .select(col("doc_id"), col("n_feats"), round(col("logw"), 6).as("logw"))
+    }),
     "unimax_allocations" -> ((s, dir) =>
       MixOps.unimaxAllocations(t(s, dir, "documents"), "lang", "n_chars",
         UniBudget, UniEpochs)),
@@ -200,6 +210,7 @@ object SparkEntryV21 {
   def oracleSql: Map[String, String] = Map(
     "dsir_weights" -> dsirWeightsSql,
     "dsir_model_score" -> dsirWeightsSql,
+    "dsir_broadcast_score" -> dsirWeightsSql,
     "dsir_select" -> dsirSelectSql,
     "bm25_topk" -> bm25Sql,
     "unimax_allocations" -> unimaxAllocSql,

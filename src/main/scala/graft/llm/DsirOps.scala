@@ -143,6 +143,35 @@ object DsirOps {
           coalesce(col("_lr"), col("_lr0")))), lit(0.0)).as("logw"))
   }
 
+  /** Streaming-compatible scoring: the model (≤ numBuckets rows, bounded by
+    * construction) is collected once and broadcast as a lookup map, and
+    * each row scores IN PLACE with one pass over its feature array — no
+    * join, no per-doc aggregation, fully stateless — so the same call runs
+    * unchanged on a streaming micro-batch (the ingest-time quality gate:
+    * score each crawl batch against the standing target model as it
+    * arrives). Unlike [[scoreWithModel]] it returns the INPUT ROWS with
+    * `n_feats` and `logw` appended (a stream has no use for an id-only
+    * projection). Floating-point note: the in-row sum associates
+    * left-to-right over the feature order while the batch groupBy sums in
+    * partition order — equal up to the usual double reassociation. */
+  def scoreWithBroadcastModel(df: DataFrame, textCol: String,
+                              model: DsirModel): DataFrame = {
+    val spark = df.sparkSession
+    val ratioMap: Map[Long, Double] = model.ratios.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lr0 = model.unseen.collect()(0).getDouble(0)
+    val bc = spark.sparkContext.broadcast(ratioMap)
+    val scoreUdf = udf((bkts: Seq[Long]) => {
+      var s = 0.0
+      bkts.foreach(b => s += bc.value.getOrElse(b, lr0))
+      s
+    })
+    df.withColumn("_fb", featureBuckets(col(textCol), model.numBuckets, model.seed))
+      .withColumn("n_feats", size(col("_fb")).cast(LongType))
+      .withColumn("logw", scoreUdf(col("_fb")))
+      .drop("_fb")
+  }
+
   /** Persist a fitted model: `path/ratios`, `path/unseen`, `path/meta`
     * (featurization parameters ride with the weights so a scoring batch
     * can never disagree with the fit). */

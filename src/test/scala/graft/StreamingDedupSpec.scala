@@ -215,6 +215,40 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("DSIR broadcast-model scoring runs on a stream and matches batch scoring") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val corpus = Seq((1L, "spark shuffle join scan"), (2L, "cheap pills offer now"),
+      (3L, "spark scan filter join")).toDF("id", "text")
+    val target = Seq((10L, "spark shuffle join scan filter")).toDF("tid", "text")
+    val model = graft.llm.DsirOps.fitModel(corpus, target, "text",
+      numBuckets = 256, seed = 3, alpha = 0.05)
+    val pinned = graft.llm.DsirOps.DsirModel(
+      model.ratios.localCheckpoint(true), model.unseen.localCheckpoint(true),
+      model.numBuckets, model.seed)
+    val batch = graft.llm.DsirOps.scoreWithModel(corpus, "id", "text", pinned)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val input = MemoryStream[(Long, String)]
+    val out = graft.llm.DsirOps.scoreWithBroadcastModel(
+      input.toDF().toDF("id", "text"), "text", pinned)
+    val query = out.writeStream.format("memory").queryName("dsir_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, "spark shuffle join scan"), (2L, "cheap pills offer now"))
+      query.processAllAvailable()
+      input.addData((3L, "spark scan filter join"))
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT id, n_feats, logw FROM dsir_stream")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      assert(streamed.keySet == batch.keySet)
+      for ((id, (nf, lw)) <- batch) {
+        assert(streamed(id)._1 == nf, s"id=$id n_feats")
+        assert(math.abs(streamed(id)._2 - lw) < 1e-9, s"id=$id logw")
+      }
+    } finally query.stop()
+  }
+
   test("bandDocuments produces 4 bands per doc with consistent band ids") {
     val s = spark
     import s.implicits._
