@@ -71,6 +71,17 @@ object SparkEntryV19 {
         .select(col("doc_id"), col("n_tokens"),
           round(col("nb_score"), 6).as("nb_score"), col("nb_pred"))
     }),
+    // the streaming-compatible scorer (broadcast scaled-long map) on the
+    // same corpus — EXACT parity with nbScore, so it shares its oracle
+    "classifier_nb_broadcast" -> ((s, dir) => {
+      val aug = nbAug(s, dir)
+      ClassifierOps.nbScoreBroadcast(aug, "text_aug",
+          ClassifierOps.nbTrain(aug.filter(col("doc_id") < 500), "text_aug", "label",
+            numBuckets = NbBuckets, alpha = 0.5, seed = NbSeed),
+          numBuckets = NbBuckets, seed = NbSeed)
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("nb_score"), 6).as("nb_score"), col("nb_pred"))
+    }),
     "decontaminate_jaccard" -> ((s, dir) =>
       TextOps.jaccardContamination(
           t(s, dir, "documents").select(col("doc_id"), col("text")),
@@ -213,6 +224,7 @@ object SparkEntryV19 {
   def oracleSql: Map[String, String] = Map(
     "classifier_nb_train" -> NbTrainSql,
     "classifier_nb_score" -> NbScoreSql,
+    "classifier_nb_broadcast" -> NbScoreSql,
     "decontaminate_jaccard" -> JaccardDecontSql,
     "html_strip" -> HtmlStripSql,
   )

@@ -29,7 +29,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - output order: all unigrams, then all bigrams (consumers aggregate,
   *    but the order is pinned for determinism).
   */
-case class NgramBucketHashes(child: Expression, numBuckets: Int, seed: Long)
+case class NgramBucketHashes(child: Expression, numBuckets: Int, seed: Long,
+                             bigrams: Boolean = true)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
@@ -44,11 +45,11 @@ case class NgramBucketHashes(child: Expression, numBuckets: Int, seed: Long)
   override def prettyName: String = "ngram_bucket_hashes"
 
   override protected def nullSafeEval(v: Any): Any =
-    NgramBucketHashes.compute(v.asInstanceOf[UTF8String], numBuckets, seed)
+    NgramBucketHashes.compute(v.asInstanceOf[UTF8String], numBuckets, seed, bigrams)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.NgramBucketHashes.compute($v, $numBuckets, ${seed}L);")
+      s"${ev.value} = graft.functions.NgramBucketHashes.compute($v, $numBuckets, ${seed}L, $bigrams);")
 
   override protected def withNewChildInternal(newChild: Expression): NgramBucketHashes =
     copy(child = newChild)
@@ -66,7 +67,7 @@ object NgramBucketHashes {
     * current token (the exact `"t1 t2"` fold — mathematically
     * `h(t1)·131^(len2+1) + 32·131^len2 + fold(t2)`, tracked incrementally
     * so no token is re-walked). */
-  def compute(s: UTF8String, numBuckets: Int, seed: Long): ArrayData = {
+  def compute(s: UTF8String, numBuckets: Int, seed: Long, bigrams: Boolean): ArrayData = {
     val str = s.toString
     val n = str.length
     val s0 = ((seed % P) + P) % P
@@ -86,7 +87,7 @@ object NgramBucketHashes {
         // current token: h = seeded fold; big = prev-token fold continued
         // through ' ' then this token's codepoints
         var h = s0
-        var big = if (prevHash >= 0) (prevHash * 131L + 32L) % P else -1L
+        var big = if (bigrams && prevHash >= 0) (prevHash * 131L + 32L) % P else -1L
         var tokEnd = false
         while (i < n && !tokEnd) {
           cp = str.codePointAt(i)

@@ -131,6 +131,50 @@ object ClassifierOps {
       .withColumn(predOut, col(scoreOut) > 0.0)
   }
 
+  /** Streaming-compatible scoring with EXACT [[nbScore]] parity: the
+    * bounded model collects into a broadcast bucket→LLR map and each row
+    * scores in place — no join, no per-doc aggregation, fully stateless,
+    * so the same call gates a streaming micro-batch unchanged. Exactness:
+    * the model's LLRs are 6-decimal fixed-point, so the in-row sum
+    * accumulates SCALED LONGS (order-independent integer arithmetic) and
+    * divides once at the end — bit-identical to the batch DECIMAL-space
+    * sum. Tokenization runs through the native one-pass
+    * [[graft.functions.NgramBucketHashes]] in unigram mode (bit-parity
+    * with the tokHash composition). Returns the input rows with
+    * `n_tokens`, score and pred appended. */
+  def nbScoreBroadcast(df: DataFrame, textCol: String, model: DataFrame,
+                       numBuckets: Int = 1 << 20, seed: Long = 0L,
+                       scoreOut: String = "nb_score",
+                       predOut: String = "nb_pred"): DataFrame = {
+    val spark = df.sparkSession
+    var fbScaled = 0L
+    var priorScaled = 0L
+    val b = Map.newBuilder[Long, Long]
+    model.select(col("bucket"), col("llr")).collect().foreach { r =>
+      val scaled = math.round(r.getDouble(1) * 1e6)
+      if (r.isNullAt(0)) fbScaled = scaled
+      else if (r.getLong(0) == -1L) priorScaled = scaled
+      else b += r.getLong(0) -> scaled
+    }
+    val bc = spark.sparkContext.broadcast(b.result())
+    val fb = fbScaled
+    val pr = priorScaled
+    val scoreUdf = udf((bkts: Seq[Long]) => {
+      var s = 0L
+      bkts.foreach(bk => s += bc.value.getOrElse(bk, fb))
+      (s + pr) / 1e6
+    })
+    val feats = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.NgramBucketHashes(
+        org.apache.spark.sql.GraftExpressionBridge.expression(
+          lower(trim(col(textCol)))), numBuckets, seed, bigrams = false))
+    df.withColumn("_fb", feats)
+      .withColumn("n_tokens", size(col("_fb")).cast(LongType))
+      .withColumn(scoreOut, scoreUdf(col("_fb")))
+      .withColumn(predOut, col(scoreOut) > 0.0)
+      .drop("_fb")
+  }
+
   /** One-call form: train on `labeled`, score `df` — the typical
     * seed-corpus-vs-web-sample quality gate. */
   def nbQualityFilter(df: DataFrame, idCol: String, textCol: String,

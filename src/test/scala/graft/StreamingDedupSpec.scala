@@ -249,6 +249,41 @@ class StreamingDedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("NB broadcast scoring runs on a stream and matches batch scoring EXACTLY") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val labeled = Seq(
+      (1L, "careful essay with insight and depth", true),
+      (2L, "thoughtful careful depth analysis here", true),
+      (3L, "buy cheap pills click free offer", false),
+      (4L, "free cheap click now offer pills", false)).toDF("id", "text", "label")
+    val model = graft.llm.ClassifierOps.nbTrain(labeled, "text", "label",
+      numBuckets = 1 << 16, seed = 7).localCheckpoint(true)
+    val docs = Seq((10L, "careful insight essay"), (11L, "cheap pills now"),
+      (12L, ""), (13L, "neutral words entirely")).toDF("id", "text")
+    val batch = graft.llm.ClassifierOps.nbScore(docs, "id", "text", model,
+        numBuckets = 1 << 16, seed = 7)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    val input = MemoryStream[(Long, String)]
+    val out = graft.llm.ClassifierOps.nbScoreBroadcast(
+      input.toDF().toDF("id", "text"), "text", model, numBuckets = 1 << 16, seed = 7)
+    val query = out.writeStream.format("memory").queryName("nb_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((10L, "careful insight essay"), (11L, "cheap pills now"))
+      query.processAllAvailable()
+      input.addData((12L, ""), (13L, "neutral words entirely"))
+      query.processAllAvailable()
+      val streamed = spark.sql("SELECT id, n_tokens, nb_score, nb_pred FROM nb_stream")
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+        .toMap
+      // bit-exact: scaled-long in-row sum == batch DECIMAL-space sum
+      assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    } finally query.stop()
+  }
+
   test("bandDocuments produces 4 bands per doc with consistent band ids") {
     val s = spark
     import s.implicits._
