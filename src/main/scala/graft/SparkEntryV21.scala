@@ -53,6 +53,18 @@ object SparkEntryV21 {
           .select(col("doc_id").as("qid"), col("text")),
         "qid", "text", k = BmK)
     }),
+    // the disk round trip of bm25_topk: postings/dfreq/stats written once
+    // (term-bucket partitioned), queried back with static partition
+    // pruning — shares bm25_topk's oracle byte-for-byte
+    "bm25_index_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_bm25_idx").toString
+      RetrievalOps.bm25BuildIndex(docs, "doc_id", "text", idxDir, nTermBuckets = 64)
+      RetrievalOps.bm25QueryIndex(s, idxDir,
+        docs.filter(col("doc_id") % 100 === 0)
+          .select(col("doc_id").as("qid"), col("text")),
+        "qid", "text", k = BmK)
+    }),
     // the disk round trip of dsir_weights: fit once, persist, load, score —
     // shares dsir_weights' oracle byte-for-byte, so a serialization bug in
     // the ratios/unseen/meta layout is a hash mismatch
@@ -213,6 +225,7 @@ object SparkEntryV21 {
     "dsir_broadcast_score" -> dsirWeightsSql,
     "dsir_select" -> dsirSelectSql,
     "bm25_topk" -> bm25Sql,
+    "bm25_index_topk" -> bm25Sql,
     "unimax_allocations" -> unimaxAllocSql,
     "unimax_select" -> unimaxSelectSql,
   )

@@ -95,4 +95,83 @@ object RetrievalOps {
       .select(col("_qid").as(qidCol), (col("pos") + 1).cast("int").as("rank"),
         col("col.vid").cast(docIdType).as(docIdCol), col("col.sim").as("score"))
   }
+
+  // ------------------------------------------------- persisted BM25 index
+
+  /** Build and persist the BM25 index: `path/postings` — (term, doc, tf,
+    * dl) rows PARTITIONED BY a term hash bucket so a query's scan prunes to
+    * its own terms' directories (the ann_ivf_index discipline applied to an
+    * inverted text index); `path/dfreq` — per-term document frequencies
+    * (same bucket partitioning); `path/stats` — the one-row (N, avgdl);
+    * `path/meta` — the bucket count. Built once per corpus version; query
+    * batches then score WITHOUT touching corpus text. */
+  def bm25BuildIndex(corpus: DataFrame, docIdCol: String, textCol: String,
+                     path: String, nTermBuckets: Int = 256): Unit = {
+    require(nTermBuckets >= 1, s"nTermBuckets must be >= 1, got $nTermBuckets")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val tf = corpus.select(col(docIdCol).as("doc"),
+        size(toks(col(textCol))).as("dl"), explode(toks(col(textCol))).as("term"))
+      .groupBy(col("doc"), col("term"))
+      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+      .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nTermBuckets.toLong)))
+    tf.write.mode("overwrite").partitionBy("term_bucket").parquet(s"$path/postings")
+    // df over the WHOLE vocabulary (bounded by vocab size, not the corpus;
+    // read back from the just-written postings so the corpus scans once)
+    val stored = spark.read.parquet(s"$path/postings")
+    stored.groupBy(col("term"), col("term_bucket"))
+      .agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$path/dfreq")
+    corpus.agg(count(lit(1)).as("n"),
+        coalesce(avg(size(toks(col(textCol)))), lit(0.0)).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+    Seq(nTermBuckets).toDF("n_term_buckets")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Query a [[bm25BuildIndex]] layout: the postings/dfreq scans carry a
+    * LITERAL `term_bucket isin (…)` filter derived from the query terms, so
+    * static partition pruning limits the read to the query vocabulary's
+    * directories — the corpus-sized index is never scanned in full. Query
+    * terms are collected to build that literal (bounded: a query batch is
+    * an eval/probe set by contract). Same ranking contract as [[bm25TopK]]:
+    * 6-decimal-rounded scores, doc-id tiebreak. */
+  def bm25QueryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                     queries: DataFrame, qidCol: String, qtextCol: String,
+                     k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val nBuckets = spark.read.parquet(s"$path/meta").collect()(0).getInt(0)
+    val qterms = queries.select(col(qidCol).as("_qid"),
+        explode(toks(col(qtextCol))).as("term"))
+      .distinct()
+    // bounded collect: distinct term buckets of the query batch
+    val buckets = qterms
+      .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("_b"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("term_bucket").isin(buckets: _*))
+    val dfreq = spark.read.parquet(s"$path/dfreq")
+      .filter(col("term_bucket").isin(buckets: _*))
+      .select(col("term"), col("df"))
+    val stats = spark.read.parquet(s"$path/stats")
+    val scored = postings
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("_idf",
+        log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("_w",
+        col("_idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+    val docIdType = postings.schema("doc").dataType
+    scored.join(broadcast(qterms), Seq("term"))
+      .groupBy(col("_qid"), col("doc"))
+      .agg(round(sum(col("_w")), 6).as("_score"))
+      .select(col("_qid"), col("doc").cast(LongType).as("_docL"), col("_score"))
+      .groupBy(col("_qid"))
+      .agg(topKAgg(col("_docL"), col("_score"), k).as("_top"))
+      .select(col("_qid"), posexplode(col("_top")))
+      .select(col("_qid").as(qidCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.vid").cast(docIdType).as("doc_id"), col("col.sim").as("score"))
+  }
 }

@@ -196,6 +196,20 @@ class DsirRetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == Seq((1, 2L), (2, 1L)))
   }
 
+  test("bm25QueryIndex over a persisted index equals direct bm25TopK") {
+    val sp = spark
+    import sp.implicits._
+    val queries = Seq((10L, "x"), (11L, "x z"), (12L, "w")).toDF("qid", "text")
+    val direct = RetrievalOps.bm25TopK(bmCorpus, "doc_id", "text", queries,
+        "qid", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val dir = java.nio.file.Files.createTempDirectory("bm25_idx_spec").toString
+    RetrievalOps.bm25BuildIndex(bmCorpus, "doc_id", "text", dir, nTermBuckets = 8)
+    val viaIdx = RetrievalOps.bm25QueryIndex(spark, dir, queries, "qid", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(viaIdx == direct)
+  }
+
   // -------------------------------------------------------------- UniMax
 
   test("unimaxAllocations waterfills: caps small strata, shares the rest") {
