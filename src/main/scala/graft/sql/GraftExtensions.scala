@@ -215,6 +215,8 @@ object TableMacros {
     "unimax_allocations", "unimax_select",
     // round 6 batch 22: exact score-quantile gates + distributed ranking
     "filter_top_fraction", "select_top_k", "exact_rank", "quantile_buckets",
+    // round 6 batch 23: corpus accounting
+    "blocklist_filter", "corpus_report",
     // round 6: the remaining reference macro names (ts_macros.cpp:2131-2166)
     "ts_stats", "ts_stats_summary", "ts_quality_report",
     "ts_data_quality", "ts_data_quality_summary",
@@ -900,6 +902,23 @@ object TableMacros {
         graft.llm.QuantileOps.selectTopK(source(src), ident(id, "id_col"),
           ident(score, "score_col"), dbl(k, "k").toLong,
           highest = rest.headOption.forall(e => str(e, "mode") == "highest"))
+      case ("blocklist_filter", Seq(src, id, text, list, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        val entries = list match {
+          case f: UnresolvedFunction if f.nameParts.map(_.toLowerCase) == Seq("array") =>
+            f.arguments.map(a => str(a, "blocklist entry"))
+          case org.apache.spark.sql.catalyst.expressions.CreateArray(items, _) =>
+            items.map(a => str(a, "blocklist entry"))
+          case other => fail(s"terms must be array('t1', …), got $other")
+        }
+        val terms = spark.createDataset(entries)(
+          org.apache.spark.sql.Encoders.STRING).toDF("term")
+        graft.llm.ReportOps.blocklistFilter(source(src), ident(id, "id_col"),
+          ident(text, "text_col"), terms,
+          rest.headOption.map(str(_, "mode")).getOrElse("block"))
+      case ("corpus_report", Seq(src, text, strata)) =>
+        graft.llm.ReportOps.corpusReport(source(src), ident(text, "text_col"),
+          ident(strata, "strata_col"))
       case ("exact_rank", Seq(src, id, score, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
         graft.llm.QuantileOps.withExactRank(source(src), ident(id, "id_col"),

@@ -225,6 +225,36 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out2 == kept.map(_._1).toSet)
   }
 
+  test("blocklistFilter: word-level match, block vs flag modes, case-insensitive") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "a clean document here"),
+      (2L, "contains the BADWORD token"),
+      (3L, "badwordish is not a match"),
+      (4L, "")).toDF("id", "text")
+    val terms = Seq("badword", "other").toDF("term")
+    val kept = graft.llm.ReportOps.blocklistFilter(docs, "id", "text", terms)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L, 4L), "substring-only hits must NOT match")
+    val flags = graft.llm.ReportOps.blocklistFilter(docs, "id", "text", terms, "flag")
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("has_blocked")).toMap
+    assert(flags == Map(1L -> false, 2L -> true, 3L -> false, 4L -> false))
+  }
+
+  test("corpusReport aggregates per stratum") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "en", "one two three"), (2L, "en", "four"), (3L, "de", "eins zwei")
+    ).toDF("id", "lang", "text")
+    val rep = graft.llm.ReportOps.corpusReport(docs, "text", "lang")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(rep("en") == ((2L, 4L, 1L, 3L, 2.0)))
+    assert(rep("de") == ((1L, 2L, 2L, 2L, 2.0)))
+  }
+
   test("selectToTokenBudget: budget growth is monotone (supersets)") {
     val sp = spark
     import sp.implicits._
