@@ -94,6 +94,37 @@ class QuantileOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .forall { case (r, b) => b == (r - 1) * 3 / 500 })
   }
 
+  test("property: selectTopK equals sorted reference on adversarial doubles") {
+    val sp = spark
+    import sp.implicits._
+    // generated via a fixed seed; includes ±Infinity, subnormals, exact
+    // ties, and dense near-ties crossing bit-bucket boundaries
+    val rnd = new scala.util.Random(12345)
+    val pool: Array[Double] = Array(
+      Double.PositiveInfinity, Double.NegativeInfinity, 0.0, -0.0,
+      Double.MinPositiveValue, -Double.MinPositiveValue, 1e308, -1e308)
+    val rows = (0L until 400L).map { i =>
+      val s = (i % 4) match {
+        case 0 => pool(rnd.nextInt(pool.length))
+        case 1 => rnd.nextGaussian()
+        case 2 => math.floor(rnd.nextGaussian() * 3) // heavy ties
+        case _ => java.lang.Double.longBitsToDouble(
+          (java.lang.Double.doubleToLongBits(1.5) & ~0xFFFL) | rnd.nextInt(16).toLong)
+      }
+      (i, s)
+    }
+    val df = rows.toDF("id", "score")
+    for (k <- Seq(1, 50, 199, 400); hi <- Seq(true, false)) {
+      val sorted =
+        if (hi) rows.sortBy { case (id, s) => (-s, id) }
+        else rows.sortBy { case (id, s) => (s, id) }
+      val expect = sorted.take(k).map(_._1).toSet
+      val got = QuantileOps.selectTopK(df, "id", "score", k, highest = hi)
+        .collect().map(_.getLong(0)).toSet
+      assert(got == expect, s"k=$k highest=$hi")
+    }
+  }
+
   test("cutoff ties break by id ascending") {
     val sp = spark
     import sp.implicits._

@@ -650,6 +650,21 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(lo.count() == 5)
   }
 
+  test("batch-23 TVFs: blocklist_filter / corpus_report SQL == Scala API") {
+    val sp = spark
+    import sp.implicits._
+    Seq((1L, "en", "clean text"), (2L, "en", "the badword here"), (3L, "de", "mehr text"))
+      .toDF("id", "lang", "text").createOrReplaceTempView("_tm_bl")
+    val blocked = spark.sql(
+      "SELECT * FROM blocklist_filter('_tm_bl', id, text, array('badword'))")
+    assert(sortedRows(blocked) == sortedRows(graft.llm.ReportOps.blocklistFilter(
+      spark.table("_tm_bl"), "id", "text", Seq("badword").toDF("term"))))
+    assert(blocked.count() == 2)
+    val rep = spark.sql("SELECT * FROM corpus_report('_tm_bl', text, lang)")
+    assert(sortedRows(rep) == sortedRows(graft.llm.ReportOps.corpusReport(
+      spark.table("_tm_bl"), "text", "lang")))
+  }
+
   test("bad arguments produce a clear error, not a planner crash") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, 'Naive')").collect()
