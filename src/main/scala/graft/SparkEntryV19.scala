@@ -37,10 +37,14 @@ object SparkEntryV19 {
   private def jcBench(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
     val toks = split(trim(col("text")), "[ \\t\\n\\r\\f]+")
+    // offsets must keep the two bench slices DISJOINT at every scale
+    // (doc_id+5000 vs doc_id+9000 collided at sf0.1's 5000 docs: gid 9000
+    // was both doc 4000's full text and doc 0's half text, and the two
+    // engines merge a collided gid's gram sets differently)
     docs.filter(col("doc_id") % 40 === 0)
-      .select((col("doc_id") + lit(5000L)).as("bench_id"), col("text"))
+      .select((col("doc_id") + lit(10000000L)).as("bench_id"), col("text"))
       .unionByName(docs.filter(col("doc_id") % 30 === 0)
-        .select((col("doc_id") + lit(9000L)).as("bench_id"),
+        .select((col("doc_id") + lit(20000000L)).as("bench_id"),
           array_join(slice(toks, lit(1), floor(size(toks) / 2).cast("int")), " ").as("text")))
   }
 
@@ -168,9 +172,9 @@ object SparkEntryV19 {
 
   private val JaccardDecontSql =
     s"""WITH bench AS (
-       |  SELECT doc_id + 5000 AS gid, text AS txt FROM documents WHERE doc_id % 40 = 0
+       |  SELECT doc_id + 10000000 AS gid, text AS txt FROM documents WHERE doc_id % 40 = 0
        |  UNION ALL
-       |  SELECT doc_id + 9000 AS gid,
+       |  SELECT doc_id + 20000000 AS gid,
        |    array_to_string(list_slice(_t, 1, len(_t) // 2), ' ') AS txt
        |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\r\\f]+') AS _t
        |        FROM documents WHERE doc_id % 30 = 0)),

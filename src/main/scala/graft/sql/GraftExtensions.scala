@@ -122,6 +122,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *    frac[, mode])` / `select_top_k(source, id, score, k[, mode])` (mode
   *    highest|lowest), `exact_rank(source, id, score[, order])` (order
   *    ascending|descending), `quantile_buckets(source, id, score, n_buckets)`
+  *  - corpus accounting: `blocklist_filter(source, id, text,
+  *    array('t1', …)[, mode])` (mode block|flag — the C4 bad-words step),
+  *    `corpus_report(source, text_col, strata_col)` (per-stratum data card)
   *  - `ts_fill_gaps_operator(source, group_col, date_col, value_col, frequency)`
   *    and `ts_fill_forward_operator(source, group_col, date_col, value_col,
   *    target_date, frequency)` — the reference's all-string operator forms

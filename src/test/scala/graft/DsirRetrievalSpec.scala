@@ -196,6 +196,16 @@ class DsirRetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rows.toSeq == Seq((1, 2L), (2, 1L)))
   }
 
+  test("bm25TopK is partition-invariant") {
+    val sp = spark
+    import sp.implicits._
+    val queries = Seq((10L, "x z"), (11L, "w")).toDF("qid", "text")
+    def run(parts: Int) = RetrievalOps.bm25TopK(bmCorpus.repartition(parts),
+        "doc_id", "text", queries.repartition(parts), "qid", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(run(1) == run(7))
+  }
+
   test("bm25QueryIndex over a persisted index equals direct bm25TopK") {
     val sp = spark
     import sp.implicits._
