@@ -313,6 +313,19 @@ object Bench {
     val unimax10 = median3(onceDf(
       llm.MixOps.unimaxSelect(docs10, "doc_id", "lang", "n_chars",
         totalBudget = 2000000L, maxEpochs = 0.5, seed = 9)))
+    // exact quantile gates at 10×: the bits-histogram two-phase plan —
+    // wholly-in/out buckets are a broadcast filter, only the boundary
+    // bucket ranks; exact_rank's window partitions BY bucket
+    val topFrac10 = median3(onceDf(
+      llm.QuantileOps.filterTopFraction(
+        docs10.withColumn("score",
+          llm.SampleOps.hashBucket(col("doc_id"), 5).cast("double")),
+        "doc_id", "score", 0.3)))
+    val rank10 = median3(onceDf(
+      llm.QuantileOps.withExactRank(
+        docs10.withColumn("score",
+          llm.SampleOps.hashBucket(col("doc_id"), 5).cast("double")),
+        "doc_id", "score")))
     docs10.unpersist()
     // span dedup at 10× corpus: replicas are made gram-DISTINCT (translate
     // mutates most tokens) so the measurement is the steady-state rolling-
@@ -376,6 +389,8 @@ object Bench {
       f""""dsir_score_docs":{"sec":$dsirScore10%.3f,"ms_per_doc":${dsirScore10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
       f""""bm25_topk":{"sec":$bm2510%.3f,"ms_per_query":${bm2510 * 1000.0 / nQueries10}%.3f}""",
       f""""unimax_select_docs":{"sec":$unimax10%.3f,"ms_per_doc":${unimax10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
+      f""""top_fraction_docs":{"sec":$topFrac10%.3f,"ms_per_doc":${topFrac10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
+      f""""exact_rank_docs":{"sec":$rank10%.3f,"ms_per_doc":${rank10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
       f""""ann_ivf_probe":{"sec":$probe10%.3f,"ms_per_query":${probe10 * 1000.0 / nQueries}%.3f}""",
       f""""semdedup_vecs":{"sec":$semdedup10%.3f,"ms_per_vec":${semdedup10 * 1000.0 / (nEmb1 * 10)}%.4f}""",
       f""""knn_graph_vecs":{"sec":$knn10%.3f,"ms_per_node":${knn10 * 1000.0 / (nEmb1 * 10)}%.4f}"""

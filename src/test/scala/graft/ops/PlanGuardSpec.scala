@@ -302,6 +302,36 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("quantile gates: no corpus-wide sort; rank window partitions by bit-bucket") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (0L until 300L).map(i => (i, math.sin(i.toDouble))).toDF("id", "score")
+    // top-fraction: the only windows run over the bounded bit-bucket
+    // HISTOGRAM and the single boundary bucket — never the raw corpus
+    val top = graft.llm.QuantileOps.filterTopFraction(docs, "id", "score", 0.25)
+    val topPlan = top.queryExecution.executedPlan
+    val topWindows = topPlan.collect { case w: WindowExec => w }
+    assert(topWindows.length == 2,
+      s"expected histogram + boundary windows, got ${topWindows.length}")
+    topWindows.foreach { w =>
+      val sub = w.child.toString
+      assert(sub.contains("HashAggregate") || sub.contains("_k"),
+        s"quantile window over the raw corpus:\n$w")
+    }
+    assert(!topPlan.toString.contains("CartesianProduct"))
+    // exact rank: the per-row window is PARTITIONED by the coarse bucket
+    // (bounded partitions), plus the histogram's tiny global window
+    val rank = graft.llm.QuantileOps.withExactRank(docs, "id", "score")
+    val rankWindows = rank.queryExecution.executedPlan
+      .collect { case w: WindowExec => w }
+    assert(rankWindows.length == 2)
+    val partitioned = rankWindows.filter(_.partitionSpec.nonEmpty)
+    assert(partitioned.length == 1,
+      "exactly one rank window must partition by the coarse bucket")
+    assert(partitioned.head.partitionSpec.map(_.toString).exists(_.contains("_coarse")),
+      s"rank window must partition by _coarse: ${partitioned.head.partitionSpec}")
+  }
+
   test("flagship forecast: one shuffle on the group key, no cartesian") {
     val df = graft.ops.TsForecastOp.forecastBy(
       events
