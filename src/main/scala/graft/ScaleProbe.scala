@@ -132,6 +132,26 @@ object ScaleProbe {
       println(f"dsir_score_only sec=$mScore%.3f ms_per_doc=${mScore * 1000 / (n1 * 10)}%.4f")
       docs10.unpersist()
     }
+    if (which("bm25")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val docs10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", concat(col("text"), lit(s" r$i"))))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      docs10.count()
+      def m3(run: => Double): Double = { run; val ts = Seq.fill(3)(run).sorted; ts(1) }
+      val q = docs.filter(col("doc_id") < 20)
+        .select(col("doc_id").as("qid"), col("text"))
+      val mTop = m3(onceDf(llm.RetrievalOps.bm25TopK(docs10, "doc_id", "text",
+        q, "qid", "text", k = 10)))
+      println(f"bm25_topk sec=$mTop%.3f ms_per_query=${mTop * 1000 / 20}%.3f")
+      val idxDir = java.nio.file.Files.createTempDirectory("probe_bm25").toString
+      llm.RetrievalOps.bm25BuildIndex(docs10, "doc_id", "text", idxDir, 64)
+      val mIdx = m3(onceDf(llm.RetrievalOps.bm25QueryIndex(spark, idxDir,
+        q, "qid", "text", k = 10)))
+      println(f"bm25_index_query sec=$mIdx%.3f ms_per_query=${mIdx * 1000 / 20}%.3f")
+      docs10.unpersist()
+    }
     if (which("minhash")) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val n1 = docs.count()

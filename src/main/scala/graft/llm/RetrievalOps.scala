@@ -35,6 +35,24 @@ object RetrievalOps {
         org.apache.spark.sql.GraftExpressionBridge.expression(sim),
         k).toAggregateExpression())
 
+  /** Per-document (term, tf) entries computed map-side in one native pass
+    * ([[graft.functions.TokenTfEntries]]) — replaces the corpus-sized
+    * `explode → groupBy(doc, term)` shuffle whose only purpose was
+    * counting within single documents. `_dl` (total tokens) folds over the
+    * ≤-distinct-terms entry array. */
+  private def docTermTf(df: DataFrame, docIdCol: String, textCol: String): DataFrame = {
+    val entries = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.TokenTfEntries(
+        org.apache.spark.sql.GraftExpressionBridge.expression(
+          lower(trim(col(textCol))))))
+    df.select(col(docIdCol).as("_doc"), entries.as("_e"))
+      .withColumn("_dl",
+        aggregate(col("_e"), lit(0L), (a, e) => a + e.getField("tf").cast(LongType)))
+      .select(col("_doc"), col("_dl"), explode(col("_e")).as("_te"))
+      .select(col("_doc"), col("_te.term").as("_term"),
+        col("_te.tf").cast(LongType).as("_tf"), col("_dl"))
+  }
+
   /** BM25 top-k corpus documents per query.
     *
     * Ranking ties and cross-engine float drift: the per-(query, doc) score
@@ -53,10 +71,6 @@ object RetrievalOps {
     require(b >= 0.0 && b <= 1.0, s"b must be in [0,1], got $b")
     val docIdType = corpus.schema(docIdCol).dataType
 
-    // (doc, dl, term) — dl is the FULL document length (all tokens), fixed
-    // before the query-term filter
-    val corpTok = corpus.select(col(docIdCol).as("_doc"),
-        size(toks(col(textCol))).as("_dl"), explode(toks(col(textCol))).as("_term"))
     // distinct query terms (small, broadcast): the early corpus-side filter
     val qterms = queries.select(col(qidCol).as("_qid"),
         explode(toks(col(qtextCol))).as("_term"))
@@ -68,10 +82,10 @@ object RetrievalOps {
       count(lit(1)).as("_n"),
       coalesce(avg(size(toks(col(textCol)))), lit(0.0)).as("_avgdl"))
 
-    // (doc, term, tf, dl) over query-vocabulary hits only
-    val tf = corpTok.join(broadcast(qvocab), Seq("_term"))
-      .groupBy(col("_doc"), col("_term"))
-      .agg(count(lit(1)).as("_tf"), min(col("_dl")).as("_dl"))
+    // (doc, term, tf, dl): tf counted map-side per document (docTermTf),
+    // then restricted to query-vocabulary hits — no corpus-sized groupBy
+    val tf = docTermTf(corpus, docIdCol, textCol)
+      .join(broadcast(qvocab), Seq("_term"))
     // document frequency per query term (≤ |query vocab| rows)
     val dfreq = tf.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
 
@@ -110,10 +124,11 @@ object RetrievalOps {
     require(nTermBuckets >= 1, s"nTermBuckets must be >= 1, got $nTermBuckets")
     val spark = corpus.sparkSession
     import spark.implicits._
-    val tf = corpus.select(col(docIdCol).as("doc"),
-        size(toks(col(textCol))).as("dl"), explode(toks(col(textCol))).as("term"))
-      .groupBy(col("doc"), col("term"))
-      .agg(count(lit(1)).as("tf"), min(col("dl")).as("dl"))
+    // tf counted map-side per document — the index build has NO corpus
+    // shuffle at all before the partitioned write
+    val tf = docTermTf(corpus, docIdCol, textCol)
+      .select(col("_doc").as("doc"), col("_term").as("term"),
+        col("_tf").as("tf"), col("_dl").as("dl"))
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nTermBuckets.toLong)))
     tf.write.mode("overwrite").partitionBy("term_bucket").parquet(s"$path/postings")
     // df over the WHOLE vocabulary (bounded by vocab size, not the corpus;
