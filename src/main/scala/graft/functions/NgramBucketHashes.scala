@@ -26,6 +26,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *    and DuckDB's `ord` are both codepoint-valued);
   *  - bigram hash: the same fold over the exact string `"t1 t2"`;
   *  - bucket: `hash mod numBuckets` (hash is already in [0, P));
+  *    `numBuckets <= 0` skips the reduction and emits the RAW hash —
+  *    callers like hashEmbed derive their own (bucket, sign) split;
   *  - output order: all unigrams, then all bigrams (consumers aggregate,
   *    but the order is pinned for determinism).
   */
@@ -98,8 +100,8 @@ object NgramBucketHashes {
             i += Character.charCount(cp)
           }
         }
-        unis.add(h % numBuckets)
-        if (big >= 0) bis.add(big % numBuckets)
+        unis.add(if (numBuckets > 0) h % numBuckets else h)
+        if (big >= 0) bis.add(if (numBuckets > 0) big % numBuckets else big)
         prevHash = h
       }
     }

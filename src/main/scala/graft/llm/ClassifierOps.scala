@@ -25,22 +25,15 @@ import org.apache.spark.sql.types._
   */
 object ClassifierOps {
 
-  private val P = 2147483647L // 2^31 − 1; poly-hash modulus, BIGINT-safe
-
-  /** Seeded polynomial rolling hash of a token mod P over codepoints —
-    * identical to [[TextOps.hashEmbed]]'s token hash so the two ops share
-    * one SQL replay idiom. */
-  private def tokHash(tok: Column, seed: Long): Column = {
-    val s0 = ((seed % P) + P) % P
-    aggregate(
-      transform(sequence(lit(1), length(tok)),
-        i => ascii(tok.substr(i, lit(1))).cast(LongType)),
-      lit(s0), (acc, c) => (acc * lit(131L) + c) % lit(P))
-  }
-
-  private def toks(textCol: String): Column =
-    filter(split(lower(trim(col(textCol))), "[ \\t\\n\\r\\f]+"),
-      t => length(t) > 0)
+  /** Unigram bucket array in one native pass — bit-identical to the
+    * seeded 131-rolling-hash-mod-P bucketing the DuckDB oracles replay
+    * (NgramBucketHashes parity spec), minus the per-token char-array fold
+    * that dominated the 10x-corpus NB-gate profile. */
+  private def bucketArr(textCol: String, numBuckets: Int, seed: Long): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.NgramBucketHashes(
+        org.apache.spark.sql.GraftExpressionBridge.expression(
+          lower(trim(col(textCol)))), numBuckets, seed, bigrams = false))
 
   /** Train a hashed Naive-Bayes model on a labeled corpus.
     *
@@ -66,8 +59,8 @@ object ClassifierOps {
     require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
     require(alpha > 0.0, s"alpha must be > 0, got $alpha")
     val y = col(labelCol).cast(BooleanType)
-    val ex = labeled.select(y.as("_y"), explode(toks(textCol)).as("_tok"))
-      .select(col("_y"), pmod(tokHash(col("_tok"), seed), lit(numBuckets.toLong)).as("bucket"))
+    val ex = labeled.select(y.as("_y"),
+      explode(bucketArr(textCol, numBuckets, seed)).as("bucket"))
     val counts = ex.groupBy(col("bucket"))
       .agg(sum(when(col("_y"), 1L).otherwise(0L)).as("c_pos"),
         sum(when(col("_y"), 0L).otherwise(1L)).as("c_neg"))
@@ -111,10 +104,9 @@ object ClassifierOps {
       .select(col("llr").as("_prior"))
     val feats = model.filter(col("bucket").isNotNull && col("bucket") >= 0L)
       .select(col("bucket"), col("llr"))
-    val base = df.select(col(idCol), col(textCol)).withColumn("_toks", toks(textCol))
+    val base = df.select(col(idCol), col(textCol))
     val perDoc = base
-      .select(col(idCol), explode(col("_toks")).as("_tok"))
-      .select(col(idCol), pmod(tokHash(col("_tok"), seed), lit(numBuckets.toLong)).as("bucket"))
+      .select(col(idCol), explode(bucketArr(textCol, numBuckets, seed)).as("bucket"))
       .join(broadcast(feats), Seq("bucket"), "left")
       .crossJoin(broadcast(fallback))
       .withColumn("_llr", coalesce(col("llr"), col("_fb")))

@@ -1055,18 +1055,16 @@ object TextOps {
   def hashEmbed(df: DataFrame, idCol: String, textCol: String, dim: Int = 64,
                 seed: Long = 0L, out: String = "embedding"): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
-    val P = 2147483647L
-    val s0 = ((seed % P) + P) % P
-    val toks = filter(split(lower(trim(col(textCol))), "[ \\t\\n\\r\\f]+"),
-      t => length(t) > 0)
-    def tokHash(tok: Column): Column = aggregate(
-      transform(sequence(lit(1), length(tok)), i => ascii(tok.substr(i, lit(1))).cast(LongType)),
-      lit(s0), (acc, c) => (acc * lit(131L) + c) % lit(P))
-    val info = transform(toks, t => {
-      val h = tokHash(t)
+    // raw token hashes in one native pass (NgramBucketHashes, unigram mode,
+    // numBuckets=0 -> no reduction) — bit-identical to the declarative
+    // per-char fold this replaced, which dominated the 10x-corpus profile
+    val hashes = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.NgramBucketHashes(
+        org.apache.spark.sql.GraftExpressionBridge.expression(
+          lower(trim(col(textCol)))), 0, seed, bigrams = false))
+    val info = transform(hashes, h =>
       struct(pmod(shiftright(h, 1), lit(dim.toLong)).as("b"),
-        when(pmod(h, lit(2L)) === 0, lit(1L)).otherwise(lit(-1L)).as("s"))
-    })
+        when(pmod(h, lit(2L)) === 0, lit(1L)).otherwise(lit(-1L)).as("s")))
     // one fold over the tokens builds the signed-count vector; the
     // single-element-array + transform wrappers are let-bindings (a lambda
     // variable is evaluated once), so neither the fold nor the norm is
