@@ -193,6 +193,40 @@ object Bench {
     val scaleRes = scaleQs.map { case (name, fn) => (name, median3(onceDf(fn()))) }
     series10.unpersist()
 
+    // Embedding-space ops run FIRST in the LLM section: the text ops
+    // below cycle multi-GB cached corpora and temp indexes through the
+    // heap/page cache, which measurably degraded the vector ops when
+    // they ran last (knn_graph 0.28 -> 0.42 ms/node, same commit).
+    // IVF at 10× corpus: index built once (train/assign untimed, as in the
+    // base protocol — a persisted index is the production deployment), the
+    // timed number is steady-state pruned probing of 10× bigger lists
+    val emb1 = t(spark, sfDir, "embeddings")
+    val nEmb1 = emb1.count()
+    val emb10 = (0 until 10).map(i =>
+        emb1.withColumn("vec_id", col("vec_id") + lit(i * 100000000L)))
+      .reduce(_ unionByName _).coalesce(32).cache()
+    emb10.count()
+    val centroids10 = llm.SimilarityOps.ivfTrain(emb10, "vec_id", "embedding", 32)
+    val assigned10 = llm.SimilarityOps.ivfAssign(emb10, "vec_id", "embedding", centroids10)
+      .localCheckpoint(true)
+    val nQueries = 20L
+    val probe10 = median3(onceDf(
+      llm.SimilarityOps.ivfProbeLists(assigned10, emb1.filter(col("vec_id") < nQueries),
+        "vec_id", "embedding", k = 10, nProbe = 8, centroids10,
+        emb1.schema("vec_id").dataType)))
+    // SemDeDup at 10× corpus against the shared centroid table: assignment +
+    // per-cluster pair generation (Σ m² over ~600-row clusters, never m²
+    // over the corpus)
+    val semdedup10 = median3(onceDf(
+      llm.SimilarityOps.semDedupPairs(emb10, "vec_id", "embedding",
+        centroids10, minSim = 0.99)))
+    // kNN graph at 10×: every corpus row probes 8/32 lists — the per-node
+    // cost is the honest all-corpus similarity-graph number
+    val knn10 = median3(onceDf(
+      llm.SimilarityOps.knnGraphWithCentroids(emb10, "vec_id", "embedding",
+        k = 10, centroids10, nProbe = 8)))
+    emb10.unpersist()
+
     // same constant-washing protocol for the LLM ops: 10× corpus, per-unit
     // cost. Replica text gets a distinct suffix so the 10× corpus keeps the
     // original near-dup structure instead of planting 10-way exact-dup
@@ -350,35 +384,6 @@ object Bench {
     val spans10 = median3(onceDf(
       llm.TextOps.removeDuplicatedSpans(docsSpan10, "doc_id", "text", gramLen = 20)))
     docsSpan10.unpersist()
-    // IVF at 10× corpus: index built once (train/assign untimed, as in the
-    // base protocol — a persisted index is the production deployment), the
-    // timed number is steady-state pruned probing of 10× bigger lists
-    val emb1 = t(spark, sfDir, "embeddings")
-    val nEmb1 = emb1.count()
-    val emb10 = (0 until 10).map(i =>
-        emb1.withColumn("vec_id", col("vec_id") + lit(i * 100000000L)))
-      .reduce(_ unionByName _).coalesce(32).cache()
-    emb10.count()
-    val centroids10 = llm.SimilarityOps.ivfTrain(emb10, "vec_id", "embedding", 32)
-    val assigned10 = llm.SimilarityOps.ivfAssign(emb10, "vec_id", "embedding", centroids10)
-      .localCheckpoint(true)
-    val nQueries = 20L
-    val probe10 = median3(onceDf(
-      llm.SimilarityOps.ivfProbeLists(assigned10, emb1.filter(col("vec_id") < nQueries),
-        "vec_id", "embedding", k = 10, nProbe = 8, centroids10,
-        emb1.schema("vec_id").dataType)))
-    // SemDeDup at 10× corpus against the shared centroid table: assignment +
-    // per-cluster pair generation (Σ m² over ~600-row clusters, never m²
-    // over the corpus)
-    val semdedup10 = median3(onceDf(
-      llm.SimilarityOps.semDedupPairs(emb10, "vec_id", "embedding",
-        centroids10, minSim = 0.99)))
-    // kNN graph at 10×: every corpus row probes 8/32 lists — the per-node
-    // cost is the honest all-corpus similarity-graph number
-    val knn10 = median3(onceDf(
-      llm.SimilarityOps.knnGraphWithCentroids(emb10, "vec_id", "embedding",
-        k = 10, centroids10, nProbe = 8)))
-    emb10.unpersist()
 
     val scaleJson = (scaleRes.map { case (k, v) =>
       "\"" + k + f"""\":{"sec":$v%.3f,"ms_per_series":${v * 1000.0 / (nSeries1 * 10)}%.4f}"""
