@@ -100,7 +100,8 @@ class DsirRetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     val texts = Seq(
       "spark shuffle partition", "one", "", "   ", "a  b\t\tc\nd\r\ne\ff",
       "  leading and trailing  ", "MiXeD Case TOKENS", "数据 处理 管道",
-      "x", "tab\tsep", (1 to 50).map(i => s"tok$i").mkString(" "))
+      "x", "tab\tsep", (1 to 50).map(i => s"tok$i").mkString(" "),
+      "astral \ud83d\ude00 emoji \ud83d\ude80pair mid\ud83c\udf55dle")
     val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
     for ((nb, seed) <- Seq((256, 3L), (65536, 0L), (7, 123L))) {
       val native = df.select(col("id"),
