@@ -38,7 +38,7 @@ object SparkEntryV10 {
   /** 60 order dates per priority, y = 0 for the first 30 and 100 after: a
     * single variance-free step whose only defensible segmentation is one
     * changepoint at position 30. */
-  private def stepSeries(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def stepSeries(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("g")).orderBy(col("ds"))
     t(s, dir, "orders")
       .groupBy(col("o_orderpriority").as("g"), col("o_orderdate").cast(DateType).as("ds"))

@@ -355,11 +355,13 @@ object SparkEntryV18 {
       |FROM tot t LEFT JOIN hit h USING (bench_id)""".stripMargin
 
   /** Full replay of the bigram interpolated LM: tokenization with positions,
-    * full token counts (contexts), top-256 unigram vocab, top-512 bigram
-    * table (ties by pair ascending), per-token
-    * ln(0.75·c₂/c₁ + 0.25·(c+0.5)/(N+0.5·257)) with the first token pure
-    * unigram, rounded-DECIMAL sums. λ = 0.75 and α = 0.5 are exact binary
-    * doubles, so every arithmetic step is bit-identical across engines. */
+    * top-256 unigram vocab (whose counts also serve as the CAPPED context
+    * counts — the broadcastable-model semantics), top-512 bigram table
+    * restricted to in-vocabulary contexts (ties by pair ascending),
+    * per-token ln(0.75·c₂/c₁ + 0.25·(c+0.5)/(N+0.5·257)) with the first
+    * token AND any out-of-vocabulary-context token pure unigram,
+    * rounded-DECIMAL sums. λ = 0.75 and α = 0.5 are exact binary doubles,
+    * so every arithmetic step is bit-identical across engines. */
   private val BigramScoreSql =
     """WITH tk AS (SELECT doc_id,
       |       list_filter(string_split_regex(trim(text), '[ \t\n\r\f]+'),
@@ -372,11 +374,13 @@ object SparkEntryV18 {
       |counts AS (SELECT w AS token, count(*) AS cnt FROM ex GROUP BY 1),
       |n AS (SELECT sum(cnt) AS nn FROM counts),
       |vocab AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT 256),
-      |big AS (SELECT wp AS b1, w AS b2, count(*) AS cnt2 FROM ex
-      |        WHERE wp IS NOT NULL GROUP BY 1, 2
+      |big AS (SELECT b1, b2, cnt2 FROM
+      |          (SELECT wp AS b1, w AS b2, count(*) AS cnt2 FROM ex
+      |           WHERE wp IS NOT NULL GROUP BY 1, 2)
+      |        JOIN vocab cv ON b1 = cv.token
       |        ORDER BY cnt2 DESC, b1 ASC, b2 ASC LIMIT 512),
       |sc AS (SELECT e.doc_id,
-      |         CASE WHEN e.wp IS NULL
+      |         CASE WHEN e.wp IS NULL OR c2.cnt IS NULL
       |              THEN ln((coalesce(v.cnt, 0) + 0.5) / (n.nn + 0.5 * 257))
       |              ELSE ln(0.75 * (CASE WHEN b.cnt2 IS NOT NULL
       |                                   THEN b.cnt2 / c2.cnt ELSE 0.0 END)
@@ -384,7 +388,7 @@ object SparkEntryV18 {
       |         END AS lp
       |       FROM ex e
       |       LEFT JOIN vocab v ON e.w = v.token
-      |       LEFT JOIN counts c2 ON e.wp = c2.token
+      |       LEFT JOIN vocab c2 ON e.wp = c2.token
       |       LEFT JOIN big b ON e.wp = b.b1 AND e.w = b.b2, n),
       |agg AS (SELECT doc_id, count(*) AS n_tokens,
       |          CAST(sum(CAST(round(lp, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_logp

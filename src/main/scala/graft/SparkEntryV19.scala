@@ -22,10 +22,10 @@ object SparkEntryV19 {
   // corpus (label = doc_id parity; train on doc_id < 500, score everything)
   private val PlantPos = " excellentmarker insightful prose"
   private val PlantNeg = " spamflag clickbait junk"
-  private val NbBuckets = 64
-  private val NbSeed = 9L
+  private[graft] val NbBuckets = 64
+  private[graft] val NbSeed = 9L
 
-  private def nbAug(s: SparkSession, dir: String): DataFrame =
+  private[graft] def nbAug(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents").select(col("doc_id"),
       when(col("doc_id") % 2 === 0, concat(col("text"), lit(PlantPos)))
         .otherwise(concat(col("text"), lit(PlantNeg))).as("text_aug"),

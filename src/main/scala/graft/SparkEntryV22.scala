@@ -65,7 +65,7 @@ object SparkEntryV22 {
            |sc AS (SELECT doc_id,
            |    CAST($bucket AS DOUBLE) / $P - 0.5 AS score FROM _h3),
            |rk AS (SELECT doc_id, score,
-           |    row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM sc)
+           |    row_number() OVER (ORDER BY round(score, 6) DESC, doc_id) AS r FROM sc)
            |SELECT doc_id, round(score, 6) AS score FROM rk
            |WHERE r <= floor($Frac * (SELECT count(*) FROM documents))""".stripMargin,
       "top_k_chars" ->
@@ -84,7 +84,8 @@ object SparkEntryV22 {
         s"""WITH $ctes,
            |sc AS (SELECT doc_id,
            |    CAST($bucket AS DOUBLE) / $P - 0.5 AS score FROM _h3)
-           |SELECT doc_id, CAST(row_number() OVER (ORDER BY score, doc_id) AS BIGINT)
+           |SELECT doc_id,
+           |  CAST(row_number() OVER (ORDER BY round(score, 6), doc_id) AS BIGINT)
            |  AS rank
            |FROM sc""".stripMargin,
       "quantile_buckets_chars" ->

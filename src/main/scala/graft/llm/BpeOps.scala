@@ -113,6 +113,141 @@ object BpeOps {
     acc.result()
   }
 
+  /** Unsigned lexicographic UTF-8 byte order — the order Spark's UTF8String
+    * (and DuckDB's BLOB-backed VARCHAR) sorts strings in, so the driver-side
+    * tie-break below agrees with the SQL loop's `ORDER BY _p ASC` even for
+    * astral-plane codepoints (where Java's UTF-16 compareTo disagrees). */
+  private def utf8Less(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Code-point symbols of a word (Spark's substr/length are code-point
+    * based, so the driver state must split the same way). */
+  private def codePointSyms(w: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      out += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    out.result()
+  }
+
+  /** Left-to-right non-overlapping merge scan — the same replacement rule
+    * as [[applyMerge]]'s literal string replace. */
+  private def mergeWord(syms: Array[String], a: String, b: String,
+                        ab: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += ab; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.result()
+  }
+
+  /** Production-scale BPE training: ONE Spark job (the corpus-sized
+    * word-frequency aggregation — the only stage whose cost grows with the
+    * corpus), then the entire merge loop runs driver-side over the
+    * collected types table with incrementally-maintained pair counts.
+    * Identical output to [[bpeTrain]] (BpeOpsSpec pins equality, including
+    * count ties and multi-byte symbols): same greedy argmax, same
+    * UTF-8-binary tie-break on the sentinel-wrapped pair, same
+    * left-to-right non-overlapping merge scan, same `minPairFreq` early
+    * stop.
+    *
+    * Scale design: [[bpeTrain]] schedules one Spark job PER MERGE — fine
+    * at demo merge counts, hours of pure scheduling overhead at a
+    * production 30k-merge vocabulary. The types table is bounded by the
+    * language's word-type count (NOT the corpus; ~10⁶ rows × avg word
+    * length for web text — a driver-sized collect, same order as the IVF
+    * seed or BM25 query-vocab collects), and each merge then touches only
+    * the words containing the merged pair via an inverted pair→word index,
+    * so 30k merges run in driver memory in seconds-to-minutes with zero
+    * additional jobs. The all-SQL [[bpeTrain]] loop remains the
+    * oracle-replay mode. */
+  def bpeTrainLocal(corpus: DataFrame, textCol: String, numMerges: Int,
+                    minPairFreq: Long = 2L): Seq[BpeMerge] = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    require(minPairFreq >= 1, s"minPairFreq must be >= 1, got $minPairFreq")
+    val types: Array[(String, Long)] =
+      corpus.select(explode(words(textCol)).as("_w"))
+        .groupBy(col("_w")).agg(count(lit(1)).as("_freq"))
+        .collect().map(r => r.getString(0) -> r.getLong(1))
+    val syms = types.map { case (w, _) => codePointSyms(w) }
+    val freqs = types.map(_._2)
+    val pairCnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairIdx =
+      scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.Set[Int]]
+    def pairsOf(s: Array[String]): Iterator[(String, String)] =
+      if (s.length < 2) Iterator.empty
+      else (0 until s.length - 1).iterator.map(j => (s(j), s(j + 1)))
+    def bump(p: (String, String), d: Long): Unit = {
+      val nv = pairCnt.getOrElse(p, 0L) + d
+      if (nv <= 0L) pairCnt.remove(p) else pairCnt(p) = nv
+    }
+    var i = 0
+    while (i < syms.length) {
+      pairsOf(syms(i)).foreach { p =>
+        bump(p, freqs(i))
+        pairIdx.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += i
+      }
+      i += 1
+    }
+    def wrappedKey(p: (String, String)): String = wrap(p._1) + " " + wrap(p._2)
+    val acc = Seq.newBuilder[BpeMerge]
+    var r = 1
+    var done = false
+    while (r <= numMerges && !done) {
+      var best: (String, String) = null
+      var bestCnt = 0L
+      var bestKey: String = null
+      pairCnt.foreach { case (p, c) =>
+        if (best == null || c > bestCnt ||
+            (c == bestCnt && utf8Less(wrappedKey(p), bestKey))) {
+          best = p; bestCnt = c; bestKey = wrappedKey(p)
+        }
+      }
+      if (best == null || bestCnt < minPairFreq) done = true
+      else {
+        val (a, b) = best
+        val ab = a + b
+        acc += BpeMerge(r, a, b, ab, bestCnt)
+        val affected = pairIdx.getOrElse(best, scala.collection.mutable.Set.empty).toArray
+        affected.foreach { wi =>
+          val old = syms(wi)
+          val oldPairs = pairsOf(old).toArray
+          oldPairs.foreach(bump(_, -freqs(wi)))
+          val nw = mergeWord(old, a, b, ab)
+          syms(wi) = nw
+          val newPairs = pairsOf(nw).toArray
+          newPairs.foreach { p =>
+            bump(p, freqs(wi))
+            pairIdx.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wi
+          }
+          val newSet = newPairs.toSet
+          oldPairs.foreach { p =>
+            if (!newSet.contains(p))
+              pairIdx.get(p).foreach { s => s -= wi; if (s.isEmpty) pairIdx.remove(p) }
+          }
+        }
+        r += 1
+      }
+    }
+    acc.result()
+  }
+
   /** The merge list as a DataFrame (rank, left, right, merged, pair_count). */
   def mergesToDf(spark: org.apache.spark.sql.SparkSession,
                  merges: Seq[BpeMerge]): DataFrame = {

@@ -167,6 +167,32 @@ object ClassifierOps {
       .drop("_fb")
   }
 
+  /** A loaded NB model with the featurization parameters that define its
+    * feature space — so a scoring batch can never disagree with the fit
+    * (the [[DsirOps.DsirModel]] discipline). */
+  final case class NbModel(model: DataFrame, numBuckets: Int, seed: Long)
+
+  /** Persist a [[nbTrain]] model: `path/model` (the bounded bucket/LLR
+    * table) and `path/meta` (numBuckets + seed). Written once per
+    * seed-corpus refresh; every subsequent crawl batch scores against the
+    * stored layout via [[loadNbModel]] + [[nbScore]]/[[nbScoreBroadcast]]
+    * without touching the training corpora. */
+  def writeNbModel(model: DataFrame, numBuckets: Int, seed: Long,
+                   path: String): Unit = {
+    val spark = model.sparkSession
+    import spark.implicits._
+    model.write.mode("overwrite").parquet(s"$path/model")
+    Seq((numBuckets, seed)).toDF("num_buckets", "seed")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[writeNbModel]] layout. */
+  def loadNbModel(spark: org.apache.spark.sql.SparkSession,
+                  path: String): NbModel = {
+    val m = spark.read.parquet(s"$path/meta").collect()(0)
+    NbModel(spark.read.parquet(s"$path/model"), m.getInt(0), m.getLong(1))
+  }
+
   /** One-call form: train on `labeled`, score `df` — the typical
     * seed-corpus-vs-web-sample quality gate. */
   def nbQualityFilter(df: DataFrame, idCol: String, textCol: String,

@@ -47,7 +47,12 @@ object QuantileOps {
   private def selectTopKByKey(df: DataFrame, idCol: String, scoreCol: String,
                               kCol: Column, highest: Boolean): DataFrame = {
     val outCols = df.columns.toSeq.map(col)
-    val score = col(scoreCol).cast("double")
+    // rank on the 6-decimal-rounded value with the id tiebreak — the repo's
+    // cross-engine rank/selection convention (bm25TopK/dsirSelect do the
+    // same), so an engine-drifting score (unrounded DSIR logw, a BM25 sum)
+    // cannot pick a different cutoff set than the window-rank oracle at the
+    // last ulp
+    val score = round(col(scoreCol).cast("double"), 6)
     val bits = sortableBits(score)
     // ~bits reverses the total order with no overflow, so the selection is
     // always "smallest k by (_key, id)"
@@ -91,7 +96,8 @@ object QuantileOps {
     * "higher is better" scores. */
   def withExactRank(df: DataFrame, idCol: String, scoreCol: String,
                     ascending: Boolean = true, out: String = "rank"): DataFrame = {
-    val score = col(scoreCol).cast("double")
+    // 6-decimal-rounded rank key + id tiebreak (see selectTopKByKey)
+    val score = round(col(scoreCol).cast("double"), 6)
     val bits = sortableBits(score)
     val keyed = df
       .filter(score.isNotNull && !isnan(score))

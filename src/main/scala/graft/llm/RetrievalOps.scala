@@ -28,6 +28,18 @@ object RetrievalOps {
   private def toks(textCol: Column): Column =
     filter(split(lower(trim(textCol)), "[ \\t\\n\\r\\f]+"), t => length(t) > 0)
 
+  /** The top-k heap keys on a LONG doc id; a non-integral id (e.g. string
+    * URLs) would silently cast to NULL and collapse every document onto one
+    * key — fail fast instead (the k/k1/b require discipline). */
+  private def requireIntegralId(name: String,
+                                t: org.apache.spark.sql.types.DataType): Unit =
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType, LongType).contains(t),
+      s"doc id column '$name' must be an integral type (it keys the " +
+        s"bounded top-k heap as LONG), got $t — hash or dense-rank string " +
+        "ids to LONG first")
+
   private def topKAgg(vid: Column, sim: Column, k: Int): Column =
     org.apache.spark.sql.GraftExpressionBridge.column(
       graft.functions.TopKByScore(
@@ -70,6 +82,7 @@ object RetrievalOps {
     require(k1 >= 0.0, s"k1 must be >= 0, got $k1")
     require(b >= 0.0 && b <= 1.0, s"b must be in [0,1], got $b")
     val docIdType = corpus.schema(docIdCol).dataType
+    requireIntegralId(docIdCol, docIdType)
 
     // distinct query terms (small, broadcast): the early corpus-side filter
     val qterms = queries.select(col(qidCol).as("_qid"),
@@ -179,6 +192,7 @@ object RetrievalOps {
         col("_idf") * (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
     val docIdType = postings.schema("doc").dataType
+    requireIntegralId("doc", docIdType)
     scored.join(broadcast(qterms), Seq("term"))
       .groupBy(col("_qid"), col("doc"))
       .agg(round(sum(col("_w")), 6).as("_score"))

@@ -385,61 +385,111 @@ object TextOps {
                    vocabSize: Int = 65536, alpha: Double = 0.5): DataFrame =
     lmScore(df, idCol, textCol, trainUnigramLm(df, textCol, vocabSize, alpha))
 
-  /** Bigram interpolated-LM self-perplexity (the second-tier CCNet-style
-    * quality signal; Jelinek-Mercer interpolation from the classic LM
-    * literature): P(w | w₋₁) = λ·c(w₋₁ w)/c(w₋₁) + (1−λ)·P_uni(w), with
-    * P_uni the add-alpha unigram of [[trainUnigramLm]], the bigram term
-    * restricted to the `bigramVocabSize` most frequent bigrams (ties by
-    * pair ascending — deterministic), and a document's FIRST token scored
-    * by the unigram alone (no context). Repetitive/templated text scores
-    * much higher probability under the bigram term than under unigrams, so
-    * this separates fluent-but-templated boilerplate from ordinary prose
-    * in a way the unigram tier cannot.
+  /** Persist a [[trainUnigramLm]] model to `path/lm`. The table is
+    * self-contained for scoring (per-token `logp` is precomputed and the
+    * NULL row carries the OOV fallback), so the layout is a single bounded
+    * parquet table — written once per corpus refresh, then every crawl
+    * batch scores against the stored model via [[loadUnigramLm]] +
+    * [[lmScore]] without re-reading the training corpus (the
+    * [[DsirOps.writeModel]] steady-state discipline). */
+  def writeUnigramLm(lm: DataFrame, path: String): Unit =
+    lm.write.mode("overwrite").parquet(s"$path/lm")
+
+  /** Load a [[writeUnigramLm]] layout. */
+  def loadUnigramLm(spark: org.apache.spark.sql.SparkSession,
+                    path: String): DataFrame =
+    spark.read.parquet(s"$path/lm")
+
+  /** A fitted bigram interpolated LM: the top-V unigram vocabulary with its
+    * counts (which doubles as the CONTEXT count table — contexts are capped
+    * to the same top-V cut, see [[trainBigramLm]]), the top-B bigram count
+    * table restricted to in-vocabulary contexts, the one-row corpus token
+    * total, and the smoothing/interpolation parameters. Every table is
+    * bounded by construction (V + B + 1 rows), so scoring broadcasts the
+    * whole model unconditionally — the train-once / score-every-batch
+    * production shape shared with [[DsirOps.DsirModel]] and the NB gate. */
+  final case class BigramLmModel(vocab: DataFrame, bigrams: DataFrame,
+                                 totals: DataFrame, vocabSize: Int,
+                                 alpha: Double, lambda: Double)
+
+  /** Fit the bigram interpolated LM (Jelinek-Mercer; see
+    * [[bigramPerplexity]] for the model definition). The context count
+    * c(w₋₁) is CAPPED to the top-V vocabulary — an out-of-vocabulary
+    * context carries no bigram evidence and its tokens fall back to the
+    * unigram tier at scoring time. That cap is what makes the model
+    * broadcastable: the full word-type table of a web corpus does not fit
+    * in an executor, and joining exploded tokens against it shuffles the
+    * corpus keyed by previous-token — stop-word contexts ("the", "of")
+    * concentrate a huge fraction of all tokens onto single keys, a skewed
+    * straggler at 100×. Bigrams whose context misses the vocabulary cut
+    * are excluded BEFORE the top-B selection (they could never be scored).
     *
     * Scale shape: token and bigram counts are map-side-combined
-    * aggregations (vocabulary-sized results); scoring joins the exploded
-    * (pos, w, w₋₁) rows against those vocab-sized tables (AQE broadcasts
-    * them when they fit) and reduces per document. `sum_logp` uses the
-    * same rounded-DECIMAL discipline as [[lmScore]], so the result is
-    * order-independent and oracle-exact. Defaults: λ = 0.75 (both λ and
-    * 1−λ are exact binary doubles, so any engine reproduces the
-    * interpolation bit-for-bit). */
-  def bigramPerplexity(df: DataFrame, idCol: String, textCol: String,
-                       vocabSize: Int = 65536, bigramVocabSize: Int = 1 << 20,
-                       alpha: Double = 0.5, lambda: Double = 0.75): DataFrame = {
+    * aggregations; the top-V / top-B cuts are TakeOrdered (bounded),
+    * never a global sort. */
+  def trainBigramLm(corpus: DataFrame, textCol: String,
+                    vocabSize: Int = 65536, bigramVocabSize: Int = 1 << 20,
+                    alpha: Double = 0.5, lambda: Double = 0.75): BigramLmModel = {
     require(vocabSize >= 1 && bigramVocabSize >= 1, "vocab sizes must be >= 1")
     require(alpha > 0.0 && lambda >= 0.0 && lambda <= 1.0,
       "alpha > 0 and lambda in [0,1] required")
-    val toks = filter(split(trim(col(textCol)), "[ \\t\\n\\r\\f]+"), t => length(t) > 0)
-    val base = df.select(col(idCol), col(textCol)).withColumn("_toks", toks)
-    // FULL token counts (contexts need true corpus counts, not the top-V cut)
+    val toksC = filter(split(trim(col(textCol)), "[ \\t\\n\\r\\f]+"), t => length(t) > 0)
+    val base = corpus.select(toksC.as("_toks"))
     val counts = base.select(explode(col("_toks")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(sum(col("cnt")).as("_n"))
     val vocab = counts.orderBy(col("cnt").desc, col("token").asc).limit(vocabSize)
+    val pairs = base.filter(size(col("_toks")) >= 2)
+      .select(explode(transform(
+        sequence(lit(1), size(col("_toks")) - 1),
+        i => struct(get(col("_toks"), i - 1).as("_b1"),
+          get(col("_toks"), i).as("_b2")))).as("_t"))
+      .select(col("_t._b1").as("_b1"), col("_t._b2").as("_b2"))
+    val bigrams = pairs
+      .groupBy(col("_b1"), col("_b2")).agg(count(lit(1)).as("_cnt2"))
+      // context outside the top-V cut ⇒ unscorable bigram; drop before the cap
+      .join(broadcast(vocab.select(col("token").as("_b1"))), Seq("_b1"))
+      .orderBy(col("_cnt2").desc, col("_b1").asc, col("_b2").asc)
+      .limit(bigramVocabSize)
+    BigramLmModel(vocab, bigrams, totals, vocabSize, alpha, lambda)
+  }
+
+  /** Score documents under a [[trainBigramLm]] model with UNCONDITIONAL
+    * broadcasts of every model table (all bounded by construction): the
+    * exploded (w, w₋₁) rows broadcast-join the vocabulary twice (word and
+    * context side) and the bigram table once, then reduce per document —
+    * the only shuffle in the plan is the per-doc aggregation keyed on
+    * `idCol`; no token string ever keys an exchange (PlanGuardSpec pins
+    * this). First tokens and OOV-CONTEXT tokens score by the unigram tier
+    * alone; in-vocabulary contexts interpolate
+    * λ·c(w₋₁w)/c(w₋₁) + (1−λ)·P_uni(w). `sum_logp` uses the
+    * rounded-DECIMAL discipline of [[lmScore]] — order-independent and
+    * oracle-exact. */
+  def bigramScoreWithModel(df: DataFrame, idCol: String, textCol: String,
+                           model: BigramLmModel): DataFrame = {
+    val toksC = filter(split(trim(col(textCol)), "[ \\t\\n\\r\\f]+"), t => length(t) > 0)
+    val base = df.select(col(idCol), col(textCol)).withColumn("_toks", toksC)
+    val denom = col("_n") + lit(model.alpha * (model.vocabSize + 1))
+    val lambda = model.lambda
     val ex = base.filter(size(col("_toks")) > 0)
       .select(col(idCol), explode(transform(
         sequence(lit(1), greatest(size(col("_toks")), lit(1))),
         i => struct(get(col("_toks"), i - 1).as("w"),
           when(i > 1, get(col("_toks"), i - 2)).as("wp")))).as("_t"))
       .select(col(idCol), col("_t.w").as("_w"), col("_t.wp").as("_wp"))
-    val bigrams = ex.filter(col("_wp").isNotNull)
-      .groupBy(col("_wp").as("_b1"), col("_w").as("_b2"))
-      .agg(count(lit(1)).as("_cnt2"))
-      .orderBy(col("_cnt2").desc, col("_b1").asc, col("_b2").asc)
-      .limit(bigramVocabSize)
-    val denom = col("_n") + lit(alpha * (vocabSize + 1))
     val perDoc = ex
-      .join(vocab.select(col("token").as("_w"), col("cnt").as("_cw")), Seq("_w"), "left")
-      .join(counts.select(col("token").as("_wp"), col("cnt").as("_cwp")), Seq("_wp"), "left")
-      .join(bigrams.select(col("_b1").as("_wp"), col("_b2").as("_w"), col("_cnt2")),
-        Seq("_wp", "_w"), "left")
-      .crossJoin(broadcast(totals))
-      .withColumn("_puni", (coalesce(col("_cw"), lit(0L)) + lit(alpha)) / denom)
+      .join(broadcast(model.vocab.select(col("token").as("_w"), col("cnt").as("_cw"))),
+        Seq("_w"), "left")
+      .join(broadcast(model.vocab.select(col("token").as("_wp"), col("cnt").as("_cwp"))),
+        Seq("_wp"), "left")
+      .join(broadcast(model.bigrams.select(col("_b1").as("_wp"), col("_b2").as("_w"),
+        col("_cnt2"))), Seq("_wp", "_w"), "left")
+      .crossJoin(broadcast(model.totals))
+      .withColumn("_puni", (coalesce(col("_cw"), lit(0L)) + lit(model.alpha)) / denom)
       .withColumn("_pbi",
         when(col("_cnt2").isNotNull, col("_cnt2") / col("_cwp")).otherwise(lit(0.0)))
       .withColumn("_lp",
-        when(col("_wp").isNull, log(col("_puni")))
+        when(col("_wp").isNull || col("_cwp").isNull, log(col("_puni")))
           .otherwise(log(lit(lambda) * col("_pbi") + lit(1.0 - lambda) * col("_puni"))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
@@ -454,6 +504,116 @@ object TextOps {
       .withColumn("perplexity",
         when(col("n_tokens") > 0, exp(-col("sum_logp") / col("n_tokens"))))
   }
+
+  /** Streaming-compatible scoring with EXACT [[bigramScoreWithModel]]
+    * parity: the bounded model collects into broadcast lookup maps and each
+    * row scores in place — no join, no per-doc aggregation, fully
+    * stateless, so the same call gates a streaming micro-batch unchanged
+    * (the [[ClassifierOps.nbScoreBroadcast]] shape). Exactness: each
+    * token's log-probability is computed with the identical double
+    * arithmetic as the batch plan, HALF_UP-rounded to 6 decimals exactly as
+    * Spark's `round`, and accumulated as SCALED LONGS — an
+    * order-independent integer sum whose final decimal→double conversion
+    * matches the batch DECIMAL cast bit for bit. Returns the input rows
+    * with `n_tokens`, `sum_logp`, `mean_logp`, `perplexity` appended. */
+  def bigramScoreBroadcast(df: DataFrame, textCol: String,
+                           model: BigramLmModel): DataFrame = {
+    val spark = df.sparkSession
+    val vocabMap: Map[String, Long] = model.vocab.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val bigramMap: Map[(String, String), Long] = model.bigrams.collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val n = model.totals.collect()(0).getLong(0)
+    val denom = n + model.alpha * (model.vocabSize + 1)
+    val alpha = model.alpha
+    val lambda = model.lambda
+    val bcV = spark.sparkContext.broadcast(vocabMap)
+    val bcB = spark.sparkContext.broadcast(bigramMap)
+    val scoreUdf = udf((toks: Seq[String]) => {
+      var s = 0L
+      var i = 0
+      while (i < toks.length) {
+        val w = toks(i)
+        val cw = bcV.value.getOrElse(w, 0L)
+        val puni = (cw + alpha) / denom
+        val cwp = if (i == 0) None else bcV.value.get(toks(i - 1))
+        val lp = cwp match {
+          case None => math.log(puni)
+          case Some(c1) =>
+            val pbi = bcB.value.get((toks(i - 1), w)) match {
+              case Some(c2) => c2.toDouble / c1.toDouble
+              case None => 0.0
+            }
+            math.log(lambda * pbi + (1.0 - lambda) * puni)
+        }
+        // Spark's round(double, 6): BigDecimal.valueOf + HALF_UP — mirror it
+        s += java.math.BigDecimal.valueOf(lp)
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+          .movePointRight(6).longValueExact()
+        i += 1
+      }
+      // exact decimal→double, identical to the DECIMAL(28,6) cast
+      new java.math.BigDecimal(java.math.BigInteger.valueOf(s), 6).doubleValue()
+    })
+    val toksC = filter(split(trim(col(textCol)), "[ \\t\\n\\r\\f]+"), t => length(t) > 0)
+    df.withColumn("_toks", toksC)
+      .withColumn("n_tokens", size(col("_toks")).cast(LongType))
+      .withColumn("sum_logp", scoreUdf(col("_toks")))
+      .withColumn("mean_logp",
+        when(col("n_tokens") > 0, col("sum_logp") / col("n_tokens")))
+      .withColumn("perplexity",
+        when(col("n_tokens") > 0, exp(-col("sum_logp") / col("n_tokens"))))
+      .drop("_toks")
+  }
+
+  /** Persist a fitted bigram LM: `path/vocab`, `path/bigrams`,
+    * `path/totals`, `path/meta` (the smoothing/interpolation parameters
+    * ride with the counts so a scoring batch can never disagree with the
+    * fit) — the [[DsirOps.writeModel]] discipline. */
+  def writeBigramLm(model: BigramLmModel, path: String): Unit = {
+    val spark = model.vocab.sparkSession
+    import spark.implicits._
+    model.vocab.write.mode("overwrite").parquet(s"$path/vocab")
+    model.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    model.totals.write.mode("overwrite").parquet(s"$path/totals")
+    Seq((model.vocabSize, model.alpha, model.lambda))
+      .toDF("vocab_size", "alpha", "lambda")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[writeBigramLm]] layout. */
+  def loadBigramLm(spark: org.apache.spark.sql.SparkSession,
+                   path: String): BigramLmModel = {
+    val m = spark.read.parquet(s"$path/meta").collect()(0)
+    BigramLmModel(spark.read.parquet(s"$path/vocab"),
+      spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/totals"),
+      m.getInt(0), m.getDouble(1), m.getDouble(2))
+  }
+
+  /** Bigram interpolated-LM self-perplexity (the second-tier CCNet-style
+    * quality signal; Jelinek-Mercer interpolation from the classic LM
+    * literature): P(w | w₋₁) = λ·c(w₋₁ w)/c(w₋₁) + (1−λ)·P_uni(w), with
+    * P_uni the add-alpha unigram of [[trainUnigramLm]], both the context
+    * counts and the unigram tier restricted to the `vocabSize` most
+    * frequent tokens, the bigram term to the `bigramVocabSize` most
+    * frequent in-vocabulary-context bigrams (ties by pair ascending —
+    * deterministic), and a token whose context is ABSENT (document start,
+    * or an out-of-vocabulary previous token) scored by the unigram alone.
+    * Repetitive/templated text scores much higher probability under the
+    * bigram term than under unigrams, so this separates
+    * fluent-but-templated boilerplate from ordinary prose in a way the
+    * unigram tier cannot. Train + score in one call; for recurring ingest
+    * fit once with [[trainBigramLm]] (optionally [[writeBigramLm]]) and
+    * score each batch with [[bigramScoreWithModel]] or the streaming
+    * [[bigramScoreBroadcast]]. Defaults: λ = 0.75 (both λ and 1−λ are
+    * exact binary doubles, so any engine reproduces the interpolation
+    * bit-for-bit). */
+  def bigramPerplexity(df: DataFrame, idCol: String, textCol: String,
+                       vocabSize: Int = 65536, bigramVocabSize: Int = 1 << 20,
+                       alpha: Double = 0.5, lambda: Double = 0.75): DataFrame =
+    bigramScoreWithModel(df, idCol, textCol,
+      trainBigramLm(df, textCol, vocabSize, bigramVocabSize, alpha, lambda))
 
   /** Character n-gram shingles of a normalized text, as a distinct array —
     * building block for MinHash / Jaccard dedup. */
@@ -1190,9 +1350,10 @@ object TextOps {
     * shuffle and NO size aggregate — corpus text never crosses an exchange.
     * The benchmark side is eval-set sized (AQE broadcasts it), so the
     * corpus-sized side joins map-side; the only corpus-keyed shuffles carry
-    * (corpus id, bench id, count) triples bounded by actual overlaps. No m²
-    * blowup: a corpus gram matching b benchmark docs contributes b rows,
-    * and b is bounded by the eval set. */
+    * (corpus id, bench id, count) triples — actual overlaps plus one
+    * partial-aggregated size row per document. No m² blowup: a corpus gram
+    * matching b benchmark docs contributes b rows, and b is bounded by the
+    * eval set. */
   def jaccardContamination(corpus: DataFrame, benchmarks: DataFrame,
                            corpusIdCol: String, benchIdCol: String,
                            textCol: String, n: Int = 13,
@@ -1220,20 +1381,23 @@ object TextOps {
         explode(col("_grams")).as("_gram"))
       .select(col("_bid"), col("_nb"), xxhash64(col("_gram")).as("_gh"),
         col("_gram").as("_bgram"))
+    // LEFT join so every corpus doc's gram rows survive: unmatched grams
+    // land in a (_cid, NULL) group that contributes only the doc's gram-set
+    // size — the expensive map-side pass (tokenize, gram windows,
+    // array_distinct) runs exactly ONCE over the corpus instead of a
+    // second full invocation just to recover per-doc sizes
     val best = corpusGrams
       .join(benchGrams, corpusGrams("_gh") === benchGrams("_gh") &&
-        corpusGrams("_gram") === benchGrams("_bgram"))
+        corpusGrams("_gram") === benchGrams("_bgram"), "left")
       .groupBy(col("_cid"), col("_bid"))
-      .agg(count(lit(1)).as("_inter"), max(col("_na")).as("_na"),
+      .agg(count(col("_bgram")).as("_inter"), max(col("_na")).as("_na"),
         max(col("_nb")).as("_nb"))
-      .select(col("_cid"),
-        (col("_inter").cast(DoubleType) /
-          (col("_na") + col("_nb") - col("_inter"))).as("_j"))
-      .groupBy(col("_cid")).agg(max(col("_j")).as("max_jaccard"))
-    val sizes = gramSets(corpus, col(corpusIdCol))
-      .select(col("_gid").as(corpusIdCol), col("_ng").as("_na"))
+      .withColumn("_j", when(col("_bid").isNotNull,
+        col("_inter").cast(DoubleType) /
+          (col("_na") + col("_nb") - col("_inter"))))
+      .groupBy(col("_cid"))
+      .agg(max(col("_j")).as("max_jaccard"), max(col("_na")).as("_na"))
     corpus.select(col(corpusIdCol))
-      .join(sizes, Seq(corpusIdCol), "left")
       .join(best.withColumnRenamed("_cid", corpusIdCol), Seq(corpusIdCol), "left")
       .select(col(corpusIdCol),
         coalesce(col("_na"), lit(0L)).as("n_grams"),

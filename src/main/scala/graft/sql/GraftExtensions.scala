@@ -252,6 +252,13 @@ object TableMacros {
       case Literal(s: UTF8String, StringType) => s.toString
       case other => fail(s"$what must be a string literal, got $other")
     }
+    // two-valued mode arguments raise on anything else — a typo'd mode must
+    // not silently select the opposite end of a ranking (the foldMetric
+    // discipline; mirrors ReportOps.blocklistFilter's require)
+    def enumArg(v: String, what: String, first: String, second: String): Boolean =
+      if (v == first) true
+      else if (v == second) false
+      else fail(s"$what must be '$first' or '$second', got '$v'")
     def ident(e: Expression, what: String): String = e match {
       case a: UnresolvedAttribute => a.nameParts.last
       case Literal(s: UTF8String, StringType) => s.toString
@@ -899,12 +906,14 @@ object TableMacros {
         if (rest.length > 1) fail("too many arguments")
         graft.llm.QuantileOps.filterTopFraction(source(src), ident(id, "id_col"),
           ident(score, "score_col"), dbl(frac, "frac"),
-          highest = rest.headOption.forall(e => str(e, "mode") == "highest"))
+          highest = rest.headOption.forall(e =>
+            enumArg(str(e, "mode"), "mode", "highest", "lowest")))
       case ("select_top_k", Seq(src, id, score, k, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
         graft.llm.QuantileOps.selectTopK(source(src), ident(id, "id_col"),
           ident(score, "score_col"), dbl(k, "k").toLong,
-          highest = rest.headOption.forall(e => str(e, "mode") == "highest"))
+          highest = rest.headOption.forall(e =>
+            enumArg(str(e, "mode"), "mode", "highest", "lowest")))
       case ("blocklist_filter", Seq(src, id, text, list, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
         val entries = list match {
@@ -926,7 +935,8 @@ object TableMacros {
         if (rest.length > 1) fail("too many arguments")
         graft.llm.QuantileOps.withExactRank(source(src), ident(id, "id_col"),
           ident(score, "score_col"),
-          ascending = rest.headOption.forall(e => str(e, "order") != "descending"))
+          ascending = rest.headOption.forall(e =>
+            enumArg(str(e, "order"), "order", "ascending", "descending")))
       case ("quantile_buckets", Seq(src, id, score, nb)) =>
         graft.llm.QuantileOps.quantileBuckets(source(src), ident(id, "id_col"),
           ident(score, "score_col"), int(nb, "n_buckets"))

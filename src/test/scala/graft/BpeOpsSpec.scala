@@ -94,6 +94,48 @@ class BpeOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(counts.values.forall(_ == 1L), s"every train word is one token, got $counts")
   }
 
+  test("bpeTrainLocal equals the SQL-loop bpeTrain, including ties and multi-byte symbols") {
+    val sp = spark
+    import sp.implicits._
+    // mixes the hand-computed example, a count tie, a greedy chain, and a
+    // multi-byte (2- and 3-byte UTF-8) word whose tie-break exercises the
+    // binary-byte order the SQL loop sorts in
+    val corpus = (Seq.fill(6)("ab") ++ Seq.fill(4)("abc") ++ Seq.fill(3)("bc") ++
+      Seq.fill(3)("aaaa") ++ Seq.fill(2)("xy pq") ++ Seq.fill(2)("héllo") ++
+      Seq.fill(2)("日本語"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    for (k <- Seq(1, 3, 8)) {
+      val sql = BpeOps.bpeTrain(corpus, "text", numMerges = k)
+      val local = BpeOps.bpeTrainLocal(corpus, "text", numMerges = k)
+      assert(local == sql, s"numMerges=$k: local $local vs sql $sql")
+    }
+    // minPairFreq early stop agrees too
+    assert(BpeOps.bpeTrainLocal(corpus, "text", 20, minPairFreq = 4L) ==
+      BpeOps.bpeTrain(corpus, "text", 20, minPairFreq = 4L))
+  }
+
+  test("bpeTrainLocal trains 1000+ merges in seconds (one Spark job total)") {
+    val sp = spark
+    import sp.implicits._
+    // vocabulary-rich synthetic corpus: enough distinct pairs to sustain
+    // >1000 merges above minPairFreq (deterministic word soup)
+    val words = (0 until 3000).map { i =>
+      val syll = Seq("ka", "to", "ri", "mu", "se", "lo", "ba", "ne", "di", "fu")
+      val w = syll(i % 10) + syll((i / 10) % 10) + syll((i / 100) % 10) + (i % 7)
+      (i.toLong, Seq.fill(2 + i % 3)(w).mkString(" "))
+    }
+    val corpus = words.toDF("id", "text")
+    val t0 = System.nanoTime()
+    val merges = BpeOps.bpeTrainLocal(corpus, "text", numMerges = 1200,
+      minPairFreq = 1L)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length >= 1000, s"expected >= 1000 merges, got ${merges.length}")
+    assert(secs < 60.0, s"driver-side loop must run in seconds, took $secs s")
+    // ranks are sequential and merges well-formed
+    assert(merges.map(_.rank) == (1 to merges.length))
+    assert(merges.forall(m => m.merged == m.left + m.right))
+  }
+
   test("training is partition-invariant") {
     val sp = spark
     import sp.implicits._

@@ -241,6 +241,57 @@ class QualityCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(3L) == ((0L, 0.0)))
   }
 
+  test("bigram LM: OOV-context tokens fall back to the unigram tier") {
+    val sp = spark
+    import sp.implicits._
+    // vocab cap 2 keeps only {a, b} (counts 6/5); context "z" is OOV, so
+    // tokens after z must score exactly as unigrams even though (z, a)
+    // repeats — a capped-context model has no bigram evidence for z
+    val docs = Seq(
+      (1L, "a b a b a b"),
+      (2L, "z a z a z b a b")).toDF("id", "text")
+    val model = TextOps.trainBigramLm(docs, "text", vocabSize = 2,
+      bigramVocabSize = 32, alpha = 0.5, lambda = 0.75)
+    // the bigram table only carries in-vocab contexts
+    val ctxs = model.bigrams.select("_b1").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(ctxs.subsetOf(Set("a", "b")), s"OOV contexts leaked: $ctxs")
+    // scoring a doc whose every context is OOV (z/w are outside the top-2
+    // vocab; note pos-3 z follows OOV w, never in-vocab a) ≡ scoring it
+    // under the unigram tier alone
+    val probe = Seq((10L, "z w z w a")).toDF("id", "text")
+    val big = TextOps.bigramScoreWithModel(probe, "id", "text", model)
+      .select("sum_logp").head.getDouble(0)
+    val uni = TextOps.lmScore(probe, "id", "text",
+        TextOps.trainUnigramLm(docs, "text", vocabSize = 2, alpha = 0.5))
+      .select("sum_logp").head.getDouble(0)
+    assert(big == uni, s"OOV-context scoring must equal unigram: $big vs $uni")
+  }
+
+  test("bigram LM: broadcast scorer is bit-exact with the batch plan through a disk round trip") {
+    val sp = spark
+    import sp.implicits._
+    val ordered = (1 to 40).map(_ => "alpha beta gamma delta").mkString(" ")
+    val shuffled = new scala.util.Random(3).shuffle(
+      ((1 to 40).flatMap(_ => Seq("alpha", "beta", "gamma", "delta"))).toList).mkString(" ")
+    val docs = Seq((1L, ordered), (2L, shuffled), (3L, ""),
+      (4L, "alpha beta zeta alpha")).toDF("id", "text")
+    val model = TextOps.trainBigramLm(docs, "text", vocabSize = 4,
+      bigramVocabSize = 8, alpha = 0.5, lambda = 0.75)
+    val dir = java.nio.file.Files.createTempDirectory("graft_bigram_spec").toString
+    TextOps.writeBigramLm(model, dir)
+    val loaded = TextOps.loadBigramLm(sp, dir)
+    assert(loaded.vocabSize == 4 && loaded.alpha == 0.5 && loaded.lambda == 0.75)
+    val batch = TextOps.bigramScoreWithModel(docs, "id", "text", model)
+      .select("id", "n_tokens", "sum_logp")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val stream = TextOps.bigramScoreBroadcast(docs, "text", loaded)
+      .select("id", "n_tokens", "sum_logp")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(batch == stream, s"batch $batch vs broadcast $stream")
+    assert(batch(3L) == ((0L, 0.0)))
+  }
+
   test("temperatureSample flattens the mixture toward low-resource strata, deterministically") {
     val sp = spark
     import sp.implicits._

@@ -39,11 +39,17 @@ class QuantileOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }.toDF("id", "score")
   }
 
+  /** The op's documented rank key: the 6-decimal-rounded score (Spark's
+    * round = shortest-decimal BigDecimal, HALF_UP; NaN/∞ pass through). */
+  private def r6(s: Double): Double =
+    if (s.isNaN || s.isInfinite) s
+    else BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
   private def refTopK(k: Int, highest: Boolean): Set[Long] = {
     val rows = scored.collect().map(r => (r.getLong(0), r.getDouble(1)))
     val sorted =
-      if (highest) rows.sortBy { case (id, s) => (-s, id) }
-      else rows.sortBy { case (id, s) => (s, id) }
+      if (highest) rows.sortBy { case (id, s) => (-r6(s), id) }
+      else rows.sortBy { case (id, s) => (r6(s), id) }
     sorted.take(k).map(_._1).toSet
   }
 
@@ -74,7 +80,7 @@ class QuantileOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("withExactRank equals the sorted reference; quantileBuckets is balanced") {
     val ref = scored.collect().map(r => (r.getLong(0), r.getDouble(1)))
-      .sortBy { case (id, s) => (s, id) }
+      .sortBy { case (id, s) => (r6(s), id) }
       .zipWithIndex.map { case ((id, _), i) => id -> (i + 1).toLong }.toMap
     val got = QuantileOps.withExactRank(scored.repartition(7), "id", "score")
       .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank")).toMap
@@ -115,9 +121,11 @@ class QuantileOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val df = rows.toDF("id", "score")
     for (k <- Seq(1, 50, 199, 400); hi <- Seq(true, false)) {
+      // the rounded key collapses the dense near-ties and subnormals onto
+      // shared values — exactly the id-tiebreak determinism the op promises
       val sorted =
-        if (hi) rows.sortBy { case (id, s) => (-s, id) }
-        else rows.sortBy { case (id, s) => (s, id) }
+        if (hi) rows.sortBy { case (id, s) => (-r6(s), id) }
+        else rows.sortBy { case (id, s) => (r6(s), id) }
       val expect = sorted.take(k).map(_._1).toSet
       val got = QuantileOps.selectTopK(df, "id", "score", k, highest = hi)
         .collect().map(_.getLong(0)).toSet

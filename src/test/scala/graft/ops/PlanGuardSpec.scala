@@ -332,6 +332,44 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"rank window must partition by _coarse: ${partitioned.head.partitionSpec}")
   }
 
+  test("bigram LM scoring: model tables broadcast; no exchange or shuffle join keyed on a token column") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val sp = spark
+    import sp.implicits._
+    val docs = (0L until 60L)
+      .map(i => (i, s"tok${i % 7} tok${(i + 1) % 7} tok${(i + 2) % 7}"))
+      .toDF("id", "text")
+    // production shape: the model is LOADED (bounded parquet tables), so the
+    // scoring plan contains no training subtree — exactly the recurring-
+    // ingest path whose joins must all broadcast
+    val dir = java.nio.file.Files.createTempDirectory("graft_bigram_guard").toString
+    graft.llm.TextOps.writeBigramLm(
+      graft.llm.TextOps.trainBigramLm(docs, "text", vocabSize = 8,
+        bigramVocabSize = 16), dir)
+    val model = graft.llm.TextOps.loadBigramLm(spark, dir)
+    val df = graft.llm.TextOps.bigramScoreWithModel(docs, "id", "text", model)
+    val plan = df.queryExecution.executedPlan
+    // the one scale-killer shape this op used to have: a shuffle join keyed
+    // by the previous-token column (stop-word contexts concentrate a huge
+    // share of all corpus tokens onto single keys). Token columns must
+    // never key an exchange — only the doc id may.
+    plan.collect { case s: ShuffleExchangeExec => s }.foreach { s =>
+      assert(!s.child.output.exists(a => Set("_w", "_wp").contains(a.name)),
+        s"token columns must never cross an exchange:\n$s")
+    }
+    val shuffleJoins =
+      plan.collect { case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys } ++
+      plan.collect { case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys }
+    shuffleJoins.foreach { keys =>
+      assert(keys.forall(_.references.map(_.name).forall(_ == "id")),
+        s"shuffle joins may only key on the doc id, got keys $keys")
+    }
+    // vocab (word side + context side), bigram table and totals all
+    // broadcast unconditionally (the tables are bounded by construction)
+    assert(plan.collect { case b: BroadcastExchangeExec => b }.length >= 3,
+      "the model tables must sit under BroadcastExchange nodes")
+  }
+
   test("flagship forecast: one shuffle on the group key, no cartesian") {
     val df = graft.ops.TsForecastOp.forecastBy(
       events
