@@ -164,6 +164,25 @@ object ScaleProbe {
       println(f"minhash ext=$useExt sec=$m%.3f ms_per_doc=${m * 1000 / (n1 * 10)}%.4f all=${ts.map(t => f"$t%.3f")}")
       docs10.unpersist()
     }
+    if (which("minhashbisect")) {
+      // stage boundaries of minHashLshPairs: signature only, banded table
+      // only, then the full candidate pipeline
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n1 = docs.count()
+      val docs10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", concat(col("text"), lit(s" r$i"))))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      docs10.count()
+      def m3(run: => Double): Double = { run; val ts = Seq.fill(3)(run).sorted; ts(1) }
+      val tSig = m3(onceDf(llm.TextOps.minHashSignature(docs10, "text")))
+      println(f"mh_signature_only sec=$tSig%.3f ms_per_doc=${tSig * 1000 / (n1 * 10)}%.4f")
+      val tBand = m3(onceDf(llm.TextOps.bandedTable(docs10, "doc_id", "text", 64, 16, 5)))
+      println(f"mh_banded_only sec=$tBand%.3f ms_per_doc=${tBand * 1000 / (n1 * 10)}%.4f")
+      val tFull = m3(onceDf(llm.TextOps.minHashLshPairs(docs10, "doc_id", "text")))
+      println(f"mh_full sec=$tFull%.3f ms_per_doc=${tFull * 1000 / (n1 * 10)}%.4f")
+      docs10.unpersist()
+    }
     if (which("btbisect")) {
       // stage-boundary timings for the backtest plan: kernel-only (compact
       // perFold rows, no pin), exploded rows (pin + explode, no score join),

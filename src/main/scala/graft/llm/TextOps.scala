@@ -645,9 +645,24 @@ object TextOps {
   }
 
   /** MinHash signature of the shingle set using k independent hash families
-    * h_i(x) = (a_i*hash(x) + b_i) mod p with p = 2^31-1. Deterministic. */
+    * h_i(x) = (a_i*hash(x) + b_i) mod p with p = 2^31-1. Deterministic.
+    * Computed by the native one-pass codegen expression
+    * [[graft.functions.MinHashSignature]] (no per-shingle substring, no
+    * boxed dedup set, no UDF conversion layer); [[minHashSignatureUdf]] is
+    * the original UDF form, kept as the executable bit-parity reference
+    * (MinHashParitySpec). */
   def minHashSignature(df: DataFrame, textCol: String, numHashes: Int = 64,
                        shingleSize: Int = 5, out: String = "minhash"): DataFrame = {
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    df.withColumn(out, B.column(graft.functions.MinHashSignature(
+      B.expression(coalesce(col(textCol), lit(""))), numHashes, shingleSize)))
+  }
+
+  /** The UDF form [[minHashSignature]] replaced — the executable
+    * specification the native expression is pinned against. */
+  private[graft] def minHashSignatureUdf(df: DataFrame, textCol: String,
+                                         numHashes: Int = 64, shingleSize: Int = 5,
+                                         out: String = "minhash"): DataFrame = {
     val p = 2147483647L
     val rnd = new scala.util.Random(42)
     val as = Array.fill(numHashes)((math.abs(rnd.nextLong()) % (p - 1)) + 1)
@@ -685,12 +700,12 @@ object TextOps {
     * different bands never collide into one bucket. */
   private[graft] def bandedTable(df: DataFrame, idCol: String, textCol: String,
                                  numHashes: Int, bands: Int, shingleSize: Int): DataFrame = {
-    val rowsPerBand = numHashes / bands
-    minHashSignature(df, textCol, numHashes, shingleSize)
-      .filter(size(col("minhash")) > 0)
-      .select(col(idCol), posexplode(transform(
-        sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws("_", slice(col("minhash"), b * rowsPerBand + 1, lit(rowsPerBand))), b))))
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    df.select(col(idCol), B.column(graft.functions.MinHashBandBuckets(
+        B.expression(coalesce(col(textCol), lit(""))), numHashes, bands,
+        shingleSize)).as("_bb"))
+      .filter(size(col("_bb")) > 0)
+      .select(col(idCol), posexplode(col("_bb")))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
   }
 

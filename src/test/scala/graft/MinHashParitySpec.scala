@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.TextOps
+
+/** Bit-parity of the native [[graft.functions.MinHashSignature]] codegen
+  * expression against the original UDF (the executable specification):
+  * every signature value must be IDENTICAL — the banded LSH tables, the
+  * persisted dedup indexes, and every existing dedup oracle row depend on
+  * the exact numbers. */
+class MinHashParitySpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-minhash-parity")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  /** Adversarial fixture: every normalization and windowing branch. */
+  private def fixture = {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    val long = (1 to 200).map(i => s"w${rnd.nextInt(50)}x$i").mkString(" ")
+    Seq[(Long, String)](
+      (1L, "The quick brown Fox jumps over the lazy dog"),
+      (2L, ""),                               // empty → empty signature
+      (3L, " \t\n\r\f  "),                    // all whitespace → 1 char → empty
+      (4L, "abcd"),                           // shorter than the 5-shingle
+      (5L, "abcde"),                          // exactly one shingle
+      (6L, "a  b\t\tc\nd\r\ne  f"),     // every \s kind, runs collapse
+      (7L, "AAAAA aaaaa AaAaA"),              // case folding → heavy repeats
+      (8L, "héllo wörld héllo wörld naïve"),  // multi-byte chars
+      (9L, "日本語のテキストです 日本語"),        // CJK
+      (10L, "emoji 😀 pair 😀 text"), // astral plane
+      (11L, "spam spam spam spam spam spam"), // duplicate shingles
+      (12L, long),                            // long mixed text
+      (13L, "  leading and trailing   ")      // boundary runs
+    ).toDF("id", "text")
+  }
+
+  private def collectSigs(df: org.apache.spark.sql.DataFrame): Map[Long, Seq[Long]] =
+    df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+
+  test("native signature is bit-identical to the UDF on adversarial texts") {
+    for ((k, n) <- Seq((64, 5), (16, 3), (128, 9), (1, 5))) {
+      val native = collectSigs(
+        TextOps.minHashSignature(fixture, "text", k, n).select("id", "minhash"))
+      val udf = collectSigs(
+        TextOps.minHashSignatureUdf(fixture, "text", k, n).select("id", "minhash"))
+      assert(native == udf, s"numHashes=$k shingleSize=$n")
+    }
+  }
+
+  test("null text yields the empty signature (matches the UDF's null guard)") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq((1L, Option("hello world text here")), (2L, Option.empty[String]))
+      .toDF("id", "text")
+    val native = collectSigs(
+      TextOps.minHashSignature(docs, "text").select("id", "minhash"))
+    val udf = collectSigs(
+      TextOps.minHashSignatureUdf(docs, "text").select("id", "minhash"))
+    assert(native == udf)
+    assert(native(2L).isEmpty)
+  }
+
+  test("banded buckets partition documents exactly as the signature slices do") {
+    val sp = spark
+    import sp.implicits._
+    // add exact duplicates so same-slice collisions actually occur
+    val docs = fixture.unionByName(
+      fixture.filter(col("id") <= 3L)
+        .select((col("id") + 100L).as("id"), col("text")))
+    val buckets = TextOps.bandedTable(docs, "id", "text", 64, 16, 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val slices = TextOps.minHashSignatureUdf(docs, "text", 64, 5)
+      .filter(size(col("minhash")) > 0)
+      .select("id", "minhash")
+      .collect().flatMap { r =>
+        val sig = r.getSeq[Long](1)
+        (0 until 16).map(b => (r.getLong(0), b) -> sig.slice(b * 4, b * 4 + 4))
+      }.toMap
+    // same (id, band) coverage (docs without shingles drop out of both)
+    assert(buckets.keySet == slices.keySet)
+    // bucket equality ⟺ slice equality, per band (the LSH contract: equal
+    // slices MUST collide — exact-dup completeness — and unequal slices
+    // must not, up to 64-bit hash collisions this fixture cannot produce)
+    for (band <- 0 until 16) {
+      val ids = buckets.keySet.filter(_._2 == band).toSeq.map(_._1).sorted
+      for (a <- ids; b <- ids if a < b) {
+        val same = slices((a, band)) == slices((b, band))
+        assert((buckets((a, band)) == buckets((b, band))) == same,
+          s"band $band: docs $a/$b bucket-collision ≠ slice equality")
+      }
+    }
+  }
+}
