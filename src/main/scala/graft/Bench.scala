@@ -181,10 +181,27 @@ object Bench {
       df.write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
-    def median3(run: => Double): Double = { run; val ts = Seq.fill(3)(run).sorted; ts(1) }
+    // scale10 timings carry their min/max spread: two rounds of committed
+    // bare-median numbers were contention-contaminated and unfalsifiable
+    // after the fact — the spread makes a dirty run self-evident, and any
+    // metric whose band exceeds ±40% of its median is listed in
+    // scale10_flagged so the round's number of record can be re-run
+    def median3(run: => Double): (Double, Seq[Double]) =
+      { run; val ts = Seq.fill(3)(run).sorted; (ts(1), ts) }
     // LSH ops get median-of-5: their pin/GC lifecycle made single medians
     // swing run-to-run, so they carry the widest measurement band
-    def median5(run: => Double): Double = { run; val ts = Seq.fill(5)(run).sorted; ts(2) }
+    def median5(run: => Double): (Double, Seq[Double]) =
+      { run; val ts = Seq.fill(5)(run).sorted; (ts(2), ts) }
+    val s10stats = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Seq[Double])]
+    /** One scale10 JSON entry: sec + per-unit cost + [min, max] spread. */
+    def entry(name: String, mt: (Double, Seq[Double]), perKey: String,
+              denom: Double, fine: Boolean = true): String = {
+      val (m, ts) = mt
+      s10stats += ((name, m, ts))
+      val per = m * 1000.0 / denom
+      val perStr = if (fine) f"$per%.4f" else f"$per%.3f"
+      f""""$name":{"sec":$m%.3f,"$perKey":$perStr,"spread_sec":[${ts.head}%.3f,${ts.last}%.3f]}"""
+    }
     val scaleQs: Seq[(String, () => DataFrame)] = Seq(
       "fc_snaive_users" -> (() => ops.TsForecastOp.forecastBy(series10, "g", "ds", "y",
         "SeasonalNaive", 14, "1d", Map("seasonal_period" -> "7"))),
@@ -286,6 +303,16 @@ object Bench {
     val bigram10 = median3(onceDf(
       llm.TextOps.bigramPerplexity(docs10, "doc_id", "text",
         vocabSize = 65536, bigramVocabSize = 1 << 20)))
+    // steady state: the bounded model tables are fit once per corpus refresh
+    // (untimed, the DSIR/IVF protocol) and pinned; each batch pays only the
+    // broadcast-join scoring pass
+    val bigramModel = llm.TextOps.trainBigramLm(docs10, "text",
+      vocabSize = 65536, bigramVocabSize = 1 << 20)
+    val bigramPinned = llm.TextOps.BigramLmModel(
+      llm.Pin(bigramModel.vocab).df, llm.Pin(bigramModel.bigrams).df,
+      llm.Pin(bigramModel.totals).df, 65536, 0.5, 0.75)
+    val bigramScore10 = median3(onceDf(
+      llm.TextOps.bigramScoreWithModel(docs10, "doc_id", "text", bigramPinned)))
     // batch-19 curation additions at 10× corpus: the NB quality gate trains
     // on a 1%-sized labeled seed (bounded model, broadcast scoring join)
     // and scores the full corpus; HTML strip is map-only regex codegen;
@@ -385,38 +412,45 @@ object Bench {
       llm.TextOps.removeDuplicatedSpans(docsSpan10, "doc_id", "text", gramLen = 20)))
     docsSpan10.unpersist()
 
-    val scaleJson = (scaleRes.map { case (k, v) =>
-      "\"" + k + f"""\":{"sec":$v%.3f,"ms_per_series":${v * 1000.0 / (nSeries1 * 10)}%.4f}"""
+    val nd10 = nDocs1 * 10.0
+    val scaleJson = (scaleRes.map { case (k, mt) =>
+      entry(k, mt, "ms_per_series", nSeries1 * 10.0)
     } ++ Seq(
-      f""""dedup_minhash_docs":{"sec":$minhash10%.3f,"ms_per_doc":${minhash10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
-      f""""curate_pipeline_docs":{"sec":$curate10%.3f,"ms_per_doc":${curate10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
-      f""""decontaminate_docs":{"sec":$decon10%.3f,"ms_per_doc":${decon10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
-      f""""boilerplate_docs":{"sec":$boiler10%.3f,"ms_per_doc":${boiler10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
-      f""""mix_budget_docs":{"sec":$mix10%.3f,"ms_per_doc":${mix10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
-      f""""dedup_spans_docs":{"sec":$spans10%.3f,"ms_per_doc":${spans10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
-      f""""quality_filters_docs":{"sec":$quality10%.3f,"ms_per_doc":${quality10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
-      f""""hash_embed_docs":{"sec":$hashEmbed10%.3f,"ms_per_doc":${hashEmbed10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
-      f""""lm_bigram_docs":{"sec":$bigram10%.3f,"ms_per_doc":${bigram10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
-      f""""nb_quality_gate_docs":{"sec":$nbGate10%.3f,"ms_per_doc":${nbGate10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
-      f""""html_strip_docs":{"sec":$htmlStrip10%.3f,"ms_per_doc":${htmlStrip10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
-      f""""jaccard_decon_docs":{"sec":$jacDecon10%.3f,"ms_per_doc":${jacDecon10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
-      f""""dedup_against_docs":{"sec":$dedupAgainst10%.3f,"ms_per_incoming_doc":${dedupAgainst10 * 1000.0 / nDocs1}%.4f}""",
-      f""""dsir_weights_docs":{"sec":$dsir10%.3f,"ms_per_doc":${dsir10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
-      f""""dsir_score_docs":{"sec":$dsirScore10%.3f,"ms_per_doc":${dsirScore10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
-      f""""bm25_topk":{"sec":$bm2510%.3f,"ms_per_query":${bm2510 * 1000.0 / nQueries10}%.3f}""",
-      f""""bm25_index_query":{"sec":$bm25Idx10%.3f,"ms_per_query":${bm25Idx10 * 1000.0 / nQueries10}%.3f}""",
-      f""""unimax_select_docs":{"sec":$unimax10%.3f,"ms_per_doc":${unimax10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
-      f""""top_fraction_docs":{"sec":$topFrac10%.3f,"ms_per_doc":${topFrac10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
-      f""""exact_rank_docs":{"sec":$rank10%.3f,"ms_per_doc":${rank10 * 1000.0 / (nDocs1 * 10)}%.4f}""",
-      f""""ann_ivf_probe":{"sec":$probe10%.3f,"ms_per_query":${probe10 * 1000.0 / nQueries}%.3f}""",
-      f""""semdedup_vecs":{"sec":$semdedup10%.3f,"ms_per_vec":${semdedup10 * 1000.0 / (nEmb1 * 10)}%.4f}""",
-      f""""knn_graph_vecs":{"sec":$knn10%.3f,"ms_per_node":${knn10 * 1000.0 / (nEmb1 * 10)}%.4f}"""
+      entry("dedup_minhash_docs", minhash10, "ms_per_doc", nd10),
+      entry("curate_pipeline_docs", curate10, "ms_per_doc", nd10),
+      entry("decontaminate_docs", decon10, "ms_per_doc", nd10),
+      entry("boilerplate_docs", boiler10, "ms_per_doc", nd10),
+      entry("mix_budget_docs", mix10, "ms_per_doc", nd10),
+      entry("dedup_spans_docs", spans10, "ms_per_doc", nd10),
+      entry("quality_filters_docs", quality10, "ms_per_doc", nd10),
+      entry("hash_embed_docs", hashEmbed10, "ms_per_doc", nd10),
+      entry("lm_bigram_docs", bigram10, "ms_per_doc", nd10),
+      entry("lm_bigram_score_docs", bigramScore10, "ms_per_doc", nd10),
+      entry("nb_quality_gate_docs", nbGate10, "ms_per_doc", nd10),
+      entry("html_strip_docs", htmlStrip10, "ms_per_doc", nd10),
+      entry("jaccard_decon_docs", jacDecon10, "ms_per_doc", nd10),
+      entry("dedup_against_docs", dedupAgainst10, "ms_per_incoming_doc", nDocs1.toDouble),
+      entry("dsir_weights_docs", dsir10, "ms_per_doc", nd10),
+      entry("dsir_score_docs", dsirScore10, "ms_per_doc", nd10),
+      entry("bm25_topk", bm2510, "ms_per_query", nQueries10.toDouble, fine = false),
+      entry("bm25_index_query", bm25Idx10, "ms_per_query", nQueries10.toDouble, fine = false),
+      entry("unimax_select_docs", unimax10, "ms_per_doc", nd10),
+      entry("top_fraction_docs", topFrac10, "ms_per_doc", nd10),
+      entry("exact_rank_docs", rank10, "ms_per_doc", nd10),
+      entry("ann_ivf_probe", probe10, "ms_per_query", nQueries.toDouble, fine = false),
+      entry("semdedup_vecs", semdedup10, "ms_per_vec", nEmb1 * 10.0),
+      entry("knn_graph_vecs", knn10, "ms_per_node", nEmb1 * 10.0)
     )).mkString("{", ",",
       s""","n_series":${nSeries1 * 10},"n_docs":${nDocs1 * 10},"n_vectors":${nEmb1 * 10},"n_queries":$nQueries}""")
+    // metrics whose run band exceeds ±40% of the median: the run was dirty
+    // for that op — do not treat its median as the round's number of record
+    val flagged = s10stats.filter { case (_, m, ts) =>
+      m > 0 && (ts.last > 1.4 * m || ts.head < 0.6 * m)
+    }.map(s => "\"" + s._1 + "\"").mkString("[", ",", "]")
 
     val acc = accuracy(spark, sfDir)
       .map { case (k, v) => "\"" + k + f"\":$v%.4f" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"runs_per_query":"1 warmup + 2-3 timed, median reported","scale10":$scaleJson,"mase_holdout7":$acc,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"runs_per_query":"1 warmup + 2-3 timed, median reported","scale10":$scaleJson,"scale10_flagged":$flagged,"mase_holdout7":$acc,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
