@@ -88,6 +88,34 @@ object MinHashSignature {
   private def isWs(c: Char): Boolean =
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
 
+  /** `text.toLowerCase.replaceAll("\\s+", " ")` without the regex engine:
+    * returns the collapsed char buffer and its length. Shared by the
+    * signature, shingle-set and simhash expressions. */
+  private[functions] def normalizedChars(s: UTF8String): (Array[Char], Int) = {
+    val lower = s.toString.toLowerCase
+    val n = lower.length
+    val cs = new Array[Char](n)
+    var m = 0
+    var i = 0
+    var inRun = false
+    while (i < n) {
+      val c = lower.charAt(i)
+      if (isWs(c)) {
+        if (!inRun) { cs(m) = ' '; m += 1; inRun = true }
+      } else { cs(m) = c; m += 1; inRun = false }
+      i += 1
+    }
+    (cs, m)
+  }
+
+  /** The UDF contract's 64-bit shingle hash of the window starting at
+    * `off`: murmur(0x9747b28c) in the high word, murmur(0x85ebca6b) low. */
+  private[functions] def windowHash64(cs: Array[Char], off: Int, len: Int): Long = {
+    val h1 = murmurWindow(cs, off, len, 0x9747b28c)
+    val h2 = murmurWindow(cs, off, len, 0x85ebca6b)
+    (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+  }
+
   /** scala.util.hashing.MurmurHash3.stringHash over the char window
     * [off, off+len) — same pairwise char mixing, no substring. */
   private def murmurWindow(cs: Array[Char], off: Int, len: Int, seed: Int): Int = {
@@ -109,20 +137,7 @@ object MinHashSignature {
     * [[MinHashBandBuckets]] so banding never re-walks the text. */
   private[functions] def signature(s: UTF8String, numHashes: Int,
                                    shingleSize: Int): Array[Long] = {
-    val lower = s.toString.toLowerCase
-    val n = lower.length
-    // collapse whitespace runs to single spaces, in place
-    val cs = new Array[Char](n)
-    var m = 0
-    var i = 0
-    var inRun = false
-    while (i < n) {
-      val c = lower.charAt(i)
-      if (isWs(c)) {
-        if (!inRun) { cs(m) = ' '; m += 1; inRun = true }
-      } else { cs(m) = c; m += 1; inRun = false }
-      i += 1
-    }
+    val (cs, m) = normalizedChars(s)
     if (m < shingleSize)
       return Array.emptyLongArray
     val (as, bs) = coeffs(numHashes)
@@ -131,9 +146,7 @@ object MinHashSignature {
     val nSh = m - shingleSize + 1
     var j = 0
     while (j < nSh) {
-      val h1 = murmurWindow(cs, j, shingleSize, 0x9747b28c)
-      val h2 = murmurWindow(cs, j, shingleSize, 0x85ebca6b)
-      val h = (h1.toLong << 32) | (h2.toLong & 0xffffffffL)
+      val h = windowHash64(cs, j, shingleSize)
       val base = java.lang.Long.remainderUnsigned(h, P)
       var t = 0
       while (t < numHashes) {

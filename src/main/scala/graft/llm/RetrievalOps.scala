@@ -96,9 +96,14 @@ object RetrievalOps {
       coalesce(avg(size(toks(col(textCol)))), lit(0.0)).as("_avgdl"))
 
     // (doc, term, tf, dl): tf counted map-side per document (docTermTf),
-    // then restricted to query-vocabulary hits — no corpus-sized groupBy
-    val tf = docTermTf(corpus, docIdCol, textCol)
-      .join(broadcast(qvocab), Seq("_term"))
+    // then restricted to query-vocabulary hits — no corpus-sized groupBy.
+    // PINNED: both the dfreq build and the scoring pass read it, which
+    // otherwise re-tokenized the corpus once each (three full scans per
+    // call, counting stats). The pin is query-vocab-hit-sized, not
+    // corpus-sized. (The persisted-index path remains the steady state.)
+    val tfPin = Pin(docTermTf(corpus, docIdCol, textCol)
+      .join(broadcast(qvocab), Seq("_term")))
+    val tf = tfPin.df
     // document frequency per query term (≤ |query vocab| rows)
     val dfreq = tf.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
 
@@ -114,13 +119,17 @@ object RetrievalOps {
       .groupBy(col("_qid"), col("_doc"))
       .agg(round(sum(col("_w")), 6).as("_score"))
 
-    perQuery
+    // the top-k result is (queries × k) rows — pin it eagerly so the
+    // tf blocks can be freed deterministically before returning
+    val result = Pin(perQuery
       .select(col("_qid"), col("_doc").cast(LongType).as("_docL"), col("_score"))
       .groupBy(col("_qid"))
       .agg(topKAgg(col("_docL"), col("_score"), k).as("_top"))
       .select(col("_qid"), posexplode(col("_top")))
       .select(col("_qid").as(qidCol), (col("pos") + 1).cast("int").as("rank"),
-        col("col.vid").cast(docIdType).as(docIdCol), col("col.sim").as("score"))
+        col("col.vid").cast(docIdType).as(docIdCol), col("col.sim").as("score")))
+    tfPin.release()
+    result.df
   }
 
   // ------------------------------------------------- persisted BM25 index

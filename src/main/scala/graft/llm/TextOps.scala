@@ -627,7 +627,7 @@ object TextOps {
   /** Deterministic 64-bit shingle hashes of normalized text (pure Scala —
     * a single compiled pass; the expression-tree version re-extracted all
     * substrings once per hash family, a 60x slowdown at sf0.01). */
-  private[llm] def shingleHashSet(text: String, n: Int): Array[Long] = {
+  private[graft] def shingleHashSet(text: String, n: Int): Array[Long] = {
     val norm = text.toLowerCase.replaceAll("\\s+", " ")
     if (norm.length < n) return Array.empty
     val seen = new java.util.HashSet[Long]()
@@ -796,13 +796,11 @@ object TextOps {
                       shingleSize: Int = 5,
                       threshold: Double = 0.8): CorpusDedupIndex = {
     val b = if (bands > 0) bands else bandsForThreshold(numHashes, threshold)
-    val shingleSetUdf = udf((text: String) =>
-      shingleHashSet(if (text == null) "" else text, shingleSize))
     val bandedPin = Pin(
       bandedTable(reference, idCol, textCol, numHashes, b, shingleSize)
         .select(col(idCol).as("id_ref"), col("band"), col("bucket")))
     val shPin = Pin(reference.select(col(idCol).as("id_ref"),
-      shingleSetUdf(col(textCol)).as("_sh_ref")))
+      shingleHashSetCol(col(textCol), shingleSize).as("_sh_ref")))
     CorpusDedupIndex(bandedPin.df, shPin.df, numHashes, b, shingleSize,
       () => { bandedPin.release(); shPin.release() })
   }
@@ -913,10 +911,8 @@ object TextOps {
                         maxBucketSize: Int = 1000): DataFrame = {
     val cand = crossCorpusCandidatesWithIndex(incoming, index, idCol, textCol,
       maxBucketSize)
-    val shingleSetUdf = udf((text: String) =>
-      shingleHashSet(if (text == null) "" else text, index.shingleSize))
     val shInPin = Pin(incoming.select(col(idCol).as("id_in"),
-      shingleSetUdf(col(textCol)).as("_sh_in")))
+      shingleHashSetCol(col(textCol), index.shingleSize).as("_sh_in")))
     val dupIds = cand
       .join(shInPin.df, Seq("id_in")).join(index.shingleSets, Seq("id_ref"))
       .withColumn("_j",
@@ -1005,10 +1001,31 @@ object TextOps {
     j.filter(col("jaccard") >= threshold)
   }
 
+  /** The native distinct shingle-hash-set column
+    * ([[graft.functions.ShingleHashSet]]); null text → empty set, matching
+    * the UDF guard it replaced. */
+  private def shingleHashSetCol(textCol: Column, shingleSize: Int): Column = {
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    B.column(graft.functions.ShingleHashSet(
+      B.expression(coalesce(textCol, lit(""))), shingleSize))
+  }
+
   /** SimHash (64-bit) over shingles: sign-sum of per-feature hash bits.
-    * Near-dups have small Hamming distance. */
+    * Near-dups have small Hamming distance. Native codegen expression
+    * ([[graft.functions.SimHash64]]); the UDF form it replaced survives as
+    * the bit-parity reference in MinHashParitySpec. */
   def simHash(df: DataFrame, textCol: String, shingleSize: Int = 5,
               out: String = "simhash"): DataFrame = {
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    df.withColumn(out, B.column(graft.functions.SimHash64(
+      B.expression(coalesce(col(textCol), lit(""))), shingleSize)))
+  }
+
+  /** The UDF form [[simHash]] replaced — kept as the executable
+    * specification for MinHashParitySpec. */
+  private[graft] def simHashUdf(df: DataFrame, textCol: String,
+                                shingleSize: Int = 5,
+                                out: String = "simhash"): DataFrame = {
     val simUdf = udf((text: String) => {
       val hs = shingleHashSet(if (text == null) "" else text, shingleSize)
       val counts = new Array[Int](64)

@@ -78,6 +78,32 @@ class MinHashParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(native(2L).isEmpty)
   }
 
+  test("native shingle-hash set is bit-identical to the UDF composition, including order") {
+    val sp = spark
+    import sp.implicits._
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    for (n <- Seq(3, 5, 9)) {
+      val native = fixture.select(col("id"),
+          B.column(graft.functions.ShingleHashSet(
+            B.expression(coalesce(col("text"), lit(""))), n)).as("hs"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toList).toMap
+      val ref = fixture.collect().map { r =>
+        r.getLong(0) -> graft.llm.TextOps.shingleHashSet(r.getString(1), n).toList
+      }.toMap
+      assert(native == ref, s"shingleSize=$n")
+    }
+  }
+
+  test("native simhash is bit-identical to the UDF") {
+    val native = TextOps.simHash(fixture, "text")
+      .select("id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val udf = TextOps.simHashUdf(fixture, "text")
+      .select("id", "simhash")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native == udf)
+  }
+
   test("banded buckets partition documents exactly as the signature slices do") {
     val sp = spark
     import sp.implicits._
