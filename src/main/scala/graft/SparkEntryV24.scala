@@ -20,9 +20,11 @@ import graft.llm.{BpeOps, ClassifierOps, TextOps}
   *    for the two remaining trained curation gates (unigram LM, NB
   *    classifier), the DSIR/IVF/BM25 disk discipline applied to the last
   *    trained models; each shares its in-memory row's oracle.
-  *  - `bpe_train_fast` — the driver-side merge loop (one Spark job total)
-  *    against bpe_train's full SQL-replay oracle: the two training paths
-  *    must emit identical merge tables.
+  *  - `bpe_train_fast` / `bpe_encode_fast` — the production BPE paths
+  *    (driver-side merge loop: one Spark job total; rank-map native
+  *    encoder: plan size independent of vocabulary) against the full
+  *    SQL-replay oracles of the original loop/stacked-replace forms: both
+  *    paths must emit identical tables.
   *  - `ts_features_agg_sql` / `ts_changepoints_agg_sql` — driver oracle
   *    rows for the two §2 aggregates that previously had spec-only
   *    evidence (reference ts_features_agg.cpp, ts_changepoints_agg.cpp),
@@ -85,6 +87,14 @@ object SparkEntryV24 {
     }),
     "bpe_train_fast" -> ((s, dir) =>
       BpeOps.mergesToDf(s, BpeOps.bpeTrainLocal(t(s, dir, "documents"), "text", 6))),
+    // the production path end to end: driver-side training + the rank-map
+    // native encoder, against the SQL replay of the stacked-replace form
+    "bpe_encode_fast" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      BpeOps.bpeEncodeFast(docs, "text", BpeOps.bpeTrainLocal(docs, "text", 6))
+        .select(col("doc_id"), col("bpe_tokens_count"),
+          array_join(col("bpe_tokens"), " ").as("bpe_joined"))
+    }),
     "ts_features_agg_sql" -> ((s, dir) => {
       Aggregators.registerAll(s)
       dailyEventsTs(s, dir).createOrReplaceTempView("_v24_feat")
@@ -134,6 +144,7 @@ object SparkEntryV24 {
     "lm_model_score" -> SparkEntryV17.oracleSql("lm_unigram_score"),
     "nb_model_score" -> SparkEntryV19.oracleSql("classifier_nb_score"),
     "bpe_train_fast" -> SparkEntryV20.oracleSql("bpe_train"),
+    "bpe_encode_fast" -> SparkEntryV20.oracleSql("bpe_encode"),
     "ts_features_agg_sql" -> SparkEntryV3.oracleSql("ts_features_by"),
     "ts_changepoints_agg_sql" -> SparkEntryV10.oracleSql("ts_changepoints_bocpd_by"),
   )

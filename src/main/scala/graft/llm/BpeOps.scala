@@ -275,6 +275,26 @@ object BpeOps {
       .withColumn(s"${out}_count", size(col(out)).cast(LongType))
   }
 
+  /** Production-scale encode: same output as [[bpeEncode]] (BpeOpsSpec
+    * pins equality), but the merge list rides as a pair→rank lookup inside
+    * ONE native expression ([[graft.functions.BpeEncodeWord]]) instead of
+    * `numMerges` stacked literal regex replaces — the plan no longer grows
+    * with the vocabulary, so a 30k-merge production tokenizer encodes in
+    * one map-only pass (the dedicated kernel the [[bpeEncode]] scaladoc
+    * promised). Tokenization (lowercase, sentinel scrub, whitespace split)
+    * stays in the same declarative `words` projection, so the two paths
+    * cannot drift on word boundaries. */
+  def bpeEncodeFast(df: DataFrame, textCol: String, merges: Seq[BpeMerge],
+                    out: String = "bpe_tokens"): DataFrame = {
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    val ranks = graft.functions.BpeEncodeWord.ranksOf(
+      merges.sortBy(_.rank).map(m => (m.left, m.right)))
+    val encoded = flatten(transform(words(textCol), w =>
+      B.column(graft.functions.BpeEncodeWord(B.expression(w), ranks))))
+    df.withColumn(out, encoded)
+      .withColumn(s"${out}_count", size(col(out)).cast(LongType))
+  }
+
   /** One-call form: train on the corpus, encode the corpus — the
     * self-tokenization shape used for vocabulary studies and exact token
     * budgeting. */

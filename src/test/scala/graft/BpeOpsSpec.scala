@@ -136,6 +136,49 @@ class BpeOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merges.forall(m => m.merged == m.left + m.right))
   }
 
+  test("bpeEncodeFast equals the stacked-replace bpeEncode") {
+    val sp = spark
+    import sp.implicits._
+    val train = (Seq.fill(6)("ab") ++ Seq.fill(4)("abc") ++ Seq.fill(3)("bc") ++
+      Seq.fill(3)("aaaa") ++ Seq.fill(2)("héllo héllo") ++ Seq.fill(2)("日本 日本"))
+      .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val merges = BpeOps.bpeTrain(train, "text", numMerges = 8)
+    val docs = Seq((1L, "abc ab bc"), (2L, "cab"), (3L, ""), (4L, "aaaa aaa"),
+      (5L, "héllo world 日本 text"), (6L, "AB aB xy")).toDF("id", "text")
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "bpe_tokens", "bpe_tokens_count")
+      .collect().map(r => r.getLong(0) -> (r.getSeq[String](1).toList, r.getLong(2)))
+      .toMap
+    val slow = snap(BpeOps.bpeEncode(docs, "text", merges))
+    val fast = snap(BpeOps.bpeEncodeFast(docs, "text", merges))
+    assert(fast == slow, s"fast $fast vs replay $slow")
+  }
+
+  test("bpeEncodeFast handles a 1200-merge vocabulary in one map pass") {
+    val sp = spark
+    import sp.implicits._
+    val words = (0 until 3000).map { i =>
+      val syll = Seq("ka", "to", "ri", "mu", "se", "lo", "ba", "ne", "di", "fu")
+      val w = syll(i % 10) + syll((i / 10) % 10) + syll((i / 100) % 10) + (i % 7)
+      (i.toLong, Seq.fill(2 + i % 3)(w).mkString(" "))
+    }
+    val corpus = words.toDF("id", "text")
+    val merges = BpeOps.bpeTrainLocal(corpus, "text", numMerges = 1200,
+      minPairFreq = 1L)
+    assert(merges.length >= 1000)
+    val t0 = System.nanoTime()
+    val out = BpeOps.bpeEncodeFast(corpus, "text", merges)
+      .agg(org.apache.spark.sql.functions.sum("bpe_tokens_count")).collect()(0).getLong(0)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(out > 0)
+    assert(secs < 30.0, s"encode with 1200 merges must be map-pass cheap, took $secs s")
+    // heavily-merged corpus: most words collapse into few subwords
+    val counts = BpeOps.bpeEncodeFast(corpus, "text", merges)
+      .select("bpe_tokens_count").collect().map(_.getLong(0))
+    val nWords = words.map(_._2.split(" ").length.toLong)
+    assert(counts.sum < nWords.sum * 4, "merges must compress well below char count")
+  }
+
   test("training is partition-invariant") {
     val sp = spark
     import sp.implicits._
