@@ -183,6 +183,24 @@ object ScaleProbe {
       println(f"mh_full sec=$tFull%.3f ms_per_doc=${tFull * 1000 / (n1 * 10)}%.4f")
       docs10.unpersist()
     }
+    if (which("decon")) {
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n1 = docs.count()
+      val docs10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", concat(col("text"), lit(s" r$i"))))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      docs10.count()
+      def m3(run: => Double): Double = { run; val ts = Seq.fill(3)(run).sorted; ts(1) }
+      val tIds = m3(onceDf(llm.TextOps.contaminatedIds(docs10,
+        docs10.filter(col("doc_id") % 100 === 0), "doc_id", "text")))
+      println(f"decon_ids sec=$tIds%.3f ms_per_doc=${tIds * 1000 / (n1 * 10)}%.4f")
+      val tJac = m3(onceDf(llm.TextOps.jaccardContamination(docs10,
+        docs10.filter(col("doc_id") % 100 === 0).withColumnRenamed("doc_id", "bench_id"),
+        "doc_id", "bench_id", "text", n = 13, threshold = 0.8)))
+      println(f"decon_jaccard sec=$tJac%.3f ms_per_doc=${tJac * 1000 / (n1 * 10)}%.4f")
+      docs10.unpersist()
+    }
     if (which("btbisect")) {
       // stage-boundary timings for the backtest plan: kernel-only (compact
       // perFold rows, no pin), exploded rows (pin + explode, no score join),

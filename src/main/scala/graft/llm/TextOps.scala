@@ -189,15 +189,12 @@ object TextOps {
   def contaminatedIds(corpus: DataFrame, benchmarks: DataFrame,
                       idCol: String, textCol: String, n: Int = 13): DataFrame = {
     require(n > 0, s"n-gram size must be positive, got $n")
-    def grams(df: DataFrame, keep: Seq[Column]): DataFrame = {
-      val toks = split(trim(col(textCol)), "[ \\t\\n\\r\\f]+")
-      df.withColumn("_toks", toks)
-        .filter(size(col("_toks")) >= n)
-        .select(keep :+ explode(when(size(col("_toks")) >= n, transform(
-          sequence(lit(1), size(col("_toks")) - (n - 1)),
-          i => array_join(slice(col("_toks"), i, lit(n)), " ")))
-          .otherwise(array().cast(ArrayType(StringType)))).as("_gram"): _*)
-    }
+    // native one-pass window build (WordGrams) — the declarative
+    // transform/slice/array_join chain evaluated interpreted per window;
+    // short docs yield an empty array, which explode drops
+    def grams(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.select(keep :+
+        explode(wordGramsCol(col(textCol), n, distinct = false)).as("_gram"): _*)
     val corpusGrams = grams(corpus, Seq(col(idCol)))
       .select(col(idCol), xxhash64(col("_gram")).as("_gh"), col("_gram"))
     val benchGrams = grams(benchmarks, Seq.empty)
@@ -228,15 +225,10 @@ object TextOps {
                           corpusIdCol: String, benchIdCol: String,
                           textCol: String, n: Int = 13): DataFrame = {
     require(n > 0, s"n-gram size must be positive, got $n")
-    def grams(df: DataFrame, keep: Seq[Column]): DataFrame = {
-      val toks = split(trim(col(textCol)), "[ \\t\\n\\r\\f]+")
-      df.withColumn("_toks", toks)
-        .filter(size(col("_toks")) >= n)
-        .select(keep :+ explode(when(size(col("_toks")) >= n, transform(
-          sequence(lit(1), size(col("_toks")) - (n - 1)),
-          i => array_join(slice(col("_toks"), i, lit(n)), " ")))
-          .otherwise(array().cast(ArrayType(StringType)))).as("_gram"): _*)
-    }
+    // native window build — see contaminatedIds
+    def grams(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.select(keep :+
+        explode(wordGramsCol(col(textCol), n, distinct = false)).as("_gram"): _*)
     val corpusGrams = grams(corpus, Seq(col(corpusIdCol).as("_cid")))
       .select(col("_cid"), xxhash64(col("_gram")).as("_gh"), col("_gram"))
     val benchGrams = grams(benchmarks, Seq(col(benchIdCol).as("_bid")))
@@ -1001,6 +993,14 @@ object TextOps {
     j.filter(col("jaccard") >= threshold)
   }
 
+  /** The native token-n-gram-window column
+    * ([[graft.functions.WordGrams]]); null text → no windows. */
+  private def wordGramsCol(textCol: Column, n: Int, distinct: Boolean): Column = {
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    B.column(graft.functions.WordGrams(
+      B.expression(coalesce(textCol, lit(""))), n, distinct))
+  }
+
   /** The native distinct shingle-hash-set column
     * ([[graft.functions.ShingleHashSet]]); null text → empty set, matching
     * the UDF guard it replaced. */
@@ -1393,17 +1393,13 @@ object TextOps {
     require(n > 0, s"n-gram size must be positive, got $n")
     require(threshold > 0.0 && threshold <= 1.0,
       s"threshold must be in (0, 1], got $threshold")
-    // (id, per-doc distinct gram set + its size) — all map-side
-    def gramSets(df: DataFrame, id: Column): DataFrame = {
-      val toks = split(trim(col(textCol)), "[ \\t\\n\\r\\f]+")
-      df.withColumn("_toks", toks)
-        .filter(size(col("_toks")) >= n)
-        .select(id.as("_gid"), array_distinct(when(size(col("_toks")) >= n, transform(
-          sequence(lit(1), size(col("_toks")) - (n - 1)),
-          i => array_join(slice(col("_toks"), i, lit(n)), " ")))
-          .otherwise(array().cast(ArrayType(StringType)))).as("_grams"))
+    // (id, per-doc distinct gram set + its size) — all map-side, built by
+    // the native one-pass WordGrams expression (distinct mode); short docs
+    // carry an empty set and drop out at the explode below
+    def gramSets(df: DataFrame, id: Column): DataFrame =
+      df.select(id.as("_gid"),
+          wordGramsCol(col(textCol), n, distinct = true).as("_grams"))
         .withColumn("_ng", size(col("_grams")).cast(LongType))
-    }
     val corpusGrams = gramSets(corpus, col(corpusIdCol))
       .select(col("_gid").as("_cid"), col("_ng").as("_na"),
         explode(col("_grams")).as("_gram"))

@@ -94,6 +94,40 @@ class MinHashParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("native word grams equal the declarative split/transform/slice/join composition") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.types.{ArrayType, StringType}
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    val docs = Seq[(Long, String)](
+      (1L, "a b c d e f g"),
+      (2L, "one two"),                         // shorter than most n
+      (3L, ""),
+      (4L, "\tleading tab here now ok"),       // trim spares the tab → leading empty token
+      (5L, "trailing tab here now ok\t"),      // trailing empty token
+      (6L, "  spaces   collapse \t mid  runs now  "),
+      (7L, "ü é 日本 語 x y z"),
+      (8L, "dup dup dup dup dup dup")          // distinct-mode collapses
+    ).toDF("id", "text")
+    for (n <- Seq(2, 5); dist <- Seq(false, true)) {
+      // the declarative form the native expression replaced (verbatim)
+      val toks = split(trim(col("text")), "[ \\t\\n\\r\\f]+")
+      val windows = when(size(col("_toks")) >= n, transform(
+        sequence(lit(1), size(col("_toks")) - (n - 1)),
+        i => array_join(slice(col("_toks"), i, lit(n)), " ")))
+        .otherwise(array().cast(ArrayType(StringType)))
+      val declared = docs.withColumn("_toks", toks)
+        .select(col("id"),
+          (if (dist) array_distinct(windows) else windows).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      val native = docs.select(col("id"),
+          B.column(graft.functions.WordGrams(
+            B.expression(col("text")), n, dist)).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      assert(native == declared, s"n=$n distinct=$dist")
+    }
+  }
+
   test("native simhash is bit-identical to the UDF") {
     val native = TextOps.simHash(fixture, "text")
       .select("id", "simhash")
