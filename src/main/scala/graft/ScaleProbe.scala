@@ -200,6 +200,16 @@ object ScaleProbe {
         "doc_id", "bench_id", "text", n = 13, threshold = 0.8)))
       println(f"decon_jaccard sec=$tJac%.3f ms_per_doc=${tJac * 1000 / (n1 * 10)}%.4f")
       docs10.unpersist()
+      // span dedup on the gram-distinct replica corpus (the bench fixture)
+      val docsSpan10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", translate(col("text"), "eE", s"$i$i")))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      docsSpan10.count()
+      val tSpan = m3(onceDf(llm.TextOps.removeDuplicatedSpans(
+        docsSpan10, "doc_id", "text", gramLen = 20)))
+      println(f"decon_spans sec=$tSpan%.3f ms_per_doc=${tSpan * 1000 / (n1 * 10)}%.4f")
+      docsSpan10.unpersist()
     }
     if (which("btbisect")) {
       // stage-boundary timings for the backtest plan: kernel-only (compact

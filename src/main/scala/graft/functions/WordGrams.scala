@@ -27,9 +27,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *  - fewer than `n` tokens → EMPTY array (the callers' `size >= n`
   *    guard, folded in — `explode` then drops the document);
   *  - `distinct = true` keeps first occurrences in order
-  *    (`array_distinct` semantics).
+  *    (`array_distinct` semantics);
+  *  - `dropEmpty = true` filters empty tokens first — the
+  *    `filter(split(...), t => length(t) > 0)` tokenization used by the
+  *    span-dedup op (boundary separators then produce no empty tokens).
   */
-case class WordGrams(child: Expression, n: Int, distinct: Boolean)
+case class WordGrams(child: Expression, n: Int, distinct: Boolean,
+                     dropEmpty: Boolean = false)
     extends UnaryExpression {
   require(n >= 1, s"n-gram size must be >= 1, got $n")
 
@@ -45,11 +49,11 @@ case class WordGrams(child: Expression, n: Int, distinct: Boolean)
   override def prettyName: String = "word_grams"
 
   override protected def nullSafeEval(v: Any): Any =
-    WordGrams.compute(v.asInstanceOf[UTF8String], n, distinct)
+    WordGrams.compute(v.asInstanceOf[UTF8String], n, distinct, dropEmpty)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.WordGrams.compute($v, $n, $distinct);")
+      s"${ev.value} = graft.functions.WordGrams.compute($v, $n, $distinct, $dropEmpty);")
 
   override protected def withNewChildInternal(newChild: Expression): WordGrams =
     copy(child = newChild)
@@ -59,11 +63,13 @@ object WordGrams {
 
   private val Sep = java.util.regex.Pattern.compile("[ \\t\\n\\r\\f]+")
 
-  def compute(s: UTF8String, n: Int, distinct: Boolean): GenericArrayData = {
+  def compute(s: UTF8String, n: Int, distinct: Boolean,
+              dropEmpty: Boolean): GenericArrayData = {
     // UTF8String.trim() is the exact Spark `trim` (spaces only — a leading
     // tab survives and yields a leading empty token, like the declarative
     // form); split with limit -1 keeps boundary empties the same way
-    val toks = Sep.split(s.trim().toString, -1)
+    val raw = Sep.split(s.trim().toString, -1)
+    val toks = if (dropEmpty) raw.filter(_.nonEmpty) else raw
     if (toks.length < n)
       return new GenericArrayData(Array.empty[Any])
     val nW = toks.length - n + 1

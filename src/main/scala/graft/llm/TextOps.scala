@@ -276,13 +276,14 @@ object TextOps {
     require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
     val toks = filter(split(trim(col(textCol)), "[ \\t\\n\\r\\f]+"), t => length(t) > 0)
     val base = df.select(col(idCol), col(textCol)).withColumn("_toks", toks)
+    // native window build (WordGrams, empty-token-dropping mode); the gram
+    // TEXT dies right here — xxhash64 runs codegen on the exploded rows and
+    // only (id, pos, hash) continues into the shuffle
     val occ = base
-      .filter(size(col("_toks")) >= gramLen)
-      .select(col(idCol), posexplode(when(size(col("_toks")) >= gramLen, transform(
-        sequence(lit(1), size(col("_toks")) - (gramLen - 1)),
-        i => xxhash64(array_join(slice(col("_toks"), i, lit(gramLen)), " "))))
-        .otherwise(array().cast(ArrayType(LongType)))))
-      .withColumnRenamed("pos", "_p").withColumnRenamed("col", "_gh")
+      .select(col(idCol), posexplode(
+        wordGramsCol(col(textCol), gramLen, distinct = false, dropEmpty = true)))
+      .withColumnRenamed("pos", "_p")
+      .select(col(idCol), col("_p"), xxhash64(col("col")).as("_gh"))
     val repeated = occ.groupBy(col("_gh"))
       .agg(min(struct(col(idCol), col("_p"))).as("_first"), count(lit(1)).as("_cnt"))
       .filter(col("_cnt") >= 2)
@@ -995,10 +996,11 @@ object TextOps {
 
   /** The native token-n-gram-window column
     * ([[graft.functions.WordGrams]]); null text → no windows. */
-  private def wordGramsCol(textCol: Column, n: Int, distinct: Boolean): Column = {
+  private def wordGramsCol(textCol: Column, n: Int, distinct: Boolean,
+                           dropEmpty: Boolean = false): Column = {
     val B = org.apache.spark.sql.GraftExpressionBridge
     B.column(graft.functions.WordGrams(
-      B.expression(coalesce(textCol, lit(""))), n, distinct))
+      B.expression(coalesce(textCol, lit(""))), n, distinct, dropEmpty))
   }
 
   /** The native distinct shingle-hash-set column

@@ -126,6 +126,22 @@ class MinHashParitySpec extends AnyFunSuite with BeforeAndAfterAll {
         .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
       assert(native == declared, s"n=$n distinct=$dist")
     }
+    // dropEmpty mode ≡ the filtered tokenization (the span-dedup substrate)
+    for (n <- Seq(2, 5)) {
+      val toksF = filter(split(trim(col("text")), "[ \\t\\n\\r\\f]+"),
+        t => length(t) > 0)
+      val declared = docs.withColumn("_toks", toksF)
+        .select(col("id"), when(size(col("_toks")) >= n, transform(
+          sequence(lit(1), size(col("_toks")) - (n - 1)),
+          i => array_join(slice(col("_toks"), i, lit(n)), " ")))
+          .otherwise(array().cast(ArrayType(StringType))).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      val native = docs.select(col("id"),
+          B.column(graft.functions.WordGrams(
+            B.expression(col("text")), n, distinct = false, dropEmpty = true)).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toList).toMap
+      assert(native == declared, s"dropEmpty n=$n")
+    }
   }
 
   test("native simhash is bit-identical to the UDF") {
