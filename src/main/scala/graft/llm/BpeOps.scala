@@ -297,9 +297,11 @@ object BpeOps {
 
   /** One-call form: train on the corpus, encode the corpus — the
     * self-tokenization shape used for vocabulary studies and exact token
-    * budgeting. */
+    * budgeting. Runs the production paths ([[bpeTrainLocal]] +
+    * [[bpeEncodeFast]]); both are parity-pinned equal to the replay forms,
+    * so the SQL TVF surface scales to real merge counts for free. */
   def bpeSelfEncode(df: DataFrame, textCol: String, numMerges: Int,
                     minPairFreq: Long = 2L,
                     out: String = "bpe_tokens"): DataFrame =
-    bpeEncode(df, textCol, bpeTrain(df, textCol, numMerges, minPairFreq), out)
+    bpeEncodeFast(df, textCol, bpeTrainLocal(df, textCol, numMerges, minPairFreq), out)
 }

@@ -876,8 +876,10 @@ object TableMacros {
         graft.llm.TextOps.htmlStrip(source(src), ident(text, "text_col"))
       case ("bpe_train", Seq(src, text, nMerges, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
+        // the production trainer (one Spark job; parity-pinned equal to the
+        // SQL-replay loop), so SQL callers get real merge counts for free
         graft.llm.BpeOps.mergesToDf(spark,
-          graft.llm.BpeOps.bpeTrain(source(src), ident(text, "text_col"),
+          graft.llm.BpeOps.bpeTrainLocal(source(src), ident(text, "text_col"),
             int(nMerges, "num_merges"),
             rest.headOption.map(int(_, "min_pair_freq")).getOrElse(2).toLong))
       case ("dsir_weights", Seq(src, tgt, id, text, rest @ _*)) =>
