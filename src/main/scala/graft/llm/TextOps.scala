@@ -432,11 +432,19 @@ object TextOps {
       .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
     val totals = counts.agg(sum(col("cnt")).as("_n"))
     val vocab = counts.orderBy(col("cnt").desc, col("token").asc).limit(vocabSize)
+    // when-guard keeps the window expression total even if constraint
+    // inlining evaluates it before the size filter — sequence(1, 0)
+    // DESCENDS for 1-token docs and would emit phantom (w, null) pairs
+    // that could displace real bigrams from the top-B cut (the Catalyst
+    // trap pinned in bpeTrain)
     val pairs = base.filter(size(col("_toks")) >= 2)
-      .select(explode(transform(
+      .select(explode(when(size(col("_toks")) >= 2, transform(
         sequence(lit(1), size(col("_toks")) - 1),
         i => struct(get(col("_toks"), i - 1).as("_b1"),
-          get(col("_toks"), i).as("_b2")))).as("_t"))
+          get(col("_toks"), i).as("_b2"))))
+        .otherwise(array().cast(ArrayType(
+          StructType(Seq(StructField("_b1", StringType),
+            StructField("_b2", StringType))))))).as("_t"))
       .select(col("_t._b1").as("_b1"), col("_t._b2").as("_b2"))
     val bigrams = pairs
       .groupBy(col("_b1"), col("_b2")).agg(count(lit(1)).as("_cnt2"))
@@ -548,7 +556,12 @@ object TextOps {
       // exact decimal→double, identical to the DECIMAL(28,6) cast
       new java.math.BigDecimal(java.math.BigInteger.valueOf(s), 6).doubleValue()
     })
-    val toksC = filter(split(trim(col(textCol)), "[ \\t\\n\\r\\f]+"), t => length(t) > 0)
+    // coalesce: null text tokenizes to the EMPTY document (n_tokens = 0,
+    // sum_logp = 0.0) exactly as the batch path's left-join+coalesce does —
+    // without it _toks is null and the UDF NPEs on a streaming micro-batch,
+    // a batch≡stream parity break
+    val toksC = filter(split(trim(coalesce(col(textCol), lit(""))),
+      "[ \\t\\n\\r\\f]+"), t => length(t) > 0)
     df.withColumn("_toks", toksC)
       .withColumn("n_tokens", size(col("_toks")).cast(LongType))
       .withColumn("sum_logp", scoreUdf(col("_toks")))
@@ -805,6 +818,16 @@ object TextOps {
     * subsequent crawl batch deduplicates against it without touching the
     * reference corpus text again (~tens of bytes/doc of index next to the
     * corpus). */
+  /** On-disk dedup-index format version. The bucket values in `banded` are
+    * derived by [[graft.functions.MinHashBandBuckets]]'s fmix64 fold of the
+    * band's signature slice; any change to that derivation (or to the
+    * shingle/signature hashing) makes OLD persisted buckets join against
+    * NOTHING — zero candidates, so even exact duplicates silently pass the
+    * gate. Bumping this constant forces [[loadDedupIndex]] to fail fast on
+    * stale indexes instead. v2 = fmix64 band fold (v1, the
+    * xxhash64-of-joined-string scheme, predates versioned meta). */
+  val DedupIndexFormatVersion: Int = 2
+
   def writeDedupIndex(reference: DataFrame, idCol: String, textCol: String,
                       path: String, numHashes: Int = 64, bands: Int = 0,
                       shingleSize: Int = 5, threshold: Double = 0.8): Unit = {
@@ -814,17 +837,28 @@ object TextOps {
     idx.banded.write.mode("overwrite").parquet(s"$path/banded")
     idx.shingleSets.write.mode("overwrite").parquet(s"$path/shingles")
     import spark.implicits._
-    Seq((idx.numHashes, idx.bands, idx.shingleSize))
-      .toDF("num_hashes", "bands", "shingle_size")
+    Seq((idx.numHashes, idx.bands, idx.shingleSize, DedupIndexFormatVersion))
+      .toDF("num_hashes", "bands", "shingle_size", "format_version")
       .write.mode("overwrite").parquet(s"$path/meta")
     idx.release()
   }
 
   /** Load a [[writeDedupIndex]] layout. The returned index reads from
-    * storage (release is a no-op — disk IS the materialization). */
+    * storage (release is a no-op — disk IS the materialization). Fails fast
+    * when the persisted `format_version` is absent (pre-versioning index)
+    * or differs from [[DedupIndexFormatVersion]] — a hash-scheme-mismatched
+    * index joins zero candidates and silently passes every duplicate. */
   def loadDedupIndex(spark: org.apache.spark.sql.SparkSession,
                      path: String): CorpusDedupIndex = {
-    val m = spark.read.parquet(s"$path/meta").collect()(0)
+    val meta = spark.read.parquet(s"$path/meta")
+    require(meta.columns.contains("format_version"),
+      s"dedup index at $path has no format_version (written by a build with " +
+        s"a different bucket-hash scheme) — rebuild it with writeDedupIndex")
+    val m = meta.select(col("num_hashes"), col("bands"), col("shingle_size"),
+      col("format_version")).collect()(0)
+    require(m.getInt(3) == DedupIndexFormatVersion,
+      s"dedup index at $path is format_version ${m.getInt(3)}, this build " +
+        s"requires $DedupIndexFormatVersion — rebuild it with writeDedupIndex")
     CorpusDedupIndex(
       spark.read.parquet(s"$path/banded"),
       spark.read.parquet(s"$path/shingles"),
@@ -980,9 +1014,48 @@ object TextOps {
   }
 
   /** Exact Jaccard similarity of shingle sets for candidate pairs — the
-    * verify step after LSH. `pairs` has (id_a, id_b). */
+    * verify step after LSH. `pairs` has (id_a, id_b).
+    *
+    * Verification runs on the native 64-bit shingle-HASH sets
+    * ([[graft.functions.ShingleHashSet]] — one compiled pass, ~8 bytes per
+    * shingle), exactly as [[dedupAgainstIndex]] does: the string-shingle
+    * form materialized ~shingleSize×|text| bytes of substring arrays per
+    * document through the interpreted HOF path AND shipped them across the
+    * two id-keyed join exchanges (strictly more bytes than the text
+    * itself — the one violation of the "text never shuffles" discipline),
+    * and `array_intersect`/`array_union` re-hashed every string element.
+    * Hash-set Jaccard equals text-shingle Jaccard up to double-murmur
+    * collisions (~|set|²/2⁶⁴ per pair — negligible at any threshold). One
+    * convention note: this path enumerates the full len−n+1 windows (the
+    * substrate the signatures and [[dedupAgainstIndex]] share), while the
+    * retained string form's [[shingles]] column enumerates len−n — raw
+    * values can differ at the final window, but the set-EQUALITY relation
+    * (jaccard == 1.0, what every driver oracle row verifies at) is
+    * identical. MinHashParitySpec pins both: value parity against the
+    * driver-side hash-set reference, relation parity against
+    * [[jaccardVerifyStrings]]. */
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
                     shingleSize: Int = 5, threshold: Double = 0.8): DataFrame = {
+    val sh = docs.select(col(idCol),
+      shingleHashSetCol(col(textCol), shingleSize).as("_sh"))
+    val j = pairs
+      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("_sh", "_sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("_sh", "_sh_b"), Seq("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast(DoubleType) /
+          size(array_union(col("_sh_a"), col("_sh_b"))))
+      .drop("_sh_a", "_sh_b")
+    j.filter(col("jaccard") >= threshold)
+  }
+
+  /** The string-shingle form [[jaccardVerify]] replaced — kept as the
+    * executable specification (it IS the oracle's computation: DuckDB
+    * replays string shingle sets, and hash-set sizes match string-set sizes
+    * collision-free on real text — the parity MinHashParitySpec pins). */
+  private[graft] def jaccardVerifyStrings(pairs: DataFrame, docs: DataFrame,
+                                          idCol: String, textCol: String,
+                                          shingleSize: Int = 5,
+                                          threshold: Double = 0.8): DataFrame = {
     val sh = docs.select(col(idCol), shingles(col(textCol), shingleSize).as("_sh"))
     val j = pairs
       .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("_sh", "_sh_a"), Seq("id_a"))

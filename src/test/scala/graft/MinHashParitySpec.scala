@@ -144,6 +144,51 @@ class MinHashParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("hash-set jaccardVerify: value parity with the compiled hash substrate, " +
+      "set-equality parity with the string-shingle specification") {
+    val sp = spark
+    import sp.implicits._
+    // all candidate pairs over the adversarial fixture plus exact duplicates
+    // (threshold 0 keeps every defined value, so the whole similarity range
+    // is compared, not just the ≥0.8 survivors)
+    val docs = fixture.unionByName(
+      fixture.filter(col("id") <= 4L)
+        .select((col("id") + 100L).as("id"), col("text")))
+    for (n <- Seq(3, 5)) {
+      // candidate pairs from LSH always share a band bucket, so both sides
+      // have ≥1 shingle — restrict the all-pairs probe the same way (an
+      // empty∩empty pair is 0/0, an ANSI error in both forms)
+      val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val sets = texts.map { case (id, txt) =>
+        id -> TextOps.shingleHashSet(txt, n).toSet }
+      val ids = sets.filter(_._2.nonEmpty).keys.toSeq.sorted
+      val pairs = (for (a <- ids; b <- ids if a < b) yield (a, b))
+        .toSeq.toDF("id_a", "id_b")
+      val fast = TextOps.jaccardVerify(pairs, docs, "id", "text", n, 0.0)
+        .select("id_a", "id_b", "jaccard")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      // exact value parity with the driver-side 64-bit hash-set Jaccard (the
+      // same substrate dedupAgainstIndex verifies on)
+      val expect = (for (a <- ids; b <- ids if a < b) yield {
+        val inter = (sets(a) & sets(b)).size.toDouble
+        (a, b) -> inter / (sets(a) | sets(b)).size
+      }).toMap
+      assert(fast == expect, s"shingleSize=$n")
+      // the planted duplicates must verify at exactly 1.0
+      assert(fast.filter { case ((a, b), _) => b == a + 100L }.values.forall(_ == 1.0))
+      // SET-EQUALITY parity with the string-shingle executable specification:
+      // every driver oracle row verifies at threshold 1.0, where the two
+      // window conventions coincide (the legacy string form enumerates one
+      // window fewer per document, so raw values differ at the margin, but
+      // jaccard == 1.0 ⟺ identical text sets ⟺ identical hash sets)
+      val fastEq = fast.filter(_._2 == 1.0).keySet
+      val strEq = TextOps.jaccardVerifyStrings(pairs, docs, "id", "text", n, 1.0)
+        .select("id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(fastEq == strEq, s"shingleSize=$n set-equality relation")
+    }
+  }
+
   test("native simhash is bit-identical to the UDF") {
     val native = TextOps.simHash(fixture, "text")
       .select("id", "simhash")

@@ -68,6 +68,50 @@ class QualityCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(kept == Set(11L), s"got $kept")
   }
 
+  test("loadDedupIndex fails fast on a missing or mismatched format_version") {
+    val sp = spark
+    import sp.implicits._
+    val ref = Seq((1L, longText("versioned one"))).toDF("id", "text")
+    // pre-versioning layout: meta without format_version (what an old build
+    // wrote) — its bucket values are incompatible, so loading must refuse,
+    // not silently join zero candidates
+    val legacy = java.nio.file.Files.createTempDirectory("graft-dedup-v0").toString
+    TextOps.writeDedupIndex(ref, "id", "text", legacy)
+    spark.read.parquet(s"$legacy/meta").drop("format_version")
+      .write.mode("overwrite").parquet(s"$legacy/meta2")
+    // parquet can't overwrite a path being read; swap directories on disk
+    val metaDir = java.nio.file.Paths.get(legacy, "meta")
+    val meta2Dir = java.nio.file.Paths.get(legacy, "meta2")
+    def rmTree(p: java.nio.file.Path): Unit = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+    rmTree(metaDir)
+    java.nio.file.Files.move(meta2Dir, metaDir)
+    val eMissing = intercept[IllegalArgumentException] {
+      TextOps.loadDedupIndex(spark, legacy)
+    }
+    assert(eMissing.getMessage.contains("format_version"))
+    // wrong version number
+    val stale = java.nio.file.Files.createTempDirectory("graft-dedup-v1").toString
+    TextOps.writeDedupIndex(ref, "id", "text", stale)
+    val bumped = spark.read.parquet(s"$stale/meta")
+      .withColumn("format_version", lit(TextOps.DedupIndexFormatVersion - 1))
+    bumped.write.mode("overwrite").parquet(s"$stale/meta2")
+    rmTree(java.nio.file.Paths.get(stale, "meta"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(stale, "meta2"),
+      java.nio.file.Paths.get(stale, "meta"))
+    val eStale = intercept[IllegalArgumentException] {
+      TextOps.loadDedupIndex(spark, stale)
+    }
+    assert(eStale.getMessage.contains("format_version"))
+    // a current-version index still loads
+    val ok = java.nio.file.Files.createTempDirectory("graft-dedup-v2").toString
+    TextOps.writeDedupIndex(ref, "id", "text", ok)
+    assert(TextOps.loadDedupIndex(spark, ok).numHashes == 64)
+  }
+
   test("crossCorpusCandidates skips over-cap buckets (shared boilerplate)") {
     val sp = spark
     import sp.implicits._
@@ -274,10 +318,16 @@ class QualityCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ordered = (1 to 40).map(_ => "alpha beta gamma delta").mkString(" ")
     val shuffled = new scala.util.Random(3).shuffle(
       ((1 to 40).flatMap(_ => Seq("alpha", "beta", "gamma", "delta"))).toList).mkString(" ")
-    val docs = Seq((1L, ordered), (2L, shuffled), (3L, ""),
-      (4L, "alpha beta zeta alpha")).toDF("id", "text")
+    val docs = Seq((1L, Option(ordered)), (2L, Option(shuffled)), (3L, Option("")),
+      (4L, Option("alpha beta zeta alpha")),
+      (5L, Option.empty[String]),     // null text must score as the empty doc
+      (6L, Option("solo")))           // 1-token doc: no bigram windows
+      .toDF("id", "text")
     val model = TextOps.trainBigramLm(docs, "text", vocabSize = 4,
       bigramVocabSize = 8, alpha = 0.5, lambda = 0.75)
+    // the descending-sequence trap: a 1-token doc must contribute NO
+    // phantom (w, null)/(null, w) pairs to the bigram table
+    assert(model.bigrams.filter(col("_b1").isNull || col("_b2").isNull).count() == 0)
     val dir = java.nio.file.Files.createTempDirectory("graft_bigram_spec").toString
     TextOps.writeBigramLm(model, dir)
     val loaded = TextOps.loadBigramLm(sp, dir)
@@ -290,6 +340,10 @@ class QualityCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     assert(batch == stream, s"batch $batch vs broadcast $stream")
     assert(batch(3L) == ((0L, 0.0)))
+    // null text: batch's left-join+coalesce and the broadcast scorer's
+    // coalesced tokenizer must both yield the empty-document score (the
+    // broadcast path used to NPE here — a batch≡stream parity break)
+    assert(batch(5L) == ((0L, 0.0)) && stream(5L) == ((0L, 0.0)))
   }
 
   test("temperatureSample flattens the mixture toward low-resource strata, deterministically") {
