@@ -147,11 +147,12 @@ object SeasonalityExt {
         // require the new state to persist minDuration windows
         val persists = (i until math.min(curve.length, i + minDurationPeriods))
           .forall(curve(_) >= threshold)
-        if (persists) changes += SeasonalityChange(i * period, "start", before, after)
+        // ChangePointType vocabulary (seasonality.rs:160-169)
+        if (persists) changes += SeasonalityChange(i * period, "onset", before, after)
       } else if (before >= threshold && after < threshold) {
         val persists = (i until math.min(curve.length, i + minDurationPeriods))
           .forall(curve(_) < threshold)
-        if (persists) changes += SeasonalityChange(i * period, "end", before, after)
+        if (persists) changes += SeasonalityChange(i * period, "cessation", before, after)
       }
       i += 1
     }
@@ -210,11 +211,23 @@ object SeasonalityExt {
 
   final case class AmplitudeModulation(is_seasonal: Boolean, seasonal_strength: Double,
                                        has_modulation: Boolean, modulation_type: String,
-                                       modulation_score: Double, amplitude_trend: Double)
+                                       modulation_score: Double, amplitude_trend: Double,
+                                       wavelet_amplitude: Array[Double],
+                                       time_points: Array[Double], scale: Double)
 
-  /** detect_amplitude_modulation (seasonality.rs:772): per-cycle amplitude
-    * envelope trend relative to the mean amplitude. */
-  def amplitudeModulation(values: Array[Double], period: Int): AmplitudeModulation = {
+  /** detect_amplitude_modulation (seasonality.rs:772-830): amplitude-envelope
+    * trend relative to the mean amplitude. The reference samples the
+    * envelope with a Morlet CWT at the seasonal scale; this re-derivation
+    * samples it per cycle (range of each period-length block) — same
+    * modulation semantics, coarser envelope grid (documented deviation, the
+    * SeasonalityExt-family contract). `wavelet_amplitude`/`time_points`
+    * carry that per-cycle envelope (time = cycle start index, matching the
+    * change-point time convention); `scale` is the analysis period.
+    * Threshold defaults follow the core: modulation 0.2, seasonality 0.3
+    * (seasonality.rs:798-800). */
+  def amplitudeModulation(values: Array[Double], period: Int,
+                          modulationThreshold: Double = 0.2,
+                          seasonalityThreshold: Double = 0.3): AmplitudeModulation = {
     val n = values.length
     require(n >= 2 * period, s"insufficient data: need ${2 * period}")
     val strength = Decomposition.seasonalStrengthAt(values, period)
@@ -231,9 +244,12 @@ object SeasonalityExt {
     val slope = if (sxx > 0) sxy / sxx else 0.0
     val rel = if (meanA > 1e-12) slope * nCycles / meanA else 0.0
     val mType =
-      if (strength < 0.3) "non_seasonal"
-      else if (rel > 0.3) "emerging" else if (rel < -0.3) "fading" else "stable"
-    AmplitudeModulation(strength >= 0.3, strength, math.abs(rel) > 0.3, mType,
-      math.min(1.0, math.abs(rel)), slope)
+      if (strength < seasonalityThreshold) "non_seasonal"
+      else if (rel > modulationThreshold) "emerging"
+      else if (rel < -modulationThreshold) "fading" else "stable"
+    AmplitudeModulation(strength >= seasonalityThreshold, strength,
+      math.abs(rel) > modulationThreshold, mType,
+      math.min(1.0, math.abs(rel)), slope,
+      amps, Array.tabulate(nCycles)(c => (c * period).toDouble), period.toDouble)
   }
 }

@@ -34,10 +34,15 @@ object TsFeaturesOp {
     gathered.select(cols: _*)
   }
 
-  /** ts_features_list: the feature catalog as a one-column table. */
+  /** ts_features_list (ts_features.cpp:160-246): the feature catalog in the
+    * reference's five-column shape — `column_name` is the default value
+    * column, suffix/parameters are empty for the basic (parameterless)
+    * catalog, exactly as the reference emits. */
   def featuresList(spark: SparkSession): DataFrame = {
     import spark.implicits._
-    Features.allNames.toDF("feature_name")
+    Features.allNames.map(n => ("value", n, "", "{}", ""))
+      .toDF("column_name", "feature_name", "parameter_suffix",
+        "default_parameters", "parameter_keys")
   }
 
   /** ts_features_config_template (ts_features.cpp:257): the full catalog as
@@ -50,13 +55,31 @@ object TsFeaturesOp {
 
   /** Parse a features config: JSON object {"feature": {...}, ...} or JSON
     * array ["feature", ...]. Minimal grammar (the reference's params objects
-    * are empty in the template; per-feature params are not yet consumed). */
-  private[ops] def parseJsonConfig(json: String): Seq[String] = {
+    * are empty in the template; per-feature params are not yet consumed).
+    * Shared by [[featuresFromJson]] and the `ts_features_config_from_json`
+    * SQL scalar (graft.sql.Register), so the scalar's parsed config is
+    * exactly the one the TVF applies. */
+  private[graft] def parseJsonConfig(json: String): Seq[String] = {
     val t = json.trim
     val names =
       if (t.startsWith("[")) "\"([^\"]+)\"".r.findAllMatchIn(t).map(_.group(1)).toSeq
       else "\"([^\"]+)\"\\s*:".r.findAllMatchIn(t).map(_.group(1)).toSeq
     require(names.nonEmpty, s"ts_features_from_json: no feature names found in config: $json")
+    names
+  }
+
+  /** CSV-config grammar of [[featuresFromCsv]]: lines `feature[,params_json]`
+    * with an optional `feature` header row; a single line with no newline is
+    * read as a comma-separated name list (the reference's documented example,
+    * `ts_features_config_from_csv('mean,std,skewness')` — ts_features.cpp:452).
+    * Shared with the `ts_features_config_from_csv` SQL scalar. */
+  private[graft] def parseCsvConfig(configCsv: String): Seq[String] = {
+    val lines = configCsv.split('\n').map(_.trim).filter(_.nonEmpty)
+    val names =
+      if (lines.length == 1)
+        lines.head.split(',').map(_.trim).filter(_.nonEmpty).filterNot(_ == "feature").toSeq
+      else lines.map(_.split(',')(0).trim).filterNot(_ == "feature").toSeq
+    require(names.nonEmpty, "ts_features_from_csv: no feature names found in config")
     names
   }
 
@@ -69,10 +92,6 @@ object TsFeaturesOp {
   /** ts_features_from_csv (ts_features.cpp:261): config as CSV lines
     * `feature[,params_json]` with an optional `feature` header row. */
   def featuresFromCsv(df: DataFrame, groupCol: String, dsCol: String, yCol: String,
-                      configCsv: String): DataFrame = {
-    val names = configCsv.split('\n').map(_.trim).filter(_.nonEmpty)
-      .map(_.split(',')(0).trim).filterNot(_ == "feature").toSeq
-    require(names.nonEmpty, "ts_features_from_csv: no feature names found in config")
-    featuresBy(df, groupCol, dsCol, yCol, names)
-  }
+                      configCsv: String): DataFrame =
+    featuresBy(df, groupCol, dsCol, yCol, parseCsvConfig(configCsv))
 }

@@ -234,7 +234,10 @@ object TableMacros {
     "ts_detect_peaks_by", "ts_detect_peaks",
     "ts_analyze_peak_timing_by", "ts_analyze_peak_timing",
     "ts_classify_seasonality", "ts_detect_changepoints", "ts_detect_periods",
-    "ts_features_table")
+    "ts_features_table",
+    // round 8: reference catalog table functions (ts_features.cpp:160-246,
+    // :257-310) — no-arg TVFs over the built-in feature catalog
+    "ts_features_list", "ts_features_config_template")
 
   /** `anofox_fcst_` aliases for every reference macro name — the reference
     * registers each table macro twice (ts_macros.cpp:2186-2196:
@@ -719,6 +722,10 @@ object TableMacros {
         singleSeries(source(src))((t, gc) =>
           graft.ops.TsFeaturesOp.featuresBy(t, gc, ident(ds, "date_col"),
             ident(y, "value_col")))
+      case ("ts_features_list", Seq()) =>
+        graft.ops.TsFeaturesOp.featuresList(spark)
+      case ("ts_features_config_template", Seq()) =>
+        graft.ops.TsFeaturesOp.configTemplate(spark)
       // ------------------------------------------ corpus-curation macros
       case ("sample_bernoulli", Seq(src, id, rate, seed)) =>
         graft.llm.SampleOps.sampleBernoulli(source(src), ident(id, "id_col"),

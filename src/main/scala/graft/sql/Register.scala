@@ -215,5 +215,179 @@ object Register {
         Introspect.explain(values, valid, horizon, Forecast.Options(
           model = Forecast.canonicalModel(method), horizon = horizon))
       }))
+
+    // ---------------------------------------------------------------------
+    // Extended-seasonality scalar surface (reference overload sets:
+    // ts_seasonality.cpp:276-303, ts_detrend.cpp:416-439/573-602/685-695/
+    // 807-830). Spark's udf registration is fixed-arity, so the reference's
+    // optional trailing arguments dispatch through the function registry —
+    // each name resolves any supported arity to one underlying UDF with the
+    // reference's documented defaults filled in as literals. Struct field
+    // names match the reference result types exactly, so ported SQL keeps
+    // addressing `r.primary_period`, `r.change_points`, etc.
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.lit
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    def regVariadic(name: String, minArgs: Int, maxArgs: Int)
+                   (build: Seq[Column] => Column): Unit =
+      Seq(name, "anofox_fcst_" + name.stripPrefix("ts_")).foreach { n =>
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(n,
+          exprs => {
+            if (exprs.length < minArgs || exprs.length > maxArgs)
+              throw new IllegalArgumentException(
+                s"$n expects $minArgs to $maxArgs arguments, got ${exprs.length}")
+            // resolvedExpression, not expression: the lazy column-node
+            // wrapper types as VOID when returned from a registry builder
+            B.resolvedExpression(build(exprs.map(B.column)))
+          }, "built-in")
+      }
+
+    // ts_analyze_seasonality (ts_seasonality.cpp:276-303): values-only, or
+    // the C++-API-compatible (timestamps, values) form — timestamps are
+    // ignored, exactly as the reference's overload does (:145-147)
+    val analyzeSeasonalityUdf = udf((vs: Seq[java.lang.Double]) => {
+      val clean = arr(vs).filterNot(_.isNaN)
+      if (clean.length < 4) None
+      else {
+        val a = SeasonalityExt.analyze(clean)
+        Some(SeasonalityResultSql(a.periods.toSeq, a.primary_period,
+          a.seasonal_strength, a.trend_strength))
+      }
+    })
+    regVariadic("ts_analyze_seasonality", 1, 2)(cols =>
+      analyzeSeasonalityUdf(cols.last))
+
+    // ts_seasonal_strength_windowed (ts_detrend.cpp:416-439): rolling
+    // strength per window position; window_size defaults to 2·period
+    // (seasonality.rs:599-620). Only the core's default 'variance' method is
+    // implemented — 'spectral'/'wavelet' use a numeric core this library has
+    // not re-derived, and silently substituting variance would misreport, so
+    // they raise.
+    val strengthWindowedUdf = udf(
+      (vs: Seq[java.lang.Double], period: Double, window: Double, method: String) => {
+        require(period > 0.0, "period must be positive")
+        val m = method.toLowerCase
+        require(m == "variance" || m == "var",
+          s"ts_seasonal_strength_windowed: method '$method' not supported " +
+            "(only 'variance', the reference default)")
+        val clean = arr(vs).filterNot(_.isNaN)
+        val p = math.max(1, math.round(period).toInt)
+        val win = if (window > 0.0) Some(math.round(window).toInt) else None
+        SeasonalityExt.windowedStrength(clean, p, win).toSeq
+      })
+    regVariadic("ts_seasonal_strength_windowed", 2, 4)(cols =>
+      strengthWindowedUdf(cols.head, cols(1),
+        if (cols.length > 2) cols(2) else lit(0.0),
+        if (cols.length > 3) cols(3) else lit("variance")))
+
+    // ts_detect_seasonality_changes (ts_detrend.cpp:573-602): threshold
+    // crossings of the windowed strength curve. Defaults per the core:
+    // threshold 0.3, window 2·period, min_duration one period
+    // (seasonality.rs:699-740); min_duration converts from the core's
+    // absolute units to whole windows.
+    val seasonalityChangesUdf = udf(
+      (vs: Seq[java.lang.Double], period: Double, threshold: Double,
+       window: Double, minDuration: Double) => {
+        require(period > 0.0, "period must be positive")
+        val clean = arr(vs).filterNot(_.isNaN)
+        val p = math.max(1, math.round(period).toInt)
+        val th = if (threshold > 0.0) threshold else 0.3
+        val win = if (window > 0.0) Some(math.round(window).toInt) else None
+        val minDur =
+          if (minDuration > 0.0) math.max(1, math.round(minDuration / p).toInt) else 1
+        val (changes, curve) = SeasonalityExt.detectChanges(clean, p, th, win, minDur)
+        ChangeDetectionSql(
+          changes.map(c => ChangePointSql(c.index.toLong, c.index.toDouble,
+            c.changeType, c.strengthBefore, c.strengthAfter)),
+          changes.length.toLong, curve.toSeq)
+      })
+    regVariadic("ts_detect_seasonality_changes", 2, 5)(cols =>
+      seasonalityChangesUdf(cols.head, cols(1),
+        if (cols.length > 2) cols(2) else lit(0.0),
+        if (cols.length > 3) cols(3) else lit(0.0),
+        if (cols.length > 4) cols(4) else lit(0.0)))
+
+    // ts_instantaneous_period (ts_detrend.cpp:685-695): Hilbert analytic
+    // signal → per-point period/frequency/amplitude
+    val instantaneousUdf = udf((vs: Seq[java.lang.Double]) => {
+      val clean = arr(vs).filterNot(_.isNaN)
+      if (clean.length < 4) None
+      else {
+        val r = SeasonalityExt.instantaneousPeriod(clean)
+        Some(InstantaneousPeriodSql(r.period.toSeq, r.frequency.toSeq,
+          r.amplitude.toSeq))
+      }
+    })
+    regVariadic("ts_instantaneous_period", 1, 1)(cols => instantaneousUdf(cols.head))
+
+    // ts_detect_amplitude_modulation (ts_detrend.cpp:807-830): amplitude
+    // envelope trend; thresholds default per the core (modulation 0.2,
+    // seasonality 0.3 — seasonality.rs:798-800)
+    val amplitudeModulationUdf = udf(
+      (vs: Seq[java.lang.Double], period: Double, modThresh: Double,
+       seasThresh: Double) => {
+        require(period > 0.0, "period must be positive")
+        val clean = arr(vs).filterNot(_.isNaN)
+        val p = math.max(1, math.round(period).toInt)
+        if (clean.length < 2 * p) None
+        else {
+          val r = SeasonalityExt.amplitudeModulation(clean, p,
+            if (modThresh > 0.0) modThresh else 0.2,
+            if (seasThresh > 0.0) seasThresh else 0.3)
+          Some(AmplitudeModulationSql(r.is_seasonal, r.seasonal_strength,
+            r.has_modulation, r.modulation_type, r.modulation_score,
+            r.amplitude_trend, r.wavelet_amplitude.toSeq, r.time_points.toSeq,
+            r.scale))
+        }
+      })
+    regVariadic("ts_detect_amplitude_modulation", 2, 4)(cols =>
+      amplitudeModulationUdf(cols.head, cols(1),
+        if (cols.length > 2) cols(2) else lit(0.0),
+        if (cols.length > 3) cols(3) else lit(0.0)))
+
+    // ts_features_config_from_json / _from_csv (ts_features.cpp:320-470):
+    // parse a feature-selection config into the reference's
+    // STRUCT(feature_names, overrides) shape, ready to feed ts_features_by.
+    // (The reference's FFI stub returns the full catalog regardless of
+    // input; this follows the functions' documented contract and the
+    // library's own TsFeaturesOp parsers instead, so the parsed config is
+    // the one ts_features_from_json/_from_csv actually apply.)
+    val configFromJsonUdf = udf((json: String) => {
+      val names = graft.ops.TsFeaturesOp.parseJsonConfig(json)
+      FeaturesConfigSql(names, names.map(n => FeatureOverrideSql(n, "{}")))
+    })
+    regVariadic("ts_features_config_from_json", 1, 1)(cols =>
+      configFromJsonUdf(cols.head))
+    val configFromCsvUdf = udf((csv: String) => {
+      val names = graft.ops.TsFeaturesOp.parseCsvConfig(csv)
+      FeaturesConfigSql(names, names.map(n => FeatureOverrideSql(n, "{}")))
+    })
+    regVariadic("ts_features_config_from_csv", 1, 1)(cols =>
+      configFromCsvUdf(cols.head))
   }
+
+  /** SQL result shapes mirroring the reference's struct types (field names
+    * are part of the surface contract — ported scripts address them). */
+  final case class SeasonalityResultSql(detected_periods: Seq[Int],
+                                        primary_period: Int,
+                                        seasonal_strength: Double,
+                                        trend_strength: Double)
+  final case class ChangePointSql(index: Long, time: Double, change_type: String,
+                                  strength_before: Double, strength_after: Double)
+  final case class ChangeDetectionSql(change_points: Seq[ChangePointSql],
+                                      n_changes: Long, strength_curve: Seq[Double])
+  final case class InstantaneousPeriodSql(periods: Seq[Double],
+                                          frequencies: Seq[Double],
+                                          amplitudes: Seq[Double])
+  final case class AmplitudeModulationSql(is_seasonal: Boolean,
+                                          seasonal_strength: Double,
+                                          has_modulation: Boolean,
+                                          modulation_type: String,
+                                          modulation_score: Double,
+                                          amplitude_trend: Double,
+                                          wavelet_amplitude: Seq[Double],
+                                          time_points: Seq[Double], scale: Double)
+  final case class FeatureOverrideSql(feature: String, params_json: String)
+  final case class FeaturesConfigSql(feature_names: Seq[String],
+                                     overrides: Seq[FeatureOverrideSql])
 }

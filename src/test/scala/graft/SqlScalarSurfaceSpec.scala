@@ -69,6 +69,86 @@ class SqlScalarSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bq.length == 2 && bq(0).zip(bq(1)).forall { case (lo, hi) => lo <= hi })
   }
 
+  test("extended-seasonality scalars: reference names, arities, struct fields") {
+    // sinusoid, period 7, 70 points
+    val sine = "transform(sequence(0, 69), i -> 10.0 * sin(i * 2 * pi() / 7.0))"
+    // ts_analyze_seasonality: 1-arg and the (timestamps, values) overload
+    val a = spark.sql(s"SELECT ts_analyze_seasonality($sine) AS v")
+      .selectExpr("v.detected_periods", "v.primary_period",
+        "v.seasonal_strength", "v.trend_strength").collect()(0)
+    assert(a.getInt(1) == 7, s"primary_period: $a")
+    assert(a.getDouble(2) > 0.3)
+    val a2 = spark.sql(
+      s"""SELECT ts_analyze_seasonality(
+         |  transform(sequence(0, 69), i -> timestamp_seconds(86400 * i)),
+         |  $sine) AS v""".stripMargin)
+      .selectExpr("v.primary_period").collect()(0)
+    assert(a2.getInt(0) == 7, "timestamps overload must ignore timestamps")
+    // ts_seasonal_strength_windowed: default window 2·period steps by period
+    val w = spark.sql(s"SELECT ts_seasonal_strength_windowed($sine, 7) AS v")
+      .collect()(0).getSeq[Double](0)
+    assert(w.length == (70 - 14) / 7 + 1, s"windows: ${w.length}")
+    assert(w.forall(s => s > 0.3 && s <= 1.0))
+    val wErr = intercept[Exception] {
+      spark.sql(s"SELECT ts_seasonal_strength_windowed($sine, 7, 14, 'spectral') AS v")
+        .collect()
+    }
+    val chain = Iterator.iterate[Throwable](wErr)(_.getCause)
+      .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(chain.contains("not supported"), chain)
+    // ts_detect_seasonality_changes: seasonal half then flat half → cessation
+    val fading =
+      "transform(sequence(0, 69), i -> if(i < 35, 10.0 * sin(i * 2 * pi() / 7.0), 0.0))"
+    val ch = spark.sql(s"SELECT ts_detect_seasonality_changes($fading, 7) AS v")
+      .selectExpr("v.n_changes", "v.change_points", "v.strength_curve").collect()(0)
+    assert(ch.getLong(0) >= 1L, s"no change detected: $ch")
+    val cps = ch.getSeq[org.apache.spark.sql.Row](1)
+    assert(cps.exists(_.getString(2) == "cessation"),
+      s"expected a cessation change point: $cps")
+    assert(cps.forall(cp => cp.getDouble(1) == cp.getLong(0).toDouble),
+      "time must equal index (seasonality.rs:188-196)")
+    assert(ch.getSeq[Double](2).nonEmpty)
+    // ts_instantaneous_period: per-point estimates near the true period
+    val ip = spark.sql(
+      "SELECT ts_instantaneous_period(transform(sequence(0, 63), i -> sin(i * 2 * pi() / 8.0))) AS v")
+      .selectExpr("v.periods", "v.frequencies", "v.amplitudes").collect()(0)
+    val periods = ip.getSeq[Double](0)
+    assert(periods.length == 64 && ip.getSeq[Double](1).length == 64 &&
+      ip.getSeq[Double](2).length == 64)
+    val mid = periods.slice(16, 48).sorted.apply(16)
+    assert(math.abs(mid - 8.0) < 1.0, s"median instantaneous period $mid")
+    // ts_detect_amplitude_modulation: growing envelope → emerging
+    val growing =
+      "transform(sequence(0, 69), i -> (1.0 + i / 20.0) * sin(i * 2 * pi() / 7.0))"
+    val am = spark.sql(s"SELECT ts_detect_amplitude_modulation($growing, 7) AS v")
+      .selectExpr("v.is_seasonal", "v.has_modulation", "v.modulation_type",
+        "v.wavelet_amplitude", "v.time_points", "v.scale").collect()(0)
+    assert(am.getBoolean(0) && am.getBoolean(1), s"modulation missed: $am")
+    assert(am.getString(2) == "emerging")
+    assert(am.getSeq[Double](3).length == 10 && am.getSeq[Double](4).length == 10)
+    assert(am.getDouble(5) == 7.0)
+    // alias surface
+    assert(spark.sql(s"SELECT anofox_fcst_analyze_seasonality($sine) AS v")
+      .selectExpr("v.primary_period").collect()(0).getInt(0) == 7)
+  }
+
+  test("features config scalars parse real configs into the reference struct") {
+    val j = spark.sql(
+      """SELECT ts_features_config_from_json('["mean", "std_dev"]') AS v""")
+      .selectExpr("v.feature_names", "v.overrides").collect()(0)
+    assert(j.getSeq[String](0) == Seq("mean", "std_dev"))
+    val ov = j.getSeq[org.apache.spark.sql.Row](1)
+    assert(ov.map(r => (r.getString(0), r.getString(1))) ==
+      Seq(("mean", "{}"), ("std_dev", "{}")))
+    // the reference's documented one-line comma form (ts_features.cpp:452)
+    val c = spark.sql("SELECT ts_features_config_from_csv('mean,std_dev,skewness') AS v")
+      .selectExpr("v.feature_names").collect()(0)
+    assert(c.getSeq[String](0) == Seq("mean", "std_dev", "skewness"))
+    // parsed config == what ts_features_from_csv applies (shared parser)
+    assert(graft.ops.TsFeaturesOp.parseCsvConfig("feature\nsum\nrange") ==
+      Seq("sum", "range"))
+  }
+
   test("ts_detect_multiple_periods returns (period, confidence, iteration) rows") {
     val out = spark.sql(
       """SELECT ts_detect_multiple_periods(

@@ -665,6 +665,25 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.table("_tm_bl"), "text", "lang")))
   }
 
+  test("catalog TVFs: ts_features_list / ts_features_config_template SQL == Scala API") {
+    val list = spark.sql("SELECT * FROM ts_features_list()")
+    assert(list.columns.toSeq == Seq("column_name", "feature_name",
+      "parameter_suffix", "default_parameters", "parameter_keys"))
+    assert(sortedRows(list) ==
+      sortedRows(graft.ops.TsFeaturesOp.featuresList(spark)))
+    assert(list.count() == 117)
+    val tmpl = spark.sql("SELECT * FROM ts_features_config_template()")
+    assert(sortedRows(tmpl) ==
+      sortedRows(graft.ops.TsFeaturesOp.configTemplate(spark)))
+    // catalog names feed straight back into the features TVF surface
+    assert(spark.sql(
+      "SELECT count(*) FROM ts_features_list() WHERE feature_name = 'mean'")
+      .collect()(0).getLong(0) == 1L)
+    // aliases
+    assert(spark.sql("SELECT count(*) FROM anofox_fcst_ts_features_list()")
+      .collect()(0).getLong(0) == 117L)
+  }
+
   test("bad arguments produce a clear error, not a planner crash") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, 'Naive')").collect()
