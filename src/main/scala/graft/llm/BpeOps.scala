@@ -170,33 +170,70 @@ object BpeOps {
     * Scale design: [[bpeTrain]] schedules one Spark job PER MERGE — fine
     * at demo merge counts, hours of pure scheduling overhead at a
     * production 30k-merge vocabulary. The types table is bounded by the
-    * language's word-type count (NOT the corpus; ~10⁶ rows × avg word
-    * length for web text — a driver-sized collect, same order as the IVF
-    * seed or BM25 query-vocab collects), and each merge then touches only
-    * the words containing the merged pair via an inverted pair→word index,
-    * so 30k merges run in driver memory in seconds-to-minutes with zero
-    * additional jobs. The all-SQL [[bpeTrain]] loop remains the
-    * oracle-replay mode. */
+    * language's word-type count (~10⁶ rows × avg word length for clean
+    * text — a driver-sized collect, same order as the IVF seed or BM25
+    * query-vocab collects), and each merge then touches only the words
+    * containing the merged pair via an inverted pair→word index. The
+    * argmax is a lazy max-heap keyed (count, wrapped-pair UTF-8) with
+    * stale-entry discard — O(log #pairs) per update instead of a full
+    * pair-map scan per merge (30k merges on a web-scale pair map would
+    * otherwise cost O(#pairs × merges) ≈ 10¹⁰ comparisons). The all-SQL
+    * [[bpeTrain]] loop remains the oracle-replay mode.
+    *
+    * Raw 100 TB web text (URLs, hex hashes, typos) can push word types to
+    * 10⁸⁺ — past any driver. `minWordFreq` drops types below a corpus
+    * frequency floor BEFORE the collect and `maxTypes` caps the table to
+    * the most frequent types (ties by word ascending — deterministic, a
+    * bounded TakeOrdered, never a global sort). Both default to "keep
+    * everything" (exact [[bpeTrain]] equality); with a floor of even 2,
+    * hapax garbage — the bulk of raw-web type inventory — never reaches
+    * the driver, at the cost of excluding those occurrences from the pair
+    * statistics (the standard corpus-BPE trade, Sennrich et al. §3). */
   def bpeTrainLocal(corpus: DataFrame, textCol: String, numMerges: Int,
-                    minPairFreq: Long = 2L): Seq[BpeMerge] = {
+                    minPairFreq: Long = 2L, minWordFreq: Long = 1L,
+                    maxTypes: Int = Int.MaxValue): Seq[BpeMerge] = {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     require(minPairFreq >= 1, s"minPairFreq must be >= 1, got $minPairFreq")
+    require(minWordFreq >= 1, s"minWordFreq must be >= 1, got $minWordFreq")
+    require(maxTypes >= 1, s"maxTypes must be >= 1, got $maxTypes")
+    val counted = corpus.select(explode(words(textCol)).as("_w"))
+      .groupBy(col("_w")).agg(count(lit(1)).as("_freq"))
+      .filter(col("_freq") >= minWordFreq)
+    val bounded =
+      if (maxTypes == Int.MaxValue) counted
+      else counted.orderBy(col("_freq").desc, col("_w").asc).limit(maxTypes)
     val types: Array[(String, Long)] =
-      corpus.select(explode(words(textCol)).as("_w"))
-        .groupBy(col("_w")).agg(count(lit(1)).as("_freq"))
-        .collect().map(r => r.getString(0) -> r.getLong(1))
+      bounded.collect().map(r => r.getString(0) -> r.getLong(1))
     val syms = types.map { case (w, _) => codePointSyms(w) }
     val freqs = types.map(_._2)
     val pairCnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
     val pairIdx =
       scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.Set[Int]]
+    def wrappedKey(p: (String, String)): String = wrap(p._1) + " " + wrap(p._2)
+    // lazy max-heap over (count, wrapped-pair key): every count change
+    // pushes a fresh entry; pops validate against pairCnt and discard stale
+    // ones. The heap always contains each pair's CURRENT (count, pair)
+    // entry, so the top valid entry is the greedy argmax with the exact
+    // utf8-ascending tie-break of the SQL loop's ORDER BY _cnt DESC, _p ASC.
+    final case class HeapEntry(count: Long, key: String, pair: (String, String))
+    val heapOrd: Ordering[HeapEntry] = (x: HeapEntry, y: HeapEntry) =>
+      if (x.count != y.count) java.lang.Long.compare(x.count, y.count)
+      // smaller utf8 key must win among equal counts → rank it higher
+      else if (x.key == y.key) 0
+      else if (utf8Less(x.key, y.key)) 1
+      else -1
+    val heap = scala.collection.mutable.PriorityQueue.empty[HeapEntry](heapOrd)
+    def bump(p: (String, String), d: Long): Unit = {
+      val nv = pairCnt.getOrElse(p, 0L) + d
+      if (nv <= 0L) pairCnt.remove(p)
+      else {
+        pairCnt(p) = nv
+        heap.enqueue(HeapEntry(nv, wrappedKey(p), p))
+      }
+    }
     def pairsOf(s: Array[String]): Iterator[(String, String)] =
       if (s.length < 2) Iterator.empty
       else (0 until s.length - 1).iterator.map(j => (s(j), s(j + 1)))
-    def bump(p: (String, String), d: Long): Unit = {
-      val nv = pairCnt.getOrElse(p, 0L) + d
-      if (nv <= 0L) pairCnt.remove(p) else pairCnt(p) = nv
-    }
     var i = 0
     while (i < syms.length) {
       pairsOf(syms(i)).foreach { p =>
@@ -205,18 +242,19 @@ object BpeOps {
       }
       i += 1
     }
-    def wrappedKey(p: (String, String)): String = wrap(p._1) + " " + wrap(p._2)
     val acc = Seq.newBuilder[BpeMerge]
     var r = 1
     var done = false
     while (r <= numMerges && !done) {
       var best: (String, String) = null
       var bestCnt = 0L
-      var bestKey: String = null
-      pairCnt.foreach { case (p, c) =>
-        if (best == null || c > bestCnt ||
-            (c == bestCnt && utf8Less(wrappedKey(p), bestKey))) {
-          best = p; bestCnt = c; bestKey = wrappedKey(p)
+      while (best == null && heap.nonEmpty) {
+        val top = heap.dequeue()
+        if (pairCnt.getOrElse(top.pair, 0L) == top.count) {
+          best = top.pair; bestCnt = top.count
+          // the argmax stays current: re-enqueue so the next merge can see
+          // it again if its count is unchanged
+          heap.enqueue(top)
         }
       }
       if (best == null || bestCnt < minPairFreq) done = true

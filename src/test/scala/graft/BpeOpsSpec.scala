@@ -136,6 +136,61 @@ class BpeOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merges.forall(m => m.merged == m.left + m.right))
   }
 
+  test("bpeTrainLocal sustains a 30k-merge production vocabulary on a heavy-tail corpus") {
+    val sp = spark
+    import sp.implicits._
+    // heavy-tail word soup: ~47k types over 4 syllable alphabets with
+    // Zipf-ish repetition — enough distinct adjacent pairs to sustain tens
+    // of thousands of merges (the production vocab size the lazy-heap
+    // argmax exists for; the old full-map scan was O(#pairs × merges))
+    val syll = Seq("ka", "to", "ri", "mu", "se", "lo", "ba", "ne", "di", "fu",
+      "pa", "go", "zu", "we", "chi", "ro", "ta", "mi", "ho", "ju")
+    val docs = (0 until 30000).map { i =>
+      val w1 = syll(i % 20) + syll((i / 20) % 20) + syll((i / 400) % 20)
+      val w2 = syll((i * 7) % 20) + syll((i * 13 + 5) % 20) + (i % 997) + syll((i * 3) % 20)
+      val w3 = syll((i * 11 + 3) % 20) + (i % 89) + syll((i * 17 + 7) % 20)
+      val reps = 1 + (i % 5)
+      (i.toLong, (Seq.fill(reps)(w1) ++ Seq(w2, w3)).mkString(" "))
+    }
+    val corpus = docs.toDF("id", "text")
+    val t0 = System.nanoTime()
+    val merges = BpeOps.bpeTrainLocal(corpus, "text", numMerges = 30000,
+      minPairFreq = 1L)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.length >= 25000, s"expected >= 25000 merges, got ${merges.length}")
+    assert(secs < 120.0, s"30k merges must be driver-loop fast, took $secs s")
+    assert(merges.map(_.rank) == (1 to merges.length))
+    // greedy invariant: equal-count runs tie-break by wrapped key, so the
+    // count sequence is non-increasing only per merge's own snapshot — but
+    // every merge must have been above the floor
+    assert(merges.forall(_.pair_count >= 1L))
+  }
+
+  test("minWordFreq / maxTypes bound the driver collect, defaults stay exact") {
+    val sp = spark
+    import sp.implicits._
+    // hapax-heavy fixture: 3 frequent types + a long tail of singletons
+    val frequent = Seq.fill(20)("alpha beta").map(s => s) ++ Seq.fill(15)("beta gamma")
+    val hapax = (0 until 200).map(i => s"junk${i}x$i")
+    val docs = (frequent ++ hapax).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    // defaults == the exact SQL loop (the existing equality pin's contract)
+    val exact = BpeOps.bpeTrainLocal(docs, "text", numMerges = 10)
+    assert(exact == BpeOps.bpeTrain(docs, "text", numMerges = 10))
+    // a freq floor of 2 removes every hapax type from the driver state; the
+    // surviving statistics are exactly the frequent types' — equal to
+    // training on the frequent subset alone
+    val floored = BpeOps.bpeTrainLocal(docs, "text", numMerges = 10, minWordFreq = 2L)
+    val frequentOnly = BpeOps.bpeTrainLocal(
+      frequent.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text"),
+      "text", numMerges = 10)
+    assert(floored == frequentOnly)
+    // maxTypes keeps the top-N types by (freq desc, word asc) — with N=3
+    // only alpha/beta/gamma survive, same result as the frequent subset
+    val capped = BpeOps.bpeTrainLocal(docs, "text", numMerges = 10, maxTypes = 3)
+    assert(capped == frequentOnly)
+  }
+
   test("bpeEncodeFast equals the stacked-replace bpeEncode") {
     val sp = spark
     import sp.implicits._
