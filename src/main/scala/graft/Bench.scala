@@ -185,13 +185,32 @@ object Bench {
     // bare-median numbers were contention-contaminated and unfalsifiable
     // after the fact — the spread makes a dirty run self-evident, and any
     // metric whose band exceeds ±40% of its median is listed in
-    // scale10_flagged so the round's number of record can be re-run
-    def median3(run: => Double): (Double, Seq[Double]) =
-      { run; val ts = Seq.fill(3)(run).sorted; (ts(1), ts) }
+    // scale10_flagged. A third round then showed the flag alone isn't
+    // enough: the driver committed the flagged artifact anyway. So a dirty
+    // band now RE-RUNS its own measurement once on the spot (fixtures are
+    // still alive at that point), and if any metric is still over-band the
+    // process exits non-zero after printing — a contaminated artifact is
+    // either self-healed or an explicit failure, never the silent number
+    // of record.
+    def overBand(m: Double, ts: Seq[Double]): Boolean =
+      m > 0 && (ts.last > 1.4 * m || ts.head < 0.6 * m)
+    def measured(n: Int)(run: => Double): (Double, Seq[Double]) = {
+      run // discarded warmup
+      def attempt(): (Double, Seq[Double]) =
+        { val ts = Seq.fill(n)(run).sorted; (ts(n / 2), ts) }
+      val a1 = attempt()
+      if (!overBand(a1._1, a1._2)) a1
+      else {
+        val a2 = attempt()
+        if (!overBand(a2._1, a2._2)) a2
+        // both dirty: keep the tighter band (still flagged downstream)
+        else Seq(a1, a2).minBy { case (m, ts) => ts.last / math.max(m, 1e-9) }
+      }
+    }
+    def median3(run: => Double): (Double, Seq[Double]) = measured(3)(run)
     // LSH ops get median-of-5: their pin/GC lifecycle made single medians
     // swing run-to-run, so they carry the widest measurement band
-    def median5(run: => Double): (Double, Seq[Double]) =
-      { run; val ts = Seq.fill(5)(run).sorted; (ts(2), ts) }
+    def median5(run: => Double): (Double, Seq[Double]) = measured(5)(run)
     val s10stats = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Seq[Double])]
     /** One scale10 JSON entry: sec + per-unit cost + [min, max] spread. */
     def entry(name: String, mt: (Double, Seq[Double]), perKey: String,
@@ -442,15 +461,22 @@ object Bench {
       entry("knn_graph_vecs", knn10, "ms_per_node", nEmb1 * 10.0)
     )).mkString("{", ",",
       s""","n_series":${nSeries1 * 10},"n_docs":${nDocs1 * 10},"n_vectors":${nEmb1 * 10},"n_queries":$nQueries}""")
-    // metrics whose run band exceeds ±40% of the median: the run was dirty
-    // for that op — do not treat its median as the round's number of record
-    val flagged = s10stats.filter { case (_, m, ts) =>
-      m > 0 && (ts.last > 1.4 * m || ts.head < 0.6 * m)
-    }.map(s => "\"" + s._1 + "\"").mkString("[", ",", "]")
+    // metrics whose run band exceeds ±40% of the median EVEN AFTER the
+    // in-place re-run: the machine was dirty for that op's whole window —
+    // its median must not become the round's number of record, so the
+    // process exits non-zero below
+    val flaggedNames = s10stats.filter { case (_, m, ts) => overBand(m, ts) }
+      .map(_._1)
+    val flagged = flaggedNames.map(n => "\"" + n + "\"").mkString("[", ",", "]")
 
     val acc = accuracy(spark, sfDir)
       .map { case (k, v) => "\"" + k + f"\":$v%.4f" }.mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"runs_per_query":"1 warmup + 2-3 timed, median reported","scale10":$scaleJson,"scale10_flagged":$flagged,"mase_holdout7":$acc,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"spread":$spread,"runs_per_query":"1 warmup + 2-3 timed, median reported; over-band metrics re-measured once in place","scale10":$scaleJson,"scale10_flagged":$flagged,"mase_holdout7":$acc,"sf":"$sfDir"}""")
     spark.stop()
+    if (flaggedNames.nonEmpty) {
+      System.err.println(s"[bench] contaminated even after re-measurement: " +
+        s"${flaggedNames.mkString(", ")} — this artifact is not a number of record")
+      sys.exit(1)
+    }
   }
 }
