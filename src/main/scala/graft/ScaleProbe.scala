@@ -164,6 +164,29 @@ object ScaleProbe {
       println(f"minhash ext=$useExt sec=$m%.3f ms_per_doc=${m * 1000 / (n1 * 10)}%.4f all=${ts.map(t => f"$t%.3f")}")
       docs10.unpersist()
     }
+    if (which("jverify")) {
+      // the LSH verify stage in both forms: native 64-bit hash sets (the
+      // round-8 production path) vs the retained string-shingle executable
+      // spec — candidate pairs come from planted 10-way near-dup structure
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n1 = docs.count()
+      val docs10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", concat(col("text"), lit(s" r$i"))))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      docs10.count()
+      val cand = llm.TextOps.minHashLshPairs(docs10, "doc_id", "text")
+        .localCheckpoint(true)
+      val nc = cand.count()
+      def m3(run: => Double): Double = { run; val ts = Seq.fill(3)(run).sorted; ts(1) }
+      val tHash = m3(onceDf(llm.TextOps.jaccardVerify(cand, docs10,
+        "doc_id", "text", 5, 0.5)))
+      println(f"jverify_hashset pairs=$nc sec=$tHash%.3f ms_per_doc=${tHash * 1000 / (n1 * 10)}%.4f")
+      val tStr = m3(onceDf(llm.TextOps.jaccardVerifyStrings(cand, docs10,
+        "doc_id", "text", 5, 0.5)))
+      println(f"jverify_strings pairs=$nc sec=$tStr%.3f ms_per_doc=${tStr * 1000 / (n1 * 10)}%.4f")
+      docs10.unpersist()
+    }
     if (which("minhashbisect")) {
       // stage boundaries of minHashLshPairs: signature only, banded table
       // only, then the full candidate pipeline

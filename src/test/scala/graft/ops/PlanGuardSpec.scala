@@ -370,6 +370,78 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the model tables must sit under BroadcastExchange nodes")
   }
 
+  test("jaccard verify: candidates verify on native hash sets, no string-shingle HOF") {
+    val sp = spark
+    import sp.implicits._
+    // parquet-backed docs: a LocalRelation would constant-fold the whole
+    // verify subtree through ConvertToLocalRelation and hide the shape
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val df = graft.llm.TextOps.jaccardVerify(pairs, docs, "doc_id", "text",
+      shingleSize = 5, threshold = 0.5)
+    val plan = df.queryExecution.executedPlan.toString
+    // the one 100× hazard this op used to have: interpreted-HOF string
+    // shingle arrays (~shingleSize×|text| bytes/doc) built via
+    // array_distinct(transform(sequence…, substr…)) and shipped across the
+    // two id-keyed join exchanges — strictly more bytes than the text
+    assert(plan.contains("shingle_hash_set"),
+      "verification must run on the native 64-bit shingle-hash sets")
+    assert(!plan.contains("array_distinct(transform("),
+      "no interpreted string-shingle HOF may remain in the verify path")
+  }
+
+  test("composed ingest pipeline: gates are map-side; one corpus exchange (the fingerprint window)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val sp = spark
+    import sp.implicits._
+    def prose(tag: String): String =
+      (1 to 6).map(i => s"The $tag corpus keeps sentence $i with plain words " +
+        s"that people have to read and be happy about it.").mkString(" ")
+    val labeled = (1 to 6).map(i => (i.toLong, prose(s"seed$i"), i % 2 == 0))
+      .toDF("id", "text", "label")
+    val nbDf = graft.llm.ClassifierOps.nbTrain(labeled, "text", "label",
+      numBuckets = 1 << 10, seed = 7).localCheckpoint(true)
+    val corpus = (1 to 6).map(i => (i.toLong, prose(s"raw$i"))).toDF("id", "text")
+    val dsirM = graft.llm.DsirOps.fitModel(corpus,
+      corpus.filter(org.apache.spark.sql.functions.col("id") <= 3), "text",
+      numBuckets = 1 << 10, seed = 3, alpha = 0.5)
+    val dsir = graft.llm.DsirOps.DsirModel(dsirM.ratios.localCheckpoint(true),
+      dsirM.unseen.localCheckpoint(true), dsirM.numBuckets, dsirM.seed)
+    val bgM = graft.llm.TextOps.trainBigramLm(corpus, "text",
+      vocabSize = 64, bigramVocabSize = 128)
+    val bigram = graft.llm.TextOps.BigramLmModel(bgM.vocab.localCheckpoint(true),
+      bgM.bigrams.localCheckpoint(true), bgM.totals.localCheckpoint(true),
+      bgM.vocabSize, bgM.alpha, bgM.lambda)
+    val models = graft.streaming.IngestPipeline.GateModels(
+      graft.llm.ClassifierOps.NbModel(nbDf, 1 << 10, 7L), dsir,
+      minLogw = -1e9, bigram, maxPerplexity = 1e9)
+    // parquet-backed batch (LocalRelation input would fold the whole chain)
+    val batch = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("doc_id").as("ts"),
+        org.apache.spark.sql.functions.col("text"))
+    val df = graft.streaming.IngestPipeline.curateBatch(batch, "ts", "text", models)
+    val plan = df.queryExecution.executedPlan
+    // every gate scores through broadcast lookup maps (stateless scalar
+    // UDFs), so the batch plan's ONLY shuffle is the fingerprint window's —
+    // at 100 TB that means the whole curation chain runs at scan
+    // parallelism with a single exchange whose partitions are duplicate
+    // cliques, never the corpus
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.length == 1,
+      s"expected exactly the fingerprint-window exchange, got ${shuffles.length}:\n$plan")
+    // the window projects xxhash64(text) into an alias (_w0) and the
+    // exchange partitions on that alias — assert the fingerprint expression
+    // is computed in the plan (simpleString truncates wide projections, so
+    // search the expression trees, not the rendered plan)
+    val hasFingerprint = plan.exists(node => node.expressions.exists(e =>
+      e.find(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.XxHash64])
+        .isDefined))
+    assert(hasFingerprint,
+      "the window's partition key must be the xxhash64 content fingerprint")
+    assert(!plan.toString.contains("CartesianProduct"))
+  }
+
   test("flagship forecast: one shuffle on the group key, no cartesian") {
     val df = graft.ops.TsForecastOp.forecastBy(
       events
