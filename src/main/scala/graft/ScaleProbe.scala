@@ -164,6 +164,22 @@ object ScaleProbe {
       println(f"minhash ext=$useExt sec=$m%.3f ms_per_doc=${m * 1000 / (n1 * 10)}%.4f all=${ts.map(t => f"$t%.3f")}")
       docs10.unpersist()
     }
+    if (which("hashembed")) {
+      // feature-hashing embedding in both forms: the native one-pass
+      // HashEmbedVector vs the declarative scatter-accumulate spec
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n1 = docs.count()
+      val docs10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L)))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      docs10.count()
+      def m3(run: => Double): Double = { run; val ts = Seq.fill(3)(run).sorted; ts(1) }
+      val tNat = m3(onceDf(llm.TextOps.hashEmbed(docs10, "doc_id", "text", dim = 64, seed = 7)))
+      println(f"hashembed_native sec=$tNat%.3f ms_per_doc=${tNat * 1000 / (n1 * 10)}%.4f")
+      val tRef = m3(onceDf(llm.TextOps.hashEmbedReference(docs10, "doc_id", "text", dim = 64, seed = 7)))
+      println(f"hashembed_declarative sec=$tRef%.3f ms_per_doc=${tRef * 1000 / (n1 * 10)}%.4f")
+      docs10.unpersist()
+    }
     if (which("jverify")) {
       // the LSH verify stage in both forms: native 64-bit hash sets (the
       // round-8 production path) vs the retained string-shingle executable

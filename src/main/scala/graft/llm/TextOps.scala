@@ -1322,9 +1322,25 @@ object TextOps {
   def hashEmbed(df: DataFrame, idCol: String, textCol: String, dim: Int = 64,
                 seed: Long = 0L, out: String = "embedding"): DataFrame = {
     require(dim >= 1, s"dim must be >= 1, got $dim")
+    // one compiled pass: tokenize → hash → scatter signed counts →
+    // normalize ([[graft.functions.HashEmbedVector]]). The declarative
+    // scatter-accumulate it replaced ([[hashEmbedReference]], the oracle's
+    // replay form) evaluated O(dim·tokens) interpreted lambdas per doc —
+    // the heaviest map-only op left in the 10×-corpus profile.
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    df.withColumn(out, B.column(graft.functions.HashEmbedVector(
+      B.expression(lower(trim(col(textCol)))), dim, seed)))
+  }
+
+  /** The declarative composition [[hashEmbed]] replaced — the executable
+    * specification (QualityCurationSpec pins bit equality) and the form the
+    * text_hash_embed DuckDB oracle replays. */
+  private[graft] def hashEmbedReference(df: DataFrame, idCol: String, textCol: String,
+                                        dim: Int = 64, seed: Long = 0L,
+                                        out: String = "embedding"): DataFrame = {
+    require(dim >= 1, s"dim must be >= 1, got $dim")
     // raw token hashes in one native pass (NgramBucketHashes, unigram mode,
-    // numBuckets=0 -> no reduction) — bit-identical to the declarative
-    // per-char fold this replaced, which dominated the 10x-corpus profile
+    // numBuckets=0 -> no reduction)
     val hashes = org.apache.spark.sql.GraftExpressionBridge.column(
       graft.functions.NgramBucketHashes(
         org.apache.spark.sql.GraftExpressionBridge.expression(

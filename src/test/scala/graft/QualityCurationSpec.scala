@@ -204,6 +204,30 @@ class QualityCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs == Set((1L, 2L)), s"got $pairs")
   }
 
+  test("native hashEmbed is bit-identical to the declarative scatter-accumulate spec") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(13)
+    val long = (1 to 300).map(i => s"w${rnd.nextInt(40)}tok$i").mkString(" ")
+    val docs = Seq[(Long, String)](
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, ""),                              // no tokens → zero vector
+      (3L, " \t\n\r\f "),
+      (4L, "UPPER Case MiXeD tokens"),       // lowercase outside the expr
+      (5L, "héllo wörld 日本語 emoji 😀 pair"), // multi-byte / astral
+      (6L, "dup dup dup dup"),               // sign cancellation candidates
+      (7L, long)).toDF("id", "text")
+    for ((dim, seed) <- Seq((64, 7L), (8, 0L), (16, -3L))) {
+      val native = TextOps.hashEmbed(docs, "id", "text", dim, seed)
+        .select(col("id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+      val ref = TextOps.hashEmbedReference(docs, "id", "text", dim, seed)
+        .select(col("id"), col("embedding")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Double](1).toList).toMap
+      assert(native == ref, s"dim=$dim seed=$seed")
+    }
+  }
+
   test("canonicalizeUrl strips fragments/tracking/default ports/trailing slash, lowers scheme+host") {
     val sp = spark
     import sp.implicits._
