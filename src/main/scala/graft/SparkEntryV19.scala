@@ -195,18 +195,14 @@ object SparkEntryV19 {
        |LEFT JOIN cs ON cs.gid = d.doc_id
        |LEFT JOIN best ON best.cid = d.doc_id""".stripMargin
 
-  private val HtmlStripSql =
-    """WITH aug AS (SELECT doc_id,
-      |  CASE WHEN doc_id % 3 = 0 THEN '<div class="a">' || text ||
-      |         '</div>' || chr(10) ||
-      |         '<script type="text/javascript">var x = 1 < 2;</script>'
-      |       WHEN doc_id % 4 = 0 THEN '<p>Intro &amp; notes</p><!-- hidden --><ul><li>'
-      |         || text || '</li></ul><style>p { color: red; }</style>'
-      |       WHEN doc_id % 5 = 0 THEN text ||
-      |         ' &lt;tag&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b'
-      |       ELSE text END AS t
-      |  FROM documents),
-      |s1 AS (SELECT doc_id,
+  /** The html-strip replay ([[graft.llm.TextOps.htmlStrip]]'s 9-stage regex
+    * chain) as CTEs over a preceding CTE named `aug` exposing (doc_id, t);
+    * the final CTE `stripped` carries the cleaned (doc_id, t). ONE copy
+    * shared by this batch's html_strip oracle and the composed-pipeline
+    * oracle (SparkEntryV26) — a regex change in the op has exactly one SQL
+    * twin to update (the SampleOps.hashBucketSqlCtes convention). */
+  private[graft] val HtmlStripCtes: String =
+    """s1 AS (SELECT doc_id,
       |  regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM aug),
       |s2 AS (SELECT doc_id,
       |  regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
@@ -220,10 +216,23 @@ object SparkEntryV19 {
       |  '&nbsp;', ' '), '&amp;', '&') AS t FROM s5),
       |s7 AS (SELECT doc_id, regexp_replace(t, '[ \t\f]+', ' ', 'g') AS t FROM s6),
       |s8 AS (SELECT doc_id, regexp_replace(regexp_replace(t, '(?m)^ +', '', 'g'),
-      |  '(?m) +$', '', 'g') AS t FROM s7)
-      |SELECT doc_id,
-      |  trim(regexp_replace(t, '\n{2,}', chr(10), 'g'), ' ' || chr(10)) AS text_plain
-      |FROM s8""".stripMargin
+      |  '(?m) +$', '', 'g') AS t FROM s7),
+      |stripped AS (SELECT doc_id,
+      |  trim(regexp_replace(t, '\n{2,}', chr(10), 'g'), ' ' || chr(10)) AS t FROM s8)""".stripMargin
+
+  private val HtmlStripSql =
+    s"""WITH aug AS (SELECT doc_id,
+      |  CASE WHEN doc_id % 3 = 0 THEN '<div class="a">' || text ||
+      |         '</div>' || chr(10) ||
+      |         '<script type="text/javascript">var x = 1 < 2;</script>'
+      |       WHEN doc_id % 4 = 0 THEN '<p>Intro &amp; notes</p><!-- hidden --><ul><li>'
+      |         || text || '</li></ul><style>p { color: red; }</style>'
+      |       WHEN doc_id % 5 = 0 THEN text ||
+      |         ' &lt;tag&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b'
+      |       ELSE text END AS t
+      |  FROM documents),
+      |$HtmlStripCtes
+      |SELECT doc_id, t AS text_plain FROM stripped""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "classifier_nb_train" -> NbTrainSql,

@@ -131,23 +131,7 @@ object SparkEntryV26 {
          |    CASE WHEN (doc_id % 1000000) % 6 = 0 THEN $pre || t0 || $post
          |         ELSE t0 END AS t
          |  FROM dupd),
-         |s1 AS (SELECT doc_id,
-         |  regexp_replace(t, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM aug),
-         |s2 AS (SELECT doc_id,
-         |  regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1),
-         |s3 AS (SELECT doc_id,
-         |  regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t FROM s2),
-         |s4 AS (SELECT doc_id, regexp_replace(t,
-         |  '(?i)</?(p|div|br|li|ul|ol|h[1-6]|tr|table|blockquote)[^>]*>', chr(10), 'g') AS t FROM s3),
-         |s5 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s4),
-         |s6 AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(t,
-         |  '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&#39;', chr(39)),
-         |  '&nbsp;', ' '), '&amp;', '&') AS t FROM s5),
-         |s7 AS (SELECT doc_id, regexp_replace(t, '[ \\t\\f]+', ' ', 'g') AS t FROM s6),
-         |s8 AS (SELECT doc_id, regexp_replace(regexp_replace(t, '(?m)^ +', '', 'g'),
-         |  '(?m) +$$', '', 'g') AS t FROM s7),
-         |stripped AS (SELECT doc_id,
-         |  trim(regexp_replace(t, '\\n{2,}', chr(10), 'g'), ' ' || chr(10)) AS t FROM s8),
+         |${SparkEntryV19.HtmlStripCtes},
          |cur AS (SELECT doc_id,
          |  trim(lower(regexp_replace(t, '[ \\t\\n\\r\\f]+', ' ', 'g'))) AS text
          |  FROM stripped),

@@ -156,10 +156,15 @@ object ClassifierOps {
       bkts.foreach(bk => s += bc.value.getOrElse(bk, fb))
       (s + pr) / 1e6
     })
+    // coalesce: null text must score as the EMPTY document (n_tokens = 0,
+    // score = prior) exactly as nbScore's left-join+coalesce does — without
+    // it the native featurization yields null and the scalar UDF NPEs on a
+    // streaming micro-batch (the bigramScoreBroadcast parity discipline)
     val feats = org.apache.spark.sql.GraftExpressionBridge.column(
       graft.functions.NgramBucketHashes(
         org.apache.spark.sql.GraftExpressionBridge.expression(
-          lower(trim(col(textCol)))), numBuckets, seed, bigrams = false))
+          lower(trim(coalesce(col(textCol), lit(""))))), numBuckets, seed,
+        bigrams = false))
     df.withColumn("_fb", feats)
       .withColumn("n_tokens", size(col("_fb")).cast(LongType))
       .withColumn(scoreOut, scoreUdf(col("_fb")))

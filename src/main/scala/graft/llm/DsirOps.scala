@@ -166,7 +166,12 @@ object DsirOps {
       bkts.foreach(b => s += bc.value.getOrElse(b, lr0))
       s
     })
-    df.withColumn("_fb", featureBuckets(col(textCol), model.numBuckets, model.seed))
+    // coalesce: null text must score as the EMPTY document (n_feats = 0,
+    // logw = 0.0) exactly as scoreWithModel's explode_outer+left-join does
+    // — without it the featurization yields null and the scalar UDF NPEs
+    // on a streaming micro-batch
+    df.withColumn("_fb",
+        featureBuckets(coalesce(col(textCol), lit("")), model.numBuckets, model.seed))
       .withColumn("n_feats", size(col("_fb")).cast(LongType))
       .withColumn("logw", scoreUdf(col("_fb")))
       .drop("_fb")

@@ -76,9 +76,15 @@ object TsFeaturesOp {
   private[graft] def parseCsvConfig(configCsv: String): Seq[String] = {
     val lines = configCsv.split('\n').map(_.trim).filter(_.nonEmpty)
     val names =
-      if (lines.length == 1)
-        lines.head.split(',').map(_.trim).filter(_.nonEmpty).filterNot(_ == "feature").toSeq
-      else lines.map(_.split(',')(0).trim).filterNot(_ == "feature").toSeq
+      if (lines.length == 1) {
+        // comma-separated names — but the first `{`-led cell starts a
+        // params_json payload of the line grammar's single-row form
+        // ("mean,{...}"), and a json object can itself contain commas, so
+        // everything from that cell on is payload, not names
+        val cells = lines.head.split(',').map(_.trim).filter(_.nonEmpty)
+        val cut = cells.indexWhere(_.startsWith("{"))
+        (if (cut >= 0) cells.take(cut) else cells).toSeq.filterNot(_ == "feature")
+      } else lines.map(_.split(',')(0).trim).filterNot(_ == "feature").toSeq
     require(names.nonEmpty, "ts_features_from_csv: no feature names found in config")
     names
   }

@@ -273,7 +273,11 @@ object Register {
         val clean = arr(vs).filterNot(_.isNaN)
         val p = math.max(1, math.round(period).toInt)
         val win = if (window > 0.0) Some(math.round(window).toInt) else None
-        SeasonalityExt.windowedStrength(clean, p, win).toSeq
+        // short series → NULL, like every sibling scalar (a 3-point group
+        // is data the surface tolerates, not a config error — the
+        // reference FFI returns null on kernel failure the same way)
+        if (clean.length < 4) None
+        else Some(SeasonalityExt.windowedStrength(clean, p, win).toSeq)
       })
     regVariadic("ts_seasonal_strength_windowed", 2, 4)(cols =>
       strengthWindowedUdf(cols.head, cols(1),
@@ -291,15 +295,21 @@ object Register {
         require(period > 0.0, "period must be positive")
         val clean = arr(vs).filterNot(_.isNaN)
         val p = math.max(1, math.round(period).toInt)
-        val th = if (threshold > 0.0) threshold else 0.3
-        val win = if (window > 0.0) Some(math.round(window).toInt) else None
-        val minDur =
-          if (minDuration > 0.0) math.max(1, math.round(minDuration / p).toInt) else 1
-        val (changes, curve) = SeasonalityExt.detectChanges(clean, p, th, win, minDur)
-        ChangeDetectionSql(
-          changes.map(c => ChangePointSql(c.index.toLong, c.index.toDouble,
-            c.changeType, c.strengthBefore, c.strengthAfter)),
-          changes.length.toLong, curve.toSeq)
+        // shorter than two full cycles (or the 4-point strength floor,
+        // binding at period 1) → NULL (the kernel's insufficient-data
+        // contract; siblings return NULL the same way)
+        if (clean.length < math.max(4, 2 * p)) None
+        else {
+          val th = if (threshold > 0.0) threshold else 0.3
+          val win = if (window > 0.0) Some(math.round(window).toInt) else None
+          val minDur =
+            if (minDuration > 0.0) math.max(1, math.round(minDuration / p).toInt) else 1
+          val (changes, curve) = SeasonalityExt.detectChanges(clean, p, th, win, minDur)
+          Some(ChangeDetectionSql(
+            changes.map(c => ChangePointSql(c.index.toLong, c.index.toDouble,
+              c.changeType, c.strengthBefore, c.strengthAfter)),
+            changes.length.toLong, curve.toSeq))
+        }
       })
     regVariadic("ts_detect_seasonality_changes", 2, 5)(cols =>
       seasonalityChangesUdf(cols.head, cols(1),

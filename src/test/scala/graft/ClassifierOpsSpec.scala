@@ -85,6 +85,27 @@ class ClassifierOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(docs.repartition(1)) == run(docs.repartition(7)))
   }
 
+  test("nbScoreBroadcast scores null text as the empty document, matching nbScore") {
+    val sp = spark
+    import sp.implicits._
+    val model = ClassifierOps.nbTrain(labeledCorpus, "text", "label",
+      numBuckets = 128, alpha = 0.5, seed = 7)
+    val docs = Seq((1L, Option("careful essay with insight")),
+      (2L, Option.empty[String]), (3L, Option(""))).toDF("id", "text")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "n_tokens", "nb_score", "nb_pred").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
+    val batch = snap(ClassifierOps.nbScore(docs, "id", "text", model, 128, 7))
+    // the broadcast scorer used to NPE here (null Seq into the scalar UDF —
+    // a streaming micro-batch crash); it must emit the batch path's
+    // empty-document score instead
+    val stream = snap(ClassifierOps.nbScoreBroadcast(docs, "text", model, 128, 7)
+      .select(col("id"), col("n_tokens"), col("nb_score"), col("nb_pred")))
+    assert(stream == batch, s"batch $batch vs broadcast $stream")
+    assert(batch(2L)._1 == 0L && batch(2L) == batch(3L),
+      "null text ≡ empty text ≡ zero tokens (score = prior)")
+  }
+
   test("jaccardContamination scores exact copies 1.0, partial overlaps in between") {
     val sp = spark
     import sp.implicits._

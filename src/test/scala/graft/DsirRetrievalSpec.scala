@@ -117,6 +117,27 @@ class DsirRetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("scoreWithBroadcastModel scores null text as the empty document, matching scoreWithModel") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = Seq((1L, "the target domain words here"),
+      (2L, "off topic noise tokens")).toDF("id", "text")
+    val model = DsirOps.fitModel(corpus, corpus.filter(col("id") === 1L), "text",
+      numBuckets = 256, seed = 3, alpha = 0.5)
+    val docs = Seq((1L, Option("the target domain words")),
+      (2L, Option.empty[String]), (3L, Option(""))).toDF("id", "text")
+    def snap(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "n_feats", "logw").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batch = snap(DsirOps.scoreWithModel(docs, "id", "text", model))
+    // the broadcast scorer used to NPE on the null Seq — it must emit the
+    // batch path's empty-document score (n_feats = 0, logw = 0.0)
+    val stream = snap(DsirOps.scoreWithBroadcastModel(docs, "text", model)
+      .select(col("id"), col("n_feats"), col("logw")))
+    assert(stream == batch, s"batch $batch vs broadcast $stream")
+    assert(batch(2L) == ((0L, 0.0)) && batch(3L) == ((0L, 0.0)))
+  }
+
   test("DSIR model survives a disk round trip; scoring a NEW batch works") {
     val sp = spark
     import sp.implicits._

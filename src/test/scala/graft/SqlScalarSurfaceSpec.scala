@@ -130,6 +130,17 @@ class SqlScalarSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // alias surface
     assert(spark.sql(s"SELECT anofox_fcst_analyze_seasonality($sine) AS v")
       .selectExpr("v.primary_period").collect()(0).getInt(0) == 7)
+    // short series → NULL (not a job-aborting require), like every sibling:
+    // a 3-point group is data the surface tolerates, not a config error
+    for (fn <- Seq("ts_seasonal_strength_windowed(array(1.0, 2.0, 3.0), 7)",
+      "ts_detect_seasonality_changes(array(1.0, 2.0, 3.0), 7)",
+      "ts_detect_seasonality_changes(array(1.0, 2.0, 3.0, 4.0, 5.0), 7)",
+      "ts_analyze_seasonality(array(1.0, 2.0))",
+      "ts_instantaneous_period(array(1.0, 2.0, 3.0))",
+      "ts_detect_amplitude_modulation(array(1.0, 2.0, 3.0), 7)")) {
+      assert(spark.sql(s"SELECT $fn AS v").collect()(0).isNullAt(0),
+        s"$fn must be NULL on insufficient data")
+    }
   }
 
   test("features config scalars parse real configs into the reference struct") {
@@ -147,6 +158,12 @@ class SqlScalarSurfaceSpec extends AnyFunSuite with BeforeAndAfterAll {
     // parsed config == what ts_features_from_csv applies (shared parser)
     assert(graft.ops.TsFeaturesOp.parseCsvConfig("feature\nsum\nrange") ==
       Seq("sum", "range"))
+    // a single-row line-grammar config "feature,params_json" must keep
+    // parsing as ONE feature (the params cell is a payload, not a name)
+    assert(graft.ops.TsFeaturesOp.parseCsvConfig("mean,{}") == Seq("mean"))
+    // a comma INSIDE the params json must not fragment into bogus names
+    assert(graft.ops.TsFeaturesOp.parseCsvConfig("""mean,{"k": 1, "j": 2}""") ==
+      Seq("mean"))
   }
 
   test("ts_detect_multiple_periods returns (period, confidence, iteration) rows") {

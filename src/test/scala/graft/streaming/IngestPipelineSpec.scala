@@ -78,7 +78,10 @@ class IngestPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (23L, ts(3), "<p>Too short.</p>"))
     val batch2 = Seq(
       (22L, ts(4), s"<div>${prose("keepA")}</div>"), // dup of 20 post-strip
-      (24L, ts(5), s"<p>${prose("keepB")}</p><!-- c -->"))
+      (24L, ts(5), s"<p>${prose("keepB")}</p><!-- c -->"),
+      // null text: every broadcast gate must score it as the empty document
+      // (the NB/DSIR scorers used to NPE here and kill the micro-batch)
+      (25L, ts(6), null.asInstanceOf[String]))
     val all = (batch1 ++ batch2).toDF("doc_id", "ts", "text")
 
     val outCols = Seq("doc_id", "nb_score", "logw", "sum_logp", "perplexity")
