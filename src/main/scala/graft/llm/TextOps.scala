@@ -942,9 +942,7 @@ object TextOps {
       shingleHashSetCol(col(textCol), index.shingleSize).as("_sh_in")))
     val dupIds = cand
       .join(shInPin.df, Seq("id_in")).join(index.shingleSets, Seq("id_ref"))
-      .withColumn("_j",
-        size(array_intersect(col("_sh_in"), col("_sh_ref"))).cast(DoubleType) /
-          size(array_union(col("_sh_in"), col("_sh_ref"))))
+      .withColumn("_j", hashSetJaccard(col("_sh_in"), col("_sh_ref")))
       .filter(col("_j") >= threshold)
       .select(col("id_in").as(idCol)).distinct()
     // the drop-set is ids-only (tiny); pinning it lets the incoming-side
@@ -1034,6 +1032,20 @@ object TextOps {
     * identical. MinHashParitySpec pins both: value parity against the
     * driver-side hash-set reference, relation parity against
     * [[jaccardVerifyStrings]]. */
+  /** Jaccard of two distinct 64-bit hash-set columns via the native
+    * one-pass intersect count ([[graft.functions.HashIntersectCount]]):
+    * |a∪b| = |a| + |b| − |a∩b| for distinct sets, and the division stays
+    * in Spark SQL so the values (and the ANSI empty∩empty behavior) are
+    * bit-identical to the size(array_intersect)/size(array_union) form it
+    * replaced — without materializing the two intermediate arrays per
+    * candidate pair. */
+  private def hashSetJaccard(a: Column, b: Column): Column = {
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    val inter = B.column(graft.functions.HashIntersectCount(
+      B.expression(a), B.expression(b)))
+    inter.cast(DoubleType) / (size(a) + size(b) - inter)
+  }
+
   def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String, textCol: String,
                     shingleSize: Int = 5, threshold: Double = 0.8): DataFrame = {
     val sh = docs.select(col(idCol),
@@ -1041,9 +1053,7 @@ object TextOps {
     val j = pairs
       .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("_sh", "_sh_a"), Seq("id_a"))
       .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("_sh", "_sh_b"), Seq("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("_sh_a"), col("_sh_b"))).cast(DoubleType) /
-          size(array_union(col("_sh_a"), col("_sh_b"))))
+      .withColumn("jaccard", hashSetJaccard(col("_sh_a"), col("_sh_b")))
       .drop("_sh_a", "_sh_b")
     j.filter(col("jaccard") >= threshold)
   }

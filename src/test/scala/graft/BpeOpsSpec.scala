@@ -166,6 +166,26 @@ class BpeOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merges.forall(_.pair_count >= 1L))
   }
 
+  test("lazy-heap argmax equals the SQL loop on seeded random corpora (tie-heavy)") {
+    val sp = spark
+    import sp.implicits._
+    // small alphabets force frequent count ties, the case the heap's
+    // (count, wrapped-key-utf8) ordering must get exactly right
+    for (seed <- Seq(101, 202, 303)) {
+      val rnd = new scala.util.Random(seed)
+      val alpha = "abcd" + "éя日"  // multi-byte ties included
+      val docs = (0 until 60).map { i =>
+        val words = (0 to rnd.nextInt(4)).map { _ =>
+          (0 to 1 + rnd.nextInt(4)).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+        }
+        (i.toLong, words.mkString(" "))
+      }.toDF("id", "text")
+      val fast = BpeOps.bpeTrainLocal(docs, "text", numMerges = 25, minPairFreq = 1L)
+      val slow = BpeOps.bpeTrain(docs, "text", numMerges = 25, minPairFreq = 1L)
+      assert(fast == slow, s"seed=$seed")
+    }
+  }
+
   test("minWordFreq / maxTypes bound the driver collect, defaults stay exact") {
     val sp = spark
     import sp.implicits._

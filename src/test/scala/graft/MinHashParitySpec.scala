@@ -189,6 +189,37 @@ class MinHashParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("HashIntersectCount equals size(array_intersect) on adversarial long sets") {
+    val sp = spark
+    import sp.implicits._
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    import org.apache.spark.sql.functions.{array_intersect, size => asize}
+    val rnd = new scala.util.Random(5)
+    val big = (1 to 700).map(_ => rnd.nextLong()).distinct
+    val cases = Seq[(Seq[Long], Seq[Long])](
+      (Seq(1L, 2L, 3L), Seq(2L, 3L, 4L)),
+      (Seq(0L, 5L), Seq(0L, 6L)),          // 0 is the table's empty marker
+      (Seq(0L), Seq(1L)),
+      (Seq.empty[Long], Seq(1L, 2L)),
+      (Seq(1L, 2L), Seq.empty[Long]),
+      (Seq(Long.MinValue, Long.MaxValue, -1L), Seq(-1L, Long.MinValue)),
+      (big, big.take(123) ++ Seq(999999999999L)), // asymmetric sizes
+      (big.take(50), big)                          // small side first
+    )
+    // parquet round trip so the expression sees real scan-backed ArrayData
+    val dir = java.nio.file.Files.createTempDirectory("graft-hic").toString
+    cases.zipWithIndex.map { case ((a, b), i) => (i, a, b) }
+      .toDF("id", "a", "b").write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+    val native = df.select(col("id"), B.column(graft.functions.HashIntersectCount(
+        B.expression(col("a")), B.expression(col("b")))).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val ref = df.select(col("id"),
+        asize(array_intersect(col("a"), col("b"))).cast("long").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(native == ref, s"native $native vs array_intersect $ref")
+  }
+
   test("native simhash is bit-identical to the UDF") {
     val native = TextOps.simHash(fixture, "text")
       .select("id", "simhash")
