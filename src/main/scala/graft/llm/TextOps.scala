@@ -715,17 +715,53 @@ object TextOps {
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bucket")
   }
 
+  /** MinHash-LSH candidate pairs in ONE corpus-sided aggregation: the
+    * banded (id, band, bucket) rows reduce through the native
+    * [[graft.functions.BoundedIdSet]] aggregate — per bucket, the sorted
+    * id array when the bucket population lands in [2, maxBucketSize], the
+    * empty array otherwise (the skew cap folded into the aggregation
+    * buffer: an over-cap boilerplate bucket stops RETAINING ids past the
+    * cap while its count keeps counting, so m² pairs never exist even
+    * transiently) — then intra-bucket pairs generate declaratively from
+    * each ≤cap array and distinct across bands.
+    *
+    * This replaces the histogram + cap-semi-join + bucket-self-join
+    * pipeline (retained as [[minHashLshPairsJoin]], the executable spec):
+    * that shape read a pinned banded table four times across three
+    * shuffles, and the pin materialization + extra exchanges measured
+    * ~80% of the whole op at the 10× corpus once the signature and
+    * banding were native. Identical output by construction — both emit
+    * exactly the intra-bucket pairs of buckets with 2..cap members,
+    * distinct over bands (spec-pinned equality, incl. over-cap buckets). */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
                       numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 5,
                       maxBucketSize: Int = 1000): DataFrame = {
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    val banded = bandedTable(df, idCol, textCol, numHashes, bands, shingleSize)
+    val buckets = banded.groupBy(col("band"), col("bucket"))
+      .agg(B.column(graft.functions.BoundedIdSet(
+        B.expression(col(idCol)), maxBucketSize).toAggregateExpression()).as("_ids"))
+      .filter(size(col("_ids")) >= 2)
+    // ids sort ascending inside the aggregate, so pairing element i with
+    // every later element emits id_a < id_b directly
+    val pairStructs = flatten(transform(col("_ids"), (a, i) =>
+      transform(slice(col("_ids"), i + 2, size(col("_ids"))),
+        b => struct(a.as("id_a"), b.as("id_b")))))
+    buckets.select(explode(pairStructs).as("_p"))
+      .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+      .distinct()
+  }
+
+  /** The histogram + cap-join + self-join form [[minHashLshPairs]]
+    * replaced — the executable specification (LshPairsParitySpec pins
+    * pair-set equality, including over-cap and singleton buckets). */
+  private[graft] def minHashLshPairsJoin(df: DataFrame, idCol: String, textCol: String,
+                                         numHashes: Int = 64, bands: Int = 16,
+                                         shingleSize: Int = 5,
+                                         maxBucketSize: Int = 1000): DataFrame = {
     // materialize the banded table once (id, band, bucket — rows·bands, no
     // payloads): it feeds the histogram, the cap join, and BOTH sides of the
     // self-join, which would otherwise re-run the signature UDF four times.
-    // Its storage kind is the spark.graft.checkpoint.mode conf (see Pin);
-    // it is released DETERMINISTICALLY below, once the (small) pair result
-    // has materialized — leaving it to the ContextCleaner let banded tables
-    // from successive calls pile up on the executors (observed as 3×
-    // run-to-run variance at 10× scale from the induced GC pressure)
     val bandedPin = Pin(bandedTable(df, idCol, textCol, numHashes, bands, shingleSize))
     val banded = bandedPin.df
     // Cap per-(band,bucket) population before the self-join: one boilerplate
