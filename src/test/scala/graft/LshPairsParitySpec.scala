@@ -54,6 +54,27 @@ class LshPairsParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("randomized: aggregate route == join route across seeds and caps") {
+    val sp = spark
+    import sp.implicits._
+    for (seed <- Seq(23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      // clustered corpus: ~15 text templates shared by 80 docs → buckets of
+      // varied sizes straddling the small caps below
+      val docs = (0L until 80L).map { i =>
+        val t = rnd.nextInt(15)
+        (i, (1 to 20).map(j => s"tpl$t tok${(t * 31 + j) % 50} w$j").mkString(" "))
+      }.toDF("doc_id", "text")
+      for (cap <- Seq(3, 6, 1000)) {
+        val fast = pairsOf(TextOps.minHashLshPairs(docs, "doc_id", "text",
+          maxBucketSize = cap))
+        val ref = pairsOf(TextOps.minHashLshPairsJoin(docs, "doc_id", "text",
+          maxBucketSize = cap))
+        assert(fast == ref, s"seed=$seed cap=$cap")
+      }
+    }
+  }
+
   test("over-cap buckets contribute nothing (not a truncated prefix)") {
     val sp = spark
     import sp.implicits._

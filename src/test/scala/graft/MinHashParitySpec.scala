@@ -218,6 +218,25 @@ class MinHashParitySpec extends AnyFunSuite with BeforeAndAfterAll {
         asize(array_intersect(col("a"), col("b"))).cast("long").as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(native == ref, s"native $native vs array_intersect $ref")
+    // randomized sweep: distinct random sets with controlled overlap
+    val rnd2 = new scala.util.Random(29)
+    val rndCases = (0 until 40).map { i =>
+      val pool = (1 to 400).map(_ => rnd2.nextLong()).distinct
+      val na = 1 + rnd2.nextInt(pool.length - 1)
+      val aSet = rnd2.shuffle(pool).take(na)
+      val bSet = rnd2.shuffle(pool).take(1 + rnd2.nextInt(pool.length - 1))
+      (i + 1000, aSet, bSet)
+    }
+    val rdir = java.nio.file.Files.createTempDirectory("graft-hic-rnd").toString
+    rndCases.toDF("id", "a", "b").write.mode("overwrite").parquet(rdir)
+    val rdf = spark.read.parquet(rdir)
+    val rn = rdf.select(col("id"), B.column(graft.functions.HashIntersectCount(
+        B.expression(col("a")), B.expression(col("b")))).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val rr = rdf.select(col("id"),
+        asize(array_intersect(col("a"), col("b"))).cast("long").as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(rn == rr)
   }
 
   test("native simhash is bit-identical to the UDF") {
