@@ -219,7 +219,7 @@ class BpeOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
     val merges = BpeOps.bpeTrain(train, "text", numMerges = 8)
     val docs = Seq((1L, "abc ab bc"), (2L, "cab"), (3L, ""), (4L, "aaaa aaa"),
-      (5L, "héllo world 日本 text"), (6L, "AB aB xy")).toDF("id", "text")
+      (5L, "héllo world 日本 text"), (6L, "AB aB x\u0001y")).toDF("id", "text")
     def snap(df: org.apache.spark.sql.DataFrame) = df
       .select("id", "bpe_tokens", "bpe_tokens_count")
       .collect().map(r => r.getLong(0) -> (r.getSeq[String](1).toList, r.getLong(2)))

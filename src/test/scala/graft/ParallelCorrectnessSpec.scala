@@ -56,7 +56,7 @@ class ParallelCorrectnessSpec extends AnyFunSuite with BeforeAndAfterAll {
   private def rows(df: DataFrame): Seq[Seq[Any]] = {
     val cols = df.columns.sorted.toSeq
     df.select(cols.map(col): _*).collect().map(_.toSeq).toSeq
-      .sortBy(_.mkString(""))
+      .sortBy(_.mkString("\u0001"))
   }
 
   private def invariant(op: DataFrame => DataFrame, input: DataFrame): Unit = {
