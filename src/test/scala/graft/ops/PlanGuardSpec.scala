@@ -154,14 +154,26 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.toString.contains("CartesianProduct"))
   }
 
-  test("minhash LSH: bucket-join candidate generation, never a cartesian") {
+  test("minhash LSH: one capped aggregation, no join, two shuffles total") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val df = graft.llm.TextOps.minHashLshPairs(docs, "doc_id", "text")
-    val plan = df.queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct"),
-      "candidate pairs must come from the (band,bucket) equi-join")
-    assert(!plan.contains("BroadcastNestedLoopJoin"),
-      "no all-pairs fallback join in the LSH path")
+    val plan = df.queryExecution.executedPlan
+    val rendered = plan.toString
+    assert(!rendered.contains("CartesianProduct") &&
+      !rendered.contains("BroadcastNestedLoopJoin"),
+      "no all-pairs join may appear in the LSH path")
+    // round-8 shape: candidates come from ONE corpus-sided aggregation
+    // (bounded_id_set with the skew cap in the buffer) + the pair distinct —
+    // exactly two exchanges, zero joins, zero pinned intermediates
+    assert(!rendered.contains("Join"), s"the aggregate route has no join:\n$rendered")
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.length == 2,
+      s"expected the bucket-agg and pair-distinct exchanges only, got ${shuffles.length}")
+    assert(rendered.contains("bounded_id_set"),
+      "the skew cap must live inside the aggregation buffer")
+    assert(!rendered.contains("LogicalRDD"),
+      "no pinned (checkpointed) intermediate in the candidate path")
   }
 
   test("dedup clusters: iterative label propagation never cross-joins") {
