@@ -202,7 +202,8 @@ object TableMacros {
     "dedup_exact", "dedup_spans", "lm_perplexity", "pack_sequences",
     "decontaminate", "text_repetition",
     // round 6: cross-corpus dedup, heuristic quality filters, training shard
-    "dedup_against", "c4_quality_filter", "gopher_quality_filter",
+    // (round 9 adds the exact Bloom gate twin)
+    "dedup_against", "dedup_against_bloom", "c4_quality_filter", "gopher_quality_filter",
     "shard_deterministic", "hash_embed", "canonicalize_url",
     "contamination_report", "lm_bigram_perplexity", "sample_temperature",
     "extract_domain", "domain_filter", "cap_per_domain",
@@ -768,6 +769,13 @@ object TableMacros {
           rest.lift(1).map(dbl(_, "alpha")).getOrElse(0.5))
       case ("text_repetition", Seq(src, text)) =>
         graft.llm.TextOps.repetitionStats(source(src), ident(text, "text_col"))
+      case ("dedup_against_bloom", Seq(src, ref, id, text, rest @ _*)) =>
+        if (rest.length > 3) fail("too many arguments")
+        graft.llm.BloomOps.dedupAgainstCorpusExact(source(src), source(ref),
+          ident(id, "id_col"), ident(text, "text_col"),
+          rest.headOption.map(int(_, "m_bits")).getOrElse(1 << 24).toLong,
+          rest.lift(1).map(int(_, "k")).getOrElse(7),
+          rest.lift(2).map(int(_, "seed")).getOrElse(0).toLong)
       case ("dedup_against", Seq(src, ref, id, text, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
         graft.llm.TextOps.dedupAgainstCorpus(source(src), source(ref),

@@ -598,6 +598,29 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(canon.select("url_canonical").head.getString(0) == "https://example.com/a?id=1")
   }
 
+  test("round-9 curation TVF: dedup_against_bloom SQL == Scala API") {
+    val sp = spark
+    import sp.implicits._
+    def wordy(tag: String): String =
+      (1 to 30).map(i => s"${tag}x$i${tag.reverse}q$i").mkString(" ")
+    Seq((1L, wordy("refone")), (2L, wordy("reftwo")))
+      .toDF("id", "text").createOrReplaceTempView("_tmb_ref")
+    Seq((10L, wordy("refone")), (11L, wordy("fresh")))
+      .toDF("id", "text").createOrReplaceTempView("_tmb_in")
+    val flagged = spark.sql(
+      "SELECT * FROM dedup_against_bloom('_tmb_in', '_tmb_ref', id, text, 65536, 5, 3)")
+    assert(sortedRows(flagged) == sortedRows(graft.llm.BloomOps.dedupAgainstCorpusExact(
+      spark.table("_tmb_in"), spark.table("_tmb_ref"), "id", "text",
+      mBits = 65536L, k = 5, seed = 3L)))
+    val byId = flagged.collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(byId(10L), "exact copy of a reference doc must flag maybe_dup")
+    assert(!byId(11L), "fresh doc must pass at this filter size")
+    // argument validation: junk extra arg raises, not silently ignored
+    intercept[Exception] {
+      spark.sql("SELECT * FROM dedup_against_bloom('_tmb_in', '_tmb_ref', id, text, 65536, 5, 3, 9)").collect()
+    }
+  }
+
   test("batch-21 TVFs: dsir / bm25 / unimax SQL == Scala API") {
     val sp = spark
     import sp.implicits._

@@ -294,6 +294,32 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       "the heavy-hitter line set must broadcast to the rebuild side")
   }
 
+  test("bloom gate: scoring is map-only (no exchange); build shuffles positions, never text") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val sp = spark
+    import sp.implicits._
+    val docs = (0L until 60L).map(i => (i, s"doc body number $i words")).toDF("doc_id", "text")
+    val fp = graft.llm.BloomOps.productionFingerprint(
+      org.apache.spark.sql.functions.col("text"))
+
+    // scoring: the bit array rides as a reference object — the plan must be
+    // a pure projection over the scan, zero exchanges (streaming-safe shape)
+    val model = graft.llm.BloomOps.buildBloom(docs, fp, mBits = 4096, k = 4, seed = 1L)
+    val scored = graft.llm.BloomOps.dedupAgainstBloom(docs, model, fp)
+    assert(scored.queryExecution.executedPlan
+      .collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      "bloom scoring must be a map-only projection")
+
+    // build: one aggregation; the only exchange carries the fixed-size
+    // partial word arrays / position projection — document text never shuffles
+    val build = graft.llm.BloomOps.buildPlan(docs, fp, mBits = 4096, k = 4, seed = 1L)
+    val shuffles = build.queryExecution.executedPlan
+      .collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.length <= 1, "bloom build is ONE aggregation")
+    assert(shuffles.forall(!_.child.output.exists(_.name == "text")),
+      "document text must never cross the build exchange")
+  }
+
   test("token-budget mix: no window runs over the raw corpus") {
     val sp = spark
     import sp.implicits._
