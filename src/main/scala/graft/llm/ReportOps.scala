@@ -58,4 +58,47 @@ object ReportOps {
         max(col("_nt")).cast(LongType).as("max_doc_tokens"),
         round(avg(col("_nt").cast(DoubleType)), 6).as("avg_doc_tokens"))
   }
+
+  /** Corpus snapshot diff: what changed between two versions of a corpus,
+    * keyed by document id — `added` / `removed` / `changed` (and
+    * `unchanged` when requested). The reproducibility/audit primitive of a
+    * versioned training-data pipeline: "what exactly moved between
+    * corpus v12 and v13?"
+    *
+    * Scale design: each side reduces MAP-SIDE to a slim
+    * (id, is-null flag, 64-bit content hash) projection — document text
+    * never crosses an exchange; the one necessary shuffle is the id-keyed
+    * full-outer join of those slim tables. By default `unchanged` rows
+    * (the overwhelming bulk at 100 TB — a diff output should be the small
+    * delta) are filtered BEFORE leaving the join, so downstream stages see
+    * only the delta. Content equality is xxhash64-based (the
+    * [[TextOps.dedupExact]] discipline; a 64-bit collision mislabeling a
+    * changed doc as unchanged is ~n²/2⁶⁴); null text is tracked as an
+    * explicit flag so null ≠ empty-string. */
+  def corpusDiff(oldCorpus: DataFrame, newCorpus: DataFrame, idCol: String,
+                 textCol: String, includeUnchanged: Boolean = false): DataFrame = {
+    def slim(df: DataFrame, pre: String): DataFrame =
+      df.select(col(idCol).as("_cd_id"), lit(true).as(s"${pre}ex"),
+        col(textCol).isNull.as(s"${pre}nul"),
+        xxhash64(coalesce(col(textCol), lit(""))).as(s"${pre}fp"))
+    val j = slim(oldCorpus, "_cdo").join(slim(newCorpus, "_cdn"),
+      Seq("_cd_id"), "full_outer")
+    val status =
+      when(col("_cdoex").isNull, "added")
+        .when(col("_cdnex").isNull, "removed")
+        .when(col("_cdonul") === col("_cdnnul") && col("_cdofp") === col("_cdnfp"),
+          "unchanged")
+        .otherwise("changed")
+    val out = j.withColumn("status", status)
+      .select(col("_cd_id").as(idCol), col("status"))
+    if (includeUnchanged) out else out.filter(col("status") =!= "unchanged")
+  }
+
+  /** One-row-per-status rollup of [[corpusDiff]] (always includes
+    * `unchanged` — the audit total must reconcile with both versions'
+    * counts). */
+  def corpusDiffSummary(oldCorpus: DataFrame, newCorpus: DataFrame,
+                        idCol: String, textCol: String): DataFrame =
+    corpusDiff(oldCorpus, newCorpus, idCol, textCol, includeUnchanged = true)
+      .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
 }

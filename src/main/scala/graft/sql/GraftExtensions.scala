@@ -203,7 +203,8 @@ object TableMacros {
     "decontaminate", "text_repetition",
     // round 6: cross-corpus dedup, heuristic quality filters, training shard
     // (round 9 adds the exact Bloom gate twin)
-    "dedup_against", "dedup_against_bloom", "c4_quality_filter", "gopher_quality_filter",
+    "dedup_against", "dedup_against_bloom", "corpus_diff",
+    "c4_quality_filter", "gopher_quality_filter",
     "shard_deterministic", "hash_embed", "canonicalize_url",
     "contamination_report", "lm_bigram_perplexity", "sample_temperature",
     "extract_domain", "domain_filter", "cap_per_domain",
@@ -272,6 +273,10 @@ object TableMacros {
       case Literal(v: Int, _) => v
       case Literal(v: Long, _) => v.toInt
       case other => fail(s"$what must be an integer literal, got $other")
+    }
+    def bool(e: Expression, what: String): Boolean = e match {
+      case Literal(v: Boolean, _) => v
+      case other => fail(s"$what must be a boolean literal, got $other")
     }
     def dbl(e: Expression, what: String): Double = e match {
       case Literal(v: Double, _) => v
@@ -769,6 +774,11 @@ object TableMacros {
           rest.lift(1).map(dbl(_, "alpha")).getOrElse(0.5))
       case ("text_repetition", Seq(src, text)) =>
         graft.llm.TextOps.repetitionStats(source(src), ident(text, "text_col"))
+      case ("corpus_diff", Seq(oldSrc, newSrc, id, text, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.ReportOps.corpusDiff(source(oldSrc), source(newSrc),
+          ident(id, "id_col"), ident(text, "text_col"),
+          includeUnchanged = rest.headOption.exists(bool(_, "include_unchanged")))
       case ("dedup_against_bloom", Seq(src, ref, id, text, rest @ _*)) =>
         if (rest.length > 3) fail("too many arguments")
         graft.llm.BloomOps.dedupAgainstCorpusExact(source(src), source(ref),

@@ -424,4 +424,46 @@ class QualityCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(a != c)
   }
+
+  test("corpusDiff classifies added/removed/changed, hides the unchanged bulk by default") {
+    val sp = spark
+    import sp.implicits._
+    val oldC = Seq(
+      (1L, "same text"),
+      (2L, "will change"),
+      (3L, "will be removed"),
+      (5L, null.asInstanceOf[String]), // null -> text : changed
+      (6L, null.asInstanceOf[String]), // null -> null : unchanged
+      (7L, "")).toDF("id", "text") // "" -> null : changed (null != empty)
+    val newC = Seq(
+      (1L, "same text"),
+      (2L, "has changed"),
+      (4L, "brand new"),
+      (5L, "now has text"),
+      (6L, null.asInstanceOf[String]),
+      (7L, null.asInstanceOf[String])).toDF("id", "text")
+    val delta = graft.llm.ReportOps.corpusDiff(oldC, newC, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(delta === Map(2L -> "changed", 3L -> "removed", 4L -> "added",
+      5L -> "changed", 7L -> "changed"))
+    val full = graft.llm.ReportOps.corpusDiff(oldC, newC, "id", "text",
+      includeUnchanged = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(full.size === 7)
+    assert(full(1L) === "unchanged" && full(6L) === "unchanged")
+    // summary reconciles with both versions' counts
+    val summary = graft.llm.ReportOps.corpusDiffSummary(oldC, newC, "id", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(summary === Map("added" -> 1L, "removed" -> 1L, "changed" -> 3L,
+      "unchanged" -> 2L))
+    assert(summary("removed") + summary("changed") + summary("unchanged") === oldC.count())
+    assert(summary("added") + summary("changed") + summary("unchanged") === newC.count())
+    // scale shape: only the slim (id, flags, fp) projections cross the join
+    // exchange — document text never shuffles
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val shuffles = graft.llm.ReportOps.corpusDiff(oldC, newC, "id", "text")
+      .queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.forall(!_.child.output.exists(_.name == "text")),
+      "corpusDiff must never shuffle document text")
+  }
 }

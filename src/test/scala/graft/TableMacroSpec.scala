@@ -619,6 +619,20 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     intercept[Exception] {
       spark.sql("SELECT * FROM dedup_against_bloom('_tmb_in', '_tmb_ref', id, text, 65536, 5, 3, 9)").collect()
     }
+
+    // corpus_diff: SQL == Scala, delta-only by default, full with the flag
+    Seq((1L, "same"), (2L, "old")).toDF("id", "text")
+      .createOrReplaceTempView("_tmb_old")
+    Seq((1L, "same"), (2L, "new"), (3L, "added")).toDF("id", "text")
+      .createOrReplaceTempView("_tmb_new")
+    val diff = spark.sql("SELECT * FROM corpus_diff('_tmb_old', '_tmb_new', id, text)")
+    assert(sortedRows(diff) == sortedRows(graft.llm.ReportOps.corpusDiff(
+      spark.table("_tmb_old"), spark.table("_tmb_new"), "id", "text")))
+    assert(diff.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(2L -> "changed", 3L -> "added"))
+    val diffAll = spark.sql(
+      "SELECT * FROM corpus_diff('_tmb_old', '_tmb_new', id, text, true)")
+    assert(diffAll.count() == 3L)
   }
 
   test("batch-21 TVFs: dsir / bm25 / unimax SQL == Scala API") {
