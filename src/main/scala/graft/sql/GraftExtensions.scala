@@ -209,7 +209,7 @@ object TableMacros {
     "contamination_report", "lm_bigram_perplexity", "sample_temperature",
     "extract_domain", "domain_filter", "cap_per_domain",
     // semantic + assembly surface (round 5 batch 16)
-    "semdedup", "knn_graph", "strip_boilerplate", "top_tokens",
+    "semdedup", "knn_graph", "pq_topk", "strip_boilerplate", "top_tokens",
     "mix_token_budget", "select_token_budget",
     // round 6 batch 19: linear quality gate, partial-overlap decontamination,
     // markup extraction
@@ -868,6 +868,14 @@ object TableMacros {
         graft.llm.SimilarityOps.knnGraph(source(src), ident(id, "id_col"),
           ident(vec, "vec_col"), int(k, "k"), int(nLists, "n_lists"),
           int(nProbe, "n_probe"), rest.headOption.map(int(_, "iters")).getOrElse(2))
+      case ("pq_topk", Seq(src, qsrc, id, vec, m, nCodes, k, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        val corpus = source(src)
+        val pqModel = graft.llm.PqOps.pqTrain(corpus, ident(id, "id_col"),
+          ident(vec, "vec_col"), int(m, "m"), int(nCodes, "n_codes"),
+          rest.headOption.map(int(_, "iters")).getOrElse(2))
+        graft.llm.PqOps.pqTopK(corpus, source(qsrc), pqModel,
+          ident(id, "id_col"), ident(vec, "vec_col"), int(k, "k"))
       case ("strip_boilerplate", Seq(src, id, text, maxDocs)) =>
         graft.llm.TextOps.removeBoilerplateLines(source(src), ident(id, "id_col"),
           ident(text, "text_col"), int(maxDocs, "max_docs"))

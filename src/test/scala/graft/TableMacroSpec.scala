@@ -633,6 +633,18 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     val diffAll = spark.sql(
       "SELECT * FROM corpus_diff('_tmb_old', '_tmb_new', id, text, true)")
     assert(diffAll.count() == 3L)
+
+    // pq_topk: SQL == Scala on a small deterministic corpus
+    val rng = new scala.util.Random(5)
+    (0 until 40).map(i => (i.toLong, Seq.fill(8)(rng.nextDouble() * 2 - 1)))
+      .toDF("vid", "v").createOrReplaceTempView("_tmb_vecs")
+    val pq = spark.sql(
+      "SELECT * FROM pq_topk('_tmb_vecs', '_tmb_vecs', vid, v, 2, 4, 3, 1)")
+    val pqModel = graft.llm.PqOps.pqTrain(spark.table("_tmb_vecs"),
+      "vid", "v", m = 2, nCodes = 4, iters = 1)
+    assert(sortedRows(pq) == sortedRows(graft.llm.PqOps.pqTopK(
+      spark.table("_tmb_vecs"), spark.table("_tmb_vecs"), pqModel,
+      "vid", "v", k = 3)))
   }
 
   test("batch-21 TVFs: dsir / bm25 / unimax SQL == Scala API") {

@@ -320,6 +320,32 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       "document text must never cross the build exchange")
   }
 
+  test("pq search: encode is map-only; query LUTs broadcast; no vector column crosses a search exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(23)
+    val data = (0 until 100).map(i =>
+      (i.toLong, Seq.fill(8)(rng.nextDouble() * 2 - 1)))
+    val df = data.toDF("vid", "v")
+    val model = graft.llm.PqOps.pqTrain(df, "vid", "v", m = 2, nCodes = 4, iters = 0)
+    val enc = graft.llm.PqOps.pqEncode(df, model, "v")
+    assert(enc.queryExecution.executedPlan
+      .collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      "pqEncode must be a map-only projection (codebooks ride as a reference object)")
+    val search = graft.llm.PqOps.pqTopK(df, df.limit(3), model, "vid", "v", k = 5)
+    val plan = search.queryExecution.executedPlan
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.nonEmpty && shuffles.forall(!_.child.output.exists(c =>
+      c.name == "v" || c.name == "_v" ||
+        c.dataType.simpleString.contains("array<double>"))),
+      "only qid-keyed top-k partials may cross a search exchange — never vectors")
+    assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+      "the query LUT side must broadcast")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "top-k goes through the bounded aggregate, never a window sort")
+  }
+
   test("token-budget mix: no window runs over the raw corpus") {
     val sp = spark
     import sp.implicits._
