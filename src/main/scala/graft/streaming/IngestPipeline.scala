@@ -4,7 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.llm.{ClassifierOps, DsirOps, TextOps}
+import graft.llm.{BloomOps, ClassifierOps, DsirOps, TextOps}
 
 /** The composed streaming ingest pipeline: the standard crawl-to-corpus
   * curation chain (extract → normalize → heuristic gates → trained gates →
@@ -42,10 +42,17 @@ import graft.llm.{ClassifierOps, DsirOps, TextOps}
   */
 object IngestPipeline {
 
-  /** The frozen, bounded models every gate scores against. */
+  /** The frozen, bounded models every gate scores against. `bloom`, when
+    * set, is the historical-corpus exact-dedup gate ([[BloomOps]]): rows
+    * whose CURATED text the standing corpus has already ingested are
+    * dropped right after normalization, before any scoring compute — build
+    * it with [[BloomOps.productionFingerprint]] over the standing corpus's
+    * curated text so both sides fingerprint identically. Stateless
+    * broadcast bit-test, so it composes into the stream unchanged. */
   final case class GateModels(nb: ClassifierOps.NbModel,
                               dsir: DsirOps.DsirModel, minLogw: Double,
-                              bigram: TextOps.BigramLmModel, maxPerplexity: Double)
+                              bigram: TextOps.BigramLmModel, maxPerplexity: Double,
+                              bloom: Option[BloomOps.BloomModel] = None)
 
   /** The stateless stages — identical for a batch DataFrame and a
     * streaming one. Returns the rows that pass EVERY gate, with the signal
@@ -55,8 +62,13 @@ object IngestPipeline {
     val stripped = TextOps.htmlStrip(df, textCol, out = "_text_plain")
       .drop(textCol).withColumnRenamed("_text_plain", textCol)
     val norm = TextOps.textNormalize(stripped, textCol, out = textCol)
+    // historical-corpus exact dedup FIRST: a known document must not
+    // consume gate compute; map-only, so the gates stay zero-exchange
+    val fresh = models.bloom.fold(norm)(b =>
+      norm.filter(!BloomOps.mightContainCol(b,
+        BloomOps.productionFingerprint(col(textCol)))))
     val heur = TextOps.gopherQualityFilter(
-      TextOps.c4QualityFilter(norm, textCol), textCol)
+      TextOps.c4QualityFilter(fresh, textCol), textCol)
     val nb = ClassifierOps.nbScoreBroadcast(heur, textCol, models.nb.model,
       models.nb.numBuckets, models.nb.seed)
     val ds = DsirOps.scoreWithBroadcastModel(nb, textCol, models.dsir)

@@ -117,6 +117,52 @@ class IngestPipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally query.stop()
   }
 
+  test("historical-corpus bloom gate drops known docs identically in batch and stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    // the standing corpus, fingerprinted on its CURATED text (the contract)
+    val standingRaw = Seq(
+      (900L, s"<div>${prose("known1")}</div>"),
+      (901L, s"<p>${prose("known2")}</p>")).toDF("doc_id", "text")
+    val standing = TextOps.textNormalize(
+      TextOps.htmlStrip(standingRaw, "text", out = "_p")
+        .drop("text").withColumnRenamed("_p", "text"),
+      "text", out = "text")
+    val bloom = graft.llm.BloomOps.buildBloom(standing,
+      graft.llm.BloomOps.productionFingerprint(col("text")),
+      mBits = 1 << 16, k = 4, seed = 11L)
+    val m = models(s).copy(bloom = Some(bloom))
+    def ts(i: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 12:${i}%02d:00")
+    val rows = Seq(
+      // same curated text as standing doc 900, different markup: must drop
+      (30L, ts(1), s"<p>${prose("known1")}</p>"),
+      (31L, ts(2), s"<div>${prose("fresh1")}</div>"),
+      (32L, ts(3), s"<p>${prose("known2")}</p><!-- x -->"),
+      (33L, ts(4), s"<p>${prose("fresh2")}</p>"))
+    val batchKept = IngestPipeline.curateBatch(rows.toDF("doc_id", "ts", "text"),
+      "ts", "text", m).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchKept == Set(31L, 33L),
+      s"known docs must be bloom-gated, got $batchKept")
+    val input = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val query = IngestPipeline.curateStream(
+        input.toDF().toDF("doc_id", "ts", "text"), "ts", "text", m)
+      .select("doc_id")
+      .writeStream.format("memory").queryName("bloom_gate_out")
+      .outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val streamed = spark.table("bloom_gate_out").collect().map(_.getLong(0)).toSet
+      assert(streamed == batchKept)
+    } finally query.stop()
+    // without the bloom model the same rows all pass the gates
+    val noBloom = IngestPipeline.curateBatch(rows.toDF("doc_id", "ts", "text"),
+      "ts", "text", m.copy(bloom = None))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(noBloom == Set(30L, 31L, 32L, 33L))
+  }
+
   test("the gate stage itself is batch≡stream row-for-row (no dedup state involved)") {
     val s = spark
     import s.implicits._
