@@ -261,6 +261,21 @@ object Bench {
     val knn10 = median3(onceDf(
       llm.SimilarityOps.knnGraphWithCentroids(emb10, "vec_id", "embedding",
         k = 10, centroids10, nProbe = 8)))
+    // PQ at 10×: codebooks train once per corpus version (untimed, the IVF
+    // index protocol). Timed: the map-only native encode of the full 10×
+    // corpus, and the steady-state ADC top-k of 20 queries against the
+    // PRE-ENCODED code table — the compressed-domain scan that never
+    // touches the original vectors
+    val pqModel10 = llm.PqOps.pqTrain(emb10, "vec_id", "embedding",
+      m = 8, nCodes = 64, iters = 2)
+    val pqEncode10 = median3(onceDf(
+      llm.PqOps.pqEncode(emb10, pqModel10, "embedding")))
+    val pqCodes10 = llm.Pin(
+      llm.PqOps.pqEncode(emb10, pqModel10, "embedding", out = "codes")
+        .select(col("vec_id").as("_pq_vid"), col("codes"))).df
+    val pqTopk10 = median3(onceDf(
+      llm.PqOps.pqScoreCodes(pqCodes10, emb1.filter(col("vec_id") < nQueries),
+        pqModel10, "vec_id", "embedding", k = 10)))
     emb10.unpersist()
 
     // same constant-washing protocol for the LLM ops: 10× corpus, per-unit
@@ -365,6 +380,28 @@ object Bench {
         docs10.filter(col("doc_id") < 100000000L), againstIdx,
         "doc_id", "text", threshold = 0.9)))
     againstIdx.release()
+    // Bloom exact gate at 10×: the historical filter over 9/10 of the
+    // corpus is ONE aggregation into a 16 Mbit array (timed — the
+    // once-per-corpus-version cost), then the incoming 1/10 pays a
+    // stateless map-only bit test per doc
+    val bloomFp = llm.BloomOps.productionFingerprint(col("text"))
+    val bloomBuild10 = median3(onceDf(
+      llm.BloomOps.buildPlan(docs10.filter(col("doc_id") >= 100000000L),
+        bloomFp, mBits = 1L << 24, k = 7, seed = 1L)))
+    val bloomModel10 = llm.BloomOps.buildBloom(
+      docs10.filter(col("doc_id") >= 100000000L), bloomFp,
+      mBits = 1L << 24, k = 7, seed = 1L)
+    val bloomScore10 = median3(onceDf(
+      llm.BloomOps.dedupAgainstBloom(docs10.filter(col("doc_id") < 100000000L),
+        bloomModel10, bloomFp)))
+    // corpus diff at 10×: v(n) vs v(n+1) with 10% removed, 10% changed —
+    // both sides reduce to slim (id, flag, hash) rows before the one
+    // id-keyed join
+    val newCorpus10 = docs10.filter(col("doc_id") % 10 =!= 7)
+      .withColumn("text", when(col("doc_id") % 10 === 3,
+        concat(col("text"), lit(" CHANGED"))).otherwise(col("text")))
+    val corpusDiff10 = median3(onceDf(
+      llm.ReportOps.corpusDiff(docs10, newCorpus10, "doc_id", "text")))
     // batch-21 at 10× corpus: DSIR trains both hashed-bigram models AND
     // scores every doc in one call (two bounded bucket aggregations + one
     // broadcast-join + per-doc sum); BM25 retrieves 20 probe queries
@@ -458,7 +495,12 @@ object Bench {
       entry("exact_rank_docs", rank10, "ms_per_doc", nd10),
       entry("ann_ivf_probe", probe10, "ms_per_query", nQueries.toDouble, fine = false),
       entry("semdedup_vecs", semdedup10, "ms_per_vec", nEmb1 * 10.0),
-      entry("knn_graph_vecs", knn10, "ms_per_node", nEmb1 * 10.0)
+      entry("knn_graph_vecs", knn10, "ms_per_node", nEmb1 * 10.0),
+      entry("pq_encode_vecs", pqEncode10, "ms_per_vec", nEmb1 * 10.0),
+      entry("pq_topk_query", pqTopk10, "ms_per_query", nQueries.toDouble, fine = false),
+      entry("bloom_build_docs", bloomBuild10, "ms_per_doc", nDocs1 * 9.0),
+      entry("bloom_score_docs", bloomScore10, "ms_per_incoming_doc", nDocs1.toDouble),
+      entry("corpus_diff_docs", corpusDiff10, "ms_per_doc", nd10)
     )).mkString("{", ",",
       s""","n_series":${nSeries1 * 10},"n_docs":${nDocs1 * 10},"n_vectors":${nEmb1 * 10},"n_queries":$nQueries}""")
     // metrics whose run band exceeds ±40% of the median EVEN AFTER the

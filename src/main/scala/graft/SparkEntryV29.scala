@@ -57,6 +57,17 @@ object SparkEntryV29 {
       PqOps.pqWriteIndex(c, model(s, dir), "vec_id", "embedding", idxDir)
       PqOps.pqIndexTopK(s, idxDir, c.filter(col("vec_id") < 5),
         "vec_id", "embedding", K)
+    }),
+    // the COMPOSED index probed exhaustively (nProbe = nLists): partition
+    // layout + probe selection + ADC must reproduce the flat PQ ranking
+    // exactly, so it shares the oracle (the ivf exhaustive-probe discipline)
+    "ann_ivfpq_index_topk" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_ivfpq_idx").toString
+      PqOps.ivfPqWriteIndex(c, "vec_id", "embedding", model(s, dir),
+        nLists = 8, idxDir)
+      PqOps.ivfPqProbeIndex(s, idxDir, c.filter(col("vec_id") < 5),
+        "vec_id", "embedding", K, nProbe = 8)
     })
   )
 
@@ -108,6 +119,8 @@ object SparkEntryV29 {
          |SELECT vid AS vec_id, sub, code FROM enc""".stripMargin,
     "ann_pq_topk" -> TopKOracle,
     // the persisted round trip scores byte-identically — one oracle
-    "ann_pq_index_topk" -> TopKOracle
+    "ann_pq_index_topk" -> TopKOracle,
+    // exhaustive probing of the composed IVF-PQ index ≡ flat PQ search
+    "ann_ivfpq_index_topk" -> TopKOracle
   )
 }

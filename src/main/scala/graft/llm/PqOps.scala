@@ -175,8 +175,11 @@ object PqOps {
 
   /** Query LUT column (flat m·nCodes array, sub-major). */
   private def lutCol(model: PqModel, vecCol: String): Column =
+    lutColOf(model, col(vecCol))
+
+  private def lutColOf(model: PqModel, vec: Column): Column =
     B.column(PqQueryLut(
-      B.expression(col(vecCol).cast(ArrayType(DoubleType))), model.codebooks))
+      B.expression(vec.cast(ArrayType(DoubleType))), model.codebooks))
 
   private def topK(vid: Column, sim: Column, k: Int): Column =
     B.column(graft.functions.TopKByScore(
@@ -252,5 +255,80 @@ object PqOps {
     val (model, codes) = pqLoadIndex(spark, path)
     pqScoreCodes(codes.select(col("vid").as("_pq_vid"), col("codes")),
       queries, model, idCol, vecCol, k, codesCol = "codes")
+  }
+
+  // ------------------------------------------------------------------
+  // IVF-PQ: the composed index (FAISS IVFADC deployment shape)
+  // ------------------------------------------------------------------
+
+  /** Persist the COMPOSED index: PQ codes parquet-PARTITIONED by IVF list
+    * (`codes/centroid_id=N/…` — the partition directories are the
+    * inverted lists), plus centroids, codebooks, and versioned meta.
+    *
+    * This stacks the two 100 TB levers: IVF pruning means a probe READS
+    * only nProbe/nLists of the index from storage (static partition
+    * pruning, same as [[SimilarityOps.ivfProbeIndex]]), and PQ means what
+    * it reads is m ints per vector instead of dim doubles — together a
+    * query batch touches (nProbe/nLists) · (m·4B / dim·8B) of the raw
+    * embedding bytes. Zero-norm vectors are excluded by the IVF
+    * assignment (the cosine-contract filter), as in every IVF path. */
+  def ivfPqWriteIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      model: PqModel, nLists: Int, path: String,
+                      iters: Int = 2): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = SimilarityOps.ivfTrain(corpus, idCol, vecCol, nLists, iters)
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    val assigned = SimilarityOps.ivfAssign(corpus, idCol, vecCol, centroids)
+    pqEncode(assigned, model, "_cv", out = "codes")
+      .select(col("vid").cast(LongType).as("vid"), col("codes"), col("centroid_id"))
+      .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/codes")
+    model.toDf(spark).write.mode("overwrite").parquet(s"$path/codebooks")
+    Seq((model.m, model.subDim, model.nCodes, nLists, PqIndexFormatVersion))
+      .toDF("m", "sub_dim", "n_codes", "n_lists", "format_version")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Probe a composed index: nProbe most-similar lists per query, the
+    * probed centroid set pushed as a LITERAL isin so the code-table scan
+    * statically prunes to the probed partition directories, then ADC
+    * scoring of the surviving codes. With nProbe = nLists this is exactly
+    * [[pqTopK]] over the indexed corpus (exhaustive probing — the
+    * oracle-replay mode); smaller nProbe trades recall for IO. */
+  def ivfPqProbeIndex(spark: SparkSession, path: String, queries: DataFrame,
+                      idCol: String, vecCol: String, k: Int,
+                      nProbe: Int): DataFrame = {
+    val meta = spark.read.parquet(s"$path/meta")
+    require(meta.columns.contains("format_version"),
+      s"ivf-pq index at $path has no format_version — rebuild with ivfPqWriteIndex")
+    val mr = meta.select(col("m"), col("sub_dim"), col("n_codes"),
+      col("format_version")).collect()(0)
+    require(mr.getInt(3) == PqIndexFormatVersion,
+      s"ivf-pq index at $path is format_version ${mr.getInt(3)}, this build " +
+        s"requires $PqIndexFormatVersion — rebuild with ivfPqWriteIndex")
+    val (m, subDim, nCodes) = (mr.getInt(0), mr.getInt(1), mr.getInt(2))
+    val cents = Array.ofDim[Array[Double]](m, nCodes)
+    spark.read.parquet(s"$path/codebooks").collect().foreach { r =>
+      cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
+    }
+    val model = PqModel(cents.map(_.toArray), m, subDim, nCodes)
+    val centroids = spark.read.parquet(s"$path/centroids")
+    // (qid, _qv, centroid_id) — bounded: |queries| × nProbe rows
+    val probes = SimilarityOps.probeSelection(queries, idCol, vecCol, nProbe,
+      centroids)
+    val probedIds = probes.select(col("centroid_id")).distinct()
+      .collect().map(_.get(0))
+    val codes = spark.read.parquet(s"$path/codes")
+      .where(col("centroid_id").isin(probedIds: _*))
+    val ql = probes.select(col("qid"), col("centroid_id"),
+      lutColOf(model, col("_qv")).as("_lut"))
+    codes.join(broadcast(ql), Seq("centroid_id"))
+      .select(col("qid"), col("vid"),
+        round(B.column(PqAdcDot(B.expression(col("codes")),
+          B.expression(col("_lut")), model.m, model.nCodes)), 6).as("_score"))
+      .groupBy(col("qid"))
+      .agg(topK(col("vid"), col("_score"), k).as("_top"))
+      .select(col("qid"), explode(col("_top")).as("_r"))
+      .select(col("qid"), col("_r.vid").as("vid"), col("_r.sim").as("score"))
   }
 }

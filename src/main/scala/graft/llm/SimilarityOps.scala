@@ -319,8 +319,8 @@ object SimilarityOps {
   /** Per-query probe-list selection — a zero-shuffle array expression:
     * score the packed centroids per query, sort desc, take nProbe, explode.
     * Output: (qid, _qv, centroid_id). */
-  private def probeSelection(queries: DataFrame, idCol: String, vecCol: String,
-                             nProbe: Int, centroids: DataFrame): DataFrame = {
+  private[llm] def probeSelection(queries: DataFrame, idCol: String, vecCol: String,
+                                  nProbe: Int, centroids: DataFrame): DataFrame = {
     val q = queries.select(col(idCol).as("qid"),
       col(vecCol).cast(ArrayType(DoubleType)).as("_qv"))
     val scoredQ = transform(col("_cents"), c =>

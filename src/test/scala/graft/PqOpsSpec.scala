@@ -152,6 +152,50 @@ class PqOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(e.getMessage != null)
   }
 
+  test("ivf-pq composed index: exhaustive probe == pqTopK; pruned probe reads fewer partitions") {
+    val sp = spark
+    import sp.implicits._
+    val data = clustered(29, n = 300, dim = 16, nClusters = 8, noise = 0.05)
+    val df = data.toDF("vid", "v")
+    val queries = data.take(5).toDF("vid", "v")
+    val model = PqOps.pqTrain(df, "vid", "v", m = 4, nCodes = 16, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-index").toString
+    PqOps.ivfPqWriteIndex(df, "vid", "v", model, nLists = 8, dir, iters = 1)
+    // exhaustive probing ≡ the flat PQ search over the same model
+    val exhaustive = PqOps.ivfPqProbeIndex(spark, dir, queries, "vid", "v",
+      k = 10, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val flat = PqOps.pqTopK(df, queries, model, "vid", "v", k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(exhaustive === flat)
+    // pruned probing touches fewer partition directories (static pruning)
+    val pruned = PqOps.ivfPqProbeIndex(spark, dir, queries, "vid", "v",
+      k = 10, nProbe = 2)
+    // the probed-centroid isin must reach the code scan as a PARTITION
+    // filter (reads nProbe/nLists of the code table). Unwrap AQE — the
+    // adaptive root hides its subtree from collect (the IvfSpec pattern)
+    val phys = pruned.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val scans = phys.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.toString.contains("codes") => s
+    }
+    assert(scans.nonEmpty, "expected a parquet scan of the codes layout")
+    assert(scans.forall(_.partitionFilters.nonEmpty),
+      "the probed-centroid set must prune code partitions at the scan")
+    // and pruned recall against the flat PQ ranking stays high on
+    // well-separated clusters (same-cluster lists get probed)
+    val flatByQ = flat.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val prunedByQ = pruned.collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val rec = flatByQ.map { case (q, ids) =>
+      prunedByQ(q).intersect(ids).size.toDouble / ids.size }
+    assert(rec.sum / rec.size > 0.8, s"pruned recall too low: $rec")
+  }
+
   test("persisted index round trip; version mismatch fails fast") {
     val sp = spark
     import sp.implicits._
