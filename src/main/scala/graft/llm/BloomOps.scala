@@ -185,10 +185,14 @@ object BloomOps {
 
   /** Filter mode: keep only rows the gate has never seen. The false-positive
     * rate is the fraction of UNIQUE docs sacrificed — size mBits for the
-    * corpus, it is the only tuning knob. */
+    * corpus, it is the only tuning knob. A NULL fingerprint (unknown
+    * content) is KEPT explicitly: the bare `!mightContain` would evaluate
+    * to NULL and silently drop the row — neither flagged nor kept — which
+    * is the wrong default for a gate whose one guarantee is "never lose a
+    * unique document to anything but the sized fpp". */
   def filterAgainstBloom(incoming: DataFrame, model: BloomModel,
                          fpCol: Column): DataFrame =
-    incoming.filter(!mightContainCol(model, fpCol))
+    incoming.filter(coalesce(!mightContainCol(model, fpCol), lit(true)))
 
   /** Persist: (word_idx, word) rows — the layout scales to the largest
     * legal array without a giant single row — plus versioned meta. */

@@ -168,6 +168,23 @@ class BloomOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "null text folds to the seed init")
   }
 
+  test("null fingerprints: flag mode emits null, filter mode KEEPS the row") {
+    val sp = spark
+    import sp.implicits._
+    val model = BloomOps.buildBloom(Seq(1L, 2L, 3L).toDF("fp"), col("fp"),
+      mBits = 4096, k = 3, seed = 5L)
+    val probe = Seq(Some(1L), None, Some(99L)).toDF("fp")
+    val flagged = BloomOps.dedupAgainstBloom(probe, model, col("fp"))
+      .collect().map(r => Option(r.get(0)) -> (if (r.isNullAt(1)) None else Some(r.getBoolean(1))))
+    assert(flagged.collect { case (Some(1L), v) => v }.head === Some(true))
+    assert(flagged.collect { case (None, v) => v }.head === None,
+      "unknown content must flag as NULL, not guessed")
+    val kept = BloomOps.filterAgainstBloom(probe, model, col("fp"))
+      .collect().map(r => Option(r.get(0))).toSet
+    assert(kept === Set(None, Some(99L)),
+      "a null fingerprint must be KEPT by the filter, never silently dropped")
+  }
+
   test("batch == streaming scoring (stateless broadcast-model gate)") {
     val sp = spark
     import sp.implicits._
