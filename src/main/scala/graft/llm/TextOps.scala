@@ -1315,6 +1315,53 @@ object TextOps {
       .drop("_boiler")
   }
 
+  /** Cross-document paragraph-granularity exact dedup (the Dolma
+    * pipeline's paragraph dedup — Soldaini et al. 2024 §2: within a
+    * corpus, every duplicated paragraph keeps its FIRST occurrence and
+    * every later occurrence is removed from its document). Unlike
+    * [[removeBoilerplateLines]] there is no frequency threshold — the
+    * second copy is already redundant; unlike [[removeDuplicatedSpans]]
+    * the unit is the newline-delimited paragraph, not a token window.
+    * Blank/short lines (< `minChars` after trim) are document structure
+    * and are always kept.
+    *
+    * Scale shape (the spans-dedup discipline): paragraph text dies
+    * map-side — xxhash64 runs on the exploded lines and only
+    * (id, pos, hash) crosses into the keep-first aggregation; "first" is
+    * min (idCol, position), deterministic and partition-invariant; the
+    * per-doc drop-set joins back as a slim sorted position array (its
+    * total size is the number of DUPLICATE occurrences, which AQE
+    * broadcasts when it fits) and the rebuild filters positions in place
+    * with a binary-search membership probe. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String,
+                      minChars: Int = 1, out: String = "text_clean"): DataFrame = {
+    require(minChars >= 1, s"minChars must be >= 1, got $minChars")
+    val base = df.select(col(idCol), col(textCol))
+      .withColumn("_lines", split(col(textCol), "\n"))
+    val occ = base
+      .select(col(idCol), posexplode(col("_lines")).as(Seq("_p", "_l")))
+      .filter(length(trim(col("_l"))) >= minChars)
+      .select(col(idCol), col("_p"), xxhash64(trim(col("_l"))).as("_ph"))
+    val repeated = occ.groupBy(col("_ph"))
+      .agg(min(struct(col(idCol), col("_p"))).as("_first"),
+        count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= 2)
+    val drops = occ.join(repeated, Seq("_ph"))
+      .filter(struct(col(idCol), col("_p")) =!= col("_first"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("_p").cast(LongType))).as("_drop"))
+    def sortedContains(arr: Column, v: Column): Column = {
+      val B = org.apache.spark.sql.GraftExpressionBridge
+      B.column(graft.functions.SortedArrayContains(B.expression(arr), B.expression(v)))
+    }
+    base.join(drops, Seq(idCol), "left")
+      .withColumn("_kept", when(col("_drop").isNull, col("_lines")).otherwise(
+        filter(col("_lines"), (l, i) => !sortedContains(col("_drop"), i.cast(LongType)))))
+      .select(col(idCol), array_join(col("_kept"), "\n").as(out),
+        (size(col("_lines")) - size(col("_kept"))).cast(LongType)
+          .as(s"${out}_paragraphs_removed"))
+  }
+
   /** Global token histogram: the k most frequent whitespace tokens of the
     * corpus (optionally lowercased), with a deterministic total order
     * (count desc, token asc). The classic vocabulary/coverage diagnostic of

@@ -199,7 +199,7 @@ object TableMacros {
     "sample_bernoulli", "sample_stratified", "assign_split",
     "text_normalize", "pii_scrub", "chunk_by_tokens",
     "text_stats", "text_quality_score", "token_count", "language_id",
-    "dedup_exact", "dedup_spans", "lm_perplexity", "pack_sequences",
+    "dedup_exact", "dedup_spans", "dedup_paragraphs", "lm_perplexity", "pack_sequences",
     "decontaminate", "text_repetition",
     // round 6: cross-corpus dedup, heuristic quality filters, training shard
     // (round 9 adds the exact Bloom gate twin)
@@ -766,6 +766,11 @@ object TableMacros {
       case ("dedup_spans", Seq(src, id, text, gramLen)) =>
         graft.llm.TextOps.removeDuplicatedSpans(source(src), ident(id, "id_col"),
           ident(text, "text_col"), int(gramLen, "gram_len"))
+      case ("dedup_paragraphs", Seq(src, id, text, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.TextOps.dedupParagraphs(source(src), ident(id, "id_col"),
+          ident(text, "text_col"),
+          rest.headOption.map(int(_, "min_chars")).getOrElse(1))
       case ("lm_perplexity", Seq(src, id, text, rest @ _*)) =>
         if (rest.length > 2) fail("too many arguments")
         graft.llm.TextOps.lmPerplexity(source(src), ident(id, "id_col"),

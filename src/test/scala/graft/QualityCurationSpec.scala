@@ -425,6 +425,44 @@ class QualityCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a != c)
   }
 
+  test("dedupParagraphs keeps first occurrence, preserves blanks and structure") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (1L, "unique one\n\nshared para\ntail one"),
+      (2L, "unique two\nshared para\n\ntail two"), // loses 'shared para'
+      (3L, "shared para\nunique three"), // loses it too (doc 1 was first)
+      (4L, "repeat me\nrepeat me\nunique four"), // intra-doc dup: 2nd goes
+      (5L, "unique one\n\nshared para\ntail one") // full copy of doc 1: all dropped
+    ).toDF("id", "text")
+    val out = graft.llm.TextOps.dedupParagraphs(docs, "id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(1L) === ("unique one\n\nshared para\ntail one", 0L))
+    assert(out(2L) === ("unique two\n\ntail two", 1L))
+    assert(out(3L) === ("unique three", 1L))
+    assert(out(4L) === ("repeat me\nunique four", 1L))
+    assert(out(5L) === ("", 3L), "a full duplicate keeps only its blank line")
+    // whitespace-variant paragraphs dedup (trim before hashing)…
+    val ws = Seq((1L, "alpha beta"), (2L, "  alpha beta  ")).toDF("id", "text")
+    val wsOut = graft.llm.TextOps.dedupParagraphs(ws, "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(wsOut(1L) === "alpha beta" && wsOut(2L) === "")
+    // …and the decision is partition-invariant
+    val p1 = graft.llm.TextOps.dedupParagraphs(docs.repartition(1), "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val p7 = graft.llm.TextOps.dedupParagraphs(docs.repartition(7), "id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(p1 === p7)
+    // scale shape: paragraph text never crosses an exchange (only
+    // (id, pos, hash) and the slim drop-set do; the id-keyed rebuild join
+    // carries the base rows, whose join is on the bounded drop side)
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val shuffles = graft.llm.TextOps.dedupParagraphs(docs, "id", "text")
+      .queryExecution.executedPlan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.forall(!_.child.output.exists(c => c.name == "_l")),
+      "exploded paragraph text must die before any exchange")
+  }
+
   test("corpusDiff classifies added/removed/changed, hides the unchanged bulk by default") {
     val sp = spark
     import sp.implicits._

@@ -634,6 +634,15 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       "SELECT * FROM corpus_diff('_tmb_old', '_tmb_new', id, text, true)")
     assert(diffAll.count() == 3L)
 
+    // dedup_paragraphs: SQL == Scala
+    Seq((1L, "keep\nshared"), (2L, "shared\nother")).toDF("id", "text")
+      .createOrReplaceTempView("_tmb_paras")
+    val paras = spark.sql("SELECT * FROM dedup_paragraphs('_tmb_paras', id, text)")
+    assert(sortedRows(paras) == sortedRows(graft.llm.TextOps.dedupParagraphs(
+      spark.table("_tmb_paras"), "id", "text")))
+    assert(paras.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
+      Map(1L -> "keep\nshared", 2L -> "other"))
+
     // pq_topk: SQL == Scala on a small deterministic corpus
     val rng = new scala.util.Random(5)
     (0 until 40).map(i => (i.toLong, Seq.fill(8)(rng.nextDouble() * 2 - 1)))
