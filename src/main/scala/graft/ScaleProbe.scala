@@ -352,6 +352,47 @@ object ScaleProbe {
         7, 2, "1d", Map("method" -> "SeasonalNaive", "seasonal_period" -> "7"), "rmse")))
       println(f"backtest ext=$useExt sec=$m%.3f ms_per_series=${m * 1000 / n}%.4f all=${ts.map(t => f"$t%.3f")}")
     }
+    if (which("bloom")) {
+      // round-9 Bloom gate: build = one aggregation over the 9/10 reference
+      // slice; score = map-only bit test over the incoming 1/10
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n1 = docs.count()
+      val docs10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", concat(col("text"), lit(s" r$i"))))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      docs10.count()
+      val fp = llm.BloomOps.productionFingerprint(col("text"))
+      val (mb, tsb) = med5(onceDf(llm.BloomOps.buildPlan(
+        docs10.filter(col("doc_id") >= 100000000L), fp, 1L << 24, 7, 1L)))
+      println(f"bloom_build ext=$useExt sec=$mb%.3f ms_per_doc=${mb * 1000 / (n1 * 9)}%.4f all=${tsb.map(t => f"$t%.3f")}")
+      val model = llm.BloomOps.buildBloom(
+        docs10.filter(col("doc_id") >= 100000000L), fp, 1L << 24, 7, 1L)
+      val (ms, tss) = med5(onceDf(llm.BloomOps.dedupAgainstBloom(
+        docs10.filter(col("doc_id") < 100000000L), model, fp)))
+      println(f"bloom_score ext=$useExt sec=$ms%.3f ms_per_incoming_doc=${ms * 1000 / n1}%.4f all=${tss.map(t => f"$t%.3f")}")
+      docs10.unpersist()
+    }
+    if (which("pq")) {
+      // round-9 PQ: train untimed (once per corpus version), encode map-only
+      // over the 10× corpus, ADC top-k against pre-encoded codes
+      val emb1 = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val n1 = emb1.count()
+      val emb10 = (0 until 10).map(i =>
+          emb1.withColumn("vec_id", col("vec_id") + lit(i * 100000000L)))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      emb10.count()
+      val model = llm.PqOps.pqTrain(emb10, "vec_id", "embedding",
+        m = 8, nCodes = 64, iters = 2)
+      val (me, tse) = med5(onceDf(llm.PqOps.pqEncode(emb10, model, "embedding")))
+      println(f"pq_encode ext=$useExt sec=$me%.3f ms_per_vec=${me * 1000 / (n1 * 10)}%.4f all=${tse.map(t => f"$t%.3f")}")
+      val codes = llm.Pin(llm.PqOps.pqEncode(emb10, model, "embedding", out = "codes")
+        .select(col("vec_id").as("_pq_vid"), col("codes"))).df
+      val (mq, tsq) = med5(onceDf(llm.PqOps.pqScoreCodes(codes,
+        emb1.filter(col("vec_id") < 20), model, "vec_id", "embedding", k = 10)))
+      println(f"pq_topk ext=$useExt sec=$mq%.3f ms_per_query=${mq * 1000 / 20}%.3f all=${tsq.map(t => f"$t%.3f")}")
+      emb10.unpersist()
+    }
     spark.stop()
   }
 }
