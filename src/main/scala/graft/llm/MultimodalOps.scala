@@ -69,6 +69,46 @@ object MultimodalOps {
       if (norm == 0) Array.fill(dim)(0f) else raw.map(x => (x / norm).toFloat)
     }
 
+    /** 56-bit difference hash (dHash) of an image payload over the stubbed
+      * decode: the payload partitions into an 8×8 block grid (cell t covers
+      * bytes [⌊tL/64⌋, ⌊(t+1)L/64⌋), integer-mean "luma" per cell — the
+      * deterministic stand-in for the real resize-to-8×8-grayscale step; a
+      * production build computes the same grid from decoded pixels), then
+      * bit (r·7+c) is set iff cell(r, c+1) > cell(r, c) — 7 row-wise
+      * gradient bits × 8 rows = 56 bits, all below the BIGINT sign bit so
+      * the hash and its band slices replay exactly in any SQL engine.
+      * Every arithmetic step is integer (block bounds by floor division,
+      * cell mean by integer division), so the DuckDB oracle replays the
+      * hash bit-for-bit on ASCII payloads. Empty/null payloads hash to 0. */
+    def dHash56(payload: Array[Byte]): Long = {
+      if (payload == null || payload.isEmpty) return 0L
+      val L = payload.length
+      val cells = new Array[Long](64)
+      var t = 0
+      while (t < 64) {
+        val lo = (t.toLong * L / 64).toInt
+        val hi = ((t + 1).toLong * L / 64).toInt
+        if (hi > lo) {
+          var s = 0L
+          var i = lo
+          while (i < hi) { s += payload(i) & 0xff; i += 1 }
+          cells(t) = s / (hi - lo)
+        }
+        t += 1
+      }
+      var h = 0L
+      var r = 0
+      while (r < 8) {
+        var c = 0
+        while (c < 7) {
+          if (cells(r * 8 + c + 1) > cells(r * 8 + c)) h |= 1L << (r * 7 + c)
+          c += 1
+        }
+        r += 1
+      }
+      h
+    }
+
     /** "Sample" `n` frame offsets from a video payload (uniform grid). */
     def sampleFrames(durationMs: Long, n: Int): Array[Long] =
       if (durationMs <= 0 || n <= 0) Array.empty
@@ -170,4 +210,57 @@ object MultimodalOps {
     withMediaMeta(
       docs.select(col(idCol), col(textCol).cast(BinaryType).as("payload")),
       "payload", "image", "png")
+
+  /** Perceptual hash column: [[StubCodec.dHash56]] per payload. */
+  def imageDHash(df: DataFrame, binCol: String, out: String = "dhash"): DataFrame = {
+    val hUdf = udf((p: Array[Byte]) => StubCodec.dHash56(p))
+    df.withColumn(out, hUdf(col(binCol)))
+  }
+
+  /** Image near-duplicate candidate pairs by perceptual hash: two images
+    * are near-dups when their dHashes differ in at most `maxDist` of the
+    * 56 gradient bits. Candidate generation is SimHash-style banding —
+    * the hash splits into `bands` equal bit slices and candidates share at
+    * least one (band, slice) bucket. Pigeonhole guarantee: with
+    * `maxDist < bands`, at most maxDist bits differ, so at least one band
+    * is IDENTICAL — banding finds every true near-dup pair (no recall
+    * loss); verification then computes the exact Hamming distance.
+    *
+    * Scale shape (the LSH discipline): payload bytes die at the map-side
+    * hash projection — only (id, band, slice, hash) crosses an exchange;
+    * per-bucket population cap kills the skew bomb of boilerplate images
+    * (blank thumbnails, tracking pixels) exactly like the text-LSH bucket
+    * cap; verify is integer xor + bit_count on the paired hashes. Output:
+    * (id_a, id_b, hamming), id_a < id_b. */
+  def nearDupImages(df: DataFrame, idCol: String, binCol: String,
+                    maxDist: Int = 3, bands: Int = 4,
+                    maxBucketSize: Int = 1000): DataFrame = {
+    require(bands >= 1 && 56 % bands == 0,
+      s"bands must divide 56 (got $bands); 4 or 8 are the useful settings")
+    require(maxDist >= 0 && maxDist < bands,
+      s"the pigeonhole guarantee needs maxDist < bands, got $maxDist >= $bands")
+    val bandBits = 56 / bands
+    val mask = (1L << bandBits) - 1L
+    val hashed = imageDHash(df, binCol).select(col(idCol).as("_id"), col("dhash"))
+    val banded = hashed.select(col("_id"), col("dhash"),
+        explode(array((0 until bands).map(lit): _*)).as("band"))
+      .withColumn("slice",
+        expr(s"shiftright(dhash, band * $bandBits)").bitwiseAND(mask))
+    val okBuckets = banded.groupBy(col("band"), col("slice"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n").between(2, maxBucketSize))
+      .select(col("band"), col("slice"))
+    val capped = banded.join(okBuckets, Seq("band", "slice"))
+    val pairs = capped.as("a").join(capped.as("b"),
+        col("a.band") === col("b.band") && col("a.slice") === col("b.slice") &&
+          col("a._id") < col("b._id"))
+      .select(col("a._id").as("id_a"), col("b._id").as("id_b"),
+        col("a.dhash").as("_ha"), col("b.dhash").as("_hb"))
+      .distinct()
+    pairs
+      .withColumn("hamming",
+        bit_count(col("_ha").bitwiseXOR(col("_hb"))).cast(IntegerType))
+      .filter(col("hamming") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
 }

@@ -67,4 +67,60 @@ class MultimodalResizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.length == 2)
     assert(out(1).getAs[Array[Byte]]("payload").isEmpty)
   }
+
+  test("dHash56: deterministic, single-byte edit moves at most one gradient bit") {
+    import MultimodalOps.StubCodec.dHash56
+    val rng = new scala.util.Random(7)
+    val base = Array.fill(512)((rng.nextInt(256) - 128).toByte)
+    assert(dHash56(base) === dHash56(base.clone()))
+    assert(dHash56(Array.emptyByteArray) === 0L)
+    assert(dHash56(null) === 0L)
+    assert((dHash56(base) >>> 56) === 0L, "all bits below the sign byte")
+    // replace one byte IN PLACE (same length => same block bounds): only
+    // the containing cell moves, which touches at most 2 gradient bits
+    // (its left and right comparisons)
+    for (pos <- Seq(0, 100, 511)) {
+      val edited = base.clone()
+      edited(pos) = (edited(pos) + 90).toByte
+      val d = java.lang.Long.bitCount(dHash56(base) ^ dHash56(edited))
+      assert(d <= 2, s"edit at $pos moved $d bits")
+    }
+  }
+
+  test("nearDupImages: plants found with exact hamming; banding is complete for maxDist < bands") {
+    val s = spark
+    import s.implicits._
+    val docs = Seq(
+      (1L, "A" * 100 + "B" * 100 + "C" * 100),
+      (2L, "Z" + "A" * 99 + "B" * 100 + "C" * 100), // 1-byte edit of 1
+      (3L, "A" * 100 + "B" * 100 + "C" * 100), // exact copy of 1
+      (4L, ("x" :: List.tabulate(299)(i => ((i * 37) % 26 + 97).toChar.toString)).mkString)
+    ).toDF("doc_id", "text")
+    val media = MultimodalOps.demoMediaTable(docs, "doc_id", "text")
+    val pairs = MultimodalOps.nearDupImages(media, "doc_id", "payload",
+      maxDist = 3, bands = 4, maxBucketSize = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) === 0,
+      "exact copies must pair at hamming 0")
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) <= 2,
+      "the one-byte edit must pair as a near-dup")
+    assert(!pairs.keySet.exists { case (a, b) => a == 4L || b == 4L },
+      "the unrelated doc must not pair")
+    // validation: the pigeonhole precondition is enforced
+    intercept[IllegalArgumentException] {
+      MultimodalOps.nearDupImages(media, "doc_id", "payload",
+        maxDist = 4, bands = 4)
+    }
+    intercept[IllegalArgumentException] {
+      MultimodalOps.nearDupImages(media, "doc_id", "payload", bands = 5)
+    }
+    // scale shape: payload bytes die map-side — no binary column crosses
+    // an exchange
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val shuffles = MultimodalOps.nearDupImages(media, "doc_id", "payload")
+      .queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.forall(!_.child.output.exists(
+      _.dataType == org.apache.spark.sql.types.BinaryType)),
+      "payloads must never shuffle")
+  }
 }
