@@ -214,6 +214,7 @@ object TableMacros {
     // round 6 batch 19: linear quality gate, partial-overlap decontamination,
     // markup extraction
     "nb_quality_filter", "decontaminate_jaccard", "html_strip",
+    "near_dup_images",
     "bpe_train", "bpe_self_encode",
     // round 6 batch 21: target-aware selection + lexical retrieval
     "dsir_weights", "dsir_select", "bm25_topk",
@@ -779,6 +780,13 @@ object TableMacros {
           rest.lift(1).map(dbl(_, "alpha")).getOrElse(0.5))
       case ("text_repetition", Seq(src, text)) =>
         graft.llm.TextOps.repetitionStats(source(src), ident(text, "text_col"))
+      case ("near_dup_images", Seq(src, id, bin, rest @ _*)) =>
+        if (rest.length > 3) fail("too many arguments")
+        graft.llm.MultimodalOps.nearDupImages(source(src), ident(id, "id_col"),
+          ident(bin, "bin_col"),
+          rest.headOption.map(int(_, "max_dist")).getOrElse(3),
+          rest.lift(1).map(int(_, "bands")).getOrElse(4),
+          rest.lift(2).map(int(_, "max_bucket_size")).getOrElse(1000))
       case ("corpus_diff", Seq(oldSrc, newSrc, id, text, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
         graft.llm.ReportOps.corpusDiff(source(oldSrc), source(newSrc),

@@ -643,6 +643,17 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(paras.collect().map(r => r.getLong(0) -> r.getString(1)).toMap ==
       Map(1L -> "keep\nshared", 2L -> "other"))
 
+    // near_dup_images: SQL == Scala on a planted payload pair
+    Seq((1L, "A" * 200 + "B" * 200), (2L, "Z" + "A" * 199 + "B" * 200),
+        (3L, (0 until 400).map(i => ((i * 31) % 26 + 97).toChar).mkString))
+      .toDF("id", "text")
+      .selectExpr("id", "CAST(text AS BINARY) AS payload")
+      .createOrReplaceTempView("_tmb_media")
+    val nd = spark.sql("SELECT * FROM near_dup_images('_tmb_media', id, payload, 3, 4)")
+    assert(sortedRows(nd) == sortedRows(graft.llm.MultimodalOps.nearDupImages(
+      spark.table("_tmb_media"), "id", "payload", maxDist = 3, bands = 4)))
+    assert(nd.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 2L)))
+
     // pq_topk: SQL == Scala on a small deterministic corpus
     val rng = new scala.util.Random(5)
     (0 until 40).map(i => (i.toLong, Seq.fill(8)(rng.nextDouble() * 2 - 1)))
