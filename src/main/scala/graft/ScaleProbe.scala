@@ -373,6 +373,27 @@ object ScaleProbe {
       println(f"bloom_score ext=$useExt sec=$ms%.3f ms_per_incoming_doc=${ms * 1000 / n1}%.4f all=${tss.map(t => f"$t%.3f")}")
       docs10.unpersist()
     }
+    if (which("toptok")) {
+      // round-9 frequent-items sketch A/B: exact explode→groupBy(token)
+      // vs the bounded mergeable sketch, on a corpus whose vocabulary is
+      // inflated web-style (two unique hapax tokens per doc) — the regime
+      // where the exact op's exchange cardinality grows with the corpus
+      // and the sketch's stays at `capacity`
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n1 = docs.count()
+      val docs10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L)))
+        .reduce(_ unionByName _)
+        .withColumn("text", concat(col("text"),
+          lit(" u"), col("doc_id"), lit("a u"), col("doc_id"), lit("b")))
+        .coalesce(32).cache()
+      docs10.count()
+      val (tx, tsx) = med5(onceDf(llm.TextOps.topTokens(docs10, "text", 50)))
+      println(f"toptok_exact sec=$tx%.3f ms_per_doc=${tx * 1000 / (n1 * 10)}%.4f all=${tsx.map(t => f"$t%.3f")}")
+      val (tk, tsk) = med5(onceDf(llm.TextOps.topTokensSketch(docs10, "text", 50, 4096)))
+      println(f"toptok_sketch sec=$tk%.3f ms_per_doc=${tk * 1000 / (n1 * 10)}%.4f all=${tsk.map(t => f"$t%.3f")}")
+      docs10.unpersist()
+    }
     if (which("pq")) {
       // round-9 PQ: train untimed (once per corpus version), encode map-only
       // over the 10× corpus, ADC top-k against pre-encoded codes

@@ -1391,6 +1391,66 @@ object TextOps {
           .orderBy(col("cnt").desc, col("token").asc)))
   }
 
+  /** [[topTokens]]' 100 TB path: corpus-wide top-k tokens via a mergeable
+    * Misra-Gries/Space-Saving frequent-items sketch
+    * ([[graft.functions.SpaceSavingTopK]]) instead of a vocabulary-keyed
+    * groupBy. Scale shape: the exact op's explode→groupBy(token) pushes an
+    * exchange whose cardinality is the VOCABULARY — raw web text at 100 TB
+    * has 10⁸⁺ token types (hapax-dominated: URLs, hashes, typos), so that
+    * shuffle ships per-partition-distinct × partitions rows of junk to
+    * compute a k=50 answer. Here each partition folds its documents into
+    * one bounded sketch map-side (text never leaves the scan task) and
+    * only `capacity` counters cross a single-partition exchange; shuffle
+    * volume is independent of both corpus size and vocabulary.
+    *
+    * Exactness contract: with `capacity` ≥ the true vocabulary the sketch
+    * never purges, `max_err` = 0, and the output is IDENTICAL to
+    * [[topTokens]] (the driver row runs in this regime and shares its
+    * oracle). Below that, counts carry `|est − true| ≤ max_err` with
+    * `max_err ≤ ~2·n/capacity` (Agarwal et al. 2012, mergeable
+    * summaries), and — like any mergeable sketch — the estimates depend
+    * on partition layout; the BOUND is what's guaranteed. Output:
+    * (token, cnt, rank, max_err), rank by (cnt DESC, token ASC). */
+  def topTokensSketch(df: DataFrame, textCol: String, k: Int,
+                      capacity: Int = 4096, lowercase: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(capacity >= k, s"capacity must be >= k, got capacity=$capacity k=$k")
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    val base = if (lowercase) lower(col(textCol)) else col(textCol)
+    val toks = filter(split(base, "[ \\t\\n\\r\\f]+"), t => length(t) > 0)
+    df.select(toks.as("_toks"))
+      .agg(B.column(graft.functions.SpaceSavingTopK(
+        B.expression(col("_toks")), k, capacity).toAggregateExpression()).as("_sk"))
+      // toks is already in rank order (cnt DESC, token ASC) — posexplode's
+      // position IS the rank, no window needed over the k rows
+      .select(col("_sk.err").as("_err"), posexplode(col("_sk.toks")).as(Seq("_pos", "e")))
+      .select(col("e.token").as("token"), col("e.cnt").as("cnt"),
+        (col("_pos") + 1).cast("int").as("rank"), col("_err").as("max_err"))
+  }
+
+  /** Per-group [[topTokensSketch]]: top-k tokens within each value of
+    * `groupCol` (per-language / per-source vocabulary reports). Same
+    * sketch, same exactness contract per group; the exchange is keyed on
+    * the GROUP (bounded: languages, sources), carrying one bounded sketch
+    * buffer per (partition, group) — token cardinality still never
+    * shuffles. Output: (group, token, cnt, rank, max_err). */
+  def topTokensSketchBy(df: DataFrame, groupCol: String, textCol: String, k: Int,
+                        capacity: Int = 4096, lowercase: Boolean = true): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(capacity >= k, s"capacity must be >= k, got capacity=$capacity k=$k")
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    val base = if (lowercase) lower(col(textCol)) else col(textCol)
+    val toks = filter(split(base, "[ \\t\\n\\r\\f]+"), t => length(t) > 0)
+    df.select(col(groupCol).as("group"), toks.as("_toks"))
+      .groupBy(col("group"))
+      .agg(B.column(graft.functions.SpaceSavingTopK(
+        B.expression(col("_toks")), k, capacity).toAggregateExpression()).as("_sk"))
+      .select(col("group"), col("_sk.err").as("_err"),
+        posexplode(col("_sk.toks")).as(Seq("_pos", "e")))
+      .select(col("group"), col("e.token").as("token"), col("e.cnt").as("cnt"),
+        (col("_pos") + 1).cast("int").as("rank"), col("_err").as("max_err"))
+  }
+
   // ------------------------------------------------- text featurization
 
   /** Deterministic feature-hashing text embedding (the hashing trick —

@@ -210,6 +210,7 @@ object TableMacros {
     "extract_domain", "domain_filter", "cap_per_domain",
     // semantic + assembly surface (round 5 batch 16)
     "semdedup", "knn_graph", "pq_topk", "strip_boilerplate", "top_tokens",
+    "top_tokens_sketch", "top_tokens_sketch_by",
     "mix_token_budget", "select_token_budget",
     // round 6 batch 19: linear quality gate, partial-overlap decontamination,
     // markup extraction
@@ -894,6 +895,15 @@ object TableMacros {
           ident(text, "text_col"), int(maxDocs, "max_docs"))
       case ("top_tokens", Seq(src, text, k)) =>
         graft.llm.TextOps.topTokens(source(src), ident(text, "text_col"), int(k, "k"))
+      case ("top_tokens_sketch", Seq(src, text, k, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.TextOps.topTokensSketch(source(src), ident(text, "text_col"),
+          int(k, "k"), rest.headOption.map(int(_, "capacity")).getOrElse(4096))
+      case ("top_tokens_sketch_by", Seq(src, group, text, k, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.TextOps.topTokensSketchBy(source(src), ident(group, "group_col"),
+          ident(text, "text_col"), int(k, "k"),
+          rest.headOption.map(int(_, "capacity")).getOrElse(4096))
       case ("mix_token_budget", Seq(src, id, domain, toks, budgets, seed)) =>
         graft.llm.MixOps.selectPerDomainBudget(source(src), ident(id, "id_col"),
           ident(domain, "domain_col"), ident(toks, "token_col"),

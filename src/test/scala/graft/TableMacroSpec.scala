@@ -373,6 +373,10 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.llm.TextOps.removeBoilerplateLines(mixdocs, "doc_id", "text", 10))
     eq("SELECT * FROM top_tokens('mixdocs', text, 5)",
       graft.llm.TextOps.topTokens(mixdocs, "text", 5))
+    eq("SELECT * FROM top_tokens_sketch('mixdocs', text, 5, 512)",
+      graft.llm.TextOps.topTokensSketch(mixdocs, "text", 5, 512))
+    eq("SELECT * FROM top_tokens_sketch_by('mixdocs', dom, text, 5, 512)",
+      graft.llm.TextOps.topTokensSketchBy(mixdocs, "dom", "text", 5, 512))
     eq("SELECT * FROM mix_token_budget('mixdocs', doc_id, dom, toks, " +
       "map('dom0', 200, 'dom1', 150), 11)",
       graft.llm.MixOps.selectPerDomainBudget(mixdocs, "doc_id", "dom", "toks",

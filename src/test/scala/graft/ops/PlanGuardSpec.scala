@@ -454,6 +454,24 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no interpreted string-shingle HOF may remain in the verify path")
   }
 
+  test("top-tokens sketch: text dies map-side; only bounded sketch bytes cross the one exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.llm.TextOps.topTokensSketch(docs, "text", k = 50, capacity = 4096)
+    val plan = df.queryExecution.executedPlan
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    // the exact op's hazard is an exchange whose cardinality is the
+    // VOCABULARY (explode → groupBy(token)); the sketch path must instead
+    // ship one serialized bounded buffer per partition — no string-typed
+    // column (token or text) may appear in any exchange input
+    assert(shuffles.length == 1, s"expected the single sketch-merge exchange:\n$plan")
+    assert(shuffles.forall(_.child.output.forall(a =>
+      !a.dataType.simpleString.contains("string"))),
+      "only serialized sketch buffers may cross the exchange — never tokens or text")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "rank comes from the sketch's sorted output (posexplode), not a window sort")
+  }
+
   test("composed ingest pipeline: gates are map-side; one corpus exchange (the fingerprint window)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val sp = spark
