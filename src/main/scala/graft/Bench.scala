@@ -402,6 +402,12 @@ object Bench {
         concat(col("text"), lit(" CHANGED"))).otherwise(col("text")))
     val corpusDiff10 = median3(onceDf(
       llm.ReportOps.corpusDiff(docs10, newCorpus10, "doc_id", "text")))
+    // round-9 frequent-items sketch: corpus top-50 tokens where only one
+    // bounded buffer per partition crosses the exchange (the vocabulary
+    // never shuffles — see ScaleProbe GRAFT_PROBE=toptok for the
+    // inflated-vocabulary A/B against the exact groupBy path)
+    val topTokSketch10 = median3(onceDf(
+      llm.TextOps.topTokensSketch(docs10, "text", 50, 4096)))
     // batch-21 at 10× corpus: DSIR trains both hashed-bigram models AND
     // scores every doc in one call (two bounded bucket aggregations + one
     // broadcast-join + per-doc sum); BM25 retrieves 20 probe queries
@@ -500,7 +506,8 @@ object Bench {
       entry("pq_topk_query", pqTopk10, "ms_per_query", nQueries.toDouble, fine = false),
       entry("bloom_build_docs", bloomBuild10, "ms_per_doc", nDocs1 * 9.0),
       entry("bloom_score_docs", bloomScore10, "ms_per_incoming_doc", nDocs1.toDouble),
-      entry("corpus_diff_docs", corpusDiff10, "ms_per_doc", nd10)
+      entry("corpus_diff_docs", corpusDiff10, "ms_per_doc", nd10),
+      entry("top_tokens_sketch_docs", topTokSketch10, "ms_per_doc", nd10)
     )).mkString("{", ",",
       s""","n_series":${nSeries1 * 10},"n_docs":${nDocs1 * 10},"n_vectors":${nEmb1 * 10},"n_queries":$nQueries}""")
     // metrics whose run band exceeds ±40% of the median EVEN AFTER the

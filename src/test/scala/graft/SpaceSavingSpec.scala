@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.scalatest.BeforeAndAfterAll
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -89,6 +90,52 @@ class SpaceSavingSpec extends AnyFunSuite with BeforeAndAfterAll {
         .map(r => (g, r.getString(0), r.getLong(1), r.getInt(2), 0L))
     }.sorted
     assert(got == expected)
+  }
+
+  test("streaming: sketch state merges across micro-batches; complete mode equals batch") {
+    val sess = spark; import sess.implicits._
+    implicit val sqlCtx = sess.sqlContext
+    val (docs, _) = skewedDocs(nJunk = 150) // exact regime
+    val batch = TextOps.topTokens(docs.toDF("text"), "text", k = 20)
+      .select("token", "cnt", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    val stream = MemoryStream[String]
+    val q = TextOps.topTokensSketch(stream.toDF().withColumnRenamed("value", "text"),
+        "text", k = 20, capacity = 1024)
+      .writeStream.format("memory").queryName("toptok_stream").outputMode("complete")
+      .start()
+    // three micro-batches: the typed buffer must round-trip the state
+    // store (serialize/deserialize) and merge with later batches' partials
+    docs.grouped((docs.size + 2) / 3).foreach { chunk =>
+      stream.addData(chunk: _*)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = sess.table("toptok_stream").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSet
+    assert(streamed == batch)
+  }
+
+  test("randomized exact-regime sweep: sketch == exact groupBy over random corpora") {
+    val sess = spark; import sess.implicits._
+    val rng = new scala.util.Random(7)
+    for (trial <- 0 until 5) {
+      val vocab = 1 + rng.nextInt(300)
+      val nDocs = 1 + rng.nextInt(80)
+      val docs = (0 until nDocs).map(_ =>
+        Seq.fill(rng.nextInt(30))(s"w${rng.nextInt(vocab)}").mkString(" "))
+      val k = 1 + rng.nextInt(vocab + 10)
+      val parts = 1 + rng.nextInt(6)
+      val df = docs.toDF("text").repartition(parts)
+      val exact = TextOps.topTokens(df, "text", k).select("token", "cnt", "rank")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).sortBy(_._3).toSeq
+      val sk = TextOps.topTokensSketch(df, "text", k,
+        capacity = math.max(k, vocab + 1))
+        .collect()
+      assert(sk.forall(_.getLong(3) == 0L), s"trial=$trial")
+      assert(sk.map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toSeq == exact,
+        s"trial=$trial vocab=$vocab nDocs=$nDocs k=$k parts=$parts")
+    }
   }
 
   test("approximate regime: error bounds hold and separated heavies keep exact ranks") {
