@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Thirty-second batch (round 9): the mergeable quantile-sketch path for
+  * corpus score distributions ([[graft.llm.QuantileOps.scoreQuantilesSketch]]
+  * / [[graft.functions.KllQuantileSketch]]).
+  *
+  * The driver rows run the sketch in its EXACT regime (capacity 16384 ≫
+  * the fixture corpus at both SFs), where the compactor hierarchy never
+  * fires, `max_rank_err` = 0, and each returned value is the literal
+  * order statistic at rank ⌈q·n⌉ over the 6-decimal-rounded score — so
+  * the oracle is a plain row_number selection, and the gated 0 in
+  * `max_rank_err` is itself the claim that no compaction happened. The
+  * approximate regime (corpus ≫ capacity) is bound-checked in
+  * KllSketchSpec, where hash-exactness is the wrong gate by construction
+  * (sketch estimates are partition-layout dependent; the error BOUND is
+  * the invariant). The score is a deterministic arithmetic blend of
+  * `n_chars` and `doc_id` so both engines compute bit-identical doubles. */
+object SparkEntryV32 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  private val Qs = Seq(0.25, 0.5, 0.75, 0.9, 0.99)
+
+  private def scored(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").withColumn("score",
+      col("n_chars") * lit(1.0) + pmod(col("doc_id"), lit(97)) * lit(0.001))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "score_quantiles_sketch" -> ((s, dir) =>
+      graft.llm.QuantileOps.scoreQuantilesSketch(scored(s, dir), "score",
+        Qs, capacity = 16384)),
+    "score_quantiles_sketch_by" -> ((s, dir) =>
+      graft.llm.QuantileOps.scoreQuantilesSketchBy(scored(s, dir), "source",
+        "score", Seq(0.5, 0.9), capacity = 16384))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "score_quantiles_sketch" ->
+      """WITH s AS (
+        |  SELECT round(n_chars * 1.0 + (doc_id % 97) * 0.001, 6) AS v
+        |  FROM documents),
+        |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+        |             count(*) OVER () AS n FROM s),
+        |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q)
+        |SELECT q, v AS value, n, CAST(0 AS BIGINT) AS max_rank_err
+        |FROM r, qs
+        |WHERE rn = GREATEST(1, CAST(ceil(q * n) AS BIGINT))""".stripMargin,
+    "score_quantiles_sketch_by" ->
+      """WITH s AS (
+        |  SELECT source AS "group",
+        |         round(n_chars * 1.0 + (doc_id % 97) * 0.001, 6) AS v
+        |  FROM documents),
+        |r AS (SELECT "group", v,
+        |             row_number() OVER (PARTITION BY "group" ORDER BY v) AS rn,
+        |             count(*) OVER (PARTITION BY "group") AS n FROM s),
+        |qs AS (SELECT CAST(unnest([0.5, 0.9]) AS DOUBLE) AS q)
+        |SELECT "group", q, v AS value, n, CAST(0 AS BIGINT) AS max_rank_err
+        |FROM r, qs
+        |WHERE rn = GREATEST(1, CAST(ceil(q * n) AS BIGINT))""".stripMargin
+  )
+}

@@ -147,4 +147,102 @@ object QuantileOps {
       floor(col("_n") * lit(frac)).cast(LongType), highest)
       .drop("_n")
   }
+
+  // ---------------------------------------- mergeable quantile sketch
+
+  /** Walk the value-sorted summary once and return the first value whose
+    * cumulative weight reaches `⌈q·n⌉` — the rank-`⌈q·n⌉` estimate (exact
+    * order statistic when no compaction fired). A Scala UDF is the right
+    * tool here, not a codegen expression or a window: it runs ONCE PER
+    * (group, q) over a row whose payload is the bounded summary (never
+    * the corpus), and unlike a window-function prefix sum it composes
+    * with streaming complete mode, where window functions are
+    * unsupported. Returns null on an empty summary (no rankable rows). */
+  private val pickQuantile =
+    udf((items: Seq[org.apache.spark.sql.Row], n: Long, q: Double) => {
+      val target = math.max(1L, math.ceil(q * n).toLong)
+      var cum = 0L
+      var i = 0
+      var out: java.lang.Double = null
+      while (i < items.length && out == null) {
+        cum += items(i).getLong(1)
+        if (cum >= target) out = items(i).getDouble(0)
+        i += 1
+      }
+      out
+    })
+
+  /** Shared tail of the sketch quantile ops: one output row per requested
+    * quantile, values picked from the bounded merged summary. */
+  private def sketchQuantiles(summary: DataFrame, qs: Seq[Double],
+                              keep: Seq[String]): DataFrame =
+    summary.select(keep.map(col) ++ Seq(col("_sk.n").as("n"),
+        col("_sk.err").as("max_rank_err"), col("_sk.items").as("_items")): _*)
+      .withColumn("q", explode(array(qs.map(lit): _*)))
+      .withColumn("value", pickQuantile(col("_items"), col("n"), col("q")))
+      .filter(col("value").isNotNull)
+
+  /** Corpus score quantiles via a mergeable rank sketch
+    * ([[graft.functions.KllQuantileSketch]]) — the streaming/monitoring
+    * complement to the exact two-phase machinery above. Scale shape: the
+    * exact path's histogram needs a full batch pass per question; here
+    * each partition folds its scores map-side into one bounded compactor
+    * summary, ONE serialized buffer per partition crosses the single
+    * exchange, and every requested quantile is answered from the merged
+    * summary at once — shuffle volume independent of corpus size, and the
+    * same aggregate runs over an unbounded ingest stream in complete mode
+    * (the typed buffer round-trips the state store; KllSketchSpec pins
+    * batch ≡ stream). Scores follow the house cross-engine convention
+    * (6-decimal round; null/NaN dropped).
+    *
+    * Exactness contract: with `capacity` ≥ the rankable row count no
+    * compaction fires, `max_rank_err` = 0, and each returned value IS the
+    * exact order statistic at rank `⌈q·n⌉` (ranked on the ROUNDED score)
+    * — the regime the driver row hash-gates against a row_number oracle.
+    * Below that, the estimate's rank is within the REPORTED
+    * `max_rank_err` of `⌈q·n⌉` — like any mergeable sketch the estimate
+    * depends on partition layout, the bound does not (KllSketchSpec
+    * checks it against true ranks on a skewed corpus).
+    *
+    * Output: (q, value, n, max_rank_err) — one row per requested q. */
+  def scoreQuantilesSketch(df: DataFrame, scoreCol: String, qs: Seq[Double],
+                           capacity: Int = 16384): DataFrame = {
+    require(qs.nonEmpty, "qs must be non-empty")
+    qs.foreach(q => require(q > 0.0 && q <= 1.0, s"each q must be in (0,1], got $q"))
+    val summary = rankable(df, scoreCol)
+      .agg(sketchAgg(capacity))
+    sketchQuantiles(summary, qs, Seq.empty)
+      .select(col("q"), col("value"), col("n"), col("max_rank_err"))
+  }
+
+  /** Rankable rows with the house cross-engine score key: 6-decimal
+    * round, null/NaN dropped. */
+  private def rankable(df: DataFrame, scoreCol: String): DataFrame = {
+    val score = round(col(scoreCol).cast("double"), 6)
+    df.withColumn("_v", score).filter(col("_v").isNotNull && !isnan(col("_v")))
+  }
+
+  private def sketchAgg(capacity: Int): Column = {
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    B.column(graft.functions.KllQuantileSketch(
+      B.expression(col("_v")), capacity).toAggregateExpression()).as("_sk")
+  }
+
+  /** Per-group [[scoreQuantilesSketch]] (per-domain / per-language score
+    * distributions): same sketch, same exactness contract per group; the
+    * exchange is keyed on the GROUP (bounded: domains, languages),
+    * carrying one bounded sketch buffer per (partition, group) — row
+    * cardinality still never shuffles. Output:
+    * (group, q, value, n, max_rank_err). */
+  def scoreQuantilesSketchBy(df: DataFrame, groupCol: String, scoreCol: String,
+                             qs: Seq[Double], capacity: Int = 16384): DataFrame = {
+    require(qs.nonEmpty, "qs must be non-empty")
+    qs.foreach(q => require(q > 0.0 && q <= 1.0, s"each q must be in (0,1], got $q"))
+    val summary = rankable(df.withColumnRenamed(groupCol, "group")
+        .select(col("group"), col(scoreCol)), scoreCol)
+      .groupBy(col("group"))
+      .agg(sketchAgg(capacity))
+    sketchQuantiles(summary, qs, Seq("group"))
+      .select(col("group"), col("q"), col("value"), col("n"), col("max_rank_err"))
+  }
 }

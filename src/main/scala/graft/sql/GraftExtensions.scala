@@ -211,6 +211,7 @@ object TableMacros {
     // semantic + assembly surface (round 5 batch 16)
     "semdedup", "knn_graph", "pq_topk", "strip_boilerplate", "top_tokens",
     "top_tokens_sketch", "top_tokens_sketch_by",
+    "score_quantiles_sketch", "score_quantiles_sketch_by",
     "mix_token_budget", "select_token_budget",
     // round 6 batch 19: linear quality gate, partial-overlap decontamination,
     // markup extraction
@@ -325,6 +326,13 @@ object TableMacros {
         items.map(a => ident(a, what))
       case Literal(null, _) => Seq.empty
       case other => fail(s"$what must be array('col', …), got $other")
+    }
+    def dblList(e: Expression, what: String): Seq[Double] = e match {
+      case f: UnresolvedFunction if f.nameParts.map(_.toLowerCase) == Seq("array") =>
+        f.arguments.map(a => dbl(a, what))
+      case org.apache.spark.sql.catalyst.expressions.CreateArray(items, _) =>
+        items.map(a => dbl(a, what))
+      case other => fail(s"$what must be array(0.5, …), got $other")
     }
     // a timestamp literal: TIMESTAMP '…' (already a TimestampType literal),
     // or a '2024-01-01[ 00:00:00]' string
@@ -904,6 +912,17 @@ object TableMacros {
         graft.llm.TextOps.topTokensSketchBy(source(src), ident(group, "group_col"),
           ident(text, "text_col"), int(k, "k"),
           rest.headOption.map(int(_, "capacity")).getOrElse(4096))
+      case ("score_quantiles_sketch", Seq(src, score, qsE, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.QuantileOps.scoreQuantilesSketch(source(src),
+          ident(score, "score_col"), dblList(qsE, "qs"),
+          rest.headOption.map(int(_, "capacity")).getOrElse(16384))
+      case ("score_quantiles_sketch_by", Seq(src, group, score, qsE, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.QuantileOps.scoreQuantilesSketchBy(source(src),
+          ident(group, "group_col"), ident(score, "score_col"),
+          dblList(qsE, "qs"),
+          rest.headOption.map(int(_, "capacity")).getOrElse(16384))
       case ("mix_token_budget", Seq(src, id, domain, toks, budgets, seed)) =>
         graft.llm.MixOps.selectPerDomainBudget(source(src), ident(id, "id_col"),
           ident(domain, "domain_col"), ident(toks, "token_col"),

@@ -377,6 +377,10 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.llm.TextOps.topTokensSketch(mixdocs, "text", 5, 512))
     eq("SELECT * FROM top_tokens_sketch_by('mixdocs', dom, text, 5, 512)",
       graft.llm.TextOps.topTokensSketchBy(mixdocs, "dom", "text", 5, 512))
+    eq("SELECT * FROM score_quantiles_sketch('mixdocs', toks, array(0.5, 0.9), 512)",
+      graft.llm.QuantileOps.scoreQuantilesSketch(mixdocs, "toks", Seq(0.5, 0.9), 512))
+    eq("SELECT * FROM score_quantiles_sketch_by('mixdocs', dom, toks, array(0.5), 512)",
+      graft.llm.QuantileOps.scoreQuantilesSketchBy(mixdocs, "dom", "toks", Seq(0.5), 512))
     eq("SELECT * FROM mix_token_budget('mixdocs', doc_id, dom, toks, " +
       "map('dom0', 200, 'dom1', 150), 11)",
       graft.llm.MixOps.selectPerDomainBudget(mixdocs, "doc_id", "dom", "toks",

@@ -472,6 +472,28 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       "rank comes from the sketch's sorted output (posexplode), not a window sort")
   }
 
+  test("quantile sketch: scores die map-side; bounded sketch bytes cross the one exchange; no corpus sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.SortExec
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .withColumn("score", org.apache.spark.sql.functions.col("n_chars") * 1.0)
+    val df = graft.llm.QuantileOps.scoreQuantilesSketch(docs, "score",
+      Seq(0.5, 0.9), capacity = 16384)
+    val plan = df.queryExecution.executedPlan
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    // the exact quantile path's hazard is a corpus-wide sort/window; the
+    // sketch path must ship one serialized bounded buffer per partition
+    // and never sort or re-shuffle the corpus
+    assert(shuffles.length == 1, s"expected the single sketch-merge exchange:\n$plan")
+    assert(shuffles.forall(_.child.output.forall(a =>
+      a.dataType.simpleString == "binary" || !a.dataType.simpleString.contains("double"))),
+      "only serialized sketch buffers may cross the exchange — never raw scores")
+    assert(plan.collect { case s: SortExec => s }.isEmpty,
+      "quantiles come from the summary walk, never a corpus sort")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "no window may appear — the summary walk must stay streaming-composable")
+  }
+
   test("composed ingest pipeline: gates are map-side; one corpus exchange (the fingerprint window)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val sp = spark
