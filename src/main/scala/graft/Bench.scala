@@ -408,6 +408,14 @@ object Bench {
     // inflated-vocabulary A/B against the exact groupBy path)
     val topTokSketch10 = median3(onceDf(
       llm.TextOps.topTokensSketch(docs10, "text", 50, 4096)))
+    // round-9 KLL quantile sketch: four corpus score quantiles where only
+    // one bounded compactor buffer per partition crosses the exchange
+    // (raw scores never shuffle — see ScaleProbe GRAFT_PROBE=kll for the
+    // A/B against Spark's exact hold-everything percentile aggregate)
+    val kllSketch10 = median3(onceDf(
+      llm.QuantileOps.scoreQuantilesSketch(
+        docs10.withColumn("_score", col("n_chars") * lit(1.0)), "_score",
+        Seq(0.25, 0.5, 0.9, 0.99), 4096)))
     // batch-21 at 10× corpus: DSIR trains both hashed-bigram models AND
     // scores every doc in one call (two bounded bucket aggregations + one
     // broadcast-join + per-doc sum); BM25 retrieves 20 probe queries
@@ -507,7 +515,8 @@ object Bench {
       entry("bloom_build_docs", bloomBuild10, "ms_per_doc", nDocs1 * 9.0),
       entry("bloom_score_docs", bloomScore10, "ms_per_incoming_doc", nDocs1.toDouble),
       entry("corpus_diff_docs", corpusDiff10, "ms_per_doc", nd10),
-      entry("top_tokens_sketch_docs", topTokSketch10, "ms_per_doc", nd10)
+      entry("top_tokens_sketch_docs", topTokSketch10, "ms_per_doc", nd10),
+      entry("score_quantiles_sketch_docs", kllSketch10, "ms_per_doc", nd10)
     )).mkString("{", ",",
       s""","n_series":${nSeries1 * 10},"n_docs":${nDocs1 * 10},"n_vectors":${nEmb1 * 10},"n_queries":$nQueries}""")
     // metrics whose run band exceeds ±40% of the median EVEN AFTER the

@@ -394,6 +394,28 @@ object ScaleProbe {
       println(f"toptok_sketch sec=$tk%.3f ms_per_doc=${tk * 1000 / (n1 * 10)}%.4f all=${tsk.map(t => f"$t%.3f")}")
       docs10.unpersist()
     }
+    if (which("kll")) {
+      // round-9 quantile-sketch A/B: Spark's exact `percentile` aggregate
+      // (ships/holds EVERY score — the naive distribution question) vs the
+      // bounded mergeable KLL summary at capacity 4096 (approximate
+      // regime at this corpus; the driver rows gate the exact regime)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n1 = docs.count()
+      val docs10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L)))
+        .reduce(_ unionByName _)
+        .withColumn("score",
+          col("n_chars") * lit(1.0) + pmod(col("doc_id"), lit(997)) * lit(0.001))
+        .coalesce(32).cache()
+      docs10.count()
+      val (tx, tsx) = med5(onceDf(docs10.agg(
+        expr("percentile(score, array(0.25, 0.5, 0.9, 0.99))").as("qs"))))
+      println(f"kll_exact_percentile sec=$tx%.3f ms_per_doc=${tx * 1000 / (n1 * 10)}%.4f all=${tsx.map(t => f"$t%.3f")}")
+      val (tk, tsk) = med5(onceDf(llm.QuantileOps.scoreQuantilesSketch(
+        docs10, "score", Seq(0.25, 0.5, 0.9, 0.99), 4096)))
+      println(f"kll_sketch sec=$tk%.3f ms_per_doc=${tk * 1000 / (n1 * 10)}%.4f all=${tsk.map(t => f"$t%.3f")}")
+      docs10.unpersist()
+    }
     if (which("pq")) {
       // round-9 PQ: train untimed (once per corpus version), encode map-only
       // over the 10× corpus, ADC top-k against pre-encoded codes
