@@ -135,7 +135,9 @@ object BloomOps {
       .select(positionsCol(fpCol.cast(LongType), mBits, k, seed).as("_pos"))
       .agg(B.column(BloomBitsAgg(B.expression(col("_pos")), mBits)
         .toAggregateExpression()).as("_w"),
-        count(lit(1)).as("_n"))
+        // count the non-null position rows — the rows actually inserted —
+        // so nItems (and expectedFpp) stay honest on nullable fingerprints
+        count(col("_pos")).as("_n"))
   }
 
   /** Build the gate over a corpus's fingerprint column. ONE aggregation;

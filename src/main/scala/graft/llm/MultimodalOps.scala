@@ -211,10 +211,15 @@ object MultimodalOps {
       docs.select(col(idCol), col(textCol).cast(BinaryType).as("payload")),
       "payload", "image", "png")
 
-  /** Perceptual hash column: [[StubCodec.dHash56]] per payload. */
+  /** Perceptual hash column via the native codegen
+    * [[graft.functions.DHash56]] (bit-parity-pinned against the
+    * [[StubCodec.dHash56]] executable spec); NULL payloads keep the
+    * legacy hash-to-0 behavior. */
   def imageDHash(df: DataFrame, binCol: String, out: String = "dhash"): DataFrame = {
-    val hUdf = udf((p: Array[Byte]) => StubCodec.dHash56(p))
-    df.withColumn(out, hUdf(col(binCol)))
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    df.withColumn(out, coalesce(
+      B.column(graft.functions.DHash56(
+        B.expression(col(binCol).cast(BinaryType)))), lit(0L)))
   }
 
   /** Image near-duplicate candidate pairs by perceptual hash: two images

@@ -229,25 +229,33 @@ object PqOps {
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Load a [[pqWriteIndex]] layout: (model, codes table). Fails fast on a
-    * format/scheme version mismatch. */
-  def pqLoadIndex(spark: SparkSession, path: String): (PqModel, DataFrame) = {
+  /** Read the versioned meta + codebooks shared by the flat and IVF-PQ
+    * layouts — ONE owner of the persisted-codebook read path, so a
+    * format-version bump cannot be applied to one loader and missed in the
+    * other. Fails fast on a format/scheme version mismatch. */
+  private def loadPqModel(spark: SparkSession, path: String, what: String,
+                          rebuildWith: String): PqModel = {
     val meta = spark.read.parquet(s"$path/meta")
     require(meta.columns.contains("format_version"),
-      s"pq index at $path has no format_version — rebuild with pqWriteIndex")
+      s"$what at $path has no format_version — rebuild with $rebuildWith")
     val mr = meta.select(col("m"), col("sub_dim"), col("n_codes"),
       col("format_version")).collect()(0)
     require(mr.getInt(3) == PqIndexFormatVersion,
-      s"pq index at $path is format_version ${mr.getInt(3)}, this build " +
-        s"requires $PqIndexFormatVersion — rebuild with pqWriteIndex")
+      s"$what at $path is format_version ${mr.getInt(3)}, this build " +
+        s"requires $PqIndexFormatVersion — rebuild with $rebuildWith")
     val (m, subDim, nCodes) = (mr.getInt(0), mr.getInt(1), mr.getInt(2))
     val cents = Array.ofDim[Array[Double]](m, nCodes)
     spark.read.parquet(s"$path/codebooks").collect().foreach { r =>
       cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
     }
-    (PqModel(cents.map(_.toArray), m, subDim, nCodes),
-      spark.read.parquet(s"$path/codes"))
+    PqModel(cents.map(_.toArray), m, subDim, nCodes)
   }
+
+  /** Load a [[pqWriteIndex]] layout: (model, codes table). Fails fast on a
+    * format/scheme version mismatch. */
+  def pqLoadIndex(spark: SparkSession, path: String): (PqModel, DataFrame) =
+    (loadPqModel(spark, path, "pq index", "pqWriteIndex"),
+      spark.read.parquet(s"$path/codes"))
 
   /** Query a persisted index (the steady state). */
   def pqIndexTopK(spark: SparkSession, path: String, queries: DataFrame,
@@ -298,20 +306,7 @@ object PqOps {
   def ivfPqProbeIndex(spark: SparkSession, path: String, queries: DataFrame,
                       idCol: String, vecCol: String, k: Int,
                       nProbe: Int): DataFrame = {
-    val meta = spark.read.parquet(s"$path/meta")
-    require(meta.columns.contains("format_version"),
-      s"ivf-pq index at $path has no format_version — rebuild with ivfPqWriteIndex")
-    val mr = meta.select(col("m"), col("sub_dim"), col("n_codes"),
-      col("format_version")).collect()(0)
-    require(mr.getInt(3) == PqIndexFormatVersion,
-      s"ivf-pq index at $path is format_version ${mr.getInt(3)}, this build " +
-        s"requires $PqIndexFormatVersion — rebuild with ivfPqWriteIndex")
-    val (m, subDim, nCodes) = (mr.getInt(0), mr.getInt(1), mr.getInt(2))
-    val cents = Array.ofDim[Array[Double]](m, nCodes)
-    spark.read.parquet(s"$path/codebooks").collect().foreach { r =>
-      cents(r.getInt(0))(r.getInt(1)) = r.getSeq[Double](2).toArray
-    }
-    val model = PqModel(cents.map(_.toArray), m, subDim, nCodes)
+    val model = loadPqModel(spark, path, "ivf-pq index", "ivfPqWriteIndex")
     val centroids = spark.read.parquet(s"$path/centroids")
     // (qid, _qv, centroid_id) — bounded: |queries| × nProbe rows
     val probes = SimilarityOps.probeSelection(queries, idCol, vecCol, nProbe,
@@ -320,9 +315,16 @@ object PqOps {
       .collect().map(_.get(0))
     val codes = spark.read.parquet(s"$path/codes")
       .where(col("centroid_id").isin(probedIds: _*))
-    val ql = probes.select(col("qid"), col("centroid_id"),
-      lutColOf(model, col("_qv")).as("_lut"))
-    codes.join(broadcast(ql), Seq("centroid_id"))
+    // LUT once per QUERY (not per probe row): the m·nCodes-double array is
+    // the expensive object, so it is computed on the qid-distinct
+    // projection and broadcast once; the (qid, centroid_id) probe pairs
+    // broadcast separately without it — the broadcast volume is
+    // |queries|·LUT + |queries|·nProbe·16B instead of their product.
+    val probePairs = probes.select(col("qid"), col("centroid_id"))
+    val qluts = probes.select(col("qid"), col("_qv")).dropDuplicates("qid")
+      .select(col("qid"), lutColOf(model, col("_qv")).as("_lut"))
+    codes.join(broadcast(probePairs), Seq("centroid_id"))
+      .join(broadcast(qluts), Seq("qid"))
       .select(col("qid"), col("vid"),
         round(B.column(PqAdcDot(B.expression(col("codes")),
           B.expression(col("_lut")), model.m, model.nCodes)), 6).as("_score"))

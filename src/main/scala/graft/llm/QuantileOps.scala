@@ -238,8 +238,8 @@ object QuantileOps {
                              qs: Seq[Double], capacity: Int = 16384): DataFrame = {
     require(qs.nonEmpty, "qs must be non-empty")
     qs.foreach(q => require(q > 0.0 && q <= 1.0, s"each q must be in (0,1], got $q"))
-    val summary = rankable(df.withColumnRenamed(groupCol, "group")
-        .select(col("group"), col(scoreCol)), scoreCol)
+    val summary = rankable(
+        df.select(col(groupCol).as("group"), col(scoreCol)), scoreCol)
       .groupBy(col("group"))
       .agg(sketchAgg(capacity))
     sketchQuantiles(summary, qs, Seq("group"))

@@ -65,8 +65,8 @@ object IngestPipeline {
     // historical-corpus exact dedup FIRST: a known document must not
     // consume gate compute; map-only, so the gates stay zero-exchange
     val fresh = models.bloom.fold(norm)(b =>
-      norm.filter(!BloomOps.mightContainCol(b,
-        BloomOps.productionFingerprint(col(textCol)))))
+      BloomOps.filterAgainstBloom(norm, b,
+        BloomOps.productionFingerprint(col(textCol))))
     val heur = TextOps.gopherQualityFilter(
       TextOps.c4QualityFilter(fresh, textCol), textCol)
     val nb = ClassifierOps.nbScoreBroadcast(heur, textCol, models.nb.model,

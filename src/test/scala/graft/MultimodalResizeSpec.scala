@@ -87,6 +87,31 @@ class MultimodalResizeSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("native DHash56 expression is bit-exact with the StubCodec spec (randomized sweep)") {
+    val s = spark
+    import s.implicits._
+    val rng = new scala.util.Random(41)
+    val payloads: Seq[Array[Byte]] = Seq(
+      Array.emptyByteArray,
+      Array[Byte](0),
+      Array.fill(3)(rng.nextInt(256).toByte),
+      Array.fill(63)(rng.nextInt(256).toByte), // fewer bytes than cells
+      Array.fill(64)(rng.nextInt(256).toByte)
+    ) ++ (0 until 40).map(_ => Array.fill(1 + rng.nextInt(2000))(rng.nextInt(256).toByte))
+    val df = payloads.zipWithIndex.map { case (p, i) => (i.toLong, p) }
+      .toDF("doc_id", "payload")
+    val got = MultimodalOps.imageDHash(df, "payload")
+      .orderBy("doc_id").select("dhash").collect().map(_.getLong(0))
+    val want = payloads.map(MultimodalOps.StubCodec.dHash56)
+    assert(got.toSeq === want.toSeq, "native expression diverged from the spec")
+    // null payload keeps the legacy hash-to-0 behavior
+    val withNull = Seq((0L, "x"), (1L, null.asInstanceOf[String])).toDF("doc_id", "text")
+      .select(col("doc_id"), col("text").cast(org.apache.spark.sql.types.BinaryType).as("payload"))
+    val nh = MultimodalOps.imageDHash(withNull, "payload")
+      .orderBy("doc_id").select("dhash").collect().map(_.getLong(0))
+    assert(nh(1) === 0L, "null payload must hash to 0")
+  }
+
   test("nearDupImages: plants found with exact hamming; banding is complete for maxDist < bands") {
     val s = spark
     import s.implicits._
