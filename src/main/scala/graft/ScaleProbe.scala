@@ -436,6 +436,29 @@ object ScaleProbe {
       println(f"pq_topk ext=$useExt sec=$mq%.3f ms_per_query=${mq * 1000 / 20}%.3f all=${tsq.map(t => f"$t%.3f")}")
       emb10.unpersist()
     }
+    if (which("phash")) {
+      // round-9 image near-dup: native codegen DHash56 vs the interpreted
+      // UDF spec form (the hash is the map-side hot loop of nearDupImages —
+      // every payload, possibly re-evaluated by the banding lineage), plus
+      // the full candidate+verify pipeline per doc
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n1 = docs.count()
+      val docs10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L)))
+        .reduce(_ unionByName _).coalesce(32)
+      val media = llm.MultimodalOps.demoMediaTable(docs10, "doc_id", "text")
+        .cache()
+      media.count()
+      val (tn, tsn) = med5(onceDf(llm.MultimodalOps.imageDHash(media, "payload")))
+      println(f"phash_native sec=$tn%.3f ms_per_img=${tn * 1000 / (n1 * 10)}%.4f all=${tsn.map(t => f"$t%.3f")}")
+      val hUdf = udf((p: Array[Byte]) => llm.MultimodalOps.StubCodec.dHash56(p))
+      val (tu, tsu) = med5(onceDf(media.withColumn("dhash", hUdf(col("payload")))))
+      println(f"phash_udf sec=$tu%.3f ms_per_img=${tu * 1000 / (n1 * 10)}%.4f all=${tsu.map(t => f"$t%.3f")}")
+      val (tp, tsp) = med5(onceDf(llm.MultimodalOps.nearDupImages(
+        media, "doc_id", "payload", maxDist = 3, bands = 4)))
+      println(f"phash_neardup sec=$tp%.3f ms_per_img=${tp * 1000 / (n1 * 10)}%.4f all=${tsp.map(t => f"$t%.3f")}")
+      media.unpersist()
+    }
     spark.stop()
   }
 }
