@@ -132,6 +132,40 @@ object SampleOps {
       .drop("_st", "_thresh")
   }
 
+  /** Leakage-safe split assignment: near-duplicate documents never
+    * straddle the split. A plain hash split ([[assignSplit]]) draws
+    * independently per id, so an eval doc can be a near-copy of a train
+    * doc — exactly the contamination the decontamination ops exist to
+    * catch, manufactured at split time. Here the draw keys on the
+    * document's near-dup COMPONENT: members of a connected component of
+    * `pairs` (e.g. verified LSH candidates from
+    * [[TextOps.jaccardVerify]], or SemDeDup / embedding pairs — any
+    * (id_a, id_b) relation) all inherit the component-minimum id's draw,
+    * so every near-dup relation lands entirely train-side or entirely
+    * eval-side by construction. Documents in no pair draw on their own id
+    * — bit-identical to [[assignSplit]] for them, so adding pairs never
+    * reshuffles unrelated rows, and the split stays stable as the dedup
+    * pass improves.
+    *
+    * Scale: the component table from [[TextOps.dedupClusters]] is bounded
+    * by the documents that HAVE a near-dup (dup-rate × corpus — a few
+    * percent of web crawls), and pipelines that dedup anyway already paid
+    * for the pairs. The only corpus-sized stage here is one id-keyed left
+    * join against that slim table (AQE-broadcastable at real dup rates);
+    * the label itself stays the codegen hash-mixer CASE of
+    * [[assignSplit]] — no corpus window, no extra shuffle beyond the
+    * join. */
+  def assignSplitLeakageSafe(df: DataFrame, idCol: String, pairs: DataFrame,
+                             weights: Seq[(String, Double)], seed: Long,
+                             out: String = "split",
+                             idA: String = "id_a", idB: String = "id_b"): DataFrame = {
+    val comps = TextOps.dedupClusters(pairs, idA, idB)
+      .select(col("member_id").as(idCol), col("cluster_id").as("_split_key"))
+    val keyed = df.join(comps, Seq(idCol), "left")
+      .withColumn("_split_key", coalesce(col("_split_key"), col(idCol)))
+    assignSplit(keyed, "_split_key", weights, seed, out).drop("_split_key")
+  }
+
   /** The oracle-side replay of [[hashBucket]] as a SQL CTE chain: returns
     * (cteSql, bucketColName). `fromSql` must expose `idExpr`. Used by the
     * driver oracles; kept here so the SQL and the Column expr share one

@@ -125,6 +125,74 @@ object SimilarityOps {
       .select(col("qid"), col("_p.vid").cast(vidType).as("vid"), col("_p.sim").as("sim"))
   }
 
+  /** Hard-negative mining for contrastive retrieval training (the DPR /
+    * sentence-embedding recipe, Karpukhin et al. 2020 §4.2): for each
+    * query, the k corpus vectors most similar to it that are NOT its
+    * labeled positives (and not the query row itself) — the negatives at
+    * the decision boundary, which is what makes a contrastive batch
+    * informative (random negatives are trivially separable).
+    *
+    * `positives` carries (qidCol, vidCol) labeled pairs. Exclusion runs
+    * BEFORE the bounded top-k aggregation — filtering afterwards would
+    * return short lists whenever positives occupy top slots. The positive
+    * table is bounded (a handful of labels per query) and broadcasts as a
+    * left-anti join; zero-norm vectors fall to the NaN filter (the cosine
+    * contract shared with [[bruteForceTopK]]).
+    *
+    * Scale: identical shape to [[bruteForceTopK]] — the query batch
+    * broadcasts, the corpus scans once, per-query bounded top-k buffers
+    * are the only aggregation state, no corpus sort/window. When the
+    * corpus no longer brute-force-scans, generate candidates with the IVF
+    * probe path and compose the same anti-join + top-k tail — the
+    * exclusion is independent of how candidates are produced. */
+  def mineHardNegatives(corpus: DataFrame, queries: DataFrame,
+                        positives: DataFrame, idCol: String, vecCol: String,
+                        k: Int, qidCol: String = "qid", vidCol: String = "vid",
+                        excludeSelf: Boolean = true): DataFrame = {
+    val vidType = corpus.schema(idCol).dataType
+    val c = corpus.select(col(idCol).as("vid"), col(vecCol).cast(ArrayType(DoubleType)).as("_cv"))
+      .withColumn("_vn", sqrt(dot(col("_cv"), col("_cv"))))
+    val q = queries.select(col(idCol).as("qid"), col(vecCol).cast(ArrayType(DoubleType)).as("_qv"))
+      .withColumn("_qn", sqrt(dot(col("_qv"), col("_qv"))))
+    val pos = positives.select(col(qidCol).cast(LongType).as("qid"),
+      col(vidCol).cast(LongType).as("vid"))
+    val pairs = c.crossJoin(broadcast(q))
+      .withColumn("sim", dot(col("_qv"), col("_cv")) / (col("_qn") * col("_vn")))
+      .filter(!isnan(col("sim")))
+      .select(col("qid").cast(LongType).as("qid"),
+        col("vid").cast(LongType).as("vid"), col("sim"))
+    val nonSelf = if (excludeSelf) pairs.filter(col("qid") =!= col("vid")) else pairs
+    nonSelf.join(broadcast(pos), Seq("qid", "vid"), "left_anti")
+      .groupBy(col("qid"))
+      .agg(topKAgg(col("vid"), col("sim"), k).as("_top"))
+      .select(col("qid"), explode(col("_top")).as("_p"))
+      .select(col("qid"), col("_p.vid").cast(vidType).as("vid"), col("_p.sim").as("sim"))
+  }
+
+  /** Cluster-balanced (topic-balanced) subsampling: temperature-sample
+    * over EMBEDDING-SPACE clusters instead of metadata strata — the
+    * diversity lever when domain labels are missing or too coarse
+    * (boilerplate-heavy topics dominate a proportional sample; τ > 1
+    * up-weights small clusters the same way multilingual mixing up-weights
+    * low-resource languages). Composes [[ivfAssign]] (map-only argmax vs
+    * the broadcast centroid table) with
+    * [[SampleOps.temperatureSample]] on the cluster id, so the whole op
+    * inherits both parents' scale shapes: one bounded cluster-count
+    * aggregation, rates derived in-plan, and the keep decision is the
+    * deterministic codegen hash filter — reproducible across runs,
+    * partitionings, and cluster sizes. Rows whose vector has zero norm
+    * (unassignable under the cosine contract) form their own stratum 0.
+    * Output: the sampled rows of `df` plus `centroid_id`. */
+  def clusterBalancedSample(df: DataFrame, idCol: String, vecCol: String,
+                            centroids: DataFrame, targetTotal: Long,
+                            tau: Double = 2.0, seed: Long = 0L): DataFrame = {
+    val assign = ivfAssign(df, idCol, vecCol, centroids)
+      .select(col("vid").as(idCol), col("centroid_id"))
+    val withC = df.join(assign, Seq(idCol), "left")
+      .withColumn("centroid_id", coalesce(col("centroid_id"), lit(0)))
+    SampleOps.temperatureSample(withC, idCol, "centroid_id", targetTotal, tau, seed)
+  }
+
   /** Random-hyperplane LSH bucketing: `nBits` signed projections → bucket id.
     * Deterministic (seeded). Near-duplicate candidates = same bucket. */
   def lshBuckets(df: DataFrame, idCol: String, vecCol: String, dim: Int,

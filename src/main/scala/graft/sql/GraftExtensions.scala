@@ -212,6 +212,7 @@ object TableMacros {
     "semdedup", "knn_graph", "pq_topk", "strip_boilerplate", "top_tokens",
     "top_tokens_sketch", "top_tokens_sketch_by",
     "score_quantiles_sketch", "score_quantiles_sketch_by",
+    "assign_split_leakage_safe", "mine_hard_negatives", "cluster_balanced_sample",
     "mix_token_budget", "select_token_budget",
     // round 6 batch 19: linear quality gate, partial-overlap decontamination,
     // markup extraction
@@ -923,6 +924,27 @@ object TableMacros {
           ident(group, "group_col"), ident(score, "score_col"),
           dblList(qsE, "qs"),
           rest.headOption.map(int(_, "capacity")).getOrElse(16384))
+      case ("assign_split_leakage_safe", Seq(src, pairs, id, weights, seed, rest @ _*)) =>
+        if (rest.length > 2) fail("too many arguments")
+        graft.llm.SampleOps.assignSplitLeakageSafe(source(src),
+          ident(id, "id_col"), source(pairs), ratesSeq(weights),
+          dbl(seed, "seed").toLong,
+          idA = rest.headOption.map(ident(_, "id_a_col")).getOrElse("id_a"),
+          idB = rest.lift(1).map(ident(_, "id_b_col")).getOrElse("id_b"))
+      case ("mine_hard_negatives", Seq(corpus, qsrc, psrc, id, vec, k, rest @ _*)) =>
+        if (rest.length > 3) fail("too many arguments")
+        graft.llm.SimilarityOps.mineHardNegatives(source(corpus), source(qsrc),
+          source(psrc), ident(id, "id_col"), ident(vec, "vec_col"), int(k, "k"),
+          rest.headOption.map(ident(_, "qid_col")).getOrElse("qid"),
+          rest.lift(1).map(ident(_, "vid_col")).getOrElse("vid"),
+          rest.lift(2).forall(bool(_, "exclude_self")))
+      case ("cluster_balanced_sample", Seq(src, cents, id, vec, target, rest @ _*)) =>
+        if (rest.length > 2) fail("too many arguments")
+        graft.llm.SimilarityOps.clusterBalancedSample(source(src),
+          ident(id, "id_col"), ident(vec, "vec_col"), source(cents),
+          int(target, "target_total").toLong,
+          rest.headOption.map(dbl(_, "tau")).getOrElse(2.0),
+          rest.lift(1).map(int(_, "seed")).getOrElse(0).toLong)
       case ("mix_token_budget", Seq(src, id, domain, toks, budgets, seed)) =>
         graft.llm.MixOps.selectPerDomainBudget(source(src), ident(id, "id_col"),
           ident(domain, "domain_col"), ident(toks, "token_col"),

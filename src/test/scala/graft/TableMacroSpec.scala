@@ -761,6 +761,40 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect()(0).getLong(0) == 117L)
   }
 
+  test("round-9 training-set TVFs: split / hard negatives / cluster sample SQL == Scala API") {
+    val sp = spark
+    import sp.implicits._
+    (0L until 200L).toDF("id").createOrReplaceTempView("_tset_docs")
+    Seq((10L, 11L), (11L, 12L), (20L, 21L)).toDF("id_a", "id_b")
+      .createOrReplaceTempView("_tset_pairs")
+    val split = spark.sql("SELECT * FROM assign_split_leakage_safe(" +
+      "'_tset_docs', '_tset_pairs', id, map('train', 0.8, 'eval', 0.2), 3)")
+    assert(sortedRows(split) == sortedRows(graft.llm.SampleOps.assignSplitLeakageSafe(
+      spark.table("_tset_docs"), "id", spark.table("_tset_pairs"),
+      Seq("train" -> 0.8, "eval" -> 0.2), 3L)))
+
+    (0 until 20).map(i => (i.toLong, Seq(1.0, i * 0.01)))
+      .toDF("vid", "v").createOrReplaceTempView("_tset_vecs")
+    spark.sql("SELECT vid FROM _tset_vecs WHERE vid < 3").selectExpr(
+      "vid AS qid", "vid + 1 AS vid").createOrReplaceTempView("_tset_pos")
+    spark.sql("SELECT * FROM _tset_vecs WHERE vid < 3")
+      .createOrReplaceTempView("_tset_q")
+    val hn = spark.sql("SELECT * FROM mine_hard_negatives(" +
+      "'_tset_vecs', '_tset_q', '_tset_pos', vid, v, 4)")
+    assert(sortedRows(hn) == sortedRows(graft.llm.SimilarityOps.mineHardNegatives(
+      spark.table("_tset_vecs"), spark.table("_tset_q"), spark.table("_tset_pos"),
+      "vid", "v", k = 4)))
+
+    val cents = graft.llm.SimilarityOps.ivfTrain(
+      spark.table("_tset_vecs"), "vid", "v", 2, iters = 0)
+    cents.createOrReplaceTempView("_tset_cents")
+    val cbs = spark.sql("SELECT * FROM cluster_balanced_sample(" +
+      "'_tset_vecs', '_tset_cents', vid, v, 10, 2.0, 11)")
+    assert(sortedRows(cbs) == sortedRows(graft.llm.SimilarityOps.clusterBalancedSample(
+      spark.table("_tset_vecs"), "vid", "v", cents, targetTotal = 10,
+      tau = 2.0, seed = 11L)))
+  }
+
   test("bad arguments produce a clear error, not a planner crash") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, 'Naive')").collect()

@@ -494,6 +494,44 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       "no window may appear — the summary walk must stay streaming-composable")
   }
 
+  test("hard-negative mining: queries and positives broadcast; no corpus sort or window") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    val sp = spark
+    import sp.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 5)
+    val pos = Seq((0L, 1L), (1L, 2L)).toDF("qid", "vid")
+    val df = graft.llm.SimilarityOps.mineHardNegatives(emb, q, pos,
+      "vec_id", "embedding", k = 5)
+    val plan = df.queryExecution.executedPlan
+    // the corpus side must stay a streamed scan: the query batch rides a
+    // broadcast nested-loop (the cross), and the positive labels a
+    // broadcast anti hash join — any other shape re-shuffles the corpus
+    assert(plan.collect { case b: BroadcastNestedLoopJoinExec => b }.nonEmpty,
+      s"the query batch must broadcast:\n$plan")
+    val anti = plan.collect { case b: BroadcastHashJoinExec => b }
+    assert(anti.exists(_.joinType.toString.contains("LeftAnti")),
+      s"the positive labels must exclude via a broadcast anti join:\n$plan")
+    assert(plan.collect { case s: SortExec => s }.isEmpty &&
+      plan.collect { case w: WindowExec => w }.isEmpty,
+      "top-k comes from the bounded aggregator, never a corpus sort/window")
+  }
+
+  test("cluster-balanced sample: centroids and rates broadcast; keep decision is a filter, no corpus window") {
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = graft.llm.SimilarityOps.ivfTrain(emb, "vec_id", "embedding", 8, iters = 0)
+    val df = graft.llm.SimilarityOps.clusterBalancedSample(emb, "vec_id",
+      "embedding", cents, targetTotal = 100, tau = 2.0, seed = 1L)
+    val plan = df.queryExecution.executedPlan
+    val bcasts = plan.collect { case b: BroadcastExchangeExec => b }
+    // centroid table (assignment) + rate table (keep threshold) — the two
+    // bounded sides; the corpus itself must never sit under a broadcast
+    assert(bcasts.size >= 2, s"centroids and rates must broadcast:\n$plan")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "rates derive from the bounded cluster histogram, never a corpus window")
+  }
+
   test("composed ingest pipeline: gates are map-side; one corpus exchange (the fingerprint window)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val sp = spark
