@@ -204,6 +204,8 @@ object TableMacros {
     // round 6: cross-corpus dedup, heuristic quality filters, training shard
     // (round 9 adds the exact Bloom gate twin)
     "dedup_against", "dedup_against_bloom", "corpus_diff",
+    // round-9 event-timeline surface
+    "asof_join", "sessionize", "session_stats",
     "c4_quality_filter", "gopher_quality_filter",
     "shard_deterministic", "hash_embed", "canonicalize_url",
     "contamination_report", "lm_bigram_perplexity", "sample_temperature",
@@ -276,6 +278,11 @@ object TableMacros {
     def int(e: Expression, what: String): Int = e match {
       case Literal(v: Int, _) => v
       case Literal(v: Long, _) => v.toInt
+      case other => fail(s"$what must be an integer literal, got $other")
+    }
+    def lng(e: Expression, what: String): Long = e match {
+      case Literal(v: Int, _) => v.toLong
+      case Literal(v: Long, _) => v
       case other => fail(s"$what must be an integer literal, got $other")
     }
     def bool(e: Expression, what: String): Boolean = e match {
@@ -797,6 +804,23 @@ object TableMacros {
           rest.headOption.map(int(_, "max_dist")).getOrElse(3),
           rest.lift(1).map(int(_, "bands")).getOrElse(4),
           rest.lift(2).map(int(_, "max_bucket_size")).getOrElse(1000))
+      case ("asof_join", Seq(l, r, key, lts, rts, v, rest @ _*)) =>
+        if (rest.length > 3) fail("too many arguments")
+        graft.ops.AsofJoinOp.asofJoin(source(l), source(r),
+          Seq(ident(key, "key_col")),
+          ident(lts, "left_ts_col"), ident(rts, "right_ts_col"),
+          Seq(ident(v, "value_col")),
+          direction = rest.headOption.map(str(_, "direction")).getOrElse("backward"),
+          strict = rest.lift(1).exists(bool(_, "strict")),
+          toleranceMicros = rest.lift(2).map(lng(_, "tolerance_us")))
+      case ("sessionize", Seq(src, key, ts, gap)) =>
+        graft.ops.SessionOps.sessionize(source(src), Seq(ident(key, "key_col")),
+          ident(ts, "ts_col"), lng(gap, "gap_us"))
+      case ("session_stats", Seq(src, key, ts, gap, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.ops.SessionOps.sessionStats(source(src), Seq(ident(key, "key_col")),
+          ident(ts, "ts_col"), lng(gap, "gap_us"),
+          rest.headOption.map(ident(_, "value_col")))
       case ("corpus_diff", Seq(oldSrc, newSrc, id, text, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
         graft.llm.ReportOps.corpusDiff(source(oldSrc), source(newSrc),

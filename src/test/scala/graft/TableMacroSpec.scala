@@ -795,6 +795,43 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       tau = 2.0, seed = 11L)))
   }
 
+  test("round-9 event TVFs: asof_join / sessionize / session_stats SQL == Scala API") {
+    val sp = spark; import sp.implicits._
+    Seq((1L, 5L), (1L, 12L), (2L, 3L)).toDF("g", "t")
+      .createOrReplaceTempView("_tmb_asof_l")
+    Seq((1L, 4L, 10.0), (1L, 11L, 20.0), (2L, 9L, 30.0)).toDF("g", "t", "v")
+      .createOrReplaceTempView("_tmb_asof_r")
+    val asof = spark.sql(
+      "SELECT * FROM asof_join('_tmb_asof_l', '_tmb_asof_r', g, t, t, v)")
+    assert(sortedRows(asof) == sortedRows(graft.ops.AsofJoinOp.asofJoin(
+      spark.table("_tmb_asof_l"), spark.table("_tmb_asof_r"),
+      Seq("g"), "t", "t", Seq("v"))))
+    assert(asof.collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet ==
+      Set((1L, 5L, 10.0), (1L, 12L, 20.0), (2L, 3L, -1.0)))
+    val asofFwd = spark.sql("SELECT * FROM asof_join('_tmb_asof_l', " +
+      "'_tmb_asof_r', g, t, t, v, 'forward', false, 100)")
+    assert(sortedRows(asofFwd) == sortedRows(graft.ops.AsofJoinOp.asofJoin(
+      spark.table("_tmb_asof_l"), spark.table("_tmb_asof_r"),
+      Seq("g"), "t", "t", Seq("v"), direction = "forward",
+      toleranceMicros = Some(100L))))
+
+    Seq((1L, 0L, 1.0), (1L, 5L, 2.0), (1L, 20L, 4.0)).toDF("g", "t", "value")
+      .createOrReplaceTempView("_tmb_sess")
+    val sess = spark.sql("SELECT * FROM sessionize('_tmb_sess', g, t, 10)")
+    assert(sortedRows(sess) == sortedRows(graft.ops.SessionOps.sessionize(
+      spark.table("_tmb_sess"), Seq("g"), "t", 10L)))
+    assert(sess.select("t", "session_idx").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      Map(0L -> 0L, 5L -> 0L, 20L -> 1L))
+    val stats = spark.sql(
+      "SELECT * FROM session_stats('_tmb_sess', g, t, 10, value)")
+    assert(sortedRows(stats) == sortedRows(graft.ops.SessionOps.sessionStats(
+      spark.table("_tmb_sess"), Seq("g"), "t", 10L, Some("value"))))
+    assert(stats.select("n_events", "y_sum").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toSet == Set(2L -> 3.0, 1L -> 4.0))
+  }
+
   test("bad arguments produce a clear error, not a planner crash") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, 'Naive')").collect()

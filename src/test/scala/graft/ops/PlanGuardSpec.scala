@@ -584,6 +584,45 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.toString.contains("CartesianProduct"))
   }
 
+  test("asof join: zero join operators, one key exchange, one running window") {
+    val df = graft.SparkEntry.queries("ts_asof_join")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan
+    val ps = plan.toString
+    assert(!ps.contains("Join") && !ps.contains("CartesianProduct"),
+      s"as-of must be the union+window plan, never a join:\n$ps")
+    val shuffles = plan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s }
+    // the two pre-aggregated sides each shuffle once on (g, ts_us) for
+    // their groupBy; the as-of core itself adds exactly ONE key exchange
+    assert(shuffles.length <= 3,
+      s"expected at most the two side-agg exchanges + one as-of key exchange:\n$ps")
+    val windows = plan.collect { case w: WindowExec => w }
+    assert(windows.length == 1,
+      s"the as-of core is ONE running-last window, got ${windows.length}:\n$ps")
+  }
+
+  test("sessionize: one exchange; lag and running sum share partitioning; no join") {
+    val df = graft.ops.SessionOps.sessionize(events, Seq("user_id"), "ts",
+      6L * 3600 * 1000000)
+    val plan = df.queryExecution.executedPlan
+    val ps = plan.toString
+    assert(!ps.contains("Join") && !ps.contains("CartesianProduct"))
+    val shuffles = plan.collect {
+      case s: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => s }
+    assert(shuffles.length == 1,
+      s"both window passes must reuse the single user_id exchange:\n$ps")
+  }
+
+  test("session stats: merging session aggregation, no per-event window, no join") {
+    val df = graft.ops.SessionOps.sessionStats(events, Seq("user_id"), "ts",
+      6L * 3600 * 1000000, Some("value"))
+    val plan = df.queryExecution.executedPlan
+    val ps = plan.toString
+    assert(!ps.contains("Join") && !ps.contains("CartesianProduct"))
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"session stats is an aggregation, not a per-event window:\n$ps")
+  }
+
   test("flagship forecast: one shuffle on the group key, no cartesian") {
     val df = graft.ops.TsForecastOp.forecastBy(
       events
