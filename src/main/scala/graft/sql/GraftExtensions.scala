@@ -206,6 +206,8 @@ object TableMacros {
     "dedup_against", "dedup_against_bloom", "corpus_diff",
     // round-9 event-timeline surface
     "asof_join", "sessionize", "session_stats",
+    // round-9 cardinality sketch surface
+    "hll_count",
     "c4_quality_filter", "gopher_quality_filter",
     "shard_deterministic", "hash_embed", "canonicalize_url",
     "contamination_report", "lm_bigram_perplexity", "sample_temperature",
@@ -804,6 +806,12 @@ object TableMacros {
           rest.headOption.map(int(_, "max_dist")).getOrElse(3),
           rest.lift(1).map(int(_, "bands")).getOrElse(4),
           rest.lift(2).map(int(_, "max_bucket_size")).getOrElse(1000))
+      case ("hll_count", Seq(src, g, v, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.CardinalityOps.hllCountBy(source(src),
+          Seq(ident(g, "group_col")), ident(v, "value_col"),
+          rest.headOption.map(int(_, "p")).getOrElse(12))
+          .drop("regs")
       case ("asof_join", Seq(l, r, key, lts, rts, v, rest @ _*)) =>
         if (rest.length > 3) fail("too many arguments")
         graft.ops.AsofJoinOp.asofJoin(source(l), source(r),

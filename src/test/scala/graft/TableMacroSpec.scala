@@ -832,6 +832,19 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       .map(r => r.getLong(0) -> r.getDouble(1)).toSet == Set(2L -> 3.0, 1L -> 4.0))
   }
 
+  test("round-9 cardinality TVF: hll_count SQL == Scala API") {
+    val sp = spark; import sp.implicits._
+    (1 to 500).map(i => ("a", i.toLong)).union((1 to 40).map(i => ("b", i.toLong)))
+      .toDF("g", "ent").createOrReplaceTempView("_tmb_hll")
+    val viaSql = spark.sql("SELECT * FROM hll_count('_tmb_hll', g, ent, 8)")
+    val viaApi = graft.llm.CardinalityOps.hllCountBy(
+      spark.table("_tmb_hll"), Seq("g"), "ent", 8).drop("regs")
+    assert(sortedRows(viaSql) == sortedRows(viaApi))
+    val ests = viaSql.collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(math.abs(ests("a") - 500) / 500.0 < 0.25)
+    assert(math.abs(ests("b") - 40) / 40.0 < 0.25)
+  }
+
   test("bad arguments produce a clear error, not a planner crash") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, 'Naive')").collect()

@@ -584,6 +584,24 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!plan.toString.contains("CartesianProduct"))
   }
 
+  test("hll sketch: rows die map-side; one bounded register buffer per partition-group crosses the one exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val df = graft.llm.CardinalityOps.hllCountBy(
+      events.select(org.apache.spark.sql.functions.col("event_type").as("g"),
+        org.apache.spark.sql.functions.col("user_id").as("ent")),
+      Seq("g"), "ent", p = 12)
+    val plan = df.queryExecution.executedPlan
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    // the exact distinct path's hazard is an exchange whose cardinality IS
+    // the answer (every unique key shuffles); the sketch path must ship one
+    // serialized register buffer per (partition, group) — no raw entity
+    // column may cross the exchange
+    assert(shuffles.length == 1, s"expected the single sketch-merge exchange:\n$plan")
+    assert(shuffles.forall(_.child.output.forall(a => a.name != "ent" && a.name != "__h")),
+      "only group keys + serialized registers may cross the exchange — never the entities")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty)
+  }
+
   test("asof join: zero join operators, one key exchange, one running window") {
     val df = graft.SparkEntry.queries("ts_asof_join")(spark, sfDir)
     val plan = df.queryExecution.executedPlan
