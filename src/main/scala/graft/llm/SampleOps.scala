@@ -170,6 +170,48 @@ object SampleOps {
     * (cteSql, bucketColName). `fromSql` must expose `idExpr`. Used by the
     * driver oracles; kept here so the SQL and the Column expr share one
     * definition of the constants. */
+  /** Weighted k-sample WITHOUT replacement (Efraimidis-Spirakis 2006
+    * "Weighted random sampling with a reservoir", scheme A-ES): each row
+    * draws `u ∈ (0, 1]` from the deterministic id mixer and keys itself by
+    * `ln(u) / w` — taking the k LARGEST keys is distributionally identical
+    * to drawing k items sequentially without replacement with probability
+    * proportional to `w` (the `u^(1/w)` order statistic, compared in
+    * monotone log domain). Deterministic, reproducible across runs and
+    * partitionings — like every mixer-based sampler here, the draw depends
+    * only on (id, seed).
+    *
+    * Scale design — selection is the native bounded [[graft.functions
+    * .TopKByScore]] aggregate (2k+1 buffer per partition, map-side
+    * partial): no corpus window, no global sort; the only exchange carries
+    * one bounded top-k buffer per (partition, group). With `groupCols`
+    * the same aggregate keys on the (bounded) groups — per-language /
+    * per-domain quota sampling in one pass.
+    *
+    * Cross-engine contract: the key is ROUNDED to 6 decimals and ties
+    * break by id ascending (the house rank/selection discipline), so the
+    * DuckDB oracle replays the draw and the cut identically. Rows with
+    * null or non-positive weight never qualify. Output: groupCols...,
+    * idCol, `score` (the rounded key). */
+  def weightedSampleK(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                      seed: Long, groupCols: Seq[String] = Seq.empty): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    val u = (hashBucket(col(idCol), seed) + lit(1L)).cast("double") / lit(P.toDouble)
+    val keyed = df
+      .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .select((groupCols.map(col) :+ col(idCol).cast("long").as("__id") :+
+        round(log(u) / col(weightCol).cast("double"), 6).as("__key")): _*)
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    val topk = B.column(graft.functions.TopKByScore(
+      B.expression(col("__id")), B.expression(col("__key")), k)
+      .toAggregateExpression()).as("__top")
+    keyed
+      .groupBy(groupCols.map(col): _*)
+      .agg(topk)
+      .select((groupCols.map(col) :+ explode(col("__top")).as("__e")): _*)
+      .select((groupCols.map(col) :+ col("__e.vid").as(idCol) :+
+        col("__e.sim").as("score")): _*)
+  }
+
   def hashBucketSqlCtes(fromSql: String, idExpr: String, seed: Long,
                         prefix: String = "_h"): (String, String) = {
     // distinct prefixes let two independent draws chain in one query

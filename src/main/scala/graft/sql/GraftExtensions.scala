@@ -208,6 +208,8 @@ object TableMacros {
     "asof_join", "sessionize", "session_stats",
     // round-9 cardinality sketch surface
     "hll_count",
+    // round-9 weighted reservoir sampling
+    "sample_weighted_k",
     "c4_quality_filter", "gopher_quality_filter",
     "shard_deterministic", "hash_embed", "canonicalize_url",
     "contamination_report", "lm_bigram_perplexity", "sample_temperature",
@@ -806,6 +808,11 @@ object TableMacros {
           rest.headOption.map(int(_, "max_dist")).getOrElse(3),
           rest.lift(1).map(int(_, "bands")).getOrElse(4),
           rest.lift(2).map(int(_, "max_bucket_size")).getOrElse(1000))
+      case ("sample_weighted_k", Seq(src, id, w, kArg, seedArg, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.SampleOps.weightedSampleK(source(src), ident(id, "id_col"),
+          ident(w, "weight_col"), int(kArg, "k"), lng(seedArg, "seed"),
+          rest.headOption.map(ident(_, "group_col")).toSeq)
       case ("hll_count", Seq(src, g, v, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
         graft.llm.CardinalityOps.hllCountBy(source(src),

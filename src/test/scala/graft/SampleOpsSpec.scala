@@ -181,6 +181,68 @@ class SampleOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(4L)._2 == 0.6 && got(4L)._3 == 0.5)
   }
 
+  test("weightedSampleK matches the A-ES reference fold and is partition-invariant") {
+    val sp = spark; import sp.implicits._
+    val n = 400
+    val df = (1L to n.toLong).map(i => (i, (i % 7 + 1).toDouble)).toDF("id", "w")
+    val seed = 37L
+    // single-node reference: mixer draw -> log-domain key -> top-k cut
+    val P = SampleOps.P
+    val mult = 2654435761L % P
+    def mix(id: Long): Long = {
+      var x = (((id % P) + P) % P * mult + seed % P) % P
+      (0 until 3).foreach(_ => x = ((x ^ (x >> 16)) * 48271L) % P)
+      x
+    }
+    def key(id: Long, w: Double): Double = {
+      val raw = math.log((mix(id) + 1).toDouble / P.toDouble) / w
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = (1L to n.toLong).map(i => (i, key(i, (i % 7 + 1).toDouble)))
+      .sortBy { case (id, s) => (-s, id) }.take(50).toSet
+    for (parts <- Seq(1, 5)) {
+      val got = SampleOps.weightedSampleK(df.repartition(parts), "id", "w", 50, seed)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+      assert(got == want, s"parts=$parts")
+    }
+  }
+
+  test("weightedSampleK favors heavy weights; k >= n returns all positive-weight rows") {
+    val sp = spark; import sp.implicits._
+    val heavy = (1L to 100L).map(i => (i, 9.0))
+    val light = (101L to 500L).map(i => (i, 1.0))
+    val df = (heavy ++ light).toDF("id", "w")
+    var heavyHits = 0; var lightHits = 0
+    for (seed <- 1L to 20L) {
+      val picked = SampleOps.weightedSampleK(df, "id", "w", 50, seed)
+        .collect().map(_.getLong(0)).toSet
+      heavyHits += picked.count(_ <= 100)
+      lightHits += picked.count(_ > 100)
+    }
+    // heavy ids are 9x likelier per draw (pool weight 900 vs 400, depleting
+    // as heavies are drawn): ~63% of slots go heavy; an unweighted sample
+    // would give 20%. Assert well above unweighted, below exhaustion.
+    assert(heavyHits > 1.5 * lightHits, s"heavy=$heavyHits light=$lightHits")
+    val all = (1L to 10L).map(i => (i, i.toDouble)) :+ ((11L, 0.0)) :+ ((12L, -1.0))
+    val full = SampleOps.weightedSampleK(all.toDF("id", "w"), "id", "w", 100, 5L)
+    assert(full.collect().map(_.getLong(0)).toSet == (1L to 10L).toSet)
+  }
+
+  test("weightedSampleK per group: independent quotas, unaffected by other groups") {
+    val sp = spark; import sp.implicits._
+    val a = (1L to 50L).map(i => ("a", i, 1.0 + i))
+    val b = (51L to 90L).map(i => ("b", i, 2.0))
+    val df = (a ++ b).toDF("g", "id", "w")
+    val out = SampleOps.weightedSampleK(df, "id", "w", 10, 7L, Seq("g"))
+    val byG = out.collect().groupBy(_.getString(0))
+    assert(byG("a").length == 10 && byG("b").length == 10)
+    // group a's selection is a function of group a's rows only
+    val aOnly = SampleOps.weightedSampleK(a.toDF("g", "id", "w"), "id", "w",
+      10, 7L, Seq("g"))
+    assert(aOnly.collect().map(r => (r.getLong(1), r.getDouble(2))).toSet ==
+      byG("a").map(r => (r.getLong(1), r.getDouble(2))).toSet)
+  }
+
   test("piiScrub masks urls, emails, and long digit runs; normalize canonicalizes") {
     val sp = spark
     import sp.implicits._

@@ -845,6 +845,22 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(ests("b") - 40) / 40.0 < 0.25)
   }
 
+  test("round-9 sampling TVF: sample_weighted_k SQL == Scala API") {
+    val sp = spark; import sp.implicits._
+    (1L to 200L).map(i => ("g" + (i % 2), i, (i % 5 + 1).toDouble))
+      .toDF("g", "id", "w").createOrReplaceTempView("_tmb_wsk")
+    val viaSql = spark.sql(
+      "SELECT * FROM sample_weighted_k('_tmb_wsk', id, w, 15, 37)")
+    assert(sortedRows(viaSql) == sortedRows(graft.llm.SampleOps.weightedSampleK(
+      spark.table("_tmb_wsk"), "id", "w", 15, 37L)))
+    assert(viaSql.count() == 15)
+    val byG = spark.sql(
+      "SELECT * FROM sample_weighted_k('_tmb_wsk', id, w, 15, 37, g)")
+    assert(sortedRows(byG) == sortedRows(graft.llm.SampleOps.weightedSampleK(
+      spark.table("_tmb_wsk"), "id", "w", 15, 37L, Seq("g"))))
+    assert(byG.groupBy("g").count().collect().forall(_.getLong(1) == 15))
+  }
+
   test("bad arguments produce a clear error, not a planner crash") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, 'Naive')").collect()

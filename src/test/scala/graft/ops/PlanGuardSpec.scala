@@ -602,6 +602,22 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.collect { case w: WindowExec => w }.isEmpty)
   }
 
+  test("weighted k-sample: bounded top-k aggregate, no corpus window or sort") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.SortExec
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.llm.SampleOps.weightedSampleK(docs, "doc_id", "n_chars",
+      50, 37L, Seq("lang"))
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "selection is the bounded TopKByScore aggregate, never a ranked window")
+    assert(plan.collect { case s: SortExec => s }.isEmpty,
+      "no corpus sort — per-partition 2k+1 buffers merge map-side")
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.length == 1,
+      s"one group-keyed exchange carrying bounded top-k buffers:\n$plan")
+  }
+
   test("asof join: zero join operators, one key exchange, one running window") {
     val df = graft.SparkEntry.queries("ts_asof_join")(spark, sfDir)
     val plan = df.queryExecution.executedPlan
