@@ -1,0 +1,138 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Approximate string joins under an EDIT-DISTANCE bound — the record-
+  * linkage / entity-resolution primitive ("which titles, names, URLs are
+  * within k typos of each other?"), complementing the set-similarity
+  * family (MinHash/Jaccard works on token SETS; edit distance respects
+  * ORDER and catches the typos and transpositions set overlap misses).
+  *
+  * Algorithm — positional q-gram blocking with the count+position+length
+  * filters of Gravano et al. 2001 (VLDB, "Approximate string joins in a
+  * database (almost) for free"), then an exact banded-Levenshtein verify:
+  *
+  *  1. every string of length L emits its L-q+1 positional q-grams
+  *     (hashed; candidate generation is engine-internal, so the hash
+  *     never needs cross-engine replay — only the verified pairs leave);
+  *  2. one edit destroys at most q grams and shifts positions by at most
+  *     1, so `dist(s1,s2) <= d` implies at least
+  *     `T = max(L1,L2) - q + 1 - d*q` positional gram matches with
+  *     `|pos1 - pos2| <= d` — the candidate filter (repeated grams only
+  *     overcount matches, so the filter is a strict superset of the
+  *     truth; the verify stage restores exactness);
+  *  3. pairs where BOTH lengths are below `q*(d+1)` (T <= 0 —
+  *     un-prunable by grams) fall back to a bounded length-bucket pool
+  *     joined on exploded length keys `len+delta, |delta| <= d` — an
+  *     equi-join, never a nested loop;
+  *  4. surviving candidates verify with Spark's threshold Levenshtein
+  *     (`levenshtein(s1, s2, d)` — banded, O(d·min(L)), early exit).
+  *
+  * Scale design — the gram join is keyed on `(gramHash, pos/(d+1))`: the
+  * position band both enforces the position filter through an EQUI-key
+  * (one side explodes into its 3 adjacent bands) and splits hot grams
+  * ("the", "ing") across bands — the classic key salt, for free and
+  * without losing exactness. Shuffle volume is Σ(L) gram rows of three
+  * longs each: this is the SHORT-string op (names, titles, URLs, product
+  * keys; fixtures run 7-64 chars) — for document-scale near-duplication
+  * use the MinHash LSH family, whose shuffle is signature-bounded. The
+  * verify stage re-joins only the slim candidate ids against the strings
+  * (two id-keyed joins); strings never cross the gram exchange. No
+  * cartesian or nested-loop join anywhere (PlanGuardSpec pins this). */
+object FuzzyJoinOps {
+
+  /** All unordered pairs `(id1 < id2, dist)` with
+    * `levenshtein(s1, s2) <= maxDist`. Null/empty strings never pair;
+    * duplicate ids must not occur (standard id contract). Output:
+    * `(id1, id2, dist)`. */
+  def fuzzySelfJoin(df: DataFrame, idCol: String, strCol: String,
+                    maxDist: Int, q: Int = 3): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(q >= 2, s"q must be >= 2, got $q")
+    val d = maxDist
+    val w = d + 1 // band width: |p1-p2| <= d implies band diff in {-1,0,1}
+    val minLong = q * (d + 1) // strings below this have T <= 0
+
+    val slim = df
+      .filter(col(strCol).isNotNull && length(col(strCol)) > 0)
+      .select(col(idCol).cast("long").as("id"), col(strCol).as("s"),
+        length(col(strCol)).as("len"))
+
+    // --- branch A: positional q-gram candidates --------------------------
+    // 0-based gram position i -> hash of substr(s, i+1, q); the sequence is
+    // guarded (it DESCENDS when len < q — the house pitfall).
+    val grams = slim.select(col("id"), col("len"),
+      posexplode(
+        when(col("len") >= q,
+          transform(sequence(lit(0), col("len") - lit(q)),
+            i => xxhash64(col("s").substr(i + lit(1), lit(q)))))
+          .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "gh")))
+
+    val left = grams.select(col("id").as("id1"), col("len").as("len1"),
+      col("pos").as("p1"), col("gh"), (col("pos") / w).cast("int").as("band"))
+    // the right side explodes into its 3 adjacent bands so the position
+    // filter rides the equi-key; each qualifying (p1, p2) pair matches on
+    // exactly one emitted band (= p1's own band), so counts stay exact
+    val right = grams.select(col("id").as("id2"), col("len").as("len2"),
+      col("pos").as("p2"), col("gh"),
+      explode(array((-1 to 1).map(delta => (col("pos") / w).cast("int") + delta): _*))
+        .as("band"))
+
+    val candA = left.join(right,
+        left("gh") === right("gh") && left("band") === right("band") &&
+          col("id1") < col("id2") &&
+          abs(col("p1") - col("p2")) <= d &&
+          abs(col("len1") - col("len2")) <= d,
+        "inner")
+      .groupBy(col("id1"), col("id2"), col("len1"), col("len2"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >=
+        greatest(col("len1"), col("len2")) - lit(q - 1) - lit(d * q))
+      .filter(greatest(col("len1"), col("len2")) >= minLong)
+      .select("id1", "id2")
+
+    // --- branch B: the short pool (both lengths < q*(d+1)) ---------------
+    val shortL = slim.filter(col("len") < minLong)
+    val shortKeys = shortL.select(col("id").as("id2"), col("len").as("len2"),
+      explode(array((-d to d).map(delta => col("len") + delta): _*)).as("lk"))
+    val candB = shortL
+      .select(col("id").as("id1"), col("len").as("len1"), col("len").as("lk"))
+      .join(shortKeys, Seq("lk"))
+      .filter(col("id1") < col("id2") && abs(col("len1") - col("len2")) <= d)
+      .select("id1", "id2").distinct()
+
+    // --- verify ----------------------------------------------------------
+    val cands = candA.unionByName(candB)
+    val s1 = slim.select(col("id").as("id1"), col("s").as("__s1"))
+    val s2 = slim.select(col("id").as("id2"), col("s").as("__s2"))
+    cands.join(s1, "id1").join(s2, "id2")
+      .withColumn("dist", levenshtein(col("__s1"), col("__s2"), d))
+      .filter(col("dist") >= 0)
+      .select(col("id1"), col("id2"), col("dist"))
+  }
+
+  /** Two-table variant: `(leftId, rightId, dist)` for every cross pair
+    * within `maxDist` — the "match incoming records against a reference
+    * catalog" shape. Same blocking machinery via a disjoint id embedding
+    * (left ids even, right ids odd), so both sides share one gram pass. */
+  def fuzzyJoin(left: DataFrame, right: DataFrame,
+                leftId: String, leftStr: String,
+                rightId: String, rightStr: String,
+                maxDist: Int, q: Int = 3): DataFrame = {
+    val l = left.select((col(leftId).cast("long") * 2).as("id"),
+      col(leftStr).as("s"))
+    val r = right.select((col(rightId).cast("long") * 2 + 1).as("id"),
+      col(rightStr).as("s"))
+    val pairs = fuzzySelfJoin(l.unionByName(r), "id", "s", maxDist, q)
+    // keep only cross-side pairs and undo the embedding; the even (left)
+    // id may land in either pair slot
+    pairs.filter(col("id1") % 2 =!= col("id2") % 2)
+      .select(
+        when(col("id1") % 2 === 0, col("id1")).otherwise(col("id2"))
+          .divide(2).cast("long").as(leftId),
+        when(col("id1") % 2 === 1, col("id1")).otherwise(col("id2"))
+          .minus(1).divide(2).cast("long").as(rightId),
+        col("dist"))
+  }
+}

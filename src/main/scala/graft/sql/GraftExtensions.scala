@@ -210,6 +210,8 @@ object TableMacros {
     "hll_count",
     // round-9 weighted reservoir sampling
     "sample_weighted_k",
+    // round-9 edit-distance record linkage
+    "fuzzy_self_join",
     "c4_quality_filter", "gopher_quality_filter",
     "shard_deterministic", "hash_embed", "canonicalize_url",
     "contamination_report", "lm_bigram_perplexity", "sample_temperature",
@@ -808,6 +810,11 @@ object TableMacros {
           rest.headOption.map(int(_, "max_dist")).getOrElse(3),
           rest.lift(1).map(int(_, "bands")).getOrElse(4),
           rest.lift(2).map(int(_, "max_bucket_size")).getOrElse(1000))
+      case ("fuzzy_self_join", Seq(src, id, s, dArg, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.FuzzyJoinOps.fuzzySelfJoin(source(src), ident(id, "id_col"),
+          ident(s, "str_col"), int(dArg, "max_dist"),
+          rest.headOption.map(int(_, "q")).getOrElse(3))
       case ("sample_weighted_k", Seq(src, id, w, kArg, seedArg, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
         graft.llm.SampleOps.weightedSampleK(source(src), ident(id, "id_col"),

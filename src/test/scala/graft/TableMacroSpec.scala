@@ -861,6 +861,17 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byG.groupBy("g").count().collect().forall(_.getLong(1) == 15))
   }
 
+  test("round-9 linkage TVF: fuzzy_self_join SQL == Scala API") {
+    val sp = spark; import sp.implicits._
+    Seq((1L, "widget alpha"), (2L, "widget alphb"), (3L, "something else"))
+      .toDF("id", "s").createOrReplaceTempView("_tmb_fuzzy")
+    val viaSql = spark.sql("SELECT * FROM fuzzy_self_join('_tmb_fuzzy', id, s, 1)")
+    assert(sortedRows(viaSql) == sortedRows(graft.llm.FuzzyJoinOps.fuzzySelfJoin(
+      spark.table("_tmb_fuzzy"), "id", "s", 1)))
+    assert(viaSql.collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSet == Set((1L, 2L, 1)))
+  }
+
   test("bad arguments produce a clear error, not a planner crash") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, 'Naive')").collect()

@@ -618,6 +618,30 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"one group-keyed exchange carrying bounded top-k buffers:\n$plan")
   }
 
+  test("fuzzy join: every join is equi-keyed (gram+band / length / id) — no nested loop, no cartesian") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(org.apache.spark.sql.functions.col("doc_id").as("id"),
+        org.apache.spark.sql.functions.substring(
+          org.apache.spark.sql.functions.col("text"), 1, 24).as("s"))
+    val df = graft.llm.FuzzyJoinOps.fuzzySelfJoin(docs, "id", "s", 2)
+    val plan = df.queryExecution.executedPlan
+    val ps = plan.toString
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoop"),
+      s"blocking must ride equi-keys — a nested loop means the position/length " +
+        s"filter fell out of the join key:\n$ps")
+    // the gram join must key on the (hash, band) PAIR — band in the key is
+    // both the position filter and the hot-gram salt
+    val smj = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j
+      case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j
+    }
+    assert(smj.nonEmpty, s"expected shuffled equi-joins:\n$ps")
+    assert(smj.exists(j =>
+      j.asInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec]
+        .leftKeys.length >= 2),
+      "gram join must carry (gh, band) as a compound equi-key")
+  }
+
   test("asof join: zero join operators, one key exchange, one running window") {
     val df = graft.SparkEntry.queries("ts_asof_join")(spark, sfDir)
     val plan = df.queryExecution.executedPlan
