@@ -229,6 +229,41 @@ object Bench {
     val scaleRes = scaleQs.map { case (name, fn) => (name, median3(onceDf(fn()))) }
     series10.unpersist()
 
+    // round-9 event-timeline ops at 10× event count: replicas offset
+    // user_id so per-user timeline density stays realistic (10× entities,
+    // not 10× events per entity)
+    val ev1 = t(spark, sfDir, "events")
+    val nEv1 = ev1.count()
+    val ev10 = (0 until 10).map(i =>
+        ev1.withColumn("user_id", col("user_id") + lit(i * 100000000L)))
+      .reduce(_ unionByName _).coalesce(32).cache()
+    ev10.count()
+    def sideAgg(et: String) = ev10.filter(col("event_type") === et)
+      .groupBy(col("user_id").as("g"), col("ts")).agg(sum("value").as("y"))
+    // sides cached: the measurement is the as-of core (union + one key
+    // exchange + running window), the steady-state production shape
+    val purchases10 = sideAgg("purchase").cache()
+    val nPurch10 = purchases10.count()
+    val clicks10 = sideAgg("click").withColumnRenamed("y", "cy").cache()
+    clicks10.count()
+    val asof10 = median3(onceDf(
+      ops.AsofJoinOp.asofJoin(purchases10, clicks10, Seq("g"), "ts", "ts", Seq("cy"))))
+    purchases10.unpersist(); clicks10.unpersist()
+    val gapUs = 6L * 3600 * 1000000
+    val sessionize10 = median3(onceDf(
+      ops.SessionOps.sessionize(ev10, Seq("user_id"), "ts", gapUs)))
+    val sessionStats10 = median3(onceDf(
+      ops.SessionOps.sessionStats(ev10, Seq("user_id"), "ts", gapUs, Some("value"))))
+    // HLL over 10× events: distinct (user, day) per event type — xxhash64
+    // production path at p=12; only register buffers cross the exchange
+    val hll10 = median3(onceDf(
+      llm.CardinalityOps.hllCountBy(
+        ev10.select(col("event_type").as("g"),
+          (col("user_id") * lit(1000000L) +
+            datediff(col("ts").cast("date"), lit("1970-01-01"))).as("ent")),
+        Seq("g"), "ent", p = 12)))
+    ev10.unpersist()
+
     // Embedding-space ops run FIRST in the LLM section: the text ops
     // below cycle multi-GB cached corpora and temp indexes through the
     // heap/page cache, which measurably degraded the vector ops when
@@ -468,6 +503,11 @@ object Bench {
         docs10.withColumn("score",
           llm.SampleOps.hashBucket(col("doc_id"), 5).cast("double")),
         "doc_id", "score")))
+    // round-9 weighted k-sample: per-language A-ES quota over the 10×
+    // corpus — map-side key projection + bounded top-k aggregate
+    val weightedK10 = median3(onceDf(
+      llm.SampleOps.weightedSampleK(docs10, "doc_id", "n_chars", 1000, 37L,
+        Seq("lang"))))
     docs10.unpersist()
     // span dedup at 10× corpus: replicas are made gram-DISTINCT (translate
     // mutates most tokens) so the measurement is the steady-state rolling-
@@ -480,6 +520,14 @@ object Bench {
     docsSpan10.count()
     val spans10 = median3(onceDf(
       llm.TextOps.removeDuplicatedSpans(docsSpan10, "doc_id", "text", gramLen = 20)))
+    // round-9 fuzzy join on the replica-distinct corpus (cross-replica
+    // distances exceed the bound, so matches are the natural within-replica
+    // near-dups): 24-char prefixes, d=2 — the title/URL linkage shape
+    val fuzzy10 = median3(onceDf(
+      llm.FuzzyJoinOps.fuzzySelfJoin(
+        docsSpan10.select(col("doc_id").as("id"),
+          substring(col("text"), 1, 24).as("s")),
+        "id", "s", 2)))
     docsSpan10.unpersist()
 
     val nd10 = nDocs1 * 10.0
@@ -516,7 +564,13 @@ object Bench {
       entry("bloom_score_docs", bloomScore10, "ms_per_incoming_doc", nDocs1.toDouble),
       entry("corpus_diff_docs", corpusDiff10, "ms_per_doc", nd10),
       entry("top_tokens_sketch_docs", topTokSketch10, "ms_per_doc", nd10),
-      entry("score_quantiles_sketch_docs", kllSketch10, "ms_per_doc", nd10)
+      entry("score_quantiles_sketch_docs", kllSketch10, "ms_per_doc", nd10),
+      entry("asof_join_rows", asof10, "ms_per_left_row", nPurch10.toDouble),
+      entry("sessionize_events", sessionize10, "ms_per_event", nEv1 * 10.0),
+      entry("session_stats_events", sessionStats10, "ms_per_event", nEv1 * 10.0),
+      entry("hll_user_days_events", hll10, "ms_per_event", nEv1 * 10.0),
+      entry("weighted_k_docs", weightedK10, "ms_per_doc", nd10),
+      entry("fuzzy_join_strings", fuzzy10, "ms_per_string", nd10)
     )).mkString("{", ",",
       s""","n_series":${nSeries1 * 10},"n_docs":${nDocs1 * 10},"n_vectors":${nEmb1 * 10},"n_queries":$nQueries}""")
     // metrics whose run band exceeds ±40% of the median EVEN AFTER the

@@ -459,6 +459,127 @@ object ScaleProbe {
       println(f"phash_neardup sec=$tp%.3f ms_per_img=${tp * 1000 / (n1 * 10)}%.4f all=${tsp.map(t => f"$t%.3f")}")
       media.unpersist()
     }
+    if (which("asof")) {
+      // A/B: the union+window as-of core vs the naive equi-join +
+      // per-left-row max + re-join formulation (what a range join
+      // degenerates to) — same semantics, join-shaped plan
+      val ev = (if (ev0.schema("ts").dataType == LongType)
+          ev0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else ev0)
+      val evM = (0 until mult).map(i =>
+          ev.withColumn("user_id", col("user_id") + lit(i * 100000000L)))
+        .reduce(_ unionByName _).coalesce(32)
+      def sideAgg(et: String) = evM.filter(col("event_type") === et)
+        .groupBy(col("user_id").as("g"), col("ts")).agg(sum("value").as("y"))
+      val l = sideAgg("purchase").cache(); val nL = l.count()
+      val r = sideAgg("click").withColumnRenamed("y", "cy").cache(); r.count()
+      val (ta, tsa) = med5(onceDf(
+        ops.AsofJoinOp.asofJoin(l, r, Seq("g"), "ts", "ts", Seq("cy"))))
+      println(f"asof_window sec=$ta%.3f ms_per_left_row=${ta * 1000 / nL}%.4f all=${tsa.map(t => f"$t%.3f")}")
+      val (tj, tsj) = med5(onceDf {
+        val best = l.join(r.select(col("g"), col("ts").as("rts"), col("cy")), Seq("g"))
+          .filter(col("rts") <= col("ts"))
+          .groupBy(col("g"), col("ts")).agg(max(col("rts")).as("mts"))
+        l.join(best, Seq("g", "ts"), "left")
+          .join(r.select(col("g"), col("ts").as("mts"), col("cy")),
+            Seq("g", "mts"), "left")
+      })
+      println(f"asof_naive_join sec=$tj%.3f ms_per_left_row=${tj * 1000 / nL}%.4f all=${tsj.map(t => f"$t%.3f")}")
+      l.unpersist(); r.unpersist()
+      // DENSITY-scaled fixture: same entities, mult× LONGER per-key
+      // timelines (ts jittered per replica) — the regime where the naive
+      // join's per-key |L_g|x|R_g| term dominates while the union+window
+      // core stays linear. This is the year-of-quotes-per-entity shape.
+      val evD = (0 until mult).map(i =>
+          ev.withColumn("ts", col("ts") + expr(s"INTERVAL ${i * 7 + 1} SECOND")))
+        .reduce(_ unionByName _).coalesce(32)
+      def sideAggD(et: String) = evD.filter(col("event_type") === et)
+        .groupBy(col("user_id").as("g"), col("ts")).agg(sum("value").as("y"))
+      val lD = sideAggD("purchase").cache(); val nLD = lD.count()
+      val rD = sideAggD("click").withColumnRenamed("y", "cy").cache(); rD.count()
+      val (td, tsd) = med5(onceDf(
+        ops.AsofJoinOp.asofJoin(lD, rD, Seq("g"), "ts", "ts", Seq("cy"))))
+      println(f"asof_window_dense sec=$td%.3f ms_per_left_row=${td * 1000 / nLD}%.4f all=${tsd.map(t => f"$t%.3f")}")
+      val (tjd, tsjd) = med5(onceDf {
+        val best = lD.join(rD.select(col("g"), col("ts").as("rts"), col("cy")), Seq("g"))
+          .filter(col("rts") <= col("ts"))
+          .groupBy(col("g"), col("ts")).agg(max(col("rts")).as("mts"))
+        lD.join(best, Seq("g", "ts"), "left")
+          .join(rD.select(col("g"), col("ts").as("mts"), col("cy")),
+            Seq("g", "mts"), "left")
+      })
+      println(f"asof_naive_dense sec=$tjd%.3f ms_per_left_row=${tjd * 1000 / nLD}%.4f all=${tsjd.map(t => f"$t%.3f")}")
+      lD.unpersist(); rD.unpersist()
+    }
+    if (which("session")) {
+      val ev = (if (ev0.schema("ts").dataType == LongType)
+          ev0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else ev0)
+      val evM = (0 until mult).map(i =>
+          ev.withColumn("user_id", col("user_id") + lit(i * 100000000L)))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      val nE = evM.count()
+      val gapUs = 6L * 3600 * 1000000
+      val (tz, tsz) = med5(onceDf(
+        ops.SessionOps.sessionize(evM, Seq("user_id"), "ts", gapUs)))
+      println(f"sessionize sec=$tz%.3f ms_per_event=${tz * 1000 / nE}%.4f all=${tsz.map(t => f"$t%.3f")}")
+      val (tt, tst) = med5(onceDf(
+        ops.SessionOps.sessionStats(evM, Seq("user_id"), "ts", gapUs, Some("value"))))
+      println(f"session_stats sec=$tt%.3f ms_per_event=${tt * 1000 / nE}%.4f all=${tst.map(t => f"$t%.3f")}")
+      evM.unpersist()
+    }
+    if (which("hll")) {
+      // A/B: register-sketch distinct vs the exact distinct aggregation —
+      // the exact path's exchange carries every unique key
+      val ev = (if (ev0.schema("ts").dataType == LongType)
+          ev0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        else ev0)
+      val evM = (0 until mult).map(i =>
+          ev.withColumn("user_id", col("user_id") + lit(i * 100000000L)))
+        .reduce(_ unionByName _).coalesce(32)
+      val ents = evM.select(col("event_type").as("g"),
+        (col("user_id") * lit(1000000L) +
+          datediff(col("ts").cast("date"), lit("1970-01-01"))).as("ent"))
+        .cache()
+      val nE = ents.count()
+      val (th, tsh) = med5(onceDf(
+        llm.CardinalityOps.hllCountBy(ents, Seq("g"), "ent", p = 12)))
+      println(f"hll_sketch sec=$th%.3f ms_per_event=${th * 1000 / nE}%.4f all=${tsh.map(t => f"$t%.3f")}")
+      val (te, tse) = med5(onceDf(
+        ents.groupBy("g").agg(countDistinct(col("ent")).as("n"))))
+      println(f"hll_exact_distinct sec=$te%.3f ms_per_event=${te * 1000 / nE}%.4f all=${tse.map(t => f"$t%.3f")}")
+      ents.unpersist()
+    }
+    if (which("fuzzy")) {
+      // blocked fuzzy join on replica-distinct 24-char prefixes; the
+      // quadratic verify-everything alternative is deliberately not run
+      // at full mult (it is O(n²) — probe it at mult=1 for the A/B)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n1 = docs.count()
+      val docsM = (0 until mult).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", translate(col("text"), "eE", s"${i % 10}${i % 10}")))
+        .reduce(_ unionByName _).coalesce(32)
+        .select(col("doc_id").as("id"), substring(col("text"), 1, 24).as("s"))
+        .cache()
+      val nS = docsM.count()
+      val (tf, tsf) = med5(onceDf(
+        llm.FuzzyJoinOps.fuzzySelfJoin(docsM, "id", "s", 2)))
+      println(f"fuzzy_blocked sec=$tf%.3f ms_per_string=${tf * 1000 / nS}%.4f all=${tsf.map(t => f"$t%.3f")}")
+      if (mult <= 1) {
+        val a = docsM.select(col("id").as("id1"), col("s").as("s1"),
+          length(col("s")).as("l1"))
+        val b = docsM.select(col("id").as("id2"), col("s").as("s2"),
+          length(col("s")).as("l2"))
+        val (tb, tsb) = med5(onceDf(
+          a.join(b, col("id1") < col("id2") &&
+              abs(col("l1") - col("l2")) <= 2)
+            .withColumn("dist", levenshtein(col("s1"), col("s2"), 2))
+            .filter(col("dist") >= 0)))
+        println(f"fuzzy_brute sec=$tb%.3f ms_per_string=${tb * 1000 / nS}%.4f all=${tsb.map(t => f"$t%.3f")}")
+      }
+      docsM.unpersist()
+    }
     spark.stop()
   }
 }

@@ -17,11 +17,19 @@ import org.apache.spark.sql.functions._
   *     (hashed; candidate generation is engine-internal, so the hash
   *     never needs cross-engine replay — only the verified pairs leave);
   *  2. one edit destroys at most q grams and shifts positions by at most
-  *     1, so `dist(s1,s2) <= d` implies at least
-  *     `T = max(L1,L2) - q + 1 - d*q` positional gram matches with
-  *     `|pos1 - pos2| <= d` — the candidate filter (repeated grams only
-  *     overcount matches, so the filter is a strict superset of the
-  *     truth; the verify stage restores exactness);
+  *     1, so `dist(s1,s2) <= d` leaves at most `d*q` of either side's
+  *     grams without a positional match (`|pos1 - pos2| <= d`). By the
+  *     prefix-filter principle specialized to edit distance (Ed-Join,
+  *     Xiao-Wang-Lin 2008): order gram VALUES by a global canonical key
+  *     (document frequency asc, hash asc) — the smallest-ordered matched
+  *     value must rank within the first `d*q + 1` distinct values on
+  *     BOTH sides (every value below it is wholly unmatched, and there
+  *     are at most `d*q` unmatched copies). So each string indexes only
+  *     the positional copies of its `d*q + 1` rarest gram values, and
+  *     the candidate join runs prefix-against-prefix — hot grams
+  *     ("the ", template boilerplate) rank last and never join unless a
+  *     string consists of nothing else, in which case the colliding
+  *     pairs are near-duplicates the output owes anyway;
   *  3. pairs where BOTH lengths are below `q*(d+1)` (T <= 0 —
   *     un-prunable by grams) fall back to a bounded length-bucket pool
   *     joined on exploded length keys `len+delta, |delta| <= d` — an
@@ -69,12 +77,25 @@ object FuzzyJoinOps {
             i => xxhash64(col("s").substr(i + lit(1), lit(q)))))
           .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "gh")))
 
-    val left = grams.select(col("id").as("id1"), col("len").as("len1"),
+    // global canonical gram order: document frequency asc, hash asc —
+    // rarest values first, so hot grams fall out of every prefix
+    val gramDf = grams.groupBy("gh").agg(count(lit(1)).as("__df"))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("__df").asc, col("gh").asc)
+    // prefix = ALL positional copies of the d*q+1 rarest gram VALUES
+    // (value-granularity keeps the repeated-gram case exact: the matched
+    // copy's twins share its value, so they enter the prefix with it)
+    val prefix = grams.join(gramDf, "gh")
+      .withColumn("__vr", dense_rank().over(wRank))
+      .filter(col("__vr") <= d * q + 1)
+      .select("id", "len", "pos", "gh")
+
+    val left = prefix.select(col("id").as("id1"), col("len").as("len1"),
       col("pos").as("p1"), col("gh"), (col("pos") / w).cast("int").as("band"))
     // the right side explodes into its 3 adjacent bands so the position
-    // filter rides the equi-key; each qualifying (p1, p2) pair matches on
-    // exactly one emitted band (= p1's own band), so counts stay exact
-    val right = grams.select(col("id").as("id2"), col("len").as("len2"),
+    // filter rides the equi-key; a qualifying (p1, p2) pair matches on
+    // exactly one emitted band (= p1's own band)
+    val right = prefix.select(col("id").as("id2"), col("len").as("len2"),
       col("pos").as("p2"), col("gh"),
       explode(array((-1 to 1).map(delta => (col("pos") / w).cast("int") + delta): _*))
         .as("band"))
@@ -85,12 +106,8 @@ object FuzzyJoinOps {
           abs(col("p1") - col("p2")) <= d &&
           abs(col("len1") - col("len2")) <= d,
         "inner")
-      .groupBy(col("id1"), col("id2"), col("len1"), col("len2"))
-      .agg(count(lit(1)).as("cnt"))
-      .filter(col("cnt") >=
-        greatest(col("len1"), col("len2")) - lit(q - 1) - lit(d * q))
       .filter(greatest(col("len1"), col("len2")) >= minLong)
-      .select("id1", "id2")
+      .select("id1", "id2").distinct()
 
     // --- branch B: the short pool (both lengths < q*(d+1)) ---------------
     val shortL = slim.filter(col("len") < minLong)
