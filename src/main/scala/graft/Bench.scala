@@ -262,6 +262,13 @@ object Bench {
           (col("user_id") * lit(1000000L) +
             datediff(col("ts").cast("date"), lit("1970-01-01"))).as("ent")),
         Seq("g"), "ent", p = 12)))
+    // round-9 event-analytics rollups at 10×: ordered funnel (m slim
+    // min-aggregations) and cohort retention (two aggs + slim join)
+    val funnel10 = median3(onceDf(
+      ops.CohortOps.funnelCounts(ev10, Seq("user_id"), "ts", "event_type",
+        Seq("view", "click", "purchase"), Some(7L * 86400L * 1000000L))))
+    val retention10 = median3(onceDf(
+      ops.CohortOps.retention(ev10, Seq("user_id"), "ts", 30)))
     ev10.unpersist()
 
     // Embedding-space ops run FIRST in the LLM section: the text ops
@@ -569,6 +576,8 @@ object Bench {
       entry("sessionize_events", sessionize10, "ms_per_event", nEv1 * 10.0),
       entry("session_stats_events", sessionStats10, "ms_per_event", nEv1 * 10.0),
       entry("hll_user_days_events", hll10, "ms_per_event", nEv1 * 10.0),
+      entry("funnel_events", funnel10, "ms_per_event", nEv1 * 10.0),
+      entry("retention_events", retention10, "ms_per_event", nEv1 * 10.0),
       entry("weighted_k_docs", weightedK10, "ms_per_doc", nd10),
       entry("fuzzy_join_strings", fuzzy10, "ms_per_string", nd10)
     )).mkString("{", ",",

@@ -212,6 +212,8 @@ object TableMacros {
     "sample_weighted_k",
     // round-9 edit-distance record linkage
     "fuzzy_self_join",
+    // round-9 event-analytics rollups
+    "funnel", "funnel_counts", "retention",
     "c4_quality_filter", "gopher_quality_filter",
     "shard_deterministic", "hash_embed", "canonicalize_url",
     "contamination_report", "lm_bigram_perplexity", "sample_temperature",
@@ -810,6 +812,23 @@ object TableMacros {
           rest.headOption.map(int(_, "max_dist")).getOrElse(3),
           rest.lift(1).map(int(_, "bands")).getOrElse(4),
           rest.lift(2).map(int(_, "max_bucket_size")).getOrElse(1000))
+      case ("funnel", Seq(src, key, ts, step, stepsArg, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.ops.CohortOps.funnel(source(src), Seq(ident(key, "key_col")),
+          ident(ts, "ts_col"), ident(step, "step_col"),
+          strList(stepsArg, "steps"),
+          rest.headOption.map(lng(_, "window_us")))
+      case ("funnel_counts", Seq(src, key, ts, step, stepsArg, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.ops.CohortOps.funnelCounts(source(src), Seq(ident(key, "key_col")),
+          ident(ts, "ts_col"), ident(step, "step_col"),
+          strList(stepsArg, "steps"),
+          rest.headOption.map(lng(_, "window_us")))
+      case ("retention", Seq(src, key, ts, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.ops.CohortOps.retention(source(src), Seq(ident(key, "key_col")),
+          ident(ts, "ts_col"),
+          rest.headOption.map(int(_, "max_offset_days")).getOrElse(30))
       case ("fuzzy_self_join", Seq(src, id, s, dArg, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
         graft.llm.FuzzyJoinOps.fuzzySelfJoin(source(src), ident(id, "id_col"),

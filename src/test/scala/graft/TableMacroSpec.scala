@@ -872,6 +872,31 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toSet == Set((1L, 2L, 1)))
   }
 
+  test("round-9 analytics TVFs: funnel / funnel_counts / retention SQL == Scala API") {
+    val sp = spark; import sp.implicits._
+    Seq((1L, "a", 10L), (1L, "b", 20L), (2L, "a", 5L), (2L, "b", 3L))
+      .toDF("g", "step", "t").createOrReplaceTempView("_tmb_funnel")
+    val fn = spark.sql(
+      "SELECT * FROM funnel('_tmb_funnel', g, t, step, array('a', 'b'))")
+    assert(sortedRows(fn) == sortedRows(graft.ops.CohortOps.funnel(
+      spark.table("_tmb_funnel"), Seq("g"), "t", "step", Seq("a", "b"))))
+    assert(fn.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap ==
+      Map(1L -> 2L, 2L -> 1L))
+    val fc = spark.sql(
+      "SELECT * FROM funnel_counts('_tmb_funnel', g, t, step, array('a', 'b'), 100)")
+    assert(sortedRows(fc) == sortedRows(graft.ops.CohortOps.funnelCounts(
+      spark.table("_tmb_funnel"), Seq("g"), "t", "step", Seq("a", "b"),
+      Some(100L))))
+    val day = 86400000000L
+    Seq((1L, 0L), (1L, day), (2L, day)).toDF("g", "t")
+      .createOrReplaceTempView("_tmb_ret")
+    val rt = spark.sql("SELECT * FROM retention('_tmb_ret', g, t, 30)")
+    assert(sortedRows(rt) == sortedRows(graft.ops.CohortOps.retention(
+      spark.table("_tmb_ret"), Seq("g"), "t", 30)))
+    assert(rt.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap == Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (1L, 0L) -> 1L))
+  }
+
   test("bad arguments produce a clear error, not a planner crash") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, 'Naive')").collect()

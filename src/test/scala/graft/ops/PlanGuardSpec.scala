@@ -681,6 +681,23 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"session stats is an aggregation, not a per-event window:\n$ps")
   }
 
+  test("funnel + retention: slim entity-keyed aggregations, no cartesian, no per-entity arrays") {
+    val funnel = graft.ops.CohortOps.funnel(events, Seq("user_id"), "ts",
+      "event_type", Seq("view", "click", "purchase"), Some(86400000000L))
+    val fp = funnel.queryExecution.executedPlan
+    assert(!fp.toString.contains("CartesianProduct") &&
+      !fp.toString.contains("BroadcastNestedLoop"))
+    // no collect_list / sort_array — the funnel must never materialize a
+    // per-entity event array
+    assert(!fp.toString.contains("collect_list"),
+      "funnel steps are min-aggregations, never per-entity event arrays")
+    val ret = graft.ops.CohortOps.retention(events, Seq("user_id"), "ts", 30)
+    val rp = ret.queryExecution.executedPlan
+    assert(!rp.toString.contains("CartesianProduct"))
+    assert(rp.collect { case w: WindowExec => w }.isEmpty,
+      "retention is two aggregations + one slim join — no window")
+  }
+
   test("flagship forecast: one shuffle on the group key, no cartesian") {
     val df = graft.ops.TsForecastOp.forecastBy(
       events
