@@ -139,6 +139,34 @@ object CardinalityOps {
       .withColumn("s_scaled", hllScaledSum(col("regs"), p, hashBits))
       .withColumn("est", hllEstimate(col("regs"), p, hashBits))
 
+  /** Set-algebra report over two sketch tables (`groupCols..., regs`
+    * each): union cardinality from the elementwise-max register merge
+    * (EXACT at the sketch level — identical to sketching the unioned
+    * stream), intersection by inclusion-exclusion
+    * `|A| + |B| - |A∪B|` (clamped at 0), and the Jaccard estimate —
+    * "how many unique URLs do crawl A and crawl B share?" over persisted
+    * sketches, without ever re-reading either corpus. Intersection error
+    * grows as the true overlap shrinks (standard HLL caveat, documented
+    * here rather than hidden: the subtraction compounds the ±1.04/√m of
+    * three estimates). Output per group: `est_a`, `est_b`, `est_union`,
+    * `est_intersection`, `jaccard`. */
+  def overlapEstimate(a: DataFrame, b: DataFrame, groupCols: Seq[String],
+                      p: Int, hashBits: Int = 64): DataFrame = {
+    val aS = a.select(groupCols.map(col) :+ col("regs").as("__ra"): _*)
+    val bS = b.select(groupCols.map(col) :+ col("regs").as("__rb"): _*)
+    val j = if (groupCols.isEmpty) aS.crossJoin(bS) else aS.join(bS, groupCols)
+    j.withColumn("__ru", zip_with(col("__ra"), col("__rb"), (x, y) => greatest(x, y)))
+      .select(groupCols.map(col) ++ Seq(
+        hllEstimate(col("__ra"), p, hashBits).as("est_a"),
+        hllEstimate(col("__rb"), p, hashBits).as("est_b"),
+        hllEstimate(col("__ru"), p, hashBits).as("est_union")): _*)
+      .withColumn("est_intersection",
+        greatest(lit(0.0), col("est_a") + col("est_b") - col("est_union")))
+      .withColumn("jaccard",
+        when(col("est_union") > 0, col("est_intersection") / col("est_union"))
+          .otherwise(lit(0.0)))
+  }
+
   /** Persist sketch rows (the steady-state layout: one parquet of
     * `groupCols..., regs` per corpus shard/day, merged on read). */
   def writeHllSketches(sketches: DataFrame, path: String): Unit =

@@ -207,7 +207,7 @@ object TableMacros {
     // round-9 event-timeline surface
     "asof_join", "sessionize", "session_stats",
     // round-9 cardinality sketch surface
-    "hll_count",
+    "hll_count", "hll_overlap",
     // round-9 weighted reservoir sampling
     "sample_weighted_k",
     // round-9 edit-distance record linkage
@@ -839,6 +839,13 @@ object TableMacros {
         graft.llm.SampleOps.weightedSampleK(source(src), ident(id, "id_col"),
           ident(w, "weight_col"), int(kArg, "k"), lng(seedArg, "seed"),
           rest.headOption.map(ident(_, "group_col")).toSeq)
+      case ("hll_overlap", Seq(srcA, srcB, v, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        val p = rest.headOption.map(int(_, "p")).getOrElse(12)
+        val vc = ident(v, "value_col")
+        def sk(e: Expression) = graft.llm.CardinalityOps
+          .hllCountBy(source(e), Seq.empty, vc, p).select("regs")
+        graft.llm.CardinalityOps.overlapEstimate(sk(srcA), sk(srcB), Seq.empty, p)
       case ("hll_count", Seq(src, g, v, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
         graft.llm.CardinalityOps.hllCountBy(source(src),

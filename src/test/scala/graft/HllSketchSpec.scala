@@ -110,6 +110,30 @@ class HllSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(merged.getDouble(1) == whole.getDouble(1))
   }
 
+  test("overlapEstimate: union registers exact, inclusion-exclusion inside tolerance") {
+    val sp = spark; import sp.implicits._
+    val p = 10
+    val aVals = values(8000)
+    val bVals = values(12000).drop(5000) // overlap = 3000, |B| = 7000
+    val aSk = CardinalityOps.hllCountBy(aVals.toDF("v"), Seq.empty, "v", p)
+      .select("regs")
+    val bSk = CardinalityOps.hllCountBy(bVals.toDF("v"), Seq.empty, "v", p)
+      .select("regs")
+    val row = CardinalityOps.overlapEstimate(aSk, bSk, Seq.empty, p)
+      .collect().head
+    val (estA, estB, estU, estI) =
+      (row.getDouble(0), row.getDouble(1), row.getDouble(2), row.getDouble(3))
+    // union registers must equal sketching the unioned stream directly
+    val uSk = CardinalityOps.hllCountBy((aVals ++ bVals).toDF("v"), Seq.empty, "v", p)
+      .select("est").collect().head.getDouble(0)
+    assert(estU == uSk)
+    val se = 1.04 / math.sqrt((1 << p).toDouble)
+    assert(math.abs(estA - 8000) / 8000 <= 3 * se)
+    assert(math.abs(estB - 7000) / 7000 <= 3 * se)
+    // inclusion-exclusion compounds three estimates: allow 3x the summed SE
+    assert(math.abs(estI - 3000) <= 3 * se * (8000 + 7000 + 12000))
+  }
+
   test("prehashed 31-bit mixer path replays in plain Scala (the oracle contract)") {
     val sp = spark; import sp.implicits._
     val seed = 31L

@@ -897,6 +897,21 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       .toMap == Map((0L, 0L) -> 1L, (0L, 1L) -> 1L, (1L, 0L) -> 1L))
   }
 
+  test("round-9 sketch-algebra TVF: hll_overlap SQL == Scala API") {
+    val sp = spark; import sp.implicits._
+    (1L to 400L).toDF("ent").createOrReplaceTempView("_tmb_hll_a")
+    (201L to 600L).toDF("ent").createOrReplaceTempView("_tmb_hll_b")
+    val viaSql = spark.sql(
+      "SELECT * FROM hll_overlap('_tmb_hll_a', '_tmb_hll_b', ent, 10)")
+    def sk(t: String) = graft.llm.CardinalityOps.hllCountBy(
+      spark.table(t), Seq.empty, "ent", 10).select("regs")
+    assert(sortedRows(viaSql) == sortedRows(graft.llm.CardinalityOps
+      .overlapEstimate(sk("_tmb_hll_a"), sk("_tmb_hll_b"), Seq.empty, 10)))
+    val r = viaSql.collect().head
+    assert(math.abs(r.getDouble(2) - 600) / 600 < 0.25) // union ~600
+    assert(r.getDouble(3) > 0)                          // overlap detected
+  }
+
   test("bad arguments produce a clear error, not a planner crash") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, 'Naive')").collect()
