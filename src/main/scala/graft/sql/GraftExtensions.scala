@@ -205,7 +205,7 @@ object TableMacros {
     // (round 9 adds the exact Bloom gate twin)
     "dedup_against", "dedup_against_bloom", "corpus_diff",
     // round-9 event-timeline surface
-    "asof_join", "sessionize", "session_stats",
+    "asof_join", "sessionize", "session_stats", "interval_join",
     // round-9 cardinality sketch surface
     "hll_count", "hll_overlap",
     // round-9 weighted reservoir sampling
@@ -852,6 +852,11 @@ object TableMacros {
           Seq(ident(g, "group_col")), ident(v, "value_col"),
           rest.headOption.map(int(_, "p")).getOrElse(12))
           .drop("regs")
+      case ("interval_join", Seq(p, iv, key, pts, sCol, eCol, bArg)) =>
+        graft.ops.IntervalJoinOp.intervalJoin(source(p), source(iv),
+          Seq(ident(key, "key_col")), ident(pts, "point_ts_col"),
+          ident(sCol, "start_col"), ident(eCol, "end_col"),
+          lng(bArg, "bucket_us"))
       case ("asof_join", Seq(l, r, key, lts, rts, v, rest @ _*)) =>
         if (rest.length > 3) fail("too many arguments")
         graft.ops.AsofJoinOp.asofJoin(source(l), source(r),

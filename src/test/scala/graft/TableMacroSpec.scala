@@ -912,6 +912,21 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r.getDouble(3) > 0)                          // overlap detected
   }
 
+  test("round-9 interval TVF: interval_join SQL == Scala API") {
+    val sp = spark; import sp.implicits._
+    Seq((1L, 10L, 100L), (1L, 50L, 101L)).toDF("g", "t", "pid")
+      .createOrReplaceTempView("_tmb_iv_p")
+    Seq((1L, 5L, 20L, 7L), (1L, 40L, 45L, 8L)).toDF("g", "s", "e", "ivid")
+      .createOrReplaceTempView("_tmb_iv_i")
+    val viaSql = spark.sql(
+      "SELECT * FROM interval_join('_tmb_iv_p', '_tmb_iv_i', g, t, s, e, 10)")
+    assert(sortedRows(viaSql) == sortedRows(graft.ops.IntervalJoinOp
+      .intervalJoin(spark.table("_tmb_iv_p"), spark.table("_tmb_iv_i"),
+        Seq("g"), "t", "s", "e", 10L)))
+    assert(viaSql.collect().map(r => (r.getLong(2), r.getLong(5))).toSet ==
+      Set((100L, 7L)))
+  }
+
   test("bad arguments produce a clear error, not a planner crash") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, 'Naive')").collect()

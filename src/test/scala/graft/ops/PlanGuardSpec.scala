@@ -698,6 +698,29 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       "retention is two aggregations + one slim join — no window")
   }
 
+  test("interval join: equi-keyed on (keys, bucket), never a nested loop") {
+    val f = org.apache.spark.sql.functions
+    val points = events.filter(f.col("event_type") === "purchase")
+      .select(f.col("user_id").as("g"),
+        f.unix_micros(f.col("ts").cast("timestamp")).as("t"),
+        f.col("event_id"))
+    val iv = events.filter(f.col("event_type") === "click")
+      .select(f.col("user_id").as("g"),
+        f.unix_micros(f.col("ts").cast("timestamp")).as("s"),
+        (f.unix_micros(f.col("ts").cast("timestamp")) + f.lit(7200000000L)).as("e"),
+        f.col("event_id").as("cid"))
+    val df = graft.ops.IntervalJoinOp.intervalJoin(points, iv, Seq("g"),
+      "t", "s", "e", 3600000000L)
+    val plan = df.queryExecution.executedPlan
+    val ps = plan.toString
+    assert(!ps.contains("CartesianProduct") && !ps.contains("BroadcastNestedLoop"),
+      s"the range predicate must ride the (keys, bucket) equi-key:\n$ps")
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }
+    assert(joins.nonEmpty && joins.forall(_.leftKeys.length >= 2),
+      s"join must key on (keys..., bucket):\n$ps")
+  }
+
   test("flagship forecast: one shuffle on the group key, no cartesian") {
     val df = graft.ops.TsForecastOp.forecastBy(
       events
