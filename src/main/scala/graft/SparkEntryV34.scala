@@ -53,6 +53,7 @@ object SparkEntryV34 {
     "ts_asof_join" -> ((s, dir) => asofRow(s, dir, "backward", None)),
     "ts_asof_join_fwd" -> ((s, dir) => asofRow(s, dir, "forward", None)),
     "ts_asof_join_tol" -> ((s, dir) => asofRow(s, dir, "backward", Some(TolUs))),
+    "ts_asof_join_near" -> ((s, dir) => asofRow(s, dir, "nearest", None)),
     "sessionize" -> ((s, dir) =>
       SessionOps.sessionize(t(s, dir, "events"), Seq("user_id"), "ts", GapUs)
         .select(col("event_id"), col("user_id"), col("session_idx"))),
@@ -102,8 +103,29 @@ object SparkEntryV34 {
        |      AS session_idx
        |  FROM d)""".stripMargin
 
+  /** nearest = closer of the backward and forward ASOF matches, ties to
+    * backward (the pandas contract) — replayed as two native ASOF joins
+    * re-joined on the unique (g, ts_us) left key. */
+  private val NearSql: String =
+    s"""WITH ${sideCte("purchase", "l")}, ${sideCte("click", "r")},
+       |bw AS (SELECT l.g, l.ts_us, l.y, r.ts_us AS bts, r.y AS byy
+       |       FROM l ASOF LEFT JOIN r ON l.g = r.g AND l.ts_us >= r.ts_us),
+       |fw AS (SELECT l.g, l.ts_us, r.ts_us AS fts, r.y AS fy
+       |       FROM l ASOF LEFT JOIN r ON l.g = r.g AND l.ts_us <= r.ts_us)
+       |SELECT bw.g, bw.ts_us, round(bw.y, 6) AS y,
+       |  CASE WHEN fts IS NULL THEN bts
+       |       WHEN bts IS NULL THEN fts
+       |       WHEN bw.ts_us - bts <= fts - bw.ts_us THEN bts
+       |       ELSE fts END AS click_us,
+       |  round(CASE WHEN fts IS NULL THEN byy
+       |             WHEN bts IS NULL THEN fy
+       |             WHEN bw.ts_us - bts <= fts - bw.ts_us THEN byy
+       |             ELSE fy END, 6) AS click_y
+       |FROM bw JOIN fw ON bw.g = fw.g AND bw.ts_us = fw.ts_us""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "ts_asof_join" -> asofSql(">=", None),
+    "ts_asof_join_near" -> NearSql,
     "ts_asof_join_fwd" -> asofSql("<=", None),
     "ts_asof_join_tol" -> asofSql(">=", Some(TolUs)),
     "sessionize" ->

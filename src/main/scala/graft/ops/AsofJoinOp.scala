@@ -53,8 +53,11 @@ object AsofJoinOp {
   /** As-of join `left` to `right` on equal `keys` and nearest `rightTs`
     * relative to `leftTs`.
     *
-    * @param direction  "backward" (nearest right at-or-before; default) or
-    *                   "forward" (nearest right at-or-after)
+    * @param direction  "backward" (nearest right at-or-before; default),
+    *                   "forward" (nearest right at-or-after), or "nearest"
+    *                   (closer of the two, ties to backward — the pandas
+    *                   merge_asof contract; both directional windows run
+    *                   over the ONE key exchange)
     * @param strict     drop exact-timestamp matches (`>` / `<` instead of
     *                   `>=` / `<=`)
     * @param toleranceMicros max |leftTs - rightTs| for a match to stand;
@@ -69,8 +72,9 @@ object AsofJoinOp {
                direction: String = "backward", strict: Boolean = false,
                toleranceMicros: Option[Long] = None,
                rightPrefix: String = "right_"): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be backward|forward, got $direction")
+    require(direction == "backward" || direction == "forward" ||
+      direction == "nearest",
+      s"direction must be backward|forward|nearest, got $direction")
     require(keys.nonEmpty, "asof join needs at least one equi-key")
     val vals =
       if (valueCols.nonEmpty) valueCols
@@ -109,27 +113,51 @@ object AsofJoinOp {
         struct(left.columns.map(col): _*).as("__lrow"),
         lit(null).cast(rvType).as("__rv")): _*)
 
-    val ord: Seq[Column] =
-      if (direction == "backward")
+    def ordFor(dir: String): Seq[Column] =
+      if (dir == "backward")
         Seq(col("__ats").asc_nulls_first, col("__side").asc, col("__rv").asc_nulls_first)
       else
         Seq(col("__ats").desc_nulls_last, col("__side").asc, col("__rv").asc_nulls_first)
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def windowFor(dir: String) =
+      Window.partitionBy(keys.map(col): _*).orderBy(ordFor(dir): _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    val matchedRaw = last(col("__rv"), ignoreNulls = true).over(w)
-    val unioned = rSlim.unionByName(lSlim)
-      .withColumn("__m", matchedRaw)
-      .filter(col("__side") === leftSide && col("__lrow").isNotNull)
+    def mEpochOf(m: Column): Column =
+      if (isTs(right, rightTs)) unix_micros(m.getField("__mts").cast(TimestampType))
+      else m.getField("__mts").cast("long")
+
+    val base = rSlim.unionByName(lSlim)
+    // "nearest" evaluates BOTH directional running-last windows over the
+    // same key partitioning (one exchange, two sorts) and keeps the
+    // closer match, ties to backward — the pandas merge_asof contract.
+    val unioned =
+      if (direction == "nearest") {
+        val mb = last(col("__rv"), ignoreNulls = true).over(windowFor("backward"))
+        val mf = last(col("__rv"), ignoreNulls = true).over(windowFor("forward"))
+        base.withColumn("__mb", mb).withColumn("__mf", mf)
+          .withColumn("__m",
+            when(col("__mf").isNull, col("__mb"))
+              .when(col("__mb").isNull, col("__mf"))
+              .when(col("__ats") - mEpochOf(col("__mb")) <=
+                mEpochOf(col("__mf")) - col("__ats"), col("__mb"))
+              .otherwise(col("__mf")))
+          .drop("__mb", "__mf")
+          .filter(col("__side") === leftSide && col("__lrow").isNotNull)
+      } else {
+        base
+          .withColumn("__m",
+            last(col("__rv"), ignoreNulls = true).over(windowFor(direction)))
+          .filter(col("__side") === leftSide && col("__lrow").isNotNull)
+      }
 
     // Null left ts never matches (it sorted somewhere arbitrary); apply
     // the tolerance on the epoch distance in the match's own direction.
-    val mts = col("__m.__mts")
-    val mEpoch =
-      if (isTs(right, rightTs)) unix_micros(mts.cast(TimestampType))
-      else mts.cast("long")
-    val dist =
-      if (direction == "backward") col("__ats") - mEpoch else mEpoch - col("__ats")
+    val mEpoch = mEpochOf(col("__m"))
+    val dist = direction match {
+      case "backward" => col("__ats") - mEpoch
+      case "forward"  => mEpoch - col("__ats")
+      case _          => abs(col("__ats") - mEpoch)
+    }
     val keep = col("__ats").isNotNull && col("__m").isNotNull &&
       toleranceMicros.map(t => dist <= lit(t)).getOrElse(lit(true))
     val gated = unioned.withColumn("__mk", when(keep, col("__m")))

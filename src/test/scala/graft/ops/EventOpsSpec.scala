@@ -50,23 +50,35 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     ).toDF("g", "ts", "v")
   }
 
-  /** Brute-force single-node as-of. */
+  /** Brute-force single-node as-of. `direction`: backward|forward|nearest
+    * (nearest = closer of the two candidates, ties to backward; tolerance
+    * applied AFTER selection, per pandas). */
   private def bruteAsof(left: Seq[(Long, Long)], right: Seq[(Long, Long, Double)],
-                        forward: Boolean, strict: Boolean,
+                        direction: String, strict: Boolean,
                         tol: Option[Long]): Seq[(Long, Long, Option[(Long, Double)])] =
     left.map { case (g, t) =>
-      val cands = right.filter(_._1 == g).filter { case (_, rt, _) =>
-        val cmp =
+      def pick(forward: Boolean): Option[(Long, Double)] = {
+        val cands = right.filter(_._1 == g).filter { case (_, rt, _) =>
           if (forward) { if (strict) rt > t else rt >= t }
           else { if (strict) rt < t else rt <= t }
-        cmp && tol.forall(d => math.abs(rt - t) <= d)
-      }
-      val best =
+        }
         if (cands.isEmpty) None
         else Some {
           val b = if (forward) cands.minBy(_._2) else cands.maxBy(_._2)
           (b._2, b._3)
         }
+      }
+      val sel = direction match {
+        case "backward" => pick(forward = false)
+        case "forward"  => pick(forward = true)
+        case _ =>
+          (pick(forward = false), pick(forward = true)) match {
+            case (Some(b), Some(f)) =>
+              if (t - b._1 <= f._1 - t) Some(b) else Some(f)
+            case (b, f) => b.orElse(f)
+          }
+      }
+      val best = sel.filter { case (rt, _) => tol.forall(d => math.abs(rt - t) <= d) }
       (g, t, best)
     }
 
@@ -81,7 +93,7 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val sp = spark; import sp.implicits._
     val l = leftDf.select("g", "ts").as[(Long, Long)].collect().toSeq
     val r = rightDf.as[(Long, Long, Double)].collect().toSeq
-    val want = bruteAsof(l, r, direction == "forward", strict, tol)
+    val want = bruteAsof(l, r, direction, strict, tol)
       .sortBy(x => (x._1, x._2))
     assert(got.toSeq == want, s"direction=$direction strict=$strict tol=$tol")
   }
@@ -101,6 +113,11 @@ class EventOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("asof tolerance nulls matches farther than the bound") {
     runAsof("backward", strict = false, Some(6L))
     runAsof("forward", strict = false, Some(4L))
+  }
+  test("asof nearest picks the closer side, ties to backward; tolerance after selection") {
+    runAsof("nearest", strict = false, None)
+    runAsof("nearest", strict = true, None)
+    runAsof("nearest", strict = false, Some(3L))
   }
 
   test("asof: null left ts yields no match; left row multiplicity preserved") {
