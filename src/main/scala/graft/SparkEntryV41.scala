@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llm.RetrievalOps
+
+/** Forty-first batch (round 9): hybrid lexical+dense retrieval fused by
+  * Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009) — the
+  * production retrieval stack for decontamination triage and hard-negative
+  * mining when neither BM25 nor embedding recall is trusted alone.
+  *
+  * The oracle replays BOTH candidate generators end-to-end (the bm25_topk
+  * CTEs and the ann_topk cosine-rank CTEs, every stage over the SAME
+  * documents⋈embeddings corpus the Spark row retrieves against) and the
+  * fusion arithmetic: per-list rank windows, 1/(rrfK+rank) terms, the one
+  * IEEE addition, the 6-decimal rounding, and the (score desc, id asc)
+  * final rank — so a drift in either list's membership, either rank
+  * convention, or the fusion order is a hash mismatch. */
+object SparkEntryV41 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.table(s, dir, name)
+
+  private val K = 10
+  private val KCand = 25
+  private val RrfK = 60
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // corpus = the docs that have an embedding (1:1 at sf0.01, 2000-of-5000
+    // at sf0.1 — the oracle joins identically); queries = every 100th
+    "hybrid_rrf_topk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val emb = t(s, dir, "embeddings")
+      val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(docs("doc_id"), col("text"), col("embedding"))
+      val qs = corpus.filter(col("doc_id") % 100 === 0)
+        .select(col("doc_id").as("qid"), col("text"), col("embedding"))
+      RetrievalOps.hybridTopK(corpus, "doc_id", "text", "embedding",
+        qs, "qid", "text", "embedding", k = K, kCand = KCand, rrfK = RrfK)
+    }),
+  )
+
+  private val HybridSql =
+    s"""WITH hc AS (SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS v
+       |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+       |base AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+       |    '[ \\t\\n\\r\\f]+'), x -> len(x) > 0) AS ts FROM hc),
+       |ctok AS (SELECT doc_id, len(ts) AS dl, unnest(ts) AS term FROM base),
+       |qterms AS (SELECT DISTINCT doc_id AS qid, unnest(ts) AS term
+       |  FROM base WHERE doc_id % 100 = 0),
+       |qvocab AS (SELECT DISTINCT term FROM qterms),
+       |stats AS (SELECT count(*) AS n, coalesce(avg(len(ts)), 0.0) AS avgdl FROM base),
+       |tf AS (SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+       |  FROM ctok JOIN qvocab USING (term) GROUP BY 1, 2),
+       |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT doc_id, term,
+       |    ln(1 + (n - df + 0.5) / (df + 0.5)) * (tf * 2.2)
+       |      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)) AS w
+       |  FROM tf JOIN dfreq USING (term), stats),
+       |ps AS (SELECT qid, sc.doc_id, round(sum(w), 6) AS score
+       |  FROM sc JOIN qterms USING (term) GROUP BY 1, 2),
+       |lrk AS (SELECT qid, doc_id, row_number() OVER (
+       |    PARTITION BY qid ORDER BY score DESC, doc_id) AS bm25_rank FROM ps),
+       |ltop AS (SELECT qid, doc_id, bm25_rank FROM lrk WHERE bm25_rank <= $KCand),
+       |qv AS (SELECT doc_id AS qid, v FROM hc WHERE doc_id % 100 = 0),
+       |dpairs AS (SELECT q.qid, hc.doc_id AS vid,
+       |    list_cosine_similarity(q.v, hc.v) AS sim FROM qv q, hc),
+       |drk AS (SELECT qid, vid, row_number() OVER (
+       |    PARTITION BY qid ORDER BY sim DESC, vid) AS ann_rank
+       |  FROM dpairs WHERE NOT isnan(sim)),
+       |dtop AS (SELECT qid, vid, ann_rank FROM drk WHERE ann_rank <= $KCand),
+       |fused AS (SELECT coalesce(l.qid, d.qid) AS qid,
+       |    coalesce(l.doc_id, d.vid) AS doc_id, l.bm25_rank, d.ann_rank,
+       |    round(coalesce(1.0 / ($RrfK + l.bm25_rank), 0.0)
+       |        + coalesce(1.0 / ($RrfK + d.ann_rank), 0.0), 6) AS rrf_score
+       |  FROM ltop l FULL OUTER JOIN dtop d
+       |    ON l.qid = d.qid AND l.doc_id = d.vid),
+       |frk AS (SELECT *, row_number() OVER (
+       |    PARTITION BY qid ORDER BY rrf_score DESC, doc_id) AS r FROM fused)
+       |SELECT qid, CAST(r AS INT) AS rank, doc_id, rrf_score,
+       |  CAST(bm25_rank AS INT) AS bm25_rank, CAST(ann_rank AS INT) AS ann_rank
+       |FROM frk WHERE r <= $K""".stripMargin
+
+  def oracleSql: Map[String, String] = Map(
+    "hybrid_rrf_topk" -> HybridSql,
+  )
+}

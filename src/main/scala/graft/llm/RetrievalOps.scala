@@ -212,4 +212,78 @@ object RetrievalOps {
       .select(col("_qid").as(qidCol), (col("pos") + 1).cast("int").as("rank"),
         col("col.vid").cast(docIdType).as("doc_id"), col("col.sim").as("score"))
   }
+
+  // ------------------------------------------------ hybrid (lexical+dense)
+
+  /** Hybrid retrieval: BM25 top-`kCand` and dense-cosine top-`kCand`
+    * candidate lists fused by Reciprocal Rank Fusion (Cormack, Clarke &
+    * Büttcher, SIGIR 2009): `rrf(d) = Σ_lists 1/(rrfK + rank_list(d))`,
+    * the standard production recipe for retrieval-based decontamination
+    * and hard-negative mining when neither pure-lexical nor pure-dense
+    * recall is trusted alone.
+    *
+    * Determinism across engines: the BM25 list already ranks on the
+    * 6-decimal-rounded score with a doc-id tiebreak; the dense list ranks
+    * on (sim desc, id asc) — the exact [[graft.functions.TopKByScore]]
+    * order the ANN oracles replay. A document appears in at most two
+    * lists, so its RRF score is ONE IEEE addition of two exact divisions —
+    * bit-identical in any engine and summation order; the final rank
+    * compares the 6-decimal-rounded fusion score with an id tiebreak.
+    *
+    * Scale design (100 TB corpus, bounded query batch): both candidate
+    * generators are one corpus scan with the query side broadcast and
+    * bounded per-query top-k heaps — no corpus window, no global sort
+    * (see [[bm25TopK]] / [[graft.llm.SimilarityOps.bruteForceTopK]]; swap
+    * the dense generator for the IVF probe path when the corpus no longer
+    * brute-force-scans — the fusion is independent of how candidates are
+    * produced). The fusion itself touches only the two ranked lists,
+    * ≤ 2·kCand rows per query: the full-outer join keys on (query, doc)
+    * over those bounded lists and the rank windows partition by query id,
+    * so every post-candidate stage is |Q|-proportional, never
+    * corpus-proportional.
+    *
+    * @return (qidCol, rank 1..k, docIdCol, rrf_score, bm25_rank, ann_rank)
+    *         — rank by (rrf_score desc, doc id asc); the per-list ranks
+    *         are null for a document the other list alone surfaced.
+    */
+  def hybridTopK(corpus: DataFrame, docIdCol: String, textCol: String,
+                 vecCol: String, queries: DataFrame, qidCol: String,
+                 qtextCol: String, qvecCol: String, k: Int, kCand: Int = 50,
+                 rrfK: Int = 60, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    // the union of two kCand lists ranks up to 2·kCand docs, so k may
+    // legitimately exceed kCand (short lists just return fewer rows)
+    require(kCand >= 1, s"kCand must be >= 1, got $kCand")
+    require(rrfK >= 1, s"rrfK must be >= 1, got $rrfK")
+    val docIdType = corpus.schema(docIdCol).dataType
+    requireIntegralId(docIdCol, docIdType)
+
+    val lex = bm25TopK(corpus.select(col(docIdCol), col(textCol)), docIdCol,
+        textCol, queries.select(col(qidCol), col(qtextCol)), qidCol, qtextCol,
+        kCand, k1, b)
+      .select(col(qidCol).as("_qid"), col(docIdCol).cast(LongType).as("_doc"),
+        col("rank").cast("int").as("bm25_rank"))
+
+    val denseW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("vid"))
+    val dense = SimilarityOps.bruteForceTopK(
+        corpus.select(col(docIdCol).as("_hid"), col(vecCol).as("_hv")),
+        queries.select(col(qidCol).as("_hid"), col(qvecCol).as("_hv")),
+        "_hid", "_hv", kCand)
+      .withColumn("ann_rank", row_number().over(denseW).cast("int"))
+      .select(col("qid").as("_qid"), col("vid").cast(LongType).as("_doc"),
+        col("ann_rank"))
+
+    val fused = lex.join(dense, Seq("_qid", "_doc"), "full_outer")
+      .withColumn("rrf_score", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("bm25_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("ann_rank")), lit(0.0)), 6))
+    val fuseW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_qid")).orderBy(col("rrf_score").desc, col("_doc"))
+    fused.withColumn("rank", row_number().over(fuseW).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("_qid").as(qidCol), col("rank"),
+        col("_doc").cast(docIdType).as(docIdCol), col("rrf_score"),
+        col("bm25_rank"), col("ann_rank"))
+  }
 }

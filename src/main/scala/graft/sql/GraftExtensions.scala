@@ -230,7 +230,7 @@ object TableMacros {
     "near_dup_images",
     "bpe_train", "bpe_self_encode",
     // round 6 batch 21: target-aware selection + lexical retrieval
-    "dsir_weights", "dsir_select", "bm25_topk",
+    "dsir_weights", "dsir_select", "bm25_topk", "hybrid_topk",
     "unimax_allocations", "unimax_select",
     // round 6 batch 22: exact score-quantile gates + distributed ranking
     "filter_top_fraction", "select_top_k", "exact_rank", "quantile_buckets",
@@ -1078,6 +1078,14 @@ object TableMacros {
           ident(qtext, "query_text_col"), int(k, "k"),
           k1 = rest.headOption.map(dbl(_, "k1")).getOrElse(1.2),
           b = rest.lift(1).map(dbl(_, "b")).getOrElse(0.75))
+      case ("hybrid_topk", Seq(src, qsrc, id, text, vec, qid, qtext, qvec, k, rest @ _*)) =>
+        if (rest.length > 2) fail("too many arguments")
+        graft.llm.RetrievalOps.hybridTopK(source(src), ident(id, "doc_id_col"),
+          ident(text, "text_col"), ident(vec, "vec_col"), source(qsrc),
+          ident(qid, "qid_col"), ident(qtext, "query_text_col"),
+          ident(qvec, "query_vec_col"), int(k, "k"),
+          kCand = rest.headOption.map(int(_, "k_cand")).getOrElse(50),
+          rrfK = rest.lift(1).map(int(_, "rrf_k")).getOrElse(60))
       case ("filter_top_fraction", Seq(src, id, score, frac, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
         graft.llm.QuantileOps.filterTopFraction(source(src), ident(id, "id_col"),

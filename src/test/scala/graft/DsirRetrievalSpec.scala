@@ -289,4 +289,78 @@ class DsirRetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet
     assert(out2 == kept.map(_._1).toSet)
   }
+
+  // ------------------------------------------------- hybrid RRF retrieval
+
+  /** doc 3 is dense-only reachable (no query term), doc 4 lexical-only
+    * competitive (orthogonal vector) — both single-list fusion paths. */
+  private def hybridCorpus = {
+    val sp = spark
+    import sp.implicits._
+    Seq(
+      (1L, "alpha beta", Seq(1.0, 0.0)),
+      (2L, "alpha alpha", Seq(0.9, 0.1)),
+      (3L, "gamma delta", Seq(0.95, 0.05)),
+      (4L, "alpha gamma", Seq(0.0, 1.0)),
+    ).toDF("doc_id", "text", "vec")
+  }
+
+  test("hybridTopK equals a driver-side RRF replay of its two candidate lists") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = hybridCorpus
+    val qs = Seq((100L, "alpha", Seq(1.0, 0.0))).toDF("qid", "text", "vec")
+    val kCand = 3
+    val out = RetrievalOps.hybridTopK(corpus, "doc_id", "text", "vec",
+        qs, "qid", "text", "vec", k = 4, kCand = kCand, rrfK = 60)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), if (r.isNullAt(4)) 0 else r.getInt(4),
+        if (r.isNullAt(5)) 0 else r.getInt(5))).sortBy(_._2)
+
+    // independent replay: lexical ranks from bm25TopK; dense ranks from
+    // plain-Scala cosine; fusion arithmetic re-done driver-side
+    val lexRanks = RetrievalOps.bm25TopK(corpus, "doc_id", "text",
+        qs.select(col("qid"), col("text")), "qid", "text", k = kCand)
+      .collect().map(r => r.getLong(2) -> r.getInt(1)).toMap
+    val vecs = Map(1L -> (1.0, 0.0), 2L -> (0.9, 0.1), 3L -> (0.95, 0.05),
+      4L -> (0.0, 1.0))
+    val denseRanks = vecs.toSeq
+      .map { case (id, (x, y)) => id -> (x * 1.0 + y * 0.0) / math.sqrt(x * x + y * y) }
+      .sortBy { case (id, s) => (-s, id) }.take(kCand)
+      .zipWithIndex.map { case ((id, _), i) => id -> (i + 1) }.toMap
+    val fused = (lexRanks.keySet ++ denseRanks.keySet).toSeq.map { id =>
+      val rrf = lexRanks.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0) +
+        denseRanks.get(id).map(r => 1.0 / (60 + r)).getOrElse(0.0)
+      (id, BigDecimal(rrf).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        lexRanks.getOrElse(id, 0), denseRanks.getOrElse(id, 0))
+    }.sortBy { case (id, s, _, _) => (-s, id) }
+      .zipWithIndex.map { case ((id, s, lr, dr), i) => (100L, i + 1, id, s, lr, dr) }
+    assert(out.toSeq == fused)
+    // the single-list docs really exercised both paths
+    assert(out.exists(r => r._5 == 0 && r._6 > 0), "a dense-only doc")
+    assert(out.exists(r => r._5 > 0 && r._6 == 0), "a lexical-only doc")
+  }
+
+  test("hybridTopK: k bounds output, rank 1 is the both-lists doc, partition-invariant") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = hybridCorpus
+    val qs = Seq((100L, "alpha", Seq(1.0, 0.0))).toDF("qid", "text", "vec")
+    val top1 = RetrievalOps.hybridTopK(corpus, "doc_id", "text", "vec",
+      qs, "qid", "text", "vec", k = 1, kCand = 3, rrfK = 60).collect()
+    assert(top1.length == 1 && top1(0).getInt(1) == 1)
+    // doc 1 ranks first in both lists (exact text+vector match)
+    assert(top1(0).getLong(2) == 1L)
+    val a = RetrievalOps.hybridTopK(corpus.repartition(5), "doc_id", "text",
+        "vec", qs, "qid", "text", "vec", k = 4, kCand = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val b = RetrievalOps.hybridTopK(corpus, "doc_id", "text", "vec",
+        qs, "qid", "text", "vec", k = 4, kCand = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      RetrievalOps.hybridTopK(corpus, "doc_id", "text", "vec",
+        qs, "qid", "text", "vec", k = 4, kCand = 0)
+    }
+  }
 }

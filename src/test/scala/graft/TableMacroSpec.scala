@@ -702,6 +702,18 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.table("_tm_raw"), "id", "text", spark.table("_tm_q"),
       "qid", "qtext", k = 3)))
 
+    Seq((1L, "spark join shuffle", Seq(1.0, 0.0)),
+        (2L, "spark spark", Seq(0.8, 0.2)),
+        (3L, "croissant recipe", Seq(0.9, 0.1)))
+      .toDF("id", "text", "vec").createOrReplaceTempView("_tm_hyc")
+    Seq((10L, "spark join", Seq(1.0, 0.0))).toDF("qid", "qtext", "qvec")
+      .createOrReplaceTempView("_tm_hyq")
+    val hy = spark.sql("SELECT * FROM hybrid_topk('_tm_hyc', '_tm_hyq', " +
+      "id, text, vec, qid, qtext, qvec, 2, 3, 60)")
+    assert(sortedRows(hy) == sortedRows(graft.llm.RetrievalOps.hybridTopK(
+      spark.table("_tm_hyc"), "id", "text", "vec", spark.table("_tm_hyq"),
+      "qid", "qtext", "qvec", k = 2, kCand = 3, rrfK = 60)))
+
     val alloc = spark.sql(
       "SELECT * FROM unimax_allocations('_tm_raw', lang, toks, 4, 1.0)")
     assert(sortedRows(alloc) == sortedRows(graft.llm.MixOps.unimaxAllocations(
@@ -815,6 +827,14 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       spark.table("_tmb_asof_l"), spark.table("_tmb_asof_r"),
       Seq("g"), "t", "t", Seq("v"), direction = "forward",
       toleranceMicros = Some(100L))))
+    val asofNear = spark.sql("SELECT * FROM asof_join('_tmb_asof_l', " +
+      "'_tmb_asof_r', g, t, t, v, 'nearest')")
+    assert(sortedRows(asofNear) == sortedRows(graft.ops.AsofJoinOp.asofJoin(
+      spark.table("_tmb_asof_l"), spark.table("_tmb_asof_r"),
+      Seq("g"), "t", "t", Seq("v"), direction = "nearest")))
+    assert(asofNear.collect().map(r => (r.getLong(0), r.getLong(1),
+      if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSet ==
+      Set((1L, 5L, 10.0), (1L, 12L, 20.0), (2L, 3L, 30.0)))
 
     Seq((1L, 0L, 1.0), (1L, 5L, 2.0), (1L, 20L, 4.0)).toDF("g", "t", "value")
       .createOrReplaceTempView("_tmb_sess")

@@ -721,6 +721,36 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"join must key on (keys..., bucket):\n$ps")
   }
 
+  test("hybrid RRF: query sides broadcast, every window partitions by qid, no cartesian") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val corpus = docs.join(emb, docs("doc_id") === emb("vec_id"))
+      .select(docs("doc_id"), col("text"), col("embedding"))
+    val qs = corpus.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("qid"), col("text"), col("embedding"))
+    val df = graft.llm.RetrievalOps.hybridTopK(corpus, "doc_id", "text",
+      "embedding", qs, "qid", "text", "embedding", k = 5, kCand = 10)
+    val plan = df.queryExecution.executedPlan
+    // both candidate generators hold the corpus as the streamed side: the
+    // dense query batch rides a broadcast nested-loop; the BM25 list
+    // arrives pre-materialized (its bounded |Q|×kCand pin — the internal
+    // broadcasts are pinned behind it and guarded by the bm25 pins)
+    assert(plan.collect {
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => b
+    }.nonEmpty, s"the dense query batch must broadcast:\n$plan")
+    assert(plan.toString.contains("ExistingRDD"),
+      s"the BM25 candidate list must be the bounded pinned table:\n$plan")
+    assert(!plan.toString.contains("CartesianProduct"),
+      "a corpus-sized cartesian must never appear")
+    // the rank/fusion windows run over bounded per-query candidate lists —
+    // every window MUST carry a partition spec (an empty one is the
+    // single-partition corpus sort this op exists to avoid)
+    val wins = plan.collect { case w: WindowExec => w }
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"every window must partition by the query id:\n$plan")
+  }
+
   test("flagship forecast: one shuffle on the group key, no cartesian") {
     val df = graft.ops.TsForecastOp.forecastBy(
       events
