@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.RetrievalOps
+import graft.llm.{QuantileOps, RetrievalOps}
 
 /** Forty-first batch (round 9): hybrid lexical+dense retrieval fused by
   * Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009) — the
@@ -39,6 +39,14 @@ object SparkEntryV41 {
       RetrievalOps.hybridTopK(corpus, "doc_id", "text", "embedding",
         qs, "qid", "text", "embedding", k = K, kCand = KCand, rrfK = RrfK)
     }),
+    // per-language doc-length percentile — the per-dump calibration shape
+    "score_percentile_by_group" -> ((s, dir) =>
+      QuantileOps.percentileByGroup(t(s, dir, "documents"), "lang",
+        "doc_id", "n_chars")),
+    // the composed gate: each language's longest-30% documents
+    "top_fraction_by_group" -> ((s, dir) =>
+      QuantileOps.filterTopFractionByGroup(t(s, dir, "documents"), "lang",
+        "doc_id", "n_chars", frac = 0.3)),
   )
 
   private val HybridSql =
@@ -82,7 +90,22 @@ object SparkEntryV41 {
        |  CAST(bm25_rank AS INT) AS bm25_rank, CAST(ann_rank AS INT) AS ann_rank
        |FROM frk WHERE r <= $K""".stripMargin
 
+  /** cume_dist on the rounded score — identical tie handling (every tie
+    * shares one CDF row) and one exact-count division per row. */
+  private val PercentileSql =
+    """SELECT doc_id, lang, round(CAST(n_chars AS DOUBLE), 6) AS n_chars,
+      |  round(cume_dist() OVER (
+      |    PARTITION BY lang ORDER BY round(CAST(n_chars AS DOUBLE), 6)), 6) AS pct
+      |FROM documents""".stripMargin
+
+  /** The percentile replay gated at pct > 1 − frac (tie-closed sets). */
+  private val TopFractionByGroupSql =
+    s"""WITH p AS ($PercentileSql)
+       |SELECT doc_id, lang, n_chars FROM p WHERE pct > ${1.0 - 0.3}""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "hybrid_rrf_topk" -> HybridSql,
+    "score_percentile_by_group" -> PercentileSql,
+    "top_fraction_by_group" -> TopFractionByGroupSql,
   )
 }

@@ -114,6 +114,61 @@ object QuantileOps {
       .drop("_coarse", "_key", "_before")
   }
 
+  /** Per-group score percentile — `cume_dist` within the row's group:
+    * `pct = |{rows in g with s' ≤ s}| / |g|` on the 6-decimal-rounded
+    * score. The calibration step behind per-domain / per-dump quality
+    * normalization (the FineWeb recipe: filter on each crawl dump's OWN
+    * score distribution, because absolute classifier scores drift across
+    * dumps) — compose as
+    * `percentileByGroup(df, "dump", ...).filter(col("pct") >= 1 - frac)`.
+    *
+    * Scale design: the naive plan is a corpus-wide window partitioned by
+    * group (one straggler partition per hot domain). Instead the corpus
+    * aggregates to DISTINCT (group, rounded score) rows — bounded by the
+    * score grid, not the corpus — the CDF windows run over that rollup,
+    * and each row collects its percentile through an equi join on
+    * (group, score) carrying only (id, group, score): full rows (and
+    * text) never cross an exchange. Ties share one CDF row by
+    * construction, so the result is deterministic and engine-independent
+    * (cum/n is one IEEE division of two exact counts).
+    *
+    * Output: (idCol, groupCol, scoreCol — rounded, `out`). Null/NaN
+    * scores are dropped (the [[withExactRank]] contract). */
+  def percentileByGroup(df: DataFrame, groupCol: String, idCol: String,
+                        scoreCol: String, out: String = "pct"): DataFrame = {
+    val s = round(col(scoreCol).cast("double"), 6)
+    val keyed = df.filter(s.isNotNull && !isnan(s))
+      .select(col(idCol), col(groupCol), s.as("_s"))
+    val hist = keyed.groupBy(col(groupCol), col("_s")).agg(count(lit(1)).as("_cnt"))
+    val wCdf = Window.partitionBy(col(groupCol)).orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wN = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cdf = hist
+      .withColumn("_cum", sum(col("_cnt")).over(wCdf))
+      .withColumn("_n", sum(col("_cnt")).over(wN))
+      .select(col(groupCol), col("_s"),
+        round(col("_cum").cast("double") / col("_n").cast("double"), 6).as(out))
+    keyed.join(cdf, Seq(groupCol, "_s"))
+      .select(col(idCol), col(groupCol), col("_s").as(scoreCol), col(out))
+  }
+
+  /** Keep each group's top `frac` by score — the per-dump quality gate:
+    * rows whose within-group percentile exceeds `1 − frac`. Quantile-
+    * THRESHOLD semantics: a tie group (same 6-decimal score) is kept or
+    * dropped whole, so per-group kept counts are the largest tie-closed
+    * set within the fraction, not an exact `⌊frac·n⌋` (use
+    * [[filterTopFraction]] per group when exact-k matters more than
+    * score-consistency). Same bounded-rollup plan as
+    * [[percentileByGroup]]; the gate itself is a map-side filter. */
+  def filterTopFractionByGroup(df: DataFrame, groupCol: String, idCol: String,
+                               scoreCol: String, frac: Double): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0, s"frac must be in (0,1], got $frac")
+    percentileByGroup(df, groupCol, idCol, scoreCol)
+      .filter(col("pct") > lit(1.0 - frac))
+      .drop("pct")
+  }
+
   /** Exact quantile-bucket assignment: bucket `b ∈ [0, nBuckets)` with
     * `b = ⌊(rank − 1) · nBuckets / N⌋` over the ascending (score, id) rank —
     * the balanced-bucket rule (ntile), computed with [[withExactRank]]'s

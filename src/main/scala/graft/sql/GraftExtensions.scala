@@ -222,6 +222,7 @@ object TableMacros {
     "semdedup", "knn_graph", "pq_topk", "strip_boilerplate", "top_tokens",
     "top_tokens_sketch", "top_tokens_sketch_by",
     "score_quantiles_sketch", "score_quantiles_sketch_by",
+    "percentile_by_group", "top_fraction_by_group",
     "assign_split_leakage_safe", "mine_hard_negatives", "cluster_balanced_sample",
     "mix_token_budget", "select_token_budget",
     // round 6 batch 19: linear quality gate, partial-overlap decontamination,
@@ -990,6 +991,13 @@ object TableMacros {
         graft.llm.TextOps.topTokensSketchBy(source(src), ident(group, "group_col"),
           ident(text, "text_col"), int(k, "k"),
           rest.headOption.map(int(_, "capacity")).getOrElse(4096))
+      case ("percentile_by_group", Seq(src, g, id, score)) =>
+        graft.llm.QuantileOps.percentileByGroup(source(src),
+          ident(g, "group_col"), ident(id, "id_col"), ident(score, "score_col"))
+      case ("top_fraction_by_group", Seq(src, g, id, score, frac)) =>
+        graft.llm.QuantileOps.filterTopFractionByGroup(source(src),
+          ident(g, "group_col"), ident(id, "id_col"), ident(score, "score_col"),
+          dbl(frac, "frac"))
       case ("score_quantiles_sketch", Seq(src, score, qsE, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
         graft.llm.QuantileOps.scoreQuantilesSketch(source(src),

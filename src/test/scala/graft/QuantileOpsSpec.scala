@@ -141,4 +141,42 @@ class QuantileOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(_.getLong(0)).toSet
     assert(got == (0L until 10L).toSet)
   }
+
+  test("percentileByGroup is per-group cume_dist on the rounded score; ties share; NaN dropped") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 2.0), (4L, "a", 5.0),
+      (5L, "b", 10.0), (6L, "b", 20.0),
+      (7L, "b", Double.NaN),
+      // rounds onto id 2/3's grid point → joins the same tie row
+      (8L, "a", 2.0000001),
+    ).toDF("id", "grp", "score")
+    val got = QuantileOps.percentileByGroup(df, "grp", "id", "score")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getDouble(3))).toMap
+    // group a has 5 rows: 1.0 → 1/5; {2.0, 2.0, 2.0000001→2.0} → 4/5; 5.0 → 1
+    assert(got(1L) == ("a", 1.0, 0.2))
+    assert(got(2L) == ("a", 2.0, 0.8) && got(3L) == ("a", 2.0, 0.8) &&
+      got(8L) == ("a", 2.0, 0.8))
+    assert(got(4L) == ("a", 5.0, 1.0))
+    // group b: the NaN row is gone, 2 rankable rows
+    assert(!got.contains(7L))
+    assert(got(5L) == ("b", 10.0, 0.5) && got(6L) == ("b", 20.0, 1.0))
+    // partition invariance
+    val again = QuantileOps.percentileByGroup(df.repartition(7), "grp", "id", "score")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(again == got)
+
+    // the composed gate keeps tie-closed top sets per group: top-10%
+    // excludes group a's 2.0-tie block (pct 0.8 ≤ 0.9) keeping only 5.0;
+    // top-60% admits the whole tie block and group b's 10.0
+    val kept10 = QuantileOps.filterTopFractionByGroup(df, "grp", "id", "score", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept10 == Set(4L, 6L))
+    val kept60 = QuantileOps.filterTopFractionByGroup(df, "grp", "id", "score", 0.6)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept60 == Set(2L, 3L, 8L, 4L, 5L, 6L))
+  }
 }

@@ -737,6 +737,14 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(lo) == sortedRows(graft.llm.QuantileOps.selectTopK(
       spark.table("_tm_scored"), "id", "score", 5, highest = false)))
     assert(lo.count() == 5)
+    (0L until 50L).map(i => (i, s"g${i % 3}", math.cos(i.toDouble)))
+      .toDF("id", "grp", "score").createOrReplaceTempView("_tm_gscored")
+    val pct = spark.sql("SELECT * FROM percentile_by_group('_tm_gscored', grp, id, score)")
+    assert(sortedRows(pct) == sortedRows(graft.llm.QuantileOps.percentileByGroup(
+      spark.table("_tm_gscored"), "grp", "id", "score")))
+    val tfg = spark.sql("SELECT * FROM top_fraction_by_group('_tm_gscored', grp, id, score, 0.25)")
+    assert(sortedRows(tfg) == sortedRows(graft.llm.QuantileOps.filterTopFractionByGroup(
+      spark.table("_tm_gscored"), "grp", "id", "score", 0.25)))
   }
 
   test("batch-23 TVFs: blocklist_filter / corpus_report SQL == Scala API") {

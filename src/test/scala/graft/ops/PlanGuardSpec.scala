@@ -751,6 +751,27 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"every window must partition by the query id:\n$plan")
   }
 
+  test("per-group percentile: CDF windows run over the distinct-score rollup, never the corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.llm.QuantileOps.percentileByGroup(docs, "lang", "doc_id", "n_chars")
+    val plan = df.queryExecution.executedPlan
+    val wins = plan.collect { case w: WindowExec => w }
+    // every window must be partitioned AND sit above the (group, score)
+    // aggregate — a window whose subtree has no aggregate is the corpus
+    // window this op exists to avoid
+    assert(wins.nonEmpty && wins.forall(_.partitionSpec.nonEmpty),
+      s"percentile windows must partition by the group:\n$plan")
+    assert(wins.forall(_.child.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.nonEmpty), s"windows must run over the distinct-score rollup:\n$plan")
+    // the join back carries only (id, group, score) — text stays columnar-
+    // pruned out of the scan entirely
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty && scans.forall(!_.schema.fieldNames.contains("text")),
+      s"the text column must prune out of every scan:\n$plan")
+  }
+
   test("flagship forecast: one shuffle on the group key, no cartesian") {
     val df = graft.ops.TsForecastOp.forecastBy(
       events
