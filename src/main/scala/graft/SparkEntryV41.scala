@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{QuantileOps, RetrievalOps}
+import graft.llm.{QuantileOps, RetrievalOps, SimilarityOps}
 
 /** Forty-first batch (round 9): hybrid lexical+dense retrieval fused by
   * Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009) — the
@@ -25,6 +25,8 @@ object SparkEntryV41 {
   private val K = 10
   private val KCand = 25
   private val RrfK = 60
+  private val MmrCand = 25
+  private val MmrLambda = 0.7
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // corpus = the docs that have an embedding (1:1 at sf0.01, 2000-of-5000
@@ -47,6 +49,14 @@ object SparkEntryV41 {
     "top_fraction_by_group" -> ((s, dir) =>
       QuantileOps.filterTopFractionByGroup(t(s, dir, "documents"), "lang",
         "doc_id", "n_chars", frac = 0.3)),
+    // MMR rerank of brute-force ANN candidates (diversity after retrieval)
+    "mmr_rerank" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val cands = SimilarityOps.bruteForceTopK(emb,
+        emb.filter(col("vec_id") % 100 === 0), "vec_id", "embedding", MmrCand)
+      SimilarityOps.mmrRerank(cands, emb, "qid", "vid", "sim",
+        "vec_id", "embedding", k = K, lambda = MmrLambda)
+    }),
   )
 
   private val HybridSql =
@@ -103,9 +113,55 @@ object SparkEntryV41 {
     s"""WITH p AS ($PercentileSql)
        |SELECT doc_id, lang, n_chars FROM p WHERE pct > ${1.0 - 0.3}""".stripMargin
 
+  /** The MMR greedy as a DuckDB recursive CTE: candidates replay the
+    * brute-force top-kCand (unrounded rank, vid tiebreak — the ann_topk
+    * convention), then each recursion step picks the rounded-grid argmax
+    * of `λ·rel − (1−λ)·maxSimToSelected` exactly as
+    * [[graft.llm.SimilarityOps.mmrGreedy]] specifies. */
+  private val MmrSql = {
+    val lam = s"$MmrLambda"
+    val mu = s"${1.0 - MmrLambda}"
+    val pick = s"round($lam * cc.rel - $mu * coalesce((SELECT max(si.s) " +
+      "FROM sims si WHERE si.qid = s.qid AND si.x = cc.vid " +
+      "AND list_contains(s.sel_ids, si.y)), 0.0), 6)"
+    s"""WITH RECURSIVE
+       |q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |  FROM embeddings WHERE vec_id % 100 = 0),
+       |pairs AS (SELECT q.qid, e.vec_id AS vid,
+       |    list_cosine_similarity(q.qv, CAST(e.embedding AS DOUBLE[])) AS sim
+       |  FROM q, embeddings e),
+       |topc AS (SELECT qid, vid, sim FROM (
+       |    SELECT qid, vid, sim,
+       |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rk
+       |    FROM pairs WHERE NOT isnan(sim)) WHERE rk <= $MmrCand),
+       |c AS (SELECT t.qid, t.vid, round(t.sim, 6) AS rel,
+       |    CAST(e.embedding AS DOUBLE[]) AS v
+       |  FROM topc t JOIN embeddings e ON t.vid = e.vec_id
+       |  WHERE len(list_filter(CAST(e.embedding AS DOUBLE[]), x -> x <> 0)) > 0),
+       |sims AS (SELECT a.qid, a.vid AS x, b.vid AS y,
+       |    round(list_cosine_similarity(a.v, b.v), 6) AS s
+       |  FROM c a JOIN c b ON a.qid = b.qid AND a.vid <> b.vid),
+       |sel(qid, step, vid, score, sel_ids) AS (
+       |  SELECT qid, 1, vid, round($lam * rel, 6), [vid] FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY round($lam * rel, 6) DESC, vid) AS rn FROM c)
+       |  WHERE rn = 1
+       |  UNION ALL
+       |  SELECT qid, step, vid, score, list_append(sel_ids, vid) FROM (
+       |    SELECT s.qid, s.step + 1 AS step, cc.vid, $pick AS score, s.sel_ids,
+       |      row_number() OVER (PARTITION BY s.qid
+       |        ORDER BY $pick DESC, cc.vid) AS rn
+       |    FROM sel s JOIN c cc
+       |      ON cc.qid = s.qid AND NOT list_contains(s.sel_ids, cc.vid)
+       |    WHERE s.step < $K) WHERE rn = 1)
+       |SELECT qid, CAST(step AS INT) AS rank, vid, score AS mmr_score
+       |FROM sel""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "hybrid_rrf_topk" -> HybridSql,
     "score_percentile_by_group" -> PercentileSql,
     "top_fraction_by_group" -> TopFractionByGroupSql,
+    "mmr_rerank" -> MmrSql,
   )
 }

@@ -657,4 +657,108 @@ object SimilarityOps {
     probeJoin(ivfAssign(df, idCol, vecCol, centroids),
       probeSelection(df, idCol, vecCol, nProbe, centroids),
       k, df.schema(idCol).dataType, excludeSelf = true)
+
+  // ----------------------------------------------------------- MMR rerank
+
+  /** The deterministic MMR greedy over one candidate list, extracted as an
+    * executable specification (the driver oracle replays it as a DuckDB
+    * recursive CTE): at each step pick
+    * `argmax round(λ·rel − (1−λ)·maxSim, 6)` with ties to the smaller id
+    * (inputs arrive id-ascending, so a strict `>` scan keeps the first),
+    * where `maxSim` is the max 6-decimal-rounded cosine to the already-
+    * selected set and `rel` is pre-rounded. All comparisons happen on the
+    * ROUNDED grid — the cross-engine convention — so the pick sequence
+    * replays exactly in an engine whose cosine differs in the last ulp. */
+  private[graft] def mmrGreedy(ids: Seq[Long], rels: Seq[Double],
+      vecs: Seq[Seq[Double]], k: Int, lam: Double): Seq[(Long, Double)] = {
+    val mu = 1.0 - lam
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val n = ids.length
+    val va = vecs.map(_.toArray).toArray
+    def cos(i: Int, j: Int): Double = {
+      val a = va(i); val b = va(j)
+      var d = 0.0; var na = 0.0; var nb = 0.0; var t = 0
+      val len = math.min(a.length, b.length)
+      while (t < len) { d += a(t) * b(t); na += a(t) * a(t); nb += b(t) * b(t); t += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val maxSim = Array.fill(n)(0.0)
+    val taken = Array.fill(n)(false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+    var step = 0
+    val m = math.min(k, n)
+    while (step < m) {
+      var best = -1; var bestScore = 0.0; var i = 0
+      while (i < n) {
+        if (!taken(i)) {
+          val sc = r6(lam * rels(i) - mu * maxSim(i))
+          if (best < 0 || sc > bestScore) { best = i; bestScore = sc }
+        }
+        i += 1
+      }
+      taken(best) = true
+      out += ((ids(best), bestScore))
+      var j = 0
+      while (j < n) {
+        if (!taken(j)) { val s = r6(cos(j, best)); if (s > maxSim(j)) maxSim(j) = s }
+        j += 1
+      }
+      step += 1
+    }
+    out.toSeq
+  }
+
+  /** Maximal-Marginal-Relevance rerank (Carbonell & Goldstein, SIGIR 1998)
+    * of bounded per-query candidate lists — the diversity pass after
+    * retrieval: `argmax λ·rel(d) − (1−λ)·max_{s∈S} cos(d, s)` greedily,
+    * so near-duplicate candidates stop crowding out distinct evidence
+    * (dedup-at-read for RAG context assembly, diverse hard-negative picks,
+    * exemplar selection).
+    *
+    * `candidates` is (qidCol, vidCol, relCol) — the bounded output of any
+    * retrieval op ([[bruteForceTopK]], [[graft.llm.RetrievalOps
+    * .hybridTopK]], the IVF probe); one row per (query, doc). `vectors`
+    * supplies (idCol, vecCol) for the candidate docs.
+    *
+    * Scale design (100 TB corpus, bounded query batch): the greedy is
+    * inherently sequential per query (each pick changes the next
+    * argmax), so the op keeps it OFF the corpus: only candidate ids join
+    * the vector table (slim equi join — the corpus itself never moves),
+    * each query's ≤kCand candidates gather into one bounded in-row list,
+    * and the O(k·kCand·dim) greedy runs inside one projection per QUERY
+    * row — |Q|-proportional work with no cross-row dependence, trivially
+    * parallel across queries. A Scala UDF is the right tool here (not a
+    * codegen expression): it executes once per query, not per corpus row,
+    * so interpreter overhead is amortized over the whole greedy.
+    *
+    * Determinism: see [[mmrGreedy]] — every comparison on the 6-decimal
+    * grid, ties to the smaller id. Zero-norm and NaN inputs are dropped
+    * (NaN cosine is a broken signal, same contract as [[bruteForceTopK]]).
+    *
+    * @return (qidCol, rank 1..min(k, |candidates|), vidCol, mmr_score)
+    */
+  def mmrRerank(candidates: DataFrame, vectors: DataFrame, qidCol: String,
+                vidCol: String, relCol: String, idCol: String, vecCol: String,
+                k: Int, lambda: Double = 0.7): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(lambda >= 0.0 && lambda <= 1.0, s"lambda must be in [0,1], got $lambda")
+    val vidType = candidates.schema(vidCol).dataType
+    val joined = candidates
+      .select(col(qidCol).as("_qid"), col(vidCol).cast(LongType).as("_vid"),
+        round(col(relCol).cast("double"), 6).as("_rel"))
+      .filter(col("_rel").isNotNull && !isnan(col("_rel")))
+      .join(vectors.select(col(idCol).cast(LongType).as("_vid"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("_v")), Seq("_vid"))
+      .filter(exists(col("_v"), e => e =!= lit(0.0)))
+    val kk = k; val lam = lambda
+    val greedy = udf((ids: Seq[Long], rels: Seq[Double], vecs: Seq[Seq[Double]]) =>
+      mmrGreedy(ids, rels, vecs, kk, lam))
+    joined
+      .groupBy(col("_qid"))
+      .agg(sort_array(collect_list(struct(col("_vid"), col("_rel"), col("_v")))).as("_c"))
+      .select(col("_qid"), posexplode(greedy(col("_c._vid"), col("_c._rel"), col("_c._v"))))
+      .select(col("_qid").as(qidCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col._1").cast(vidType).as(vidCol), col("col._2").as("mmr_score"))
+  }
 }

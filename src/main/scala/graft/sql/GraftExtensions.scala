@@ -224,6 +224,7 @@ object TableMacros {
     "score_quantiles_sketch", "score_quantiles_sketch_by",
     "percentile_by_group", "top_fraction_by_group",
     "assign_split_leakage_safe", "mine_hard_negatives", "cluster_balanced_sample",
+    "mmr_rerank",
     "mix_token_budget", "select_token_budget",
     // round 6 batch 19: linear quality gate, partial-overlap decontamination,
     // markup extraction
@@ -994,6 +995,12 @@ object TableMacros {
       case ("percentile_by_group", Seq(src, g, id, score)) =>
         graft.llm.QuantileOps.percentileByGroup(source(src),
           ident(g, "group_col"), ident(id, "id_col"), ident(score, "score_col"))
+      case ("mmr_rerank", Seq(csrc, vsrc, qid, vid, rel, id, vec, k, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.SimilarityOps.mmrRerank(source(csrc), source(vsrc),
+          ident(qid, "qid_col"), ident(vid, "vid_col"), ident(rel, "rel_col"),
+          ident(id, "id_col"), ident(vec, "vec_col"), int(k, "k"),
+          lambda = rest.headOption.map(dbl(_, "lambda")).getOrElse(0.7))
       case ("top_fraction_by_group", Seq(src, g, id, score, frac)) =>
         graft.llm.QuantileOps.filterTopFractionByGroup(source(src),
           ident(g, "group_col"), ident(id, "id_col"), ident(score, "score_col"),

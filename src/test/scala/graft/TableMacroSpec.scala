@@ -745,6 +745,15 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     val tfg = spark.sql("SELECT * FROM top_fraction_by_group('_tm_gscored', grp, id, score, 0.25)")
     assert(sortedRows(tfg) == sortedRows(graft.llm.QuantileOps.filterTopFractionByGroup(
       spark.table("_tm_gscored"), "grp", "id", "score", 0.25)))
+    Seq((100L, 1L, 1.0), (100L, 2L, 0.95), (100L, 3L, 0.8))
+      .toDF("qid", "vid", "rel").createOrReplaceTempView("_tm_mmrc")
+    Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.99, 0.01)), (3L, Seq(0.0, 1.0)))
+      .toDF("id", "v").createOrReplaceTempView("_tm_mmrv")
+    val mm = spark.sql(
+      "SELECT * FROM mmr_rerank('_tm_mmrc', '_tm_mmrv', qid, vid, rel, id, v, 3, 0.7)")
+    assert(sortedRows(mm) == sortedRows(graft.llm.SimilarityOps.mmrRerank(
+      spark.table("_tm_mmrc"), spark.table("_tm_mmrv"), "qid", "vid", "rel",
+      "id", "v", k = 3, lambda = 0.7)))
   }
 
   test("batch-23 TVFs: blocklist_filter / corpus_report SQL == Scala API") {

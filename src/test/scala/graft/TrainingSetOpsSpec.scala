@@ -141,4 +141,42 @@ class TrainingSetOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val strata = out.select("centroid_id").distinct().collect().map(_.getInt(0)).toSet
     assert(strata.subsetOf(Set(0, 1, 2)))
   }
+
+  test("mmrRerank: diversity demotes the near-duplicate; hand-verified pick sequence") {
+    val sp = spark
+    import sp.implicits._
+    // doc 2 is a near-dup of doc 1 (cos ≈ 0.99995); doc 3 is orthogonal
+    // with decent relevance. Pure relevance ranks 1, 2, 3; MMR (λ=0.7)
+    // must pick the diverse doc 3 at rank 2 and push the near-dup to 3.
+    val cands = Seq((100L, 1L, 1.00), (100L, 2L, 0.95), (100L, 3L, 0.80),
+      (100L, 4L, 0.70)).toDF("qid", "vid", "rel")
+    val vecs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.99, 0.01)),
+      (3L, Seq(0.0, 1.0)), (4L, Seq(0.5, 0.5))).toDF("id", "v")
+    val out = graft.llm.SimilarityOps.mmrRerank(cands, vecs, "qid", "vid",
+        "rel", "id", "v", k = 3, lambda = 0.7)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    // rank-3 score: 0.7·0.95 − 0.3·round(cos((1,0),(0.99,0.01)), 6)
+    //             = 0.665 − 0.3·0.999949 = 0.365015 (on the rounded grid)
+    assert(out.toSeq == Seq((1, 1L, 0.7), (2, 3L, 0.56), (3, 2L, 0.365015)))
+
+    // k > candidates returns all; zero-norm candidate is dropped
+    val withZero = cands.unionByName(Seq((100L, 9L, 0.99)).toDF("qid", "vid", "rel"))
+    val vz = vecs.unionByName(Seq((9L, Seq(0.0, 0.0))).toDF("id", "v"))
+    val all = graft.llm.SimilarityOps.mmrRerank(withZero, vz, "qid", "vid",
+      "rel", "id", "v", k = 10, lambda = 0.7).collect()
+    assert(all.length == 4 && !all.map(_.getLong(2)).contains(9L))
+
+    // partition invariance
+    val again = graft.llm.SimilarityOps.mmrRerank(cands.repartition(5),
+        vecs.repartition(3), "qid", "vid", "rel", "id", "v", k = 3, lambda = 0.7)
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3))).sortBy(_._1)
+    assert(again.toSeq == out.toSeq)
+
+    // λ=1 is pure relevance order (rank by rel, id tiebreak)
+    val pure = graft.llm.SimilarityOps.mmrRerank(cands, vecs, "qid", "vid",
+        "rel", "id", "v", k = 4, lambda = 1.0)
+      .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
+    assert(pure.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L))
+  }
 }
