@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llm.{QuantileOps, RetrievalOps, SimilarityOps}
+import graft.llm.{FrequencyOps, QuantileOps, RetrievalOps, SampleOps, SimilarityOps}
 
 /** Forty-first batch (round 9): hybrid lexical+dense retrieval fused by
   * Reciprocal Rank Fusion (Cormack, Clarke & Büttcher, SIGIR 2009) — the
@@ -27,6 +27,10 @@ object SparkEntryV41 {
   private val RrfK = 60
   private val MmrCand = 25
   private val MmrLambda = 0.7
+  private val CmD = 4
+  private val CmW = 1024
+  private val CmHashSeed = 7L
+  private val CmMixSeed = 13L
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // corpus = the docs that have an embedding (1:1 at sf0.01, 2000-of-5000
@@ -57,7 +61,30 @@ object SparkEntryV41 {
       SimilarityOps.mmrRerank(cands, emb, "qid", "vid", "sim",
         "vec_id", "embedding", k = K, lambda = MmrLambda)
     }),
+    // Count-Min token-frequency estimates for doc 0's vocabulary
+    "cm_token_freq" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      FrequencyOps.cmEstimate(
+        FrequencyOps.cmSketch(docs, "text", CmD, CmW, CmHashSeed, CmMixSeed),
+        cmProbes(docs), "term", CmD, CmW, CmHashSeed, CmMixSeed)
+    }),
+    // per-shard sketches merged (the linearity identity) — the merged
+    // counters are identical to the single pass, so it shares the oracle
+    "cm_merge_shards" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("shard", pmod(col("doc_id"), lit(4)))
+      val shards = FrequencyOps.cmSketch(docs, "text", CmD, CmW,
+        CmHashSeed, CmMixSeed, groupCols = Seq("shard"))
+      FrequencyOps.cmEstimate(FrequencyOps.cmMergeShards(shards, CmD, CmW),
+        cmProbes(docs), "term", CmD, CmW, CmHashSeed, CmMixSeed)
+    }),
   )
+
+  /** Distinct tokens of doc 0 — the deterministic probe vocabulary. */
+  private def cmProbes(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") === 0)
+      .select(explode(split(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+")).as("term"))
+      .filter(length(col("term")) > 0).distinct()
 
   private val HybridSql =
     s"""WITH hc AS (SELECT d.doc_id, d.text, CAST(e.embedding AS DOUBLE[]) AS v
@@ -158,10 +185,43 @@ object SparkEntryV41 {
        |FROM sel""".stripMargin
   }
 
+  /** Counter replay: every token occurrence rolling-hashes (131 mod P),
+    * each of the d sketch rows mixes `h·d + i` through the LCG chain to a
+    * counter, counters are exact GROUP BY counts, and each probe term's
+    * estimate is the min of its d matched counters — all BIGINT. */
+  private val CmSql: String = {
+    val tokHash = "list_reduce(list_prepend(CAST(%d AS BIGINT), " +
+      "list_transform(range(1, len(%s) + 1), i -> CAST(ord(%s[i:i]) AS BIGINT))), " +
+      s"(a, c) -> (a * 131 + c) %% ${SampleOps.P})"
+    val oh = tokHash.format(CmHashSeed, "tok", "tok")
+    val ph = tokHash.format(CmHashSeed, "term", "term")
+    val (cmCtes, cmBucket) = SampleOps.hashBucketSqlCtes("ri", "ent", CmMixSeed)
+    val (pbCtes, pbBucket) = SampleOps.hashBucketSqlCtes("pri", "ent", CmMixSeed, "_g")
+    s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+       |    '[ \\t\\n\\r\\f]+'), x -> len(x) > 0) AS ts FROM documents),
+       |occ AS (SELECT unnest(ts) AS tok FROM tk),
+       |oh AS (SELECT $oh AS h FROM occ),
+       |ri AS (SELECT h * $CmD + t.i AS ent, t.i FROM oh CROSS JOIN range($CmD) t(i)),
+       |$cmCtes,
+       |cm AS (SELECT i, $cmBucket % $CmW AS bucket, count(*) AS cnt
+       |  FROM _h3 GROUP BY 1, 2),
+       |pr AS (SELECT DISTINCT unnest(ts) AS term FROM tk WHERE doc_id = 0),
+       |ph AS (SELECT term, $ph AS h FROM pr),
+       |pri AS (SELECT term, h * $CmD + t.i AS ent, t.i
+       |  FROM ph CROSS JOIN range($CmD) t(i)),
+       |$pbCtes,
+       |pb AS (SELECT term, i, $pbBucket % $CmW AS bucket FROM _g3)
+       |SELECT term, min(cnt) AS est FROM pb JOIN cm USING (i, bucket)
+       |GROUP BY term""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "hybrid_rrf_topk" -> HybridSql,
     "score_percentile_by_group" -> PercentileSql,
     "top_fraction_by_group" -> TopFractionByGroupSql,
     "mmr_rerank" -> MmrSql,
+    "cm_token_freq" -> CmSql,
+    // merged shard counters are identical to the single pass (linearity)
+    "cm_merge_shards" -> CmSql,
   )
 }

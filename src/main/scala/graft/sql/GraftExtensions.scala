@@ -208,6 +208,8 @@ object TableMacros {
     "asof_join", "sessionize", "session_stats", "interval_join",
     // round-9 cardinality sketch surface
     "hll_count", "hll_overlap",
+    // round-9 point-frequency sketch surface
+    "cm_sketch", "cm_estimate",
     // round-9 weighted reservoir sampling
     "sample_weighted_k",
     // round-9 edit-distance record linkage
@@ -854,6 +856,17 @@ object TableMacros {
           Seq(ident(g, "group_col")), ident(v, "value_col"),
           rest.headOption.map(int(_, "p")).getOrElse(12))
           .drop("regs")
+      case ("cm_sketch", Seq(src, text, rest @ _*)) =>
+        if (rest.length > 2) fail("too many arguments")
+        graft.llm.FrequencyOps.cmSketch(source(src), ident(text, "text_col"),
+          d = rest.headOption.map(int(_, "d")).getOrElse(4),
+          w = rest.lift(1).map(int(_, "w")).getOrElse(1024))
+      case ("cm_estimate", Seq(ssrc, psrc, term, rest @ _*)) =>
+        if (rest.length > 2) fail("too many arguments")
+        graft.llm.FrequencyOps.cmEstimate(source(ssrc), source(psrc),
+          ident(term, "term_col"),
+          d = rest.headOption.map(int(_, "d")).getOrElse(4),
+          w = rest.lift(1).map(int(_, "w")).getOrElse(1024))
       case ("interval_join", Seq(p, iv, key, pts, sCol, eCol, bArg)) =>
         graft.ops.IntervalJoinOp.intervalJoin(source(p), source(iv),
           Seq(ident(key, "key_col")), ident(pts, "point_ts_col"),

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llm.{FrequencyOps, SampleOps}
+
+/** Count-Min sketch (Cormode & Muthukrishnan 2005): mixer parity with the
+  * shared LCG, the overcount guarantee, exactness in the no-collision
+  * regime, and the shard-merge linearity identity. */
+class CmSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private var spark: SparkSession = _
+
+  override def beforeAll(): Unit = {
+    spark = SparkSession.builder()
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-cm-sketch")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("bucketOf equals the shared SampleOps.hashBucket mixer on random entities") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(42)
+    val hs = Seq.fill(200)(math.abs(rnd.nextLong()) % SampleOps.P)
+    val d = 4; val w = 1024; val seed = 13L
+    val viaSql = hs.toDF("h")
+      .withColumn("i", explode(sequence(lit(0), lit(d - 1))))
+      .withColumn("b", pmod(SampleOps.hashBucket(col("h") * d + col("i"), seed), lit(w.toLong)))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (h <- hs; i <- 0 until d)
+      assert(viaSql((h, i)) ==
+        graft.functions.CountMinSketch.bucketOf(h, i, d, w, seed).toLong,
+        s"h=$h i=$i")
+  }
+
+  test("estimates are exact in the no-collision regime and never undercount") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (0L, "alpha beta alpha"),
+      (1L, "beta gamma beta beta"),
+      (2L, "alpha delta")).toDF("doc_id", "text")
+    // w big enough that 4 distinct tokens cannot collide in every row
+    val sketch = FrequencyOps.cmSketch(docs, "text", d = 4, w = 4096)
+    val probes = Seq("alpha", "beta", "gamma", "delta", "absent").toDF("term")
+    val est = FrequencyOps.cmEstimate(sketch, probes, "term", d = 4, w = 4096)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Map("alpha" -> 3L, "beta" -> 4L, "gamma" -> 1L, "delta" -> 1L)
+    exact.foreach { case (t, c) => assert(est(t) == c, t) }
+    // absent tokens can only overcount, never undercount
+    assert(est("absent") >= 0L)
+
+    // tiny w forces collisions: still never an undercount
+    val tiny = FrequencyOps.cmEstimate(
+      FrequencyOps.cmSketch(docs, "text", d = 2, w = 2), probes, "term",
+      d = 2, w = 2).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (t, c) => assert(tiny(t) >= c, s"undercount for $t") }
+  }
+
+  test("shard-merge linearity: merged per-shard counters equal the single pass") {
+    val sp = spark
+    import sp.implicits._
+    val docs = (0L until 40L)
+      .map(i => (i, s"tok${i % 7} tok${i % 3} shared")).toDF("doc_id", "text")
+    val whole = FrequencyOps.cmSketch(docs, "text")
+      .collect()(0).getSeq[Long](0)
+    val merged = FrequencyOps.cmMergeShards(
+        FrequencyOps.cmSketch(docs.withColumn("shard", pmod(col("doc_id"), lit(3))),
+          "text", groupCols = Seq("shard")))
+      .collect()(0).getSeq[Long](0)
+    assert(whole == merged)
+    // total mass per sketch row = total token occurrences (3 per doc)
+    assert(whole.sum == 40L * 3 * 4)
+  }
+}

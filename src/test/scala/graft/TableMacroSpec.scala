@@ -882,6 +882,23 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(ests("b") - 40) / 40.0 < 0.25)
   }
 
+  test("round-9 frequency TVFs: cm_sketch / cm_estimate SQL == Scala API") {
+    val sp = spark; import sp.implicits._
+    Seq((0L, "alpha beta alpha"), (1L, "beta gamma"))
+      .toDF("doc_id", "text").createOrReplaceTempView("_tmb_cmd")
+    Seq("alpha", "beta").toDF("term").createOrReplaceTempView("_tmb_cmp")
+    spark.sql("SELECT * FROM cm_sketch('_tmb_cmd', text, 4, 256)")
+      .createOrReplaceTempView("_tmb_cms")
+    val viaSql = spark.sql(
+      "SELECT * FROM cm_estimate('_tmb_cms', '_tmb_cmp', term, 4, 256)")
+    val viaApi = graft.llm.FrequencyOps.cmEstimate(
+      graft.llm.FrequencyOps.cmSketch(spark.table("_tmb_cmd"), "text", 4, 256),
+      spark.table("_tmb_cmp"), "term", 4, 256)
+    assert(sortedRows(viaSql) == sortedRows(viaApi))
+    val ests = viaSql.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(ests("alpha") >= 2L && ests("beta") >= 2L)
+  }
+
   test("round-9 sampling TVF: sample_weighted_k SQL == Scala API") {
     val sp = spark; import sp.implicits._
     (1L to 200L).map(i => ("g" + (i % 2), i, (i % 5 + 1).toDouble))

@@ -602,6 +602,22 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.collect { case w: WindowExec => w }.isEmpty)
   }
 
+  test("cm sketch: token hashes die map-side; one counter buffer per partition crosses the one exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.llm.FrequencyOps.cmSketch(docs, "text")
+    val plan = df.queryExecution.executedPlan
+    // the exact-count path's hazard is a vocabulary-keyed exchange; the
+    // sketch ships one serialized d·w counter buffer per partition — no
+    // token hash (and no text) may cross
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.length == 1, s"expected the single sketch-merge exchange:\n$plan")
+    assert(shuffles.forall(_.child.output.forall(a =>
+      a.name != "_th" && a.name != "text")),
+      "only the serialized counters may cross the exchange — never tokens")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty)
+  }
+
   test("weighted k-sample: bounded top-k aggregate, no corpus window or sort") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.SortExec
