@@ -81,4 +81,31 @@ class HllStreamSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(math.abs(ests((0L, "click")) - 3.0) < 0.5)
     assert(math.abs(ests((60L, "click")) - 2.0) < 0.5)
   }
+
+  test("count-min counters over micro-batches equal the batch sketch (sum-merge path)") {
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = sp.sqlContext
+    val batch1 = Seq((0L, "alpha beta alpha"), (1L, "beta gamma"))
+    val batch2 = Seq((2L, "alpha delta beta"), (3L, "gamma gamma epsilon"))
+
+    val input = MemoryStream[(Long, String)]
+    val streamed = graft.llm.FrequencyOps.cmSketch(
+      input.toDF().toDF("doc_id", "text"), "text", d = 4, w = 256)
+    val query = streamed.writeStream.format("memory").queryName("cm_out")
+      .outputMode("complete").start()
+    try {
+      input.addData(batch1: _*)
+      query.processAllAvailable()
+      input.addData(batch2: _*)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    val got = sp.sql("SELECT * FROM cm_out").collect()(0).getSeq[Long](0)
+    val want = graft.llm.FrequencyOps.cmSketch(
+        (batch1 ++ batch2).toDF("doc_id", "text"), "text", d = 4, w = 256)
+      .collect()(0).getSeq[Long](0)
+    assert(got == want)
+    assert(got.sum == 11L * 4) // 11 token occurrences x d rows
+  }
 }
