@@ -416,6 +416,30 @@ object ScaleProbe {
       println(f"kll_sketch sec=$tk%.3f ms_per_doc=${tk * 1000 / (n1 * 10)}%.4f all=${tsk.map(t => f"$t%.3f")}")
       docs10.unpersist()
     }
+    if (which("cm")) {
+      // round-9 count-min A/B: exact explode→groupBy(token)→count (the
+      // vocabulary-cardinality exchange, hapax-inflated web-style: every
+      // doc adds two unique tokens, so the exact path's shuffle grows
+      // with the corpus) vs the bounded d·w counter fold (one 32 KB
+      // buffer per partition crosses, whatever the vocabulary)
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n1 = docs.count()
+      val docs10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L)))
+        .reduce(_ unionByName _)
+        .withColumn("text", concat(col("text"),
+          lit(" u"), col("doc_id"), lit("a u"), col("doc_id"), lit("b")))
+        .coalesce(32).cache()
+      docs10.count()
+      val toksCol = filter(split(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+"),
+        t => length(t) > 0)
+      val (tx, tsx) = med5(onceDf(docs10
+        .select(explode(toksCol).as("tok")).groupBy("tok").count()))
+      println(f"cm_exact_counts sec=$tx%.3f ms_per_doc=${tx * 1000 / (n1 * 10)}%.4f all=${tsx.map(t => f"$t%.3f")}")
+      val (tk, tsk) = med5(onceDf(llm.FrequencyOps.cmSketch(docs10, "text")))
+      println(f"cm_sketch sec=$tk%.3f ms_per_doc=${tk * 1000 / (n1 * 10)}%.4f all=${tsk.map(t => f"$t%.3f")}")
+      docs10.unpersist()
+    }
     if (which("pq")) {
       // round-9 PQ: train untimed (once per corpus version), encode map-only
       // over the 10× corpus, ADC top-k against pre-encoded codes
