@@ -31,6 +31,7 @@ object SparkEntryV41 {
   private val CmW = 1024
   private val CmHashSeed = 7L
   private val CmMixSeed = 13L
+  private val ZBits = 8
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // corpus = the docs that have an embedding (1:1 at sf0.01, 2000-of-5000
@@ -78,6 +79,12 @@ object SparkEntryV41 {
       FrequencyOps.cmEstimate(FrequencyOps.cmMergeShards(shards, CmD, CmW),
         cmProbes(docs), "term", CmD, CmW, CmHashSeed, CmMixSeed)
     }),
+    // Morton values for the 2-d (price, quantity) layout — the write-side
+    // data-skipping clustering, gated on its exact bit arithmetic
+    "zorder_values" -> ((s, dir) =>
+      graft.ops.LayoutOps.zorderValue(t(s, dir, "lineitem"),
+          Seq("l_extendedprice", "l_quantity"), bits = ZBits)
+        .select(col("l_orderkey"), col("l_linenumber"), col("zvalue"))),
   )
 
   /** Distinct tokens of doc 0 — the deterministic probe vocabulary. */
@@ -215,7 +222,25 @@ object SparkEntryV41 {
        |GROUP BY term""".stripMargin
   }
 
+  /** Bit-exact Morton replay: the same IEEE range-scaling in the same
+    * operation order, then the interleave as an explicit bit-term sum. */
+  private val ZorderSql: String = {
+    def levelSql(c: String, j: Int): String =
+      s"CASE WHEN $c IS NULL OR lo$j IS NULL OR hi$j = lo$j THEN 0 " +
+        s"ELSE least(CAST(floor(($c - lo$j) / (hi$j - lo$j) * ${(1L << ZBits).toDouble}) AS BIGINT), ${(1L << ZBits) - 1}) END"
+    val zTerms = (for (b <- 0 until ZBits; j <- 0 until 2)
+      yield s"(((v$j >> $b) & 1) << ${b * 2 + j})").mkString(" + ")
+    s"""WITH mm AS (SELECT min(l_extendedprice) AS lo0, max(l_extendedprice) AS hi0,
+       |  min(l_quantity) AS lo1, max(l_quantity) AS hi1 FROM lineitem),
+       |lv AS (SELECT l_orderkey, l_linenumber,
+       |  ${levelSql("l_extendedprice", 0)} AS v0,
+       |  ${levelSql("l_quantity", 1)} AS v1
+       |  FROM lineitem, mm)
+       |SELECT l_orderkey, l_linenumber, $zTerms AS zvalue FROM lv""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "zorder_values" -> ZorderSql,
     "hybrid_rrf_topk" -> HybridSql,
     "score_percentile_by_group" -> PercentileSql,
     "top_fraction_by_group" -> TopFractionByGroupSql,

@@ -210,6 +210,8 @@ object TableMacros {
     "hll_count", "hll_overlap",
     // round-9 point-frequency sketch surface
     "cm_sketch", "cm_estimate",
+    // round-9 write-layout surface
+    "zorder_values",
     // round-9 weighted reservoir sampling
     "sample_weighted_k",
     // round-9 edit-distance record linkage
@@ -856,6 +858,11 @@ object TableMacros {
           Seq(ident(g, "group_col")), ident(v, "value_col"),
           rest.headOption.map(int(_, "p")).getOrElse(12))
           .drop("regs")
+      case ("zorder_values", Seq(src, c1, c2, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.ops.LayoutOps.zorderValue(source(src),
+          Seq(ident(c1, "col1"), ident(c2, "col2")),
+          bits = rest.headOption.map(int(_, "bits")).getOrElse(8))
       case ("cm_sketch", Seq(src, text, rest @ _*)) =>
         if (rest.length > 2) fail("too many arguments")
         graft.llm.FrequencyOps.cmSketch(source(src), ident(text, "text_col"),

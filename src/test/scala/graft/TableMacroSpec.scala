@@ -897,6 +897,12 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sortedRows(viaSql) == sortedRows(viaApi))
     val ests = viaSql.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(ests("alpha") >= 2L && ests("beta") >= 2L)
+
+    (for (x <- 0 to 3; y <- 0 to 3) yield (x, y)).toDF("x", "y")
+      .createOrReplaceTempView("_tmb_zg")
+    val zv = spark.sql("SELECT * FROM zorder_values('_tmb_zg', x, y, 2)")
+    assert(sortedRows(zv) == sortedRows(graft.ops.LayoutOps.zorderValue(
+      spark.table("_tmb_zg"), Seq("x", "y"), bits = 2)))
   }
 
   test("round-9 sampling TVF: sample_weighted_k SQL == Scala API") {

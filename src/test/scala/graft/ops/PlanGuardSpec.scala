@@ -767,6 +767,25 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"every window must partition by the query id:\n$plan")
   }
 
+  test("zorder: map-side bit projection + one broadcast stats row — no sort, no window") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val df = graft.ops.LayoutOps.zorderValue(li,
+      Seq("l_extendedprice", "l_quantity"), bits = 8)
+    val plan = df.queryExecution.executedPlan
+    // the only exchange is the one-row min/max aggregate's gather; the
+    // z-value itself must be a pure projection over the streamed scan
+    assert(plan.collect { case b: BroadcastExchangeExec => b }.size == 1,
+      s"the stats row must broadcast:\n$plan")
+    assert(plan.collect { case s: SortExec => s }.isEmpty &&
+      plan.collect { case w: WindowExec => w }.isEmpty,
+      "computing z-values must not sort or window the corpus")
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.forall(_.child.output.length <= 4),
+      s"only the bounded stats aggregation may shuffle:\n$plan")
+  }
+
   test("per-group percentile: CDF windows run over the distinct-score rollup, never the corpus") {
     import org.apache.spark.sql.functions.col
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
