@@ -81,4 +81,45 @@ class LayoutOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(back.select(sum("x")).collect()(0).getLong(0) ==
       rows.map(_._2.toLong).sum)
   }
+
+  test("a 2-d box predicate scans fewer rows from the z-layout than from a 1-d sort") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(40000)((rnd.nextInt(1000), rnd.nextInt(1000)))
+      .zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+    val df = rows.toDF("id", "x", "y")
+    val zDir = java.nio.file.Files.createTempDirectory("graft_z2").toString
+    val sDir = java.nio.file.Files.createTempDirectory("graft_s2").toString
+    LayoutOps.writeZordered(df, Seq("x", "y"), zDir, nFiles = 32)
+    // the status quo: cluster on ONE dimension only
+    df.repartitionByRange(32, org.apache.spark.sql.functions.col("x"))
+      .sortWithinPartitions("x").write.mode("overwrite").parquet(sDir)
+
+    // rows the parquet reader actually surfaces = rows of row groups the
+    // pushed min/max filters could NOT skip
+    def scannedRows(dir: String): Long = {
+      val q = spark.read.parquet(dir)
+        .filter(col("x").between(100, 199) && col("y").between(100, 199))
+      q.collect()
+      q.queryExecution.executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.metrics("numOutputRows").value
+      }.sum
+    }
+    val zScanned = scannedRows(zDir)
+    val sScanned = scannedRows(sDir)
+    // the x-sorted layout prunes only on x (~10% of row groups survive,
+    // all useless y ranges); the z-layout prunes on BOTH dimensions
+    assert(zScanned < sScanned,
+      s"z-layout must scan less: z=$zScanned vs sorted=$sScanned")
+    // and the answer is identical either way
+    val a = spark.read.parquet(zDir)
+      .filter(col("x").between(100, 199) && col("y").between(100, 199))
+      .agg(sum("id")).collect()(0).getLong(0)
+    val b = spark.read.parquet(sDir)
+      .filter(col("x").between(100, 199) && col("y").between(100, 199))
+      .agg(sum("id")).collect()(0).getLong(0)
+    assert(a == b)
+  }
 }
