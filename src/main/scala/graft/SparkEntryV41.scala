@@ -79,6 +79,11 @@ object SparkEntryV41 {
       FrequencyOps.cmEstimate(FrequencyOps.cmMergeShards(shards, CmD, CmW),
         cmProbes(docs), "term", CmD, CmW, CmHashSeed, CmMixSeed)
     }),
+    // TF-IDF keywords with CM-approximated document frequencies — the
+    // vocabulary-free salience op, every counter replayed exactly
+    "tfidf_keywords" -> ((s, dir) =>
+      FrequencyOps.tfidfKeywords(t(s, dir, "documents"), "doc_id", "text",
+        k = 5, CmD, CmW, CmHashSeed, CmMixSeed)),
     // Morton values for the 2-d (price, quantity) layout — the write-side
     // data-skipping clustering, gated on its exact bit arithmetic
     "zorder_values" -> ((s, dir) =>
@@ -239,7 +244,41 @@ object SparkEntryV41 {
        |SELECT l_orderkey, l_linenumber, $zTerms AS zvalue FROM lv""".stripMargin
   }
 
+  /** The CM counters over (doc, term) incidences + the exact tf table +
+    * `tf·ln(N/df_est)` on the 6-decimal grid, term-ascending tiebreak. */
+  private val TfidfSql: String = {
+    val rollHash = "list_reduce(list_prepend(CAST(%d AS BIGINT), " +
+      "list_transform(range(1, len(term) + 1), i -> CAST(ord(term[i:i]) AS BIGINT))), " +
+      s"(a, c) -> (a * 131 + c) %% ${SampleOps.P})"
+    val h = rollHash.format(CmHashSeed)
+    val (cmCtes, cmBucket) = SampleOps.hashBucketSqlCtes("ri", "ent", CmMixSeed)
+    val (pbCtes, pbBucket) = SampleOps.hashBucketSqlCtes("pri", "ent", CmMixSeed, "_g")
+    s"""WITH tk AS (SELECT doc_id, list_filter(string_split_regex(lower(trim(text)),
+       |    '[ \\t\\n\\r\\f]+'), x -> len(x) > 0) AS ts FROM documents),
+       |dt AS (SELECT doc_id, term, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(ts) AS term FROM tk) GROUP BY 1, 2),
+       |ih AS (SELECT doc_id, term, tf, $h AS hh FROM dt),
+       |ri AS (SELECT hh * $CmD + t.i AS ent, t.i FROM ih CROSS JOIN range($CmD) t(i)),
+       |$cmCtes,
+       |cm AS (SELECT i, $cmBucket % $CmW AS bucket, count(*) AS cnt
+       |  FROM _h3 GROUP BY 1, 2),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |pri AS (SELECT doc_id, term, tf, hh * $CmD + t.i AS ent, t.i
+       |  FROM ih CROSS JOIN range($CmD) t(i)),
+       |$pbCtes,
+       |pb AS (SELECT doc_id, term, tf, i, $pbBucket % $CmW AS bucket FROM _g3),
+       |de AS (SELECT doc_id, term, tf, min(cnt) AS df_est
+       |  FROM pb JOIN cm USING (i, bucket) GROUP BY 1, 2, 3),
+       |sc AS (SELECT doc_id, term, tf, df_est,
+       |    round(tf * ln(CAST(n AS DOUBLE) / df_est), 6) AS score FROM de, nn),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |    ORDER BY score DESC, term) AS r FROM sc)
+       |SELECT doc_id, CAST(r AS INT) AS rank, term, tf, df_est, score
+       |FROM rk WHERE r <= 5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "tfidf_keywords" -> TfidfSql,
     "zorder_values" -> ZorderSql,
     "hybrid_rrf_topk" -> HybridSql,
     "score_percentile_by_group" -> PercentileSql,

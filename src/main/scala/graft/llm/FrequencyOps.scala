@@ -83,6 +83,59 @@ object FrequencyOps {
     else shards.groupBy(groupCols.map(col): _*)
       .agg(cmMergeAgg(col("regs"), d, w).as("regs"))
 
+  /** TF-IDF keyword extraction with sketch-approximated document
+    * frequencies — per document, the top-k terms by
+    * `tf · ln(N / df_est)` where `df_est` is the Count-Min estimate of
+    * the term's DOCUMENT frequency (each (doc, term) incidence feeds the
+    * sketch once). The classic keyword/salience op, runnable at corpus
+    * scale because the IDF table is never materialized: exact document
+    * frequencies are a vocabulary-keyed groupBy (the 10⁸-type exchange);
+    * the sketch replaces it with d·w longs, and `df_est ≥ df` only ever
+    * DAMPS a rare term's salience — never inflates it.
+    *
+    * Plan shape: two corpus passes (the sketch must complete before
+    * scoring — inherent), both map-side off one native
+    * [[graft.functions.TokenTfEntries]] pass per doc; the sketch and the
+    * doc count broadcast; the only corpus exchange is the per-doc rank
+    * window's id-keyed shuffle of slim (id, term, tf) rows — partitions
+    * bounded by a document's distinct terms, text never moves.
+    *
+    * Determinism: score rounded to 6 decimals, ties break by term
+    * (binary UTF-8 order in both engines); the oracle replays the
+    * counters and the ln arithmetic exactly.
+    *
+    * @return (idCol, rank 1..k, term, tf, df_est, score)
+    */
+  def tfidfKeywords(df: DataFrame, idCol: String, textCol: String, k: Int,
+                    d: Int = 4, w: Int = 1024, hashSeed: Long = 7L,
+                    mixSeed: Long = 13L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val entries = B.column(graft.functions.TokenTfEntries(
+      B.expression(lower(trim(col(textCol))))))
+    val docTerms = df.select(col(idCol).as("_id"), explode(entries).as("_e"))
+      .select(col("_id"), col("_e.term").as("term"),
+        col("_e.tf").cast(LongType).as("tf"))
+      .withColumn("_th", element_at(tokenHashes(col("term"), hashSeed), 1))
+    val sketch = docTerms.agg(cmAgg(col("_th"), d, w, mixSeed).as("regs"))
+    val n = df.agg(count(lit(1)).as("_n"))
+    val scored = docTerms
+      .crossJoin(broadcast(sketch))
+      .crossJoin(broadcast(n))
+      .withColumn("df_est", array_min(transform(
+        sequence(lit(0), lit(d - 1)),
+        i => element_at(col("regs"),
+          (i.cast(LongType) * lit(w.toLong) +
+            bucketCol(col("_th"), i, d, w, mixSeed) + lit(1L)).cast("int")))))
+      .withColumn("score",
+        round(col("tf") * log(col("_n").cast("double") / col("df_est")), 6))
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_id")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(wRank).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("_id").as(idCol), col("rank"), col("term"), col("tf"),
+        col("df_est"), col("score"))
+  }
+
   /** Estimate each probe term's corpus frequency from a one-row sketch:
     * `est = min_i regs[i·w + bucket_i(term)]` — the probe side hashes
     * through the SAME native expression as the build side (a single

@@ -209,7 +209,7 @@ object TableMacros {
     // round-9 cardinality sketch surface
     "hll_count", "hll_overlap",
     // round-9 point-frequency sketch surface
-    "cm_sketch", "cm_estimate",
+    "cm_sketch", "cm_estimate", "tfidf_keywords",
     // round-9 write-layout surface
     "zorder_values",
     // round-9 weighted reservoir sampling
@@ -858,6 +858,12 @@ object TableMacros {
           Seq(ident(g, "group_col")), ident(v, "value_col"),
           rest.headOption.map(int(_, "p")).getOrElse(12))
           .drop("regs")
+      case ("tfidf_keywords", Seq(src, id, text, k, rest @ _*)) =>
+        if (rest.length > 2) fail("too many arguments")
+        graft.llm.FrequencyOps.tfidfKeywords(source(src), ident(id, "id_col"),
+          ident(text, "text_col"), int(k, "k"),
+          d = rest.headOption.map(int(_, "d")).getOrElse(4),
+          w = rest.lift(1).map(int(_, "w")).getOrElse(1024))
       case ("zorder_values", Seq(src, c1, c2, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
         graft.ops.LayoutOps.zorderValue(source(src),

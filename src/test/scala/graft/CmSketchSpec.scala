@@ -67,6 +67,33 @@ class CmSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     exact.foreach { case (t, c) => assert(tiny(t) >= c, s"undercount for $t") }
   }
 
+  test("tfidfKeywords: IDF ranks rare above common, ubiquitous terms score 0, partition-invariant") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      (0L, "the quark the the"),    // 'the' everywhere, 'quark' unique
+      (1L, "the cat the dog"),
+      (2L, "the cat the fish")).toDF("doc_id", "text")
+    val out = FrequencyOps.tfidfKeywords(docs, "doc_id", "text", k = 4,
+      w = 4096)
+    val rows = out.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getString(2), r.getLong(3), r.getLong(4), r.getDouble(5)))
+    val byDoc = rows.groupBy(_._1)
+    // doc 0: 'quark' (tf 1, df 1 → ln 3) beats 'the' (tf 3, df 3 → score 0)
+    assert(byDoc(0L).minBy(_._2)._3 == "quark")
+    val theRow = byDoc(0L).find(_._3 == "the").get
+    assert(theRow._5 == 3L && theRow._6 == 0.0)
+    // doc 1: 'cat'/'dog' (df 2 / 1) outrank 'the'; dog (rarer) first
+    assert(byDoc(1L).sortBy(_._2).map(_._3).take(2).toSeq == Seq("dog", "cat"))
+    // exact df in the no-collision regime
+    assert(byDoc(1L).find(_._3 == "cat").get._5 == 2L)
+    // partition invariance
+    val again = FrequencyOps.tfidfKeywords(docs.repartition(5), "doc_id",
+        "text", k = 4, w = 4096)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    assert(again.toSet == rows.map(r => (r._1, r._2, r._3)).toSet)
+  }
+
   test("shard-merge linearity: merged per-shard counters equal the single pass") {
     val sp = spark
     import sp.implicits._

@@ -898,6 +898,10 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     val ests = viaSql.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(ests("alpha") >= 2L && ests("beta") >= 2L)
 
+    val kw = spark.sql("SELECT * FROM tfidf_keywords('_tmb_cmd', doc_id, text, 2, 4, 256)")
+    assert(sortedRows(kw) == sortedRows(graft.llm.FrequencyOps.tfidfKeywords(
+      spark.table("_tmb_cmd"), "doc_id", "text", k = 2, d = 4, w = 256)))
+
     (for (x <- 0 to 3; y <- 0 to 3) yield (x, y)).toDF("x", "y")
       .createOrReplaceTempView("_tmb_zg")
     val zv = spark.sql("SELECT * FROM zorder_values('_tmb_zg', x, y, 2)")
