@@ -440,6 +440,42 @@ object ScaleProbe {
       println(f"cm_sketch sec=$tk%.3f ms_per_doc=${tk * 1000 / (n1 * 10)}%.4f all=${tsk.map(t => f"$t%.3f")}")
       docs10.unpersist()
     }
+    if (which("tfidf")) {
+      // round-9 TF-IDF A/B: exact document frequencies (vocabulary-keyed
+      // groupBy + a vocabulary-sized join back) vs the CM-sketch IDF
+      // (broadcast d·w longs) on the hapax-inflated corpus — same
+      // tokenization, same per-doc rank window, only the IDF side differs
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      val n1 = docs.count()
+      val docs10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L)))
+        .reduce(_ unionByName _)
+        .withColumn("text", concat(col("text"),
+          lit(" u"), col("doc_id"), lit("a u"), col("doc_id"), lit("b")))
+        .coalesce(32).cache()
+      val nDocs = docs10.count()
+      def exactTfidf(): DataFrame = {
+        val toksCol = filter(split(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+"),
+          t => length(t) > 0)
+        val dt = docs10.select(col("doc_id"), explode(toksCol).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = dt.groupBy("term").agg(count(lit(1)).as("df"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("term"))
+        dt.join(dfreq, Seq("term"))
+          .withColumn("score",
+            round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 5)
+      }
+      val (tx, tsx) = med5(onceDf(exactTfidf()))
+      println(f"tfidf_exact_idf sec=$tx%.3f ms_per_doc=${tx * 1000 / (n1 * 10)}%.4f all=${tsx.map(t => f"$t%.3f")}")
+      val (tk, tsk) = med5(onceDf(llm.FrequencyOps.tfidfKeywords(
+        docs10, "doc_id", "text", k = 5)))
+      println(f"tfidf_cm_idf sec=$tk%.3f ms_per_doc=${tk * 1000 / (n1 * 10)}%.4f all=${tsk.map(t => f"$t%.3f")}")
+      docs10.unpersist()
+    }
     if (which("pq")) {
       // round-9 PQ: train untimed (once per corpus version), encode map-only
       // over the 10× corpus, ADC top-k against pre-encoded codes
