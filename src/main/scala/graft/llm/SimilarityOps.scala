@@ -683,7 +683,12 @@ object SimilarityOps {
       while (t < len) { d += a(t) * b(t); na += a(t) * a(t); nb += b(t) * b(t); t += 1 }
       d / (math.sqrt(na) * math.sqrt(nb))
     }
-    val maxSim = Array.fill(n)(0.0)
+    // the TRUE max similarity to the selected set — negative maxima are
+    // legitimate penalties-turned-boosts (orthogonal-or-opposed sets);
+    // −∞ marks "nothing selected yet", where the formula uses 0 (the
+    // first pick is pure relevance — same convention the oracle's empty
+    // coalesce replays)
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
     val taken = Array.fill(n)(false)
     val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
     var step = 0
@@ -692,7 +697,8 @@ object SimilarityOps {
       var best = -1; var bestScore = 0.0; var i = 0
       while (i < n) {
         if (!taken(i)) {
-          val sc = r6(lam * rels(i) - mu * maxSim(i))
+          val ms = if (maxSim(i) == Double.NegativeInfinity) 0.0 else maxSim(i)
+          val sc = r6(lam * rels(i) - mu * ms)
           if (best < 0 || sc > bestScore) { best = i; bestScore = sc }
         }
         i += 1

@@ -94,6 +94,33 @@ class CmSketchSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again.toSet == rows.map(r => (r._1, r._2, r._3)).toSet)
   }
 
+  test("property: estimates never undercount on random corpora; exact when w is large") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val vocab = (0 until 30).map(i => s"w$i")
+      val docs = (0L until 60L).map { i =>
+        (i, Seq.fill(1 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }
+      val exact = docs.flatMap(_._2.split(" ")).groupBy(identity)
+        .map { case (t, occ) => t -> occ.size.toLong }
+      val df = docs.toDF("doc_id", "text")
+      val probes = vocab.toDF("term")
+      for (w <- Seq(8, 64, 1 << 14)) {
+        val est = FrequencyOps.cmEstimate(
+            FrequencyOps.cmSketch(df, "text", d = 3, w = w), probes, "term",
+            d = 3, w = w)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        exact.foreach { case (t, c) =>
+          assert(est(t) >= c, s"trial $trial w=$w undercounts $t") }
+        if (w >= (1 << 14))
+          exact.foreach { case (t, c) =>
+            assert(est(t) == c, s"trial $trial w=$w not exact for $t") }
+      }
+    }
+  }
+
   test("shard-merge linearity: merged per-shard counters equal the single pass") {
     val sp = spark
     import sp.implicits._

@@ -179,4 +179,39 @@ class TrainingSetOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       .collect().map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1)
     assert(pure.map(_._2).toSeq == Seq(1L, 2L, 3L, 4L))
   }
+
+  test("property: mmrGreedy matches an independently-coded quadratic greedy on random inputs") {
+    val rnd = new scala.util.Random(23)
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for (trial <- 0 until 20) {
+      val n = 2 + rnd.nextInt(12)
+      val dim = 2 + rnd.nextInt(4)
+      val ids = (0 until n).map(i => (i * 7 + 1).toLong)
+      val rels = Seq.fill(n)(r6(rnd.nextDouble()))
+      val vecs = Seq.fill(n)(Seq.fill(dim)(rnd.nextDouble() * 2 - 1))
+      val lam = Seq(0.0, 0.3, 0.7, 1.0)(trial % 4)
+      val k = 1 + rnd.nextInt(n)
+      val got = graft.llm.SimilarityOps.mmrGreedy(ids, rels, vecs, k, lam)
+      // naive reference: recompute every pairwise rounded cosine from
+      // scratch each step, pick via explicit (score, id) ordering
+      def cos(a: Seq[Double], b: Seq[Double]) = {
+        val d = a.zip(b).map { case (x, y) => x * y }.sum
+        d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      }
+      var selected = Vector.empty[Int]
+      val want = scala.collection.mutable.ArrayBuffer.empty[(Long, Double)]
+      while (want.length < k) {
+        val candScores = (0 until n).filterNot(selected.contains).map { i =>
+          val ms = if (selected.isEmpty) 0.0
+            else selected.map(s => r6(cos(vecs(i), vecs(s)))).max
+          (i, r6(lam * rels(i) - (1.0 - lam) * ms))
+        }
+        val pick = candScores.minBy { case (i, s) => (-s, ids(i)) }
+        selected :+= pick._1
+        want += ((ids(pick._1), pick._2))
+      }
+      assert(got == want.toSeq, s"trial $trial n=$n k=$k lam=$lam")
+    }
+  }
 }
