@@ -79,6 +79,14 @@ object SparkEntryV41 {
       FrequencyOps.cmEstimate(FrequencyOps.cmMergeShards(shards, CmD, CmW),
         cmProbes(docs), "term", CmD, CmW, CmHashSeed, CmMixSeed)
     }),
+    // span-level decontamination: benchmark = every 50th doc, so those
+    // docs scrub to empty and any doc sharing a verbatim 13-gram loses
+    // exactly that window — the oracle replays the rebuild token-by-token
+    "decontaminate_spans" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      graft.llm.TextOps.decontaminateSpans(docs,
+        docs.filter(col("doc_id") % 50 === 0), "doc_id", "text", "text", n = 13)
+    }),
     // TF-IDF keywords with CM-approximated document frequencies — the
     // vocabulary-free salience op, every counter replayed exactly
     "tfidf_keywords" -> ((s, dir) =>
@@ -277,7 +285,35 @@ object SparkEntryV41 {
        |FROM rk WHERE r <= 5""".stripMargin
   }
 
+  /** The spans rebuild replay (the dedup_spans oracle shape) gated on
+    * benchmark-gram membership instead of global duplication. */
+  private val DeconSpansSql =
+    """WITH tk AS (SELECT doc_id,
+      |    list_filter(string_split_regex(trim(text), '[ \t\n\r\f]+'),
+      |                x -> len(x) > 0) AS toks FROM documents),
+      |bg AS (SELECT DISTINCT array_to_string(list_slice(toks, p, p + 12), ' ') AS gram
+      |  FROM (SELECT toks, unnest(range(1, len(toks) - 11)) AS p
+      |        FROM tk WHERE doc_id % 50 = 0)),
+      |win AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 11)) AS p FROM tk),
+      |occ AS (SELECT doc_id, p,
+      |    array_to_string(list_slice(toks, p, p + 12), ' ') AS gram FROM win),
+      |hits AS (SELECT o.doc_id, o.p FROM occ o JOIN bg USING (gram)),
+      |cov AS (SELECT DISTINCT doc_id, p + k.k AS idx
+      |  FROM hits, (SELECT unnest(range(0, 13)) AS k) k),
+      |tokpos AS (SELECT doc_id, unnest(toks) AS w,
+      |    generate_subscripts(toks, 1) AS i FROM tk),
+      |kept AS (SELECT tp.doc_id, tp.w, tp.i FROM tokpos tp
+      |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+      |                    WHERE c.doc_id = tp.doc_id AND c.idx = tp.i)),
+      |agg AS (SELECT doc_id, string_agg(w, ' ' ORDER BY i) AS txt,
+      |    count(*) AS nk FROM kept GROUP BY doc_id),
+      |n AS (SELECT doc_id, len(toks) AS nt FROM tk)
+      |SELECT n.doc_id, coalesce(a.txt, '') AS text_clean,
+      |  CAST(n.nt - coalesce(a.nk, 0) AS BIGINT) AS text_clean_tokens_removed
+      |FROM n LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "decontaminate_spans" -> DeconSpansSql,
     "tfidf_keywords" -> TfidfSql,
     "zorder_values" -> ZorderSql,
     "hybrid_rrf_topk" -> HybridSql,

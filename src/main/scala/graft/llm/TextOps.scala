@@ -306,6 +306,60 @@ object TextOps {
           .as(s"${out}_tokens_removed"))
   }
 
+  /** Span-level decontamination: remove every `n`-token window of corpus
+    * text that appears VERBATIM in the benchmark set — the surgical
+    * alternative to dropping whole documents ([[contaminatedIds]]), for
+    * the common case where a long document is clean except for a quoted
+    * eval item (the n-gram-removal decontamination convention, e.g.
+    * GPT-3 appendix C / PaLM-style 13-gram windows).
+    *
+    * Scale shape — the match stage is STRICTLY cheaper than
+    * [[removeDuplicatedSpans]]'s: the benchmark gram table is
+    * eval-set-sized and BROADCASTS, so window matching is map-side with
+    * no gram-keyed exchange at all (gram text is confirmed inside the
+    * broadcast join — a hash collision cannot scrub an innocent span,
+    * the [[contaminatedIds]] discipline). Gram windows never shuffle;
+    * the covered-position `collect_set` ships slim (id, idx) rows, and
+    * the rebuild joins them back on the document id — the one
+    * text-carrying exchange, identical to the spans-dedup rebuild.
+    *
+    * Output: (id, `out` = rebuilt text, `out`_tokens_removed). Documents
+    * shorter than `n` tokens pass through canonicalized (whitespace
+    * joins, same as the dedup-spans rebuild). */
+  def decontaminateSpans(corpus: DataFrame, benchmarks: DataFrame,
+                         idCol: String, textCol: String, benchTextCol: String,
+                         n: Int = 13, out: String = "text_clean"): DataFrame = {
+    require(n >= 2, s"n-gram size must be >= 2, got $n")
+    val toks = filter(split(trim(col(textCol)), "[ \\t\\n\\r\\f]+"), t => length(t) > 0)
+    val base = corpus.select(col(idCol), col(textCol)).withColumn("_toks", toks)
+    val benchGrams = benchmarks
+      .select(explode(wordGramsCol(col(benchTextCol), n, distinct = true,
+        dropEmpty = true)).as("_bgram"))
+      .distinct()
+      .select(xxhash64(col("_bgram")).as("_gh"), col("_bgram"))
+    val occ = base
+      .select(col(idCol), posexplode(
+        wordGramsCol(col(textCol), n, distinct = false, dropEmpty = true)))
+      .withColumnRenamed("pos", "_p")
+    val covered = occ
+      .join(broadcast(benchGrams),
+        xxhash64(col("col")) === col("_gh") && col("col") === col("_bgram"))
+      .select(col(idCol),
+        explode(sequence(col("_p"), col("_p") + (n - 1))).as("_idx"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("_idx").cast(LongType))).as("_cov"))
+    def sortedContains(arr: Column, v: Column): Column = {
+      val B = org.apache.spark.sql.GraftExpressionBridge
+      B.column(graft.functions.SortedArrayContains(B.expression(arr), B.expression(v)))
+    }
+    base.join(covered, Seq(idCol), "left")
+      .withColumn("_kept", when(col("_cov").isNull, col("_toks")).otherwise(
+        filter(col("_toks"), (t, i) => !sortedContains(col("_cov"), i.cast(LongType)))))
+      .select(col(idCol), array_join(col("_kept"), " ").as(out),
+        (size(col("_toks")) - size(col("_kept"))).cast(LongType)
+          .as(s"${out}_tokens_removed"))
+  }
+
   /** Add-alpha-smoothed unigram language model over a corpus (the CCNet
     * quality-filter signal — Wenzek et al. 2020 score documents by LM
     * perplexity; a unigram model is the engine-friendly first tier): the

@@ -200,7 +200,7 @@ object TableMacros {
     "text_normalize", "pii_scrub", "chunk_by_tokens",
     "text_stats", "text_quality_score", "token_count", "language_id",
     "dedup_exact", "dedup_spans", "dedup_paragraphs", "lm_perplexity", "pack_sequences",
-    "decontaminate", "text_repetition",
+    "decontaminate", "decontaminate_spans", "text_repetition",
     // round 6: cross-corpus dedup, heuristic quality filters, training shard
     // (round 9 adds the exact Bloom gate twin)
     "dedup_against", "dedup_against_bloom", "corpus_diff",
@@ -963,6 +963,12 @@ object TableMacros {
         if (rest.length > 1) fail("too many arguments")
         graft.llm.TextOps.contaminatedIds(source(src), source(bench),
           ident(id, "id_col"), ident(text, "text_col"),
+          rest.headOption.map(int(_, "n")).getOrElse(13))
+      case ("decontaminate_spans", Seq(src, bench, id, text, btext, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.TextOps.decontaminateSpans(source(src), source(bench),
+          ident(id, "id_col"), ident(text, "text_col"),
+          ident(btext, "bench_text_col"),
           rest.headOption.map(int(_, "n")).getOrElse(13))
       // domain-level curation (DomainOps)
       case ("extract_domain", Seq(src, url)) =>

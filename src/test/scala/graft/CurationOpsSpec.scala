@@ -117,6 +117,34 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(repOut.getLong(2) == 5L)
   }
 
+  test("decontaminateSpans: quoted eval items scrubbed, clean text and short docs untouched") {
+    val sp = spark
+    import sp.implicits._
+    val evalItem = "what is the capital of atlantis"
+    val bench = Seq((100L, evalItem)).toDF("bid", "btext")
+    val docs = Seq(
+      (0L, s"intro words $evalItem outro words"),   // quotes the item
+      (1L, "totally unrelated clean document body here"),
+      (2L, evalItem),                                // IS the item → empty
+      (3L, "short doc"),                             // < n tokens
+      (4L, s"$evalItem and $evalItem twice")         // both occurrences go
+    ).toDF("id", "text")
+    val out = graft.llm.TextOps.decontaminateSpans(docs, bench, "id", "text",
+        "btext", n = 6)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(out(0L) == ("intro words outro words", 6L))
+    assert(out(1L) == ("totally unrelated clean document body here", 0L))
+    assert(out(2L) == ("", 6L))
+    assert(out(3L) == ("short doc", 0L))
+    // 14 tokens: windows at 0 and 7 cover 0-5 and 7-12; 'and' + 'twice' survive
+    assert(out(4L) == ("and twice", 12L))
+    // partition invariance
+    val again = graft.llm.TextOps.decontaminateSpans(
+        docs.repartition(5), bench, "id", "text", "btext", n = 6)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(again == out)
+  }
+
   test("unigram LM: smoothed probs, OOV fallback, empty docs survive scoring") {
     val sp = spark
     import sp.implicits._

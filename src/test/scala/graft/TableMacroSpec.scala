@@ -306,6 +306,8 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.llm.TextOps.dedupExact(docs, Seq("lang"), "doc_id"))
     eq("SELECT * FROM dedup_spans('docs', doc_id, text, 4)",
       graft.llm.TextOps.removeDuplicatedSpans(docs, "doc_id", "text", 4))
+    eq("SELECT * FROM decontaminate_spans('docs', 'docs', doc_id, text, text, 4)",
+      graft.llm.TextOps.decontaminateSpans(docs, docs, "doc_id", "text", "text", 4))
     eq("SELECT * FROM lm_perplexity('docs', doc_id, text, 16, 0.5)",
       graft.llm.TextOps.lmPerplexity(docs, "doc_id", "text", 16, 0.5))
     eq("SELECT * FROM text_repetition('docs', text)",

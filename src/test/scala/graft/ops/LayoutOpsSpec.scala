@@ -82,6 +82,32 @@ class LayoutOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
       rows.map(_._2.toLong).sum)
   }
 
+  test("property: z-values match a naive per-bit reference on random data (3 cols)") {
+    val sp = spark
+    import sp.implicits._
+    val rnd = new scala.util.Random(13)
+    val rows = Seq.fill(200)((rnd.nextDouble() * 100 - 50,
+      rnd.nextInt(1000).toDouble, rnd.nextDouble()))
+      .zipWithIndex.map { case ((a, b, c), i) => (i.toLong, a, b, c) }
+    val df = rows.toDF("id", "a", "b", "c")
+    val bits = 4
+    val got = LayoutOps.zorderValue(df, Seq("a", "b", "c"), bits)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val (mins, maxs) = (
+      Seq(rows.map(_._2).min, rows.map(_._3).min, rows.map(_._4).min),
+      Seq(rows.map(_._2).max, rows.map(_._3).max, rows.map(_._4).max))
+    def lvl(v: Double, j: Int): Long =
+      if (maxs(j) == mins(j)) 0L
+      else math.min(math.floor((v - mins(j)) / (maxs(j) - mins(j)) * 16).toLong, 15L)
+    for ((id, a, b, c) <- rows) {
+      val ls = Seq(lvl(a, 0), lvl(b, 1), lvl(c, 2))
+      var z = 0L
+      for (bt <- 0 until bits; j <- 0 until 3)
+        z |= ((ls(j) >> bt) & 1L) << (bt * 3 + j)
+      assert(got(id) == z, s"id=$id")
+    }
+  }
+
   test("a 2-d box predicate scans fewer rows from the z-layout than from a 1-d sort") {
     val sp = spark
     import sp.implicits._

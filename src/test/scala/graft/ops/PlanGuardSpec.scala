@@ -767,6 +767,26 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"every window must partition by the query id:\n$plan")
   }
 
+  test("decontaminate spans: benchmark grams broadcast; gram text never crosses an exchange") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val df = graft.llm.TextOps.decontaminateSpans(docs,
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 50 === 0),
+      "doc_id", "text", "text", n = 13)
+    val plan = df.queryExecution.executedPlan
+    // the eval-set gram table is the ONLY broadcast; the dedup-spans
+    // sibling must shuffle every gram hash — here matching is map-side
+    assert(plan.collect { case b: BroadcastExchangeExec => b }.size == 1,
+      s"exactly the benchmark gram broadcast:\n$plan")
+    // the benchmark side's distinct may shuffle (_bgram — eval-set-sized);
+    // the CORPUS gram windows (col/_gh) must die map-side
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.forall(_.child.output.forall(a =>
+      a.name != "col" && a.name != "_gh")),
+      s"corpus gram windows must die map-side, never shuffle:\n$plan")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty)
+  }
+
   test("zorder: map-side bit projection + one broadcast stats row — no sort, no window") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
