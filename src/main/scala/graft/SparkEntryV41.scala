@@ -79,6 +79,17 @@ object SparkEntryV41 {
       FrequencyOps.cmEstimate(FrequencyOps.cmMergeShards(shards, CmD, CmW),
         cmProbes(docs), "term", CmD, CmW, CmHashSeed, CmMixSeed)
     }),
+    // cross-corpus similarity join: even-id vs odd-id embedding halves,
+    // zero-iteration IVF candidates, rounded-threshold pairs
+    "similarity_join" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val a = emb.filter(col("vec_id") % 2 === 0)
+      val b = emb.filter(col("vec_id") % 2 === 1)
+      val cents = SimilarityOps.ivfTrain(a, "vec_id", "embedding",
+        nLists = 8, iters = 0)
+      SimilarityOps.similarityJoin(a, b, "vec_id", "embedding", cents,
+        minSim = 0.35, nProbe = 4)
+    }),
     // span-level decontamination: benchmark = every 50th doc, so those
     // docs scrub to empty and any doc sharing a verbatim 13-gram loses
     // exactly that window — the oracle replays the rebuild token-by-token
@@ -312,7 +323,40 @@ object SparkEntryV41 {
       |  CAST(n.nt - coalesce(a.nk, 0) AS BIGINT) AS text_clean_tokens_removed
       |FROM n LEFT JOIN agg a USING (doc_id)""".stripMargin
 
+  /** The IVF candidate restriction replayed exactly: zero-iteration
+    * centroids (first 8 a-side ids, 1-based), a-side assignment by DOT
+    * with the larger-cid tiebreak (ivfAssign's array_max of (sim, cid)),
+    * b-side top-4 probes by COSINE with the same tiebreak, then the
+    * rounded-threshold cosine on pairs meeting in a probed list. */
+  private val SimilarityJoinSql =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |aa AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+      |bb AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+      |c AS (SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS cv
+      |      FROM (SELECT * FROM aa ORDER BY vec_id LIMIT 8)),
+      |asg AS (SELECT vid, cid FROM (
+      |  SELECT a.vec_id AS vid, c.cid,
+      |    row_number() OVER (PARTITION BY a.vec_id
+      |      ORDER BY list_dot_product(a.v, c.cv) DESC, c.cid DESC) AS rk
+      |  FROM aa a, c
+      |  WHERE list_dot_product(a.v, a.v) > 0
+      |    AND NOT isnan(list_dot_product(a.v, c.cv))) WHERE rk = 1),
+      |pr AS (SELECT vid, cid FROM (
+      |  SELECT b.vec_id AS vid, c.cid,
+      |    row_number() OVER (PARTITION BY b.vec_id
+      |      ORDER BY list_cosine_similarity(b.v, c.cv) DESC, c.cid DESC) AS rk
+      |  FROM bb b, c
+      |  WHERE NOT isnan(list_cosine_similarity(b.v, c.cv))) WHERE rk <= 4),
+      |pairs AS (SELECT a.vid AS id_a, p.vid AS id_b,
+      |    round(list_cosine_similarity(ea.v, eb.v), 6) AS sim
+      |  FROM asg a JOIN pr p ON a.cid = p.cid
+      |  JOIN aa ea ON ea.vec_id = a.vid
+      |  JOIN bb eb ON eb.vec_id = p.vid)
+      |SELECT id_a, id_b, sim FROM pairs
+      |WHERE NOT isnan(sim) AND sim >= 0.35""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "similarity_join" -> SimilarityJoinSql,
     "decontaminate_spans" -> DeconSpansSql,
     "tfidf_keywords" -> TfidfSql,
     "zorder_values" -> ZorderSql,

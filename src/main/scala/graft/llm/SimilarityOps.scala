@@ -658,6 +658,43 @@ object SimilarityOps {
       probeSelection(df, idCol, vecCol, nProbe, centroids),
       k, df.schema(idCol).dataType, excludeSelf = true)
 
+  // ---------------------------------------------------- similarity join
+
+  /** Cross-corpus similarity join: every (a, b) pair with
+    * `round(cos, 6) ≥ minSim` — corpus alignment (image↔caption candidate
+    * pairing, translated-document linking, crawl-to-crawl matching),
+    * where [[semDedupPairs]] is the within-corpus special case.
+    *
+    * Candidates are IVF-restricted (the [[ivfTopK]] recall/cost dial): A
+    * assigns to its nearest centroid, B probes its `nProbe` nearest, and
+    * a pair is scored iff A's centroid is among B's probes — each pair
+    * meets at most once (a single assignment against distinct probes), so
+    * there is no dedup stage. Deterministic and oracle-replayable: the
+    * zero-iteration centroid seeding, the (sim desc, cid desc) assignment
+    * tiebreak, and the rounded threshold all replay in SQL.
+    *
+    * Scale: both sides shuffle ONCE on centroid_id (pre-bucketing either
+    * side by centroid_id makes its exchange vanish — the semdedup
+    * discipline); per-list cost is |A_list|·|B_probes into it|, bounded
+    * by the centroid granularity, never |A|·|B|. Zero-norm vectors (NaN
+    * cosine) drop, matching every cosine op in this file. */
+  def similarityJoin(a: DataFrame, b: DataFrame, idCol: String, vecCol: String,
+                     centroids: DataFrame, minSim: Double,
+                     nProbe: Int = 4): DataFrame = {
+    require(nProbe >= 1, s"nProbe must be >= 1, got $nProbe")
+    val aSide = ivfAssign(a, idCol, vecCol, centroids)
+      .select(col("vid").as("id_a"), col("_cv").as("_va"),
+        sqrt(dot(col("_cv"), col("_cv"))).as("_na"), col("centroid_id"))
+    val bSide = probeSelection(b, idCol, vecCol, nProbe, centroids)
+      .select(col("qid").as("id_b"), col("_qv").as("_vb"),
+        sqrt(dot(col("_qv"), col("_qv"))).as("_nb"), col("centroid_id"))
+    aSide.join(bSide, Seq("centroid_id"))
+      .withColumn("sim",
+        round(dot(col("_va"), col("_vb")) / (col("_na") * col("_nb")), 6))
+      .filter(!isnan(col("sim")) && col("sim") >= lit(minSim))
+      .select(col("id_a"), col("id_b"), col("sim"))
+  }
+
   // ----------------------------------------------------------- MMR rerank
 
   /** The deterministic MMR greedy over one candidate list, extracted as an

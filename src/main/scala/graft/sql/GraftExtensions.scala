@@ -223,7 +223,7 @@ object TableMacros {
     "contamination_report", "lm_bigram_perplexity", "sample_temperature",
     "extract_domain", "domain_filter", "cap_per_domain",
     // semantic + assembly surface (round 5 batch 16)
-    "semdedup", "knn_graph", "pq_topk", "strip_boilerplate", "top_tokens",
+    "semdedup", "similarity_join", "knn_graph", "pq_topk", "strip_boilerplate", "top_tokens",
     "top_tokens_sketch", "top_tokens_sketch_by",
     "score_quantiles_sketch", "score_quantiles_sketch_by",
     "percentile_by_group", "top_fraction_by_group",
@@ -997,6 +997,15 @@ object TableMacros {
           ident(vec, "vec_col"), int(nLists, "n_lists"), dbl(minSim, "min_sim"),
           rest.headOption.map(int(_, "iters")).getOrElse(2),
           rest.lift(1).map(int(_, "max_cluster_size")).getOrElse(1000))
+      case ("similarity_join", Seq(asrc, bsrc, id, vec, nLists, minSim, rest @ _*)) =>
+        if (rest.length > 2) fail("too many arguments")
+        graft.llm.SimilarityOps.similarityJoin(source(asrc), source(bsrc),
+          ident(id, "id_col"), ident(vec, "vec_col"),
+          graft.llm.SimilarityOps.ivfTrain(source(asrc), ident(id, "id_col"),
+            ident(vec, "vec_col"), int(nLists, "n_lists"),
+            rest.lift(1).map(int(_, "iters")).getOrElse(2)),
+          dbl(minSim, "min_sim"),
+          nProbe = rest.headOption.map(int(_, "n_probe")).getOrElse(4))
       case ("knn_graph", Seq(src, id, vec, k, nLists, nProbe, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
         graft.llm.SimilarityOps.knnGraph(source(src), ident(id, "id_col"),

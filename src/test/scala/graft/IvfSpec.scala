@@ -52,6 +52,39 @@ class IvfSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(ivf == brute)
   }
 
+  test("similarityJoin: exhaustive probing equals the brute-force threshold join; pruned is a subset") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = clustered
+    // halves, NOT parity: i % 4 assigns clusters, so parity would give the
+    // two sides disjoint clusters and an empty reference join
+    val a = corpus.filter(col("vec_id") < 40)
+    val b = corpus.filter(col("vec_id") >= 40)
+    val cents = SimilarityOps.ivfTrain(a, "vec_id", "embedding", nLists = 4, iters = 1)
+    def pairs(df: DataFrame) = df.select(col("id_a").cast("long"),
+        col("id_b").cast("long"), col("sim"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // brute-force reference: every cross pair, rounded cosine, threshold
+    val av = a.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    val bv = b.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def cos(x: Seq[Double], y: Seq[Double]) = {
+      val d = x.zip(y).map { case (p, q) => p * q }.sum
+      d / (math.sqrt(x.map(p => p * p).sum) * math.sqrt(y.map(p => p * p).sum))
+    }
+    val brute = (for ((ia, va) <- av; (ib, vb) <- bv; s = r6(cos(va, vb))
+      if s >= 0.9) yield (ia, ib, s)).toSet
+    val full = pairs(SimilarityOps.similarityJoin(a, b, "vec_id", "embedding",
+      cents, minSim = 0.9, nProbe = 4))
+    assert(full == brute, "nProbe = nLists must equal brute force")
+    assert(brute.nonEmpty, "fixture must produce same-cluster pairs")
+    val pruned = pairs(SimilarityOps.similarityJoin(a, b, "vec_id", "embedding",
+      cents, minSim = 0.9, nProbe = 1))
+    assert(pruned.subsetOf(full))
+    // on well-separated clusters one probe already recovers everything
+    assert(pruned == full)
+  }
+
   test("pruned probing keeps high recall on clustered data") {
     val corpus = clustered
     val queries = corpus.filter(col("vec_id") < 8)

@@ -371,6 +371,10 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.llm.SimilarityOps.semDedup(vecs, "vec_id", "vec", 4, 0.99))
     eq("SELECT * FROM knn_graph('vecs', vec_id, vec, 3, 4, 4)",
       graft.llm.SimilarityOps.knnGraph(vecs, "vec_id", "vec", 3, 4, 4))
+    eq("SELECT * FROM similarity_join('vecs', 'vecs', vec_id, vec, 4, 0.99, 4)",
+      graft.llm.SimilarityOps.similarityJoin(vecs, vecs, "vec_id", "vec",
+        graft.llm.SimilarityOps.ivfTrain(vecs, "vec_id", "vec", 4),
+        0.99, nProbe = 4))
     eq("SELECT * FROM strip_boilerplate('mixdocs', doc_id, text, 10)",
       graft.llm.TextOps.removeBoilerplateLines(mixdocs, "doc_id", "text", 10))
     eq("SELECT * FROM top_tokens('mixdocs', text, 5)",
