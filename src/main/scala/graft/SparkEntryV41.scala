@@ -32,6 +32,7 @@ object SparkEntryV41 {
   private val CmHashSeed = 7L
   private val CmMixSeed = 13L
   private val ZBits = 8
+  private val PrIters = 10
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // corpus = the docs that have an embedding (1:1 at sf0.01, 2000-of-5000
@@ -78,6 +79,13 @@ object SparkEntryV41 {
         CmHashSeed, CmMixSeed, groupCols = Seq("shard"))
       FrequencyOps.cmEstimate(FrequencyOps.cmMergeShards(shards, CmD, CmW),
         cmProbes(docs), "term", CmD, CmW, CmHashSeed, CmMixSeed)
+    }),
+    // PageRank centrality over the exhaustive kNN graph — scaled-long
+    // integer arithmetic, so all 10 iterations replay bit-exactly
+    "pagerank_knn" -> ((s, dir) => {
+      val edges = SimilarityOps.knnGraph(t(s, dir, "embeddings"), "vec_id",
+        "embedding", k = 5, nLists = 8, nProbe = 8)
+      graft.ops.GraphOps.pageRank(edges, "qid", "vid", iters = PrIters)
     }),
     // cross-corpus similarity join: even-id vs odd-id embedding halves,
     // zero-iteration IVF candidates, rounded-threshold pairs
@@ -355,7 +363,38 @@ object SparkEntryV41 {
       |SELECT id_a, id_b, sim FROM pairs
       |WHERE NOT isnan(sim) AND sim >= 0.35""".stripMargin
 
+  /** All 10 PageRank iterations unrolled over the brute-force kNN edge
+    * replay — every update is BIGINT `//` arithmetic, so the scaled ranks
+    * match bit-for-bit, not approximately. */
+  private val PageRankSql = {
+    val S = graft.ops.GraphOps.Scale
+    val iters = (0 until PrIters).map { i =>
+      s"""pr${i + 1} AS (SELECT nodes.node,
+         |    (15 * ($S // nn.n)) // 100 + (85 * coalesce(ag.c, 0)) // 100 AS pr
+         |  FROM nodes CROSS JOIN nn LEFT JOIN (
+         |    SELECT ed.d AS node, CAST(sum(p.pr // od.deg) AS BIGINT) AS c
+         |    FROM ed JOIN pr$i p ON ed.s = p.node JOIN od ON od.s = ed.s
+         |    GROUP BY ed.d) ag ON ag.node = nodes.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |ed AS (SELECT qid AS s, vid AS d FROM (
+       |  SELECT qid, vid,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vid) AS rk
+       |  FROM (SELECT q.vec_id AS qid, c.vec_id AS vid,
+       |          list_cosine_similarity(q.v, c.v) AS sim
+       |        FROM e q JOIN e c ON q.vec_id <> c.vec_id)
+       |  WHERE NOT isnan(sim)) WHERE rk <= 5),
+       |nodes AS (SELECT DISTINCT s AS node FROM ed UNION SELECT DISTINCT d FROM ed),
+       |nn AS (SELECT count(*) AS n FROM nodes),
+       |od AS (SELECT s, count(*) AS deg FROM ed GROUP BY s),
+       |pr0 AS (SELECT node, $S // n AS pr FROM nodes CROSS JOIN nn),
+       |$iters
+       |SELECT node, pr AS pr_scaled,
+       |  round(CAST(pr AS DOUBLE) / ${S.toDouble}, 6) AS pr FROM pr$PrIters""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "pagerank_knn" -> PageRankSql,
     "similarity_join" -> SimilarityJoinSql,
     "decontaminate_spans" -> DeconSpansSql,
     "tfidf_keywords" -> TfidfSql,

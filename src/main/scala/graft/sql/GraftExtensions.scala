@@ -223,7 +223,8 @@ object TableMacros {
     "contamination_report", "lm_bigram_perplexity", "sample_temperature",
     "extract_domain", "domain_filter", "cap_per_domain",
     // semantic + assembly surface (round 5 batch 16)
-    "semdedup", "similarity_join", "knn_graph", "pq_topk", "strip_boilerplate", "top_tokens",
+    "semdedup", "similarity_join", "knn_graph", "pagerank", "pq_topk",
+    "strip_boilerplate", "top_tokens",
     "top_tokens_sketch", "top_tokens_sketch_by",
     "score_quantiles_sketch", "score_quantiles_sketch_by",
     "percentile_by_group", "top_fraction_by_group",
@@ -1006,6 +1007,11 @@ object TableMacros {
             rest.lift(1).map(int(_, "iters")).getOrElse(2)),
           dbl(minSim, "min_sim"),
           nProbe = rest.headOption.map(int(_, "n_probe")).getOrElse(4))
+      case ("pagerank", Seq(src, sArg, dArg, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.ops.GraphOps.pageRank(source(src), ident(sArg, "src_col"),
+          ident(dArg, "dst_col"),
+          iters = rest.headOption.map(int(_, "iters")).getOrElse(10))
       case ("knn_graph", Seq(src, id, vec, k, nLists, nProbe, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
         graft.llm.SimilarityOps.knnGraph(source(src), ident(id, "id_col"),

@@ -375,6 +375,10 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.llm.SimilarityOps.similarityJoin(vecs, vecs, "vec_id", "vec",
         graft.llm.SimilarityOps.ivfTrain(vecs, "vec_id", "vec", 4),
         0.99, nProbe = 4))
+    Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L)).toDF("s", "d")
+      .createOrReplaceTempView("_tm_pg")
+    eq("SELECT * FROM pagerank('_tm_pg', s, d, 5)",
+      graft.ops.GraphOps.pageRank(spark.table("_tm_pg"), "s", "d", 5))
     eq("SELECT * FROM strip_boilerplate('mixdocs', doc_id, text, 10)",
       graft.llm.TextOps.removeBoilerplateLines(mixdocs, "doc_id", "text", 10))
     eq("SELECT * FROM top_tokens('mixdocs', text, 5)",
