@@ -476,6 +476,26 @@ object ScaleProbe {
       println(f"tfidf_cm_idf sec=$tk%.3f ms_per_doc=${tk * 1000 / (n1 * 10)}%.4f all=${tsk.map(t => f"$t%.3f")}")
       docs10.unpersist()
     }
+    if (which("pagerank")) {
+      // round-9 scaled-long PageRank: 10 iterations over a 10x synthetic
+      // edge list (each node 5 out-edges, mixer-derived targets — the kNN
+      // graph shape without paying the kNN build inside the probe)
+      val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      val nVec = emb.count()
+      val base = (0 until 10).map(i => emb.select(
+          (col("vec_id") + lit(i * 100000000L)).as("s")))
+        .reduce(_ unionByName _)
+      val edges10 = base
+        .withColumn("_k", explode(lit((1 to 5).toArray)))
+        .select(col("s"), (graft.llm.SampleOps.hashBucket(
+          col("s") * 7 + col("_k"), 41L) % lit(nVec * 10)).as("d"))
+        .filter(col("s") =!= col("d"))
+        .coalesce(32).cache()
+      val nEdges = edges10.count()
+      val (t, ts) = med5(onceDf(graft.ops.GraphOps.pageRank(edges10, "s", "d", 10)))
+      println(f"pagerank_10it sec=$t%.3f ms_per_1k_edge_iters=${t * 1000 / (nEdges * 10 / 1000.0)}%.4f n_edges=$nEdges all=${ts.map(x => f"$x%.3f")}")
+      edges10.unpersist()
+    }
     if (which("pq")) {
       // round-9 PQ: train untimed (once per corpus version), encode map-only
       // over the 10× corpus, ADC top-k against pre-encoded codes
