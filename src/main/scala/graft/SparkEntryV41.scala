@@ -33,6 +33,8 @@ object SparkEntryV41 {
   private val CmMixSeed = 13L
   private val ZBits = 8
   private val PrIters = 10
+  private val ContainSuffix =
+    " graftwrap boilerplate chatter appended around the quoted document body"
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // corpus = the docs that have an embedding (1:1 at sf0.01, 2000-of-5000
@@ -79,6 +81,22 @@ object SparkEntryV41 {
         CmHashSeed, CmMixSeed, groupCols = Seq("shard"))
       FrequencyOps.cmEstimate(FrequencyOps.cmMergeShards(shards, CmD, CmW),
         cmProbes(docs), "term", CmD, CmW, CmHashSeed, CmMixSeed)
+    }),
+    // containment verify: planted quote-inclusion copies (doc < 10 wrapped
+    // in boilerplate at id+1e6) clear the gate at containment 1.0 while
+    // their Jaccard is well under it; adjacent-doc negative pairs drop
+    "containment_verify" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = corpus.unionByName(corpus.filter(col("doc_id") < 10)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(col("text"), lit(ContainSuffix)).as("text")))
+      val pairs = corpus.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + lit(1000000L)).as("id_b"))
+        .unionByName(corpus.filter(col("doc_id") < 10)
+          .select(col("doc_id").as("id_a"), (col("doc_id") + lit(1L)).as("id_b")))
+      graft.llm.TextOps.containmentVerify(pairs, aug, "doc_id", "text",
+        shingleSize = 5, threshold = 0.9)
     }),
     // PageRank centrality over the exhaustive kNN graph — scaled-long
     // integer arithmetic, so all 10 iterations replay bit-exactly
@@ -393,7 +411,42 @@ object SparkEntryV41 {
        |  round(CAST(pr AS DOUBLE) / ${S.toDouble}, 6) AS pr FROM pr$PrIters""".stripMargin
   }
 
+  /** String-shingle replay of the containment verify: the SAME
+    * normalization (lowercase, whitespace runs → one space, no trim) and
+    * the SAME full m−n+1 window enumeration as the native
+    * ShingleHashSet path — hash-set intersection counts equal string-set
+    * counts collision-free (the jaccardVerify precedent). */
+  private val ContainmentSql =
+    s"""WITH aug AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 1000000 AS doc_id, text || '$ContainSuffix' AS text
+       |  FROM documents WHERE doc_id < 10),
+       |pairs AS (
+       |  SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+       |  FROM documents WHERE doc_id < 10
+       |  UNION ALL
+       |  SELECT doc_id AS id_a, doc_id + 1 AS id_b
+       |  FROM documents WHERE doc_id < 10),
+       |nrm AS (SELECT doc_id,
+       |    regexp_replace(lower(text), '\\s+', ' ', 'g') AS norm FROM aug),
+       |sh AS (SELECT doc_id, list_distinct([substr(norm, CAST(i AS INT), 5)
+       |    for i in range(1, greatest(len(norm) - 4, 0) + 1)]) AS s FROM nrm),
+       |j AS (SELECT p.id_a, p.id_b, len(list_intersect(a.s, b.s)) AS i,
+       |    len(a.s) AS na, len(b.s) AS nb
+       |  FROM pairs p JOIN sh a ON a.doc_id = p.id_a
+       |  JOIN sh b ON b.doc_id = p.id_b),
+       |c AS (SELECT id_a, id_b,
+       |    CASE WHEN na = 0 THEN 0.0
+       |         ELSE round(CAST(i AS DOUBLE) / na, 6) END AS containment_a_in_b,
+       |    CASE WHEN nb = 0 THEN 0.0
+       |         ELSE round(CAST(i AS DOUBLE) / nb, 6) END AS containment_b_in_a
+       |  FROM j)
+       |SELECT * FROM c
+       |WHERE greatest(containment_a_in_b, containment_b_in_a) >= 0.9""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "containment_verify" -> ContainmentSql,
     "pagerank_knn" -> PageRankSql,
     "similarity_join" -> SimilarityJoinSql,
     "decontaminate_spans" -> DeconSpansSql,

@@ -1148,6 +1148,50 @@ object TextOps {
     j.filter(col("jaccard") >= threshold)
   }
 
+  /** Containment verify of candidate pairs — Broder (1997)'s asymmetric
+    * relation `C(A,B) = |A∩B| / |A|`: the near-dup class Jaccard
+    * structurally misses. A short document quoted whole inside a long one
+    * has containment ≈ 1 but Jaccard ≈ |A|/|B| — arbitrarily small — so a
+    * Jaccard gate never fires; containment is the right verify for
+    * quote-inclusion, boilerplate-wrapped reposts, and
+    * subset-crawl detection.
+    *
+    * Candidates are the caller's (`pairs` = (id_a, id_b)): MinHash-LSH
+    * banding recalls pairs by JACCARD, so extreme short-in-long pairs may
+    * not band-collide — feed candidates from the cross-corpus gram index
+    * ([[dedupAgainstCorpus]]'s shape) or domain pairing when hunting
+    * those; the verify itself is candidate-source-agnostic.
+    *
+    * Same scale shape as [[jaccardVerify]]: native one-pass shingle-hash
+    * sets (~8 bytes/shingle) on each side, one compiled intersect count
+    * per pair, both directions from the same count. Empty shingle sets
+    * (text shorter than the shingle) give containment 0. Output adds
+    * `containment_a_in_b`, `containment_b_in_a` (6-decimal grid); keeps
+    * pairs whose LARGER direction clears `threshold`. */
+  def containmentVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                        textCol: String, shingleSize: Int = 5,
+                        threshold: Double = 0.8): DataFrame = {
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    val sh = docs.select(col(idCol),
+      shingleHashSetCol(col(textCol), shingleSize).as("_sh"))
+    val inter = B.column(graft.functions.HashIntersectCount(
+      B.expression(col("_sh_a")), B.expression(col("_sh_b"))))
+    pairs
+      .join(sh.withColumnRenamed(idCol, "id_a").withColumnRenamed("_sh", "_sh_a"), Seq("id_a"))
+      .join(sh.withColumnRenamed(idCol, "id_b").withColumnRenamed("_sh", "_sh_b"), Seq("id_b"))
+      .withColumn("_i", inter.cast(DoubleType))
+      .withColumn("containment_a_in_b",
+        when(size(col("_sh_a")) === 0, lit(0.0))
+          .otherwise(round(col("_i") / size(col("_sh_a")), 6)))
+      .withColumn("containment_b_in_a",
+        when(size(col("_sh_b")) === 0, lit(0.0))
+          .otherwise(round(col("_i") / size(col("_sh_b")), 6)))
+      .filter(greatest(col("containment_a_in_b"), col("containment_b_in_a"))
+        >= lit(threshold))
+      .select(col("id_a"), col("id_b"),
+        col("containment_a_in_b"), col("containment_b_in_a"))
+  }
+
   /** The string-shingle form [[jaccardVerify]] replaced — kept as the
     * executable specification (it IS the oracle's computation: DuckDB
     * replays string shingle sets, and hash-set sizes match string-set sizes

@@ -200,7 +200,7 @@ object TableMacros {
     "text_normalize", "pii_scrub", "chunk_by_tokens",
     "text_stats", "text_quality_score", "token_count", "language_id",
     "dedup_exact", "dedup_spans", "dedup_paragraphs", "lm_perplexity", "pack_sequences",
-    "decontaminate", "decontaminate_spans", "text_repetition",
+    "decontaminate", "decontaminate_spans", "containment_verify", "text_repetition",
     // round 6: cross-corpus dedup, heuristic quality filters, training shard
     // (round 9 adds the exact Bloom gate twin)
     "dedup_against", "dedup_against_bloom", "corpus_diff",
@@ -965,6 +965,12 @@ object TableMacros {
         graft.llm.TextOps.contaminatedIds(source(src), source(bench),
           ident(id, "id_col"), ident(text, "text_col"),
           rest.headOption.map(int(_, "n")).getOrElse(13))
+      case ("containment_verify", Seq(psrc, dsrc, id, text, rest @ _*)) =>
+        if (rest.length > 2) fail("too many arguments")
+        graft.llm.TextOps.containmentVerify(source(psrc), source(dsrc),
+          ident(id, "id_col"), ident(text, "text_col"),
+          rest.headOption.map(int(_, "shingle_size")).getOrElse(5),
+          rest.lift(1).map(dbl(_, "threshold")).getOrElse(0.8))
       case ("decontaminate_spans", Seq(src, bench, id, text, btext, rest @ _*)) =>
         if (rest.length > 1) fail("too many arguments")
         graft.llm.TextOps.decontaminateSpans(source(src), source(bench),

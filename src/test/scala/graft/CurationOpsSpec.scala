@@ -145,6 +145,40 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(again == out)
   }
 
+  test("containmentVerify catches quote-inclusion pairs the Jaccard gate misses") {
+    val sp = spark
+    import sp.implicits._
+    val quote = "the quick brown fox jumps over the lazy dog tonight"
+    val wrapper = s"editorial preamble text goes here $quote and a very long " +
+      "trailing commentary section follows with many additional tokens " +
+      "padding the wrapper document until the shared shingles are a small " +
+      "fraction of its total shingle set size overall"
+    val docs = Seq((1L, quote), (2L, wrapper), (3L, quote), (4L, "unrelated words entirely"))
+      .toDF("id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("id_a", "id_b")
+    val got = graft.llm.TextOps.containmentVerify(pairs, docs, "id", "text",
+        shingleSize = 5, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    // the quoted doc sits whole inside the wrapper: containment(A in B) = 1
+    assert(got((1L, 2L))._1 == 1.0 && got((1L, 2L))._2 < 0.5)
+    // identical docs: both directions 1.0
+    assert(got((1L, 3L)) == ((1.0, 1.0)))
+    // unrelated pair filtered
+    assert(!got.contains((1L, 4L)))
+    // the SAME pair fails a 0.9 Jaccard gate — the relation Jaccard misses
+    val jac = graft.llm.TextOps.jaccardVerify(pairs, docs, "id", "text",
+        shingleSize = 5, threshold = 0.9)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)) && jac.contains((1L, 3L)))
+
+    // text shorter than the shingle → empty set → containment 0, filtered
+    val tiny = Seq((7L, "ab"), (8L, "ab")).toDF("id", "text")
+    assert(graft.llm.TextOps.containmentVerify(
+      Seq((7L, 8L)).toDF("id_a", "id_b"), tiny, "id", "text", 5, 0.5).count() == 0)
+  }
+
   test("unigram LM: smoothed probs, OOV fallback, empty docs survive scoring") {
     val sp = spark
     import sp.implicits._

@@ -308,6 +308,11 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.llm.TextOps.removeDuplicatedSpans(docs, "doc_id", "text", 4))
     eq("SELECT * FROM decontaminate_spans('docs', 'docs', doc_id, text, text, 4)",
       graft.llm.TextOps.decontaminateSpans(docs, docs, "doc_id", "text", "text", 4))
+    docs.select(col("doc_id").as("id_a"), (col("doc_id") + 1).as("id_b"))
+      .createOrReplaceTempView("_tm_cvp")
+    eq("SELECT * FROM containment_verify('_tm_cvp', 'docs', doc_id, text, 5, 0.1)",
+      graft.llm.TextOps.containmentVerify(spark.table("_tm_cvp"), docs,
+        "doc_id", "text", 5, 0.1))
     eq("SELECT * FROM lm_perplexity('docs', doc_id, text, 16, 0.5)",
       graft.llm.TextOps.lmPerplexity(docs, "doc_id", "text", 16, 0.5))
     eq("SELECT * FROM text_repetition('docs', text)",
