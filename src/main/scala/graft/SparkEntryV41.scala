@@ -82,6 +82,20 @@ object SparkEntryV41 {
       FrequencyOps.cmEstimate(FrequencyOps.cmMergeShards(shards, CmD, CmW),
         cmProbes(docs), "term", CmD, CmW, CmHashSeed, CmMixSeed)
     }),
+    // the disk round trip of cm_token_freq: per-shard sketches persisted,
+    // read back, merged — shares the whole-corpus oracle byte-for-byte,
+    // so a serialization bug in the counter layout is a hash mismatch
+    "cm_model_freq" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .withColumn("shard", pmod(col("doc_id"), lit(4)))
+      val shards = FrequencyOps.cmSketch(docs, "text", CmD, CmW,
+        CmHashSeed, CmMixSeed, groupCols = Seq("shard"))
+      val p = java.nio.file.Files.createTempDirectory("graft_cm_idx").toString
+      FrequencyOps.writeCmSketch(shards, p)
+      FrequencyOps.cmEstimate(
+        FrequencyOps.cmMergeShards(FrequencyOps.readCmSketch(s, p), CmD, CmW),
+        cmProbes(docs), "term", CmD, CmW, CmHashSeed, CmMixSeed)
+    }),
     // containment verify: planted quote-inclusion copies (doc < 10 wrapped
     // in boilerplate at id+1e6) clear the gate at containment 1.0 while
     // their Jaccard is well under it; adjacent-doc negative pairs drop
@@ -459,5 +473,7 @@ object SparkEntryV41 {
     "cm_token_freq" -> CmSql,
     // merged shard counters are identical to the single pass (linearity)
     "cm_merge_shards" -> CmSql,
+    // ... and so are counters that took a parquet round trip
+    "cm_model_freq" -> CmSql,
   )
 }

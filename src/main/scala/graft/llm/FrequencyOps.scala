@@ -136,6 +136,16 @@ object FrequencyOps {
         col("df_est"), col("score"))
   }
 
+  /** Persist counter rows (`[groupCols...,] regs`) — one tiny parquet per
+    * corpus version/shard; [[cmMergeShards]] over a union of reads equals
+    * the single-pass sketch exactly (linearity), so per-crawl counters
+    * compose across versions without re-reading any corpus. */
+  def writeCmSketch(sketch: DataFrame, path: String): Unit =
+    sketch.write.mode("overwrite").parquet(path)
+
+  def readCmSketch(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
   /** Estimate each probe term's corpus frequency from a one-row sketch:
     * `est = min_i regs[i·w + bucket_i(term)]` — the probe side hashes
     * through the SAME native expression as the build side (a single
