@@ -124,6 +124,28 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // Load-gate: two committed round artifacts in a row were rc=1 because
+    // the bench ran right after verify/tests heated the machine. Waiting
+    // (bounded) for the 1-min load to drop below a quarter of the core
+    // count costs at most 10 min of wall and makes the round-end artifact
+    // a number of record instead of a contention sample.
+    locally {
+      val maxWaitMs = sys.env.getOrElse("GRAFT_BENCH_MAX_WAIT_SEC", "600").toLong * 1000L
+      val threshold = cpus.toDouble / 4.0
+      val t0 = System.currentTimeMillis()
+      def load1(): Double =
+        try scala.io.Source.fromFile("/proc/loadavg").getLines().next()
+          .split(" ")(0).toDouble
+        catch { case _: Throwable => 0.0 }
+      var l = load1()
+      while (l >= threshold && System.currentTimeMillis() - t0 < maxWaitMs) {
+        System.err.println(f"[bench] load $l%.2f >= $threshold%.1f — waiting for a quiet machine")
+        Thread.sleep(15000L)
+        l = load1()
+      }
+      if (l >= threshold)
+        System.err.println(f"[bench] proceeding at load $l%.2f after bounded wait — expect flags")
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -192,8 +214,13 @@ object Bench {
     // process exits non-zero after printing — a contaminated artifact is
     // either self-healed or an explicit failure, never the silent number
     // of record.
+    // The band is relative (±40%) with an ABSOLUTE 50 ms jitter floor: a
+    // sub-100 ms job is dominated by task-scheduling constant, where a
+    // 20 ms scheduler hiccup is not contention evidence (a 47 ms metric
+    // flagged a clean quiet-machine run on a [0.047, 0.068] spread).
     def overBand(m: Double, ts: Seq[Double]): Boolean =
-      m > 0 && (ts.last > 1.4 * m || ts.head < 0.6 * m)
+      m > 0 && (ts.last - m > math.max(0.4 * m, 0.05) ||
+        m - ts.head > math.max(0.4 * m, 0.05))
     def measured(n: Int)(run: => Double): (Double, Seq[Double]) = {
       run // discarded warmup
       def attempt(): (Double, Seq[Double]) =

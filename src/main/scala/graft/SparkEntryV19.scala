@@ -130,16 +130,16 @@ object SparkEntryV19 {
        |  FROM tb GROUP BY 1),
        |tot AS (SELECT sum(c_pos) AS np, sum(c_neg) AS nn FROM cnt),
        |model AS (SELECT bucket, c_pos, c_neg,
-       |    round(ln((c_pos + 0.5) / (np + 32.0)) - ln((c_neg + 0.5) / (nn + 32.0)), 6) AS llr
+       |    (round(ln((c_pos + 0.5) / (np + 32.0)) - ln((c_neg + 0.5) / (nn + 32.0)), 6) + 0.0) AS llr
        |  FROM cnt, tot),
        |fb AS (SELECT CAST(NULL AS BIGINT) AS bucket, CAST(0 AS BIGINT) AS c_pos,
        |    CAST(0 AS BIGINT) AS c_neg,
-       |    round(ln(0.5 / (np + 32.0)) - ln(0.5 / (nn + 32.0)), 6) AS llr FROM tot),
+       |    (round(ln(0.5 / (np + 32.0)) - ln(0.5 / (nn + 32.0)), 6) + 0.0) AS llr FROM tot),
        |pri AS (SELECT CAST(-1 AS BIGINT) AS bucket,
        |    CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS c_pos,
        |    CAST(sum(CASE WHEN y THEN 0 ELSE 1 END) AS BIGINT) AS c_neg,
-       |    round(ln((sum(CASE WHEN y THEN 1 ELSE 0 END) + 1) /
-       |              (sum(CASE WHEN y THEN 0 ELSE 1 END) + 1)), 6) AS llr
+       |    (round(ln((sum(CASE WHEN y THEN 1 ELSE 0 END) + 1) /
+       |              (sum(CASE WHEN y THEN 0 ELSE 1 END) + 1)), 6) + 0.0) AS llr
        |  FROM train)""".stripMargin
 
   private val NbTrainSql =

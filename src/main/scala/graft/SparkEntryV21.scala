@@ -37,7 +37,8 @@ object SparkEntryV21 {
       val docs = t(s, dir, "documents")
       DsirOps.dsirWeights(docs, docs.filter(col("doc_id") % 10 === 0),
           "doc_id", "text", numBuckets = NB, seed = DsirSeed, alpha = Alpha)
-        .select(col("doc_id"), col("n_feats"), round(col("logw"), 6).as("logw"))
+        .select(col("doc_id"), col("n_feats"),
+          (round(col("logw"), 6) + lit(0.0)).as("logw"))
     }),
     "dsir_select" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
@@ -75,7 +76,8 @@ object SparkEntryV21 {
       val mdlDir = java.nio.file.Files.createTempDirectory("graft_dsir_mdl").toString
       DsirOps.writeModel(model, mdlDir)
       DsirOps.scoreWithModel(docs, "doc_id", "text", DsirOps.loadModel(s, mdlDir))
-        .select(col("doc_id"), col("n_feats"), round(col("logw"), 6).as("logw"))
+        .select(col("doc_id"), col("n_feats"),
+          (round(col("logw"), 6) + lit(0.0)).as("logw"))
     }),
     // the streaming-compatible scorer (broadcast lookup map, stateless
     // in-row sum) on the same corpus — shares dsir_weights' oracle; the
@@ -85,7 +87,8 @@ object SparkEntryV21 {
       val model = DsirOps.fitModel(docs, docs.filter(col("doc_id") % 10 === 0),
         "text", numBuckets = NB, seed = DsirSeed, alpha = Alpha)
       DsirOps.scoreWithBroadcastModel(docs, "text", model)
-        .select(col("doc_id"), col("n_feats"), round(col("logw"), 6).as("logw"))
+        .select(col("doc_id"), col("n_feats"),
+          (round(col("logw"), 6) + lit(0.0)).as("logw"))
     }),
     "unimax_allocations" -> ((s, dir) =>
       MixOps.unimaxAllocations(t(s, dir, "documents"), "lang", "n_chars",
@@ -138,7 +141,7 @@ object SparkEntryV21 {
   private val dsirWeightsSql: String =
     s"""WITH $dsirCtes
        |SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
-       |  round(logw, 6) AS logw
+       |  (round(logw, 6) + 0.0) AS logw
        |FROM wts""".stripMargin
 
   private val dsirSelectSql: String = {
@@ -146,7 +149,7 @@ object SparkEntryV21 {
     s"""WITH $dsirCtes,
        |$mixCtes,
        |keyed AS (SELECT doc_id, CAST(n_feats AS BIGINT) AS n_feats,
-       |    round(logw - ln(-ln(($bucket + 1) / CAST(${P + 1} AS DOUBLE))), 6)
+       |    (round(logw - ln(-ln(($bucket + 1) / CAST(${P + 1} AS DOUBLE))), 6) + 0.0)
        |      AS select_key
        |  FROM _h3)
        |SELECT doc_id, select_key, n_feats FROM keyed

@@ -86,7 +86,7 @@ object SparkEntryV26 {
       IngestPipeline.curateBatch(withHtml, "ts", "text", models)
         .select(col("doc_id"), col("n_tokens"), col("sum_logp"),
           round(col("nb_score"), 6).as("nb_score"),
-          round(col("logw"), 6).as("logw"))
+          (round(col("logw"), 6) + lit(0.0)).as("logw"))
     })
   )
 
@@ -194,11 +194,11 @@ object SparkEntryV26 {
          |  FROM tb GROUP BY 1),
          |tot AS (SELECT sum(c_pos) AS np, sum(c_neg) AS nn FROM cnt),
          |model AS (SELECT bucket,
-         |    round(ln((c_pos + 0.5) / (np + 32.0)) - ln((c_neg + 0.5) / (nn + 32.0)), 6) AS llr
+         |    (round(ln((c_pos + 0.5) / (np + 32.0)) - ln((c_neg + 0.5) / (nn + 32.0)), 6) + 0.0) AS llr
          |  FROM cnt, tot),
-         |fb AS (SELECT round(ln(0.5 / (np + 32.0)) - ln(0.5 / (nn + 32.0)), 6) AS llr FROM tot),
-         |pri AS (SELECT round(ln((sum(CASE WHEN y THEN 1 ELSE 0 END) + 1) /
-         |              (sum(CASE WHEN y THEN 0 ELSE 1 END) + 1)), 6) AS llr
+         |fb AS (SELECT (round(ln(0.5 / (np + 32.0)) - ln(0.5 / (nn + 32.0)), 6) + 0.0) AS llr FROM tot),
+         |pri AS (SELECT (round(ln((sum(CASE WHEN y THEN 1 ELSE 0 END) + 1) /
+         |              (sum(CASE WHEN y THEN 0 ELSE 1 END) + 1)), 6) + 0.0) AS llr
          |  FROM train),
          |sb AS (${nbBucketSql("lab")}),
          |nbper AS (SELECT sb.doc_id,
@@ -273,7 +273,7 @@ object SparkEntryV26 {
          |dedup AS (SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
          |  FROM gated)
          |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, sum_logp,
-         |  round(nb_score, 6) AS nb_score, round(logw, 6) AS logw
+         |  round(nb_score, 6) AS nb_score, (round(logw, 6) + 0.0) AS logw
          |FROM dedup WHERE rn = 1""".stripMargin
     }
   )

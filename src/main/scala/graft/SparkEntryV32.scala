@@ -35,10 +35,38 @@ object SparkEntryV32 {
         Qs, capacity = 16384)),
     "score_quantiles_sketch_by" -> ((s, dir) =>
       graft.llm.QuantileOps.scoreQuantilesSketchBy(scored(s, dir), "source",
-        "score", Seq(0.5, 0.9), capacity = 16384))
+        "score", Seq(0.5, 0.9), capacity = 16384)),
+    // the disk round trip + shard merge of score_quantiles_sketch: four
+    // per-shard summaries persisted, read back, merged (items re-enter
+    // the compactor hierarchy at their weight's level), then queried —
+    // in the exact regime the merged summary IS the single-pass sketch,
+    // so this shares the base row's order-statistics oracle byte-for-byte
+    "score_quantiles_persisted" -> ((s, dir) => {
+      import graft.llm.QuantileOps
+      val shards = scored(s, dir).withColumn("group", pmod(col("doc_id"), lit(4)))
+      val perShard = QuantileOps.sketchSummaryBy(shards, "group", "score",
+        capacity = 16384)
+      val skDir = java.nio.file.Files.createTempDirectory("graft_kll_sk").toString
+      QuantileOps.writeKllSketch(perShard, skDir)
+      val merged = QuantileOps.mergeKllSummaries(
+        QuantileOps.readKllSketch(s, skDir), Seq.empty, capacity = 16384)
+      QuantileOps.quantilesFromSummary(merged, Qs)
+    })
   )
 
+  private val QuantilesSql =
+    """WITH s AS (
+      |  SELECT round(n_chars * 1.0 + (doc_id % 97) * 0.001, 6) AS v
+      |  FROM documents),
+      |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn,
+      |             count(*) OVER () AS n FROM s),
+      |qs AS (SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q)
+      |SELECT q, v AS value, n, CAST(0 AS BIGINT) AS max_rank_err
+      |FROM r, qs
+      |WHERE rn = GREATEST(1, CAST(ceil(q * n) AS BIGINT))""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "score_quantiles_persisted" -> QuantilesSql,
     "score_quantiles_sketch" ->
       """WITH s AS (
         |  SELECT round(n_chars * 1.0 + (doc_id % 97) * 0.001, 6) AS v

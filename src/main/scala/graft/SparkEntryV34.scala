@@ -28,6 +28,9 @@ object SparkEntryV34 {
 
   private val GapUs: Long = 6L * 3600 * 1000000 // 6 hours
   private val TolUs: Long = 12L * 3600 * 1000000 // 12 hours
+  // tight enough that some rows have exactly ONE direction in tolerance —
+  // the case that distinguishes gate-before-pick from pick-then-gate
+  private val NearTolUs: Long = 2L * 3600 * 1000000 // 2 hours
 
   private def exactSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     sum(round(c, 6).cast(DecimalType(28, 6))).cast("double")
@@ -54,6 +57,8 @@ object SparkEntryV34 {
     "ts_asof_join_fwd" -> ((s, dir) => asofRow(s, dir, "forward", None)),
     "ts_asof_join_tol" -> ((s, dir) => asofRow(s, dir, "backward", Some(TolUs))),
     "ts_asof_join_near" -> ((s, dir) => asofRow(s, dir, "nearest", None)),
+    "ts_asof_join_near_tol" -> ((s, dir) =>
+      asofRow(s, dir, "nearest", Some(NearTolUs))),
     "sessionize" -> ((s, dir) =>
       SessionOps.sessionize(t(s, dir, "events"), Seq("user_id"), "ts", GapUs)
         .select(col("event_id"), col("user_id"), col("session_idx"))),
@@ -123,7 +128,37 @@ object SparkEntryV34 {
        |             ELSE fy END, 6) AS click_y
        |FROM bw JOIN fw ON bw.g = fw.g AND bw.ts_us = fw.ts_us""".stripMargin
 
+  /** nearest + tolerance: each DIRECTIONAL candidate is nulled when it
+    * exceeds the tolerance BEFORE the closer-of-the-two pick (the pandas
+    * merge_asof contract) — a row whose nearer match is out of tolerance
+    * still takes the other direction's in-tolerance match. */
+  private val NearTolSql: String =
+    s"""WITH ${sideCte("purchase", "l")}, ${sideCte("click", "r")},
+       |bw0 AS (SELECT l.g, l.ts_us, l.y, r.ts_us AS bts, r.y AS byy
+       |        FROM l ASOF LEFT JOIN r ON l.g = r.g AND l.ts_us >= r.ts_us),
+       |fw0 AS (SELECT l.g, l.ts_us, r.ts_us AS fts, r.y AS fy
+       |        FROM l ASOF LEFT JOIN r ON l.g = r.g AND l.ts_us <= r.ts_us),
+       |bw AS (SELECT g, ts_us, y,
+       |         CASE WHEN ts_us - bts <= $NearTolUs THEN bts END AS bts,
+       |         CASE WHEN ts_us - bts <= $NearTolUs THEN byy END AS byy
+       |       FROM bw0),
+       |fw AS (SELECT g, ts_us,
+       |         CASE WHEN fts - ts_us <= $NearTolUs THEN fts END AS fts,
+       |         CASE WHEN fts - ts_us <= $NearTolUs THEN fy END AS fy
+       |       FROM fw0)
+       |SELECT bw.g, bw.ts_us, round(bw.y, 6) AS y,
+       |  CASE WHEN fts IS NULL THEN bts
+       |       WHEN bts IS NULL THEN fts
+       |       WHEN bw.ts_us - bts <= fts - bw.ts_us THEN bts
+       |       ELSE fts END AS click_us,
+       |  round(CASE WHEN fts IS NULL THEN byy
+       |             WHEN bts IS NULL THEN fy
+       |             WHEN bw.ts_us - bts <= fts - bw.ts_us THEN byy
+       |             ELSE fy END, 6) AS click_y
+       |FROM bw JOIN fw ON bw.g = fw.g AND bw.ts_us = fw.ts_us""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    "ts_asof_join_near_tol" -> NearTolSql,
     "ts_asof_join" -> asofSql(">=", None),
     "ts_asof_join_near" -> NearSql,
     "ts_asof_join_fwd" -> asofSql("<=", None),

@@ -41,7 +41,9 @@ object SparkEntryV36 {
     val (hashCtes, h) = SampleOps.hashBucketSqlCtes(
       s"(SELECT $cols FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)",
       "doc_id", seed)
-    val score = s"round(ln(($h + 1) / ${SampleOps.P}.0) / CAST(n_chars AS DOUBLE), 6)"
+    // `+ 0.0` normalizes −0.0 → +0.0: DuckDB's round keeps the sign on a
+    // tiny negative that rounds to zero, Spark's BigDecimal round does not
+    val score = s"(round(ln(($h + 1) / ${SampleOps.P}.0) / CAST(n_chars AS DOUBLE), 6) + 0.0)"
     (hashCtes, score)
   }
 

@@ -364,9 +364,11 @@ object SparkEntryV41 {
       |FROM n LEFT JOIN agg a USING (doc_id)""".stripMargin
 
   /** The IVF candidate restriction replayed exactly: zero-iteration
-    * centroids (first 8 a-side ids, 1-based), a-side assignment by DOT
-    * with the larger-cid tiebreak (ivfAssign's array_max of (sim, cid)),
-    * b-side top-4 probes by COSINE with the same tiebreak, then the
+    * centroids (first 8 a-side ids, 1-based), a-side assignment by COSINE
+    * with the larger-cid tiebreak (ivfAssign scores the dot against
+    * L2-NORMALIZED centroids, and cosine argmax == normalized-dot argmax
+    * — by-raw-DOT would only coincide on unit-norm fixtures), b-side
+    * top-4 probes by COSINE with the same tiebreak, then the
     * rounded-threshold cosine on pairs meeting in a probed list. */
   private val SimilarityJoinSql =
     """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -377,10 +379,10 @@ object SparkEntryV41 {
       |asg AS (SELECT vid, cid FROM (
       |  SELECT a.vec_id AS vid, c.cid,
       |    row_number() OVER (PARTITION BY a.vec_id
-      |      ORDER BY list_dot_product(a.v, c.cv) DESC, c.cid DESC) AS rk
+      |      ORDER BY list_cosine_similarity(a.v, c.cv) DESC, c.cid DESC) AS rk
       |  FROM aa a, c
       |  WHERE list_dot_product(a.v, a.v) > 0
-      |    AND NOT isnan(list_dot_product(a.v, c.cv))) WHERE rk = 1),
+      |    AND NOT isnan(list_cosine_similarity(a.v, c.cv))) WHERE rk = 1),
       |pr AS (SELECT vid, cid FROM (
       |  SELECT b.vec_id AS vid, c.cid,
       |    row_number() OVER (PARTITION BY b.vec_id

@@ -1,6 +1,6 @@
 package graft.agg
 
-import org.apache.spark.sql.{Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.{Encoder, Encoders, SparkSession, types}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions.udaf
 
@@ -51,10 +51,14 @@ object Aggregators {
 
   // ------------------------------------------------------------ forecast
 
-  /** The reference's exact STRUCT (ts_forecast_agg.cpp:69-83). The interval
-    * field names are fixed at lower_90/upper_90 — the reference itself cannot
-    * bind the confidence level before execution, so the names are constant
-    * there too (:92-95); the VALUES honor a `confidence_level` param. */
+  /** The reference's exact STRUCT (ts_forecast_agg.cpp:69-83) at the
+    * DEFAULT confidence level: the reference computes lower_<pct>/
+    * upper_<pct> from the bind-time level (GetForecastAggResultType,
+    * :69-82) but cannot read the level out of the runtime params MAP, so
+    * its bound names are always the default's lower_90/upper_90 (:92-97);
+    * the VALUES honor the `confidence_level` param. The Scala constructor
+    * DOES know the level — [[forecastAggDynamic]] below emits the
+    * properly suffixed names for non-default levels. */
   final case class ForecastAggOut(forecast_step: Seq[Int],
                                   forecast_timestamp: Seq[java.sql.Timestamp],
                                   point_forecast: Seq[Double],
@@ -94,6 +98,52 @@ object Aggregators {
       } catch {
         case e: Forecast.FcError => err(e.getMessage)
       }
+    }
+  }
+
+  /** The reference's dynamic interval field names: `lower_<pct>`/
+    * `upper_<pct>` computed from the confidence level exactly as
+    * GetConfidenceSuffix does (ts_forecast_agg.cpp:64-67 —
+    * `round(level * 100)` then string-append). */
+  def forecastAggSchema(confidenceLevel: Double): types.StructType = {
+    import types._
+    val pct = math.round(confidenceLevel * 100).toInt
+    StructType(Seq(
+      StructField("forecast_step", ArrayType(IntegerType)),
+      StructField("forecast_timestamp", ArrayType(TimestampType)),
+      StructField("point_forecast", ArrayType(DoubleType)),
+      StructField(s"lower_$pct", ArrayType(DoubleType)),
+      StructField(s"upper_$pct", ArrayType(DoubleType)),
+      StructField("model_name", StringType),
+      StructField("insample_fitted", ArrayType(DoubleType)),
+      StructField("date_col_name", StringType),
+      StructField("error_message", StringType)))
+  }
+
+  /** [[ForecastAgg]] with the interval struct fields named
+    * `lower_<pct>`/`upper_<pct>` from the CONSTRUCTION-TIME confidence
+    * level — the reference computes these names at bind time but cannot
+    * see past the default there (ts_forecast_agg.cpp:92-97); the Scala
+    * constructor can, so a 0.95-level instance correctly emits
+    * `lower_95`/`upper_95`. Values are bit-identical to [[ForecastAgg]]'s
+    * (same kernel call, same buffer); only the output schema differs —
+    * a runtime `Encoders.row` schema instead of the case-class encoder. */
+  final class ForecastAggDynamic(method: String, horizon: Int,
+                                 params: Map[String, String])
+      extends Aggregator[TsPoint, SeriesBuf, org.apache.spark.sql.Row] {
+    private val inner = new ForecastAgg(method, horizon, params)
+    private val level = params.getOrElse("confidence_level", "0.90").toDouble
+    def zero: SeriesBuf = emptyBuf
+    def reduce(b: SeriesBuf, p: TsPoint): SeriesBuf = append(b, p)
+    def merge(a: SeriesBuf, b: SeriesBuf): SeriesBuf = Aggregators.merge(a, b)
+    def bufferEncoder: Encoder[SeriesBuf] = Encoders.product[SeriesBuf]
+    def outputEncoder: Encoder[org.apache.spark.sql.Row] =
+      Encoders.row(forecastAggSchema(level))
+    def finish(b: SeriesBuf): org.apache.spark.sql.Row = {
+      val o = inner.finish(b)
+      org.apache.spark.sql.Row(o.forecast_step, o.forecast_timestamp,
+        o.point_forecast, o.lower_90, o.upper_90, o.model_name,
+        o.insample_fitted, o.date_col_name, o.error_message.orNull)
     }
   }
 

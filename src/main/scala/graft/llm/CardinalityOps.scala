@@ -107,7 +107,14 @@ object CardinalityOps {
     * (`array<int>`), `v_zero`, `s_scaled`, `est`. */
   def hllCountBy(df: DataFrame, groupCols: Seq[String], valueCol: String,
                  p: Int = 12): DataFrame = {
-    val hashed = df.withColumn("__h", xxhash64(col(valueCol)))
+    // NULL values must not register: Spark's xxhash64(NULL) returns the
+    // seed (42), which would count one phantom distinct entity per group —
+    // count(distinct) semantics skip nulls, and so does the Prehashed
+    // path's null guard in HllRegisters. A null __h is skipped by that
+    // same guard (a when() wrap rather than a row filter, so a group
+    // whose values are ALL null still emits a row, with est ≈ 0).
+    val hashed = df.withColumn("__h",
+      when(col(valueCol).isNotNull, xxhash64(col(valueCol))))
     sketchOut(hashed, groupCols, p, 64)
   }
 

@@ -71,8 +71,11 @@ object ClassifierOps {
       sum(when(y, 0L).otherwise(1L)).as("_dn"))
     val denomP = coalesce(col("_np"), lit(0L)) + lit(alpha * numBuckets)
     val denomN = coalesce(col("_nn"), lit(0L)) + lit(alpha * numBuckets)
+    // `+ 0.0` normalizes a tiny-negative LLR that rounds to zero: Spark's
+    // BigDecimal round emits +0.0 while DuckDB's keeps −0.0 (the house
+    // signed-zero rule; both the op and the oracle add the same term)
     def llrOf(cp: Column, cn: Column): Column =
-      round(log((cp + lit(alpha)) / denomP) - log((cn + lit(alpha)) / denomN), 6)
+      round(log((cp + lit(alpha)) / denomP) - log((cn + lit(alpha)) / denomN), 6) + lit(0.0)
     val buckets = counts.crossJoin(broadcast(totals))
       .select(col("bucket"), col("c_pos"), col("c_neg"),
         llrOf(col("c_pos"), col("c_neg")).as("llr"))
@@ -82,7 +85,8 @@ object ClassifierOps {
     val prior = docs.select(
       lit(-1L).as("bucket"),
       col("_dp").as("c_pos"), col("_dn").as("c_neg"),
-      round(log((col("_dp") + lit(1L)) / (col("_dn") + lit(1L)).cast(DoubleType)), 6).as("llr"))
+      (round(log((col("_dp") + lit(1L)) / (col("_dn") + lit(1L)).cast(DoubleType)), 6)
+        + lit(0.0)).as("llr"))
     buckets.unionByName(fallback).unionByName(prior)
   }
 

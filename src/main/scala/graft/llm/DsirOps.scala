@@ -223,7 +223,9 @@ object DsirOps {
       seed, alpha)
     val u = (SampleOps.hashBucket(col(idCol), noiseSeed) + lit(1L))
       .cast(DoubleType) / lit(P + 1L).cast(DoubleType)
-    val keyed = w.withColumn("_key", round(col("logw") - log(-log(u)), 6))
+    // + 0.0: the house signed-zero normalization (−0.0 → +0.0 so the
+    // rounded key is bit-identical with the DuckDB replay)
+    val keyed = w.withColumn("_key", round(col("logw") - log(-log(u)), 6) + lit(0.0))
     keyed
       .orderBy(col("_key").desc, col(idCol))
       .limit(k)

@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate string joins under an EDIT-DISTANCE bound — the record-
@@ -137,18 +137,33 @@ object FuzzyJoinOps {
                 leftId: String, leftStr: String,
                 rightId: String, rightStr: String,
                 maxDist: Int, q: Int = 3): DataFrame = {
-    val l = left.select((col(leftId).cast("long") * 2).as("id"),
+    // The 2·id / 2·id+1 embedding needs non-negative ids below 2^62:
+    // Spark's % keeps the dividend's sign, so a negative embedded id would
+    // misfire the parity unmix (id % 2 == −1, not 1), and ids ≥ 2^62
+    // silently overflow the ×2. The guard rides the scan the op already
+    // pays (a raise_error branch, codegen'd, no extra job — not an
+    // upfront validation pass over a 100 TB side) and pmod makes the
+    // parity tests sign-safe regardless.
+    def embeddable(idc: String, side: String): Column = {
+      val id = col(idc).cast("long")
+      when(id < 0L || id >= lit(1L << 62),
+        raise_error(concat(lit(s"fuzzyJoin: $side id '$idc' must be in " +
+          "[0, 2^62) for the even/odd id embedding, got "), id.cast("string")))
+          .cast("long"))
+        .otherwise(id)
+    }
+    val l = left.select((embeddable(leftId, "left") * 2).as("id"),
       col(leftStr).as("s"))
-    val r = right.select((col(rightId).cast("long") * 2 + 1).as("id"),
+    val r = right.select((embeddable(rightId, "right") * 2 + 1).as("id"),
       col(rightStr).as("s"))
     val pairs = fuzzySelfJoin(l.unionByName(r), "id", "s", maxDist, q)
     // keep only cross-side pairs and undo the embedding; the even (left)
     // id may land in either pair slot
-    pairs.filter(col("id1") % 2 =!= col("id2") % 2)
+    pairs.filter(pmod(col("id1"), lit(2L)) =!= pmod(col("id2"), lit(2L)))
       .select(
-        when(col("id1") % 2 === 0, col("id1")).otherwise(col("id2"))
+        when(pmod(col("id1"), lit(2L)) === 0L, col("id1")).otherwise(col("id2"))
           .divide(2).cast("long").as(leftId),
-        when(col("id1") % 2 === 1, col("id1")).otherwise(col("id2"))
+        when(pmod(col("id1"), lit(2L)) === 1L, col("id1")).otherwise(col("id2"))
           .minus(1).divide(2).cast("long").as(rightId),
         col("dist"))
   }

@@ -300,4 +300,69 @@ object QuantileOps {
     sketchQuantiles(summary, qs, Seq("group"))
       .select(col("group"), col("q"), col("value"), col("n"), col("max_rank_err"))
   }
+
+  // ------------------------------------- persisted sketch (restartable)
+
+  /** The bounded sketch SUMMARY itself — (`n`, `err`, `items`) flattened
+    * from one pass over the scores, the persistable/composable unit (one
+    * row; the per-crawl artifact a restartable ingest pipeline keeps). */
+  def sketchSummary(df: DataFrame, scoreCol: String,
+                    capacity: Int = 16384): DataFrame =
+    rankable(df, scoreCol).agg(sketchAgg(capacity))
+      .select(col("_sk.n").as("n"), col("_sk.err").as("err"),
+        col("_sk.items").as("items"))
+
+  /** Per-group [[sketchSummary]]: (`group`, `n`, `err`, `items`). */
+  def sketchSummaryBy(df: DataFrame, groupCol: String, scoreCol: String,
+                      capacity: Int = 16384): DataFrame =
+    rankable(df.select(col(groupCol).as("group"), col(scoreCol)), scoreCol)
+      .groupBy(col("group")).agg(sketchAgg(capacity))
+      .select(col("group"), col("_sk.n").as("n"), col("_sk.err").as("err"),
+        col("_sk.items").as("items"))
+
+  /** Persist summary rows (`[group,] n, err, items`) — one tiny parquet
+    * per corpus version/shard, the writeCmSketch/writeHllSketch
+    * discipline applied to the score CDF: a restartable ingest pipeline
+    * re-reads the fitted distribution instead of re-scanning any corpus. */
+  def writeKllSketch(summary: DataFrame, path: String): Unit =
+    summary.write.mode("overwrite").parquet(path)
+
+  def readKllSketch(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  private def mergeAgg(capacity: Int): Column = {
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    B.column(graft.functions.KllMergeSummaries(
+      B.expression(struct(col("n"), col("err"), col("items"))), capacity)
+      .toAggregateExpression()).as("_sk")
+  }
+
+  /** Merge persisted summary rows back to one summary per group set
+    * (pass `Seq.empty` for a global merge): items of weight `2^h`
+    * re-enter the compactor hierarchy at level `h`, so in the exact
+    * regime (no compaction anywhere) the merge IS the single-pass sketch,
+    * and in the approximate regime the summed `err` bound holds — shards
+    * compose across corpus versions without re-reading anything. */
+  def mergeKllSummaries(summaries: DataFrame, groupCols: Seq[String],
+                        capacity: Int = 16384): DataFrame = {
+    val merged =
+      if (groupCols.isEmpty) summaries.agg(mergeAgg(capacity))
+      else summaries.groupBy(groupCols.map(col): _*).agg(mergeAgg(capacity))
+    merged.select((groupCols.map(col) :+ col("_sk.n").as("n") :+
+      col("_sk.err").as("err") :+ col("_sk.items").as("items")): _*)
+  }
+
+  /** Answer quantiles from a (possibly read-back, possibly merged)
+    * summary — the query side of the persisted path; same output shape
+    * as [[scoreQuantilesSketch]] (+ the carried group columns). */
+  def quantilesFromSummary(summary: DataFrame, qs: Seq[Double],
+                           groupCols: Seq[String] = Seq.empty): DataFrame = {
+    require(qs.nonEmpty, "qs must be non-empty")
+    qs.foreach(q => require(q > 0.0 && q <= 1.0, s"each q must be in (0,1], got $q"))
+    val sk = summary.select((groupCols.map(col) :+
+      struct(col("n"), col("err"), col("items")).as("_sk")): _*)
+    sketchQuantiles(sk, qs, groupCols)
+      .select((groupCols.map(col) ++ Seq(col("q"), col("value"), col("n"),
+        col("max_rank_err"))): _*)
+  }
 }

@@ -744,7 +744,14 @@ object SimilarityOps {
       out += ((ids(best), bestScore))
       var j = 0
       while (j < n) {
-        if (!taken(j)) { val s = r6(cos(j, best)); if (s > maxSim(j)) maxSim(j) = s }
+        // NaN cosine (a zero-norm or NaN-component survivor) is a broken
+        // signal: skip the update rather than throw in r6's BigDecimal
+        if (!taken(j)) {
+          val c = cos(j, best)
+          if (!java.lang.Double.isNaN(c)) {
+            val s = r6(c); if (s > maxSim(j)) maxSim(j) = s
+          }
+        }
         j += 1
       }
       step += 1
@@ -793,7 +800,12 @@ object SimilarityOps {
       .filter(col("_rel").isNotNull && !isnan(col("_rel")))
       .join(vectors.select(col(idCol).cast(LongType).as("_vid"),
         col(vecCol).cast(ArrayType(DoubleType)).as("_v")), Seq("_vid"))
-      .filter(exists(col("_v"), e => e =!= lit(0.0)))
+      // a NaN component passes the nonzero test (NaN != 0.0 is true) but
+      // yields cos = NaN inside the greedy, where the 6-decimal grid's
+      // BigDecimal round throws — drop broken vectors here, the same
+      // contract as bruteForceTopK's NaN-sim filter
+      .filter(exists(col("_v"), e => e =!= lit(0.0)) &&
+        !exists(col("_v"), e => isnan(e)))
     val kk = k; val lam = lambda
     val greedy = udf((ids: Seq[Long], rels: Seq[Double], vecs: Seq[Seq[Double]]) =>
       mmrGreedy(ids, rels, vecs, kk, lam))

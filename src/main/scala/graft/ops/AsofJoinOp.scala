@@ -134,7 +134,17 @@ object AsofJoinOp {
       if (direction == "nearest") {
         val mb = last(col("__rv"), ignoreNulls = true).over(windowFor("backward"))
         val mf = last(col("__rv"), ignoreNulls = true).over(windowFor("forward"))
+        // Tolerance applies PER DIRECTIONAL CANDIDATE before the
+        // closer-of-the-two pick (the pandas merge_asof contract): a left
+        // row whose nearer match is out of tolerance must still take the
+        // other direction's in-tolerance match, not NULL.
+        def gated(m: Column, distOf: Column => Column): Column =
+          toleranceMicros.map(t => when(distOf(m) <= lit(t), m)).getOrElse(m)
         base.withColumn("__mb", mb).withColumn("__mf", mf)
+          .withColumn("__mb",
+            gated(col("__mb"), m => col("__ats") - mEpochOf(m)))
+          .withColumn("__mf",
+            gated(col("__mf"), m => mEpochOf(m) - col("__ats")))
           .withColumn("__m",
             when(col("__mf").isNull, col("__mb"))
               .when(col("__mb").isNull, col("__mf"))

@@ -19,11 +19,15 @@ import graft.llm.Pin
   * graphs, influence weighting for sampling.
   *
   * Semantics: `pr₀(v) = SCALE div N`;
-  * `pr_{t+1}(v) = (15·(SCALE div N)) div 100 + (85·Σ_{u→v} pr_t(u) div
-  * outdeg(u)) div 100` — the standard d = 0.85 update with dangling mass
-  * dropped (nodes without out-edges leak their rank; acceptable for
-  * centrality ranking and documented rather than hidden — kNN graphs have
-  * no dangling nodes since every vector emits exactly k edges).
+  * `pr_{t+1}(v) = (15·(SCALE div N)) div 100 + (85·(Σ_{u→v} pr_t(u) div
+  * outdeg(u) + [D_t div N])) div 100` — the standard d = 0.85 update.
+  * The `D_t div N` term (D_t = total rank mass on SINK nodes, spread
+  * uniformly — the standard dangling-node redistribution) is applied
+  * when `redistributeDangling` is set; the default keeps the original
+  * drop-the-mass behavior (rank sums < 1 on sink-bearing graphs;
+  * acceptable for centrality ranking on kNN graphs, which have no sinks
+  * since every vector emits exactly k edges, and kept as the default for
+  * oracle stability of the existing pagerank_knn row).
   *
   * Scale design: the canonical distributed PageRank — each iteration is
   * one equi join of the slim edge list to the rank table on the source id
@@ -41,7 +45,8 @@ object GraphOps {
     * `pr_scaled` — the exact integer in 1e-12 units, `pr` — the display
     * double rounded to 6). */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iters: Int = 10): DataFrame = {
+               iters: Int = 10,
+               redistributeDangling: Boolean = false): DataFrame = {
     require(iters >= 1 && iters <= 100, s"iters must be in [1,100], got $iters")
     val e = Pin(edges.select(col(srcCol).cast(LongType).as("_s"),
       col(dstCol).cast(LongType).as("_d")))
@@ -49,6 +54,10 @@ object GraphOps {
       .union(e.df.select(col("_d"))).distinct())
     val nn = nodes.df.agg(count(lit(1)).as("_n"))
     val outdeg = Pin(e.df.groupBy(col("_s")).agg(count(lit(1)).as("_deg")))
+    // sinks (nodes with no out-edges): bounded slim table, joined only to
+    // build the one-row dangling-mass aggregate per iteration
+    val sinks = Pin(nodes.df.join(
+      outdeg.df.select(col("_s").as("node")), Seq("node"), "left_anti"))
     // base = SCALE div N, once per row via the broadcast one-row count
     var pr = Pin(nodes.df.crossJoin(broadcast(nn))
       .select(col("node"), expr(s"$Scale div _n").as("_pr")))
@@ -59,15 +68,26 @@ object GraphOps {
         .join(outdeg.df, Seq("_s"))
         .select(col("_d").as("node"), expr("_pr div _deg").as("_c"))
         .groupBy(col("node")).agg(sum(col("_c")).as("_sum"))
-      val next = Pin(nodes.df.crossJoin(broadcast(nn))
+      // dangling share: one slim semi-join + one-row aggregate, broadcast
+      // like nn — each node receives D_t div N inside the damped term
+      val base = nodes.df.crossJoin(broadcast(nn))
+      val withDang =
+        if (redistributeDangling) {
+          val dang = sinks.df.join(pr.df, Seq("node"))
+            .agg(coalesce(sum(col("_pr")), lit(0L)).as("_dsum"))
+          base.crossJoin(broadcast(dang))
+            .withColumn("_dshare", expr("_dsum div _n"))
+        } else base.withColumn("_dshare", lit(0L))
+      val next = Pin(withDang
         .join(contrib, Seq("node"), "left")
         .select(col("node"),
           (expr(s"(15 * ($Scale div _n)) div 100") +
-            expr("(85 * coalesce(_sum, 0)) div 100")).as("_pr")))
+            expr("(85 * (coalesce(_sum, 0) + _dshare)) div 100")).as("_pr")))
       pr.release()
       pr = next
       i += 1
     }
+    sinks.release()
     val out = pr.df.select(col("node"), col("_pr").as("pr_scaled"),
       round(col("_pr").cast("double") / lit(Scale.toDouble), 6).as("pr"))
     e.release(); nodes.release(); outdeg.release()
