@@ -109,6 +109,43 @@ object ScaleProbe {
       val tCount = m3(onceD(joined.groupBy(col("qid")).agg(count(lit(1)).as("c"))))
       println(f"knn_bisect count-agg sec=$tCount%.3f")
     }
+    if (which("longseries")) {
+      // Honest optimizer-cost probe (VERDICT r9 #3): sf0.1 series are short
+      // (~60 obs), so their ms/series says nothing about the reference's
+      // published M4-Daily rates on ~2,000-obs series (benchmark/README.md:
+      // AutoETS 269 s, OptimizedTheta 343 s, HoltWinters 61 s over 4,227
+      // series → 63.6 / 81.1 / 14.4 ms/series). Same shape here: 4,227
+      // series × 2,000 daily obs — level + trend + weekly seasonality +
+      // deterministic LCG noise, horizon 14.
+      val nS = sys.env.getOrElse("GRAFT_LONG_SERIES", "4227").toInt
+      val nObs = sys.env.getOrElse("GRAFT_LONG_OBS", "2000").toInt
+      val long = spark.range(nS).select(col("id").as("g"))
+        .select(col("g"), explode(sequence(lit(0), lit(nObs - 1))).as("i"))
+        .select(col("g"),
+          date_add(lit(java.sql.Date.valueOf("2018-01-01")), col("i")).as("ds"),
+          (lit(100.0) + pmod(col("g"), lit(50L)).cast("double")
+            + col("i").cast("double") * lit(0.01)
+            + sin(pmod(col("i"), lit(7L)).cast("double") * lit(2.0 * math.Pi / 7.0)) * lit(5.0)
+            + pmod(col("g") * lit(1000003L) + col("i") * lit(7919L), lit(1000L))
+                .cast("double") / lit(100.0)).as("y"))
+        .coalesce(32).cache()
+      long.count()
+      def m3l(run: => Double): (Double, Seq[Double]) =
+        { run; val ts = Seq.fill(3)(run).sorted; (ts(1), ts) }
+      Seq(
+        ("HoltWinters", Map("seasonal_period" -> "7"), 14.4),
+        ("AutoETS", Map("seasonal_period" -> "7"), 63.6),
+        ("OptimizedTheta", Map.empty[String, String], 81.1)
+      ).foreach { case (model, params, refMs) =>
+        val (m, ts) = m3l(onceDf(ops.TsForecastOp.forecastBy(
+          long, "g", "ds", "y", model, 14, "1d", params)))
+        val per = m * 1000 / nS
+        println(f"longseries_$model sec=$m%.3f ms_per_series=$per%.4f " +
+          f"ref_ms_per_series=$refMs ratio=${per / refMs}%.3f " +
+          f"all=${ts.map(t => f"$t%.3f")}")
+      }
+      long.unpersist()
+    }
     if (which("dsir")) {
       val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       val n1 = docs.count()

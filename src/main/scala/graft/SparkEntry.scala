@@ -86,7 +86,7 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    queriesV1 ++ SparkEntryV2.queries ++ SparkEntryV3.queries ++ SparkEntryV4.queries ++ SparkEntryV5.queries ++ SparkEntryV6.queries ++ SparkEntryV7.queries ++ SparkEntryV8.queries ++ SparkEntryV9.queries ++ SparkEntryV10.queries ++ SparkEntryV11.queries ++ SparkEntryV12.queries ++ SparkEntryV13.queries ++ SparkEntryV14.queries ++ SparkEntryV15.queries ++ SparkEntryV16.queries ++ SparkEntryV17.queries ++ SparkEntryV18.queries ++ SparkEntryV19.queries ++ SparkEntryV20.queries ++ SparkEntryV21.queries ++ SparkEntryV22.queries ++ SparkEntryV23.queries ++ SparkEntryV24.queries ++ SparkEntryV25.queries ++ SparkEntryV26.queries ++ SparkEntryV27.queries ++ SparkEntryV28.queries ++ SparkEntryV29.queries ++ SparkEntryV30.queries ++ SparkEntryV31.queries ++ SparkEntryV32.queries ++ SparkEntryV33.queries ++ SparkEntryV34.queries ++ SparkEntryV35.queries ++ SparkEntryV36.queries ++ SparkEntryV37.queries ++ SparkEntryV38.queries ++ SparkEntryV39.queries ++ SparkEntryV40.queries ++ SparkEntryV41.queries
+    queriesV1 ++ SparkEntryV2.queries ++ SparkEntryV3.queries ++ SparkEntryV4.queries ++ SparkEntryV5.queries ++ SparkEntryV6.queries ++ SparkEntryV7.queries ++ SparkEntryV8.queries ++ SparkEntryV9.queries ++ SparkEntryV10.queries ++ SparkEntryV11.queries ++ SparkEntryV12.queries ++ SparkEntryV13.queries ++ SparkEntryV14.queries ++ SparkEntryV15.queries ++ SparkEntryV16.queries ++ SparkEntryV17.queries ++ SparkEntryV18.queries ++ SparkEntryV19.queries ++ SparkEntryV20.queries ++ SparkEntryV21.queries ++ SparkEntryV22.queries ++ SparkEntryV23.queries ++ SparkEntryV24.queries ++ SparkEntryV25.queries ++ SparkEntryV26.queries ++ SparkEntryV27.queries ++ SparkEntryV28.queries ++ SparkEntryV29.queries ++ SparkEntryV30.queries ++ SparkEntryV31.queries ++ SparkEntryV32.queries ++ SparkEntryV33.queries ++ SparkEntryV34.queries ++ SparkEntryV35.queries ++ SparkEntryV36.queries ++ SparkEntryV37.queries ++ SparkEntryV38.queries ++ SparkEntryV39.queries ++ SparkEntryV40.queries ++ SparkEntryV41.queries ++ SparkEntryV42.queries
 
   private def queriesV1: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ------------------------------------------------ relational shell
@@ -231,7 +231,7 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    oracleSqlV1 ++ SparkEntryV2.oracleSql ++ SparkEntryV3.oracleSql ++ SparkEntryV4.oracleSql ++ SparkEntryV5.oracleSql ++ SparkEntryV6.oracleSql ++ SparkEntryV7.oracleSql ++ SparkEntryV8.oracleSql ++ SparkEntryV9.oracleSql ++ SparkEntryV10.oracleSql ++ SparkEntryV11.oracleSql ++ SparkEntryV12.oracleSql ++ SparkEntryV13.oracleSql ++ SparkEntryV14.oracleSql ++ SparkEntryV15.oracleSql ++ SparkEntryV16.oracleSql ++ SparkEntryV17.oracleSql ++ SparkEntryV18.oracleSql ++ SparkEntryV19.oracleSql ++ SparkEntryV20.oracleSql ++ SparkEntryV21.oracleSql ++ SparkEntryV22.oracleSql ++ SparkEntryV23.oracleSql ++ SparkEntryV24.oracleSql ++ SparkEntryV25.oracleSql ++ SparkEntryV26.oracleSql ++ SparkEntryV27.oracleSql ++ SparkEntryV28.oracleSql ++ SparkEntryV29.oracleSql ++ SparkEntryV30.oracleSql ++ SparkEntryV31.oracleSql ++ SparkEntryV32.oracleSql ++ SparkEntryV33.oracleSql ++ SparkEntryV34.oracleSql ++ SparkEntryV35.oracleSql ++ SparkEntryV36.oracleSql ++ SparkEntryV37.oracleSql ++ SparkEntryV38.oracleSql ++ SparkEntryV39.oracleSql ++ SparkEntryV40.oracleSql ++ SparkEntryV41.oracleSql
+    oracleSqlV1 ++ SparkEntryV2.oracleSql ++ SparkEntryV3.oracleSql ++ SparkEntryV4.oracleSql ++ SparkEntryV5.oracleSql ++ SparkEntryV6.oracleSql ++ SparkEntryV7.oracleSql ++ SparkEntryV8.oracleSql ++ SparkEntryV9.oracleSql ++ SparkEntryV10.oracleSql ++ SparkEntryV11.oracleSql ++ SparkEntryV12.oracleSql ++ SparkEntryV13.oracleSql ++ SparkEntryV14.oracleSql ++ SparkEntryV15.oracleSql ++ SparkEntryV16.oracleSql ++ SparkEntryV17.oracleSql ++ SparkEntryV18.oracleSql ++ SparkEntryV19.oracleSql ++ SparkEntryV20.oracleSql ++ SparkEntryV21.oracleSql ++ SparkEntryV22.oracleSql ++ SparkEntryV23.oracleSql ++ SparkEntryV24.oracleSql ++ SparkEntryV25.oracleSql ++ SparkEntryV26.oracleSql ++ SparkEntryV27.oracleSql ++ SparkEntryV28.oracleSql ++ SparkEntryV29.oracleSql ++ SparkEntryV30.oracleSql ++ SparkEntryV31.oracleSql ++ SparkEntryV32.oracleSql ++ SparkEntryV33.oracleSql ++ SparkEntryV34.oracleSql ++ SparkEntryV35.oracleSql ++ SparkEntryV36.oracleSql ++ SparkEntryV37.oracleSql ++ SparkEntryV38.oracleSql ++ SparkEntryV39.oracleSql ++ SparkEntryV40.oracleSql ++ SparkEntryV41.oracleSql ++ SparkEntryV42.oracleSql
 
   private def oracleSqlV1: Map[String, String] = Map(
     "q1_pricing_summary" ->

@@ -165,20 +165,25 @@ object MixOps {
       .agg(sum(col(tokenCol)).cast(LongType).as("n_tokens"))
       .withColumn("capacity", floor(col("n_tokens") * lit(maxEpochs)).cast(LongType))
     // ≤ |strata| rows from here on: the single-partition windows are over a
-    // bounded spec-sized table, not the corpus
-    val wAll = Window.orderBy(col("capacity"), col(strataCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wPrev = Window.orderBy(col("capacity"), col(strataCol))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val wTot = Window.partitionBy(lit(1))
-    val L = count(lit(1)).over(wTot)
+    // bounded spec-sized table, not the corpus. Every window shares ONE
+    // spec family — empty partition, (capacity, strata) order, frames
+    // varying — so Catalyst plans exactly two WindowExecs (the second
+    // consumes _capped, which the first materializes) with ONE sort and
+    // no exchange between them; the former partitionBy(lit(1)) totals
+    // forced a third window with its own distribution (r9 bench watch
+    // item: unimax_select +20%).
+    val wOrder = Window.orderBy(col("capacity"), col(strataCol))
+    val wPrev = wOrder.rowsBetween(Window.unboundedPreceding, -1)
+    val wFull = wOrder.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val L = count(lit(1)).over(wFull)
     val flagged = totals
-      .withColumn("_i", row_number().over(Window.orderBy(col("capacity"), col(strataCol))))
+      .withColumn("_i", row_number().over(wOrder))
       .withColumn("_pc_prev", coalesce(sum(col("capacity")).over(wPrev), lit(0L)))
       .withColumn("_capped",
         col("capacity") * (L - col("_i") + 1L) <= lit(totalBudget) - col("_pc_prev"))
-    val m = sum(when(col("_capped"), 1L).otherwise(0L)).over(wTot)
-    val pcM = sum(when(col("_capped"), col("capacity")).otherwise(0L)).over(wTot)
+    val m = sum(when(col("_capped"), 1L).otherwise(0L)).over(wFull)
+    val pcM = sum(when(col("_capped"), col("capacity")).otherwise(0L)).over(wFull)
     val nUncapped = L - m
     val rem = lit(totalBudget) - pcM
     val share = when(nUncapped > 0L, floor(rem / nUncapped).cast(LongType)).otherwise(lit(0L))

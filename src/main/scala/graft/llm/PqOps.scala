@@ -282,7 +282,7 @@ object PqOps {
     * assignment (the cosine-contract filter), as in every IVF path. */
   def ivfPqWriteIndex(corpus: DataFrame, idCol: String, vecCol: String,
                       model: PqModel, nLists: Int, path: String,
-                      iters: Int = 2): Unit = {
+                      iters: Int = 2, withVectors: Boolean = false): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val centroids = SimilarityOps.ivfTrain(corpus, idCol, vecCol, nLists, iters)
@@ -291,6 +291,14 @@ object PqOps {
     pqEncode(assigned, model, "_cv", out = "codes")
       .select(col("vid").cast(LongType).as("vid"), col("codes"), col("centroid_id"))
       .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/codes")
+    // optional refine layout (FAISS IndexRefineFlat shape): the RAW vectors
+    // under the SAME list partitioning, so an exact re-rank reads only the
+    // probed partitions' originals — the recall lever that costs extra
+    // storage but zero extra scan volume (the isin prune bounds both scans)
+    if (withVectors)
+      assigned.select(col("vid").cast(LongType).as("vid"),
+          col("_cv").cast(ArrayType(DoubleType)).as("vec"), col("centroid_id"))
+        .write.mode("overwrite").partitionBy("centroid_id").parquet(s"$path/vectors")
     model.toDf(spark).write.mode("overwrite").parquet(s"$path/codebooks")
     Seq((model.m, model.subDim, model.nCodes, nLists, PqIndexFormatVersion))
       .toDF("m", "sub_dim", "n_codes", "n_lists", "format_version")
@@ -305,7 +313,13 @@ object PqOps {
     * oracle-replay mode); smaller nProbe trades recall for IO. */
   def ivfPqProbeIndex(spark: SparkSession, path: String, queries: DataFrame,
                       idCol: String, vecCol: String, k: Int,
-                      nProbe: Int): DataFrame = {
+                      nProbe: Int): DataFrame =
+    adcProbe(spark, path, queries, idCol, vecCol, k, nProbe)._1
+
+  /** The shared ADC probe core: (top-k frame, probes, probed list ids). */
+  private def adcProbe(spark: SparkSession, path: String, queries: DataFrame,
+                       idCol: String, vecCol: String, k: Int,
+                       nProbe: Int): (DataFrame, DataFrame, Array[Any]) = {
     val model = loadPqModel(spark, path, "ivf-pq index", "ivfPqWriteIndex")
     val centroids = spark.read.parquet(s"$path/centroids")
     // (qid, _qv, centroid_id) — bounded: |queries| × nProbe rows
@@ -323,11 +337,52 @@ object PqOps {
     val probePairs = probes.select(col("qid"), col("centroid_id"))
     val qluts = probes.select(col("qid"), col("_qv")).dropDuplicates("qid")
       .select(col("qid"), lutColOf(model, col("_qv")).as("_lut"))
-    codes.join(broadcast(probePairs), Seq("centroid_id"))
+    val topk = codes.join(broadcast(probePairs), Seq("centroid_id"))
       .join(broadcast(qluts), Seq("qid"))
       .select(col("qid"), col("vid"),
         round(B.column(PqAdcDot(B.expression(col("codes")),
           B.expression(col("_lut")), model.m, model.nCodes)), 6).as("_score"))
+      .groupBy(col("qid"))
+      .agg(topK(col("vid"), col("_score"), k).as("_top"))
+      .select(col("qid"), explode(col("_top")).as("_r"))
+      .select(col("qid"), col("_r.vid").as("vid"), col("_r.sim").as("score"))
+    (topk, probes, probedIds)
+  }
+
+  /** Probe + EXACT re-rank (the FAISS refine step): ADC selects `kCand`
+    * candidates per query from the compressed domain, then only those
+    * candidates' RAW vectors — read from the index's `vectors/` layout
+    * with the SAME probed-partition isin prune as the code scan — are
+    * exact-cosine scored for the final top-`k`. The standard recall lift
+    * at unchanged scan volume: quantization error can flip near-ties in
+    * the ADC ranking, and the exact pass on a bounded candidate set
+    * (|Q|·kCand rows, broadcast both ways) repairs exactly those flips
+    * without ever touching an unprobed partition or scoring the corpus
+    * exactly. Requires `ivfPqWriteIndex(..., withVectors = true)`.
+    *
+    * Ranking contract: exact cosine rounded to 6 decimals, vid tiebreak
+    * (the house discipline), so the re-rank replays in the oracle. */
+  def ivfPqProbeIndexRerank(spark: SparkSession, path: String,
+                            queries: DataFrame, idCol: String, vecCol: String,
+                            k: Int, nProbe: Int, kCand: Int): DataFrame = {
+    require(kCand >= k, s"kCand ($kCand) must be >= k ($k)")
+    val vecPath = new org.apache.hadoop.fs.Path(s"$path/vectors")
+    require(vecPath.getFileSystem(spark.sessionState.newHadoopConf()).exists(vecPath),
+      s"no vectors/ layout at $path — rebuild with ivfPqWriteIndex(..., " +
+        "withVectors = true) to enable exact re-rank")
+    val (cand, probes, probedIds) =
+      adcProbe(spark, path, queries, idCol, vecCol, kCand, nProbe)
+    val vecs = spark.read.parquet(s"$path/vectors")
+      .where(col("centroid_id").isin(probedIds: _*))
+    val qvecs = probes.select(col("qid"), col("_qv")).dropDuplicates("qid")
+    vecs.join(broadcast(cand.select(col("qid"), col("vid"))), Seq("vid"))
+      .join(broadcast(qvecs), Seq("qid"))
+      .select(col("qid"), col("vid"),
+        // + 0.0: the house signed-zero normalization — a tiny negative
+        // cosine rounds to −0.0 in DuckDB but +0.0 here
+        (round(SimilarityOps.cosine(col("_qv"), col("vec")), 6) + lit(0.0))
+          .as("_score"))
+      .filter(!isnan(col("_score")))
       .groupBy(col("qid"))
       .agg(topK(col("vid"), col("_score"), k).as("_top"))
       .select(col("qid"), explode(col("_top")).as("_r"))

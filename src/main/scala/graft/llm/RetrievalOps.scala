@@ -77,7 +77,26 @@ object RetrievalOps {
     */
   def bm25TopK(corpus: DataFrame, docIdCol: String, textCol: String,
                queries: DataFrame, qidCol: String, qtextCol: String,
-               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Build(corpus, docIdCol, textCol, queries, qidCol, qtextCol,
+      k, k1, b, pin = true)
+
+  /** The same DAG with NO pin — the plan-inspection hook: the public
+    * entry localCheckpoints its result, so its executedPlan collapses to
+    * `Scan ExistingRDD` and join-strategy regressions become invisible to
+    * PlanDump/PlanGuard (the r9 audit's blind spot). Tests pin the join
+    * shape here; production calls keep the pinned path (the unpinned DAG
+    * re-tokenizes the corpus for each of the three reads). */
+  private[graft] def bm25TopKUnpinned(corpus: DataFrame, docIdCol: String,
+                                      textCol: String, queries: DataFrame,
+                                      qidCol: String, qtextCol: String,
+                                      k: Int): DataFrame =
+    bm25Build(corpus, docIdCol, textCol, queries, qidCol, qtextCol,
+      k, 1.2, 0.75, pin = false)
+
+  private def bm25Build(corpus: DataFrame, docIdCol: String, textCol: String,
+                        queries: DataFrame, qidCol: String, qtextCol: String,
+                        k: Int, k1: Double, b: Double, pin: Boolean): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(k1 >= 0.0, s"k1 must be >= 0, got $k1")
     require(b >= 0.0 && b <= 1.0, s"b must be in [0,1], got $b")
@@ -101,9 +120,10 @@ object RetrievalOps {
     // otherwise re-tokenized the corpus once each (three full scans per
     // call, counting stats). The pin is query-vocab-hit-sized, not
     // corpus-sized. (The persisted-index path remains the steady state.)
-    val tfPin = Pin(docTermTf(corpus, docIdCol, textCol)
-      .join(broadcast(qvocab), Seq("_term")))
-    val tf = tfPin.df
+    val tfBase = docTermTf(corpus, docIdCol, textCol)
+      .join(broadcast(qvocab), Seq("_term"))
+    val tfPin = if (pin) Some(Pin(tfBase)) else None
+    val tf = tfPin.map(_.df).getOrElse(tfBase)
     // document frequency per query term (≤ |query vocab| rows)
     val dfreq = tf.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
 
@@ -121,15 +141,18 @@ object RetrievalOps {
 
     // the top-k result is (queries × k) rows — pin it eagerly so the
     // tf blocks can be freed deterministically before returning
-    val result = Pin(perQuery
+    val resBase = perQuery
       .select(col("_qid"), col("_doc").cast(LongType).as("_docL"), col("_score"))
       .groupBy(col("_qid"))
       .agg(topKAgg(col("_docL"), col("_score"), k).as("_top"))
       .select(col("_qid"), posexplode(col("_top")))
       .select(col("_qid").as(qidCol), (col("pos") + 1).cast("int").as("rank"),
-        col("col.vid").cast(docIdType).as(docIdCol), col("col.sim").as("score")))
-    tfPin.release()
-    result.df
+        col("col.vid").cast(docIdType).as(docIdCol), col("col.sim").as("score"))
+    if (pin) {
+      val result = Pin(resBase)
+      tfPin.foreach(_.release())
+      result.df
+    } else resBase
   }
 
   // ------------------------------------------------- persisted BM25 index

@@ -2,7 +2,7 @@ package graft.sql
 
 import org.apache.spark.sql.{DataFrame, SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedTableValuedFunction}
-import org.apache.spark.sql.catalyst.expressions.{CreateMap, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Alias, CreateMap, CreateNamedStruct, Expression, Literal}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.StringType
@@ -313,17 +313,50 @@ object TableMacros {
       case other => fail(s"$what must be a numeric literal, got $other")
     }
     def paramsMap(e: Expression): Map[String, String] = {
+      // typed STRUCT param values stringify to the same forms the MAP
+      // surface's downstream parsers expect ("7", "0.95", "true")
+      def valueStr(v: Expression, what: String): String = v match {
+        // struct(7 AS k) reaches here as named_struct('k', 7 AS k) — the
+        // analyzer's CreateStruct rewrite keeps the alias on the value
+        case a: Alias => valueStr(a.child, what)
+        case Literal(s: UTF8String, StringType) => s.toString
+        case Literal(i: Int, _) => i.toString
+        case Literal(l: Long, _) => l.toString
+        case Literal(d: Double, _) => d.toString
+        case Literal(f: Float, _) => f.toDouble.toString
+        case Literal(b: Boolean, _) => b.toString
+        case Literal(dec: org.apache.spark.sql.types.Decimal, _) =>
+          dec.toBigDecimal.bigDecimal.toPlainString
+        case other => fail(s"$what must be a string/numeric/boolean literal, got $other")
+      }
       def entries(kvs: Seq[Expression]): Map[String, String] =
         kvs.grouped(2).map {
-          case Seq(k, v) => str(k, "params key") -> str(v, "params value")
+          case Seq(k, v) => str(k, "params key") -> valueStr(v, "params value")
           case _ => fail("params map must have an even number of key/value items")
+        }.toMap
+      // the reference accepts typed STRUCT param objects alongside MAP
+      // (ts_forecast_native.cpp:122-264, API_REFERENCE.md:66-78):
+      // named_struct('seasonal_period', 7, …) or struct(7 AS seasonal_period)
+      def structEntries(args: Seq[Expression]): Map[String, String] =
+        args.map {
+          case a: Alias => a.name -> valueStr(a.child, s"params field '${a.name}'")
+          case other => fail("struct params fields must be aliased " +
+            s"(struct(7 AS seasonal_period, …)), got $other")
         }.toMap
       e match {
         case Literal(null, _) => Map.empty
         case f: UnresolvedFunction if f.nameParts.map(_.toLowerCase) == Seq("map") =>
           entries(f.arguments)
         case CreateMap(kvs, _) => entries(kvs)
-        case other => fail(s"params must be map('k','v', …) with string literals, got $other")
+        case f: UnresolvedFunction
+            if f.nameParts.map(_.toLowerCase) == Seq("named_struct") =>
+          entries(f.arguments)
+        case f: UnresolvedFunction
+            if f.nameParts.map(_.toLowerCase) == Seq("struct") =>
+          structEntries(f.arguments)
+        case ns: CreateNamedStruct => entries(ns.children)
+        case other => fail("params must be map('k','v', …), " +
+          s"named_struct('k', v, …), or struct(v AS k, …), got $other")
       }
     }
     // map('k', 0.5, …) with numeric values, order-preserving for splits

@@ -196,6 +196,54 @@ class PqOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(rec.sum / rec.size > 0.8, s"pruned recall too low: $rec")
   }
 
+  test("exact re-rank: recall vs brute force >= ADC-only; requires the vectors layout") {
+    val sp = spark
+    import sp.implicits._
+    // noisy clusters so quantization error actually flips some near-ties
+    val data = clustered(41, n = 400, dim = 16, nClusters = 8, noise = 0.4)
+    val df = data.toDF("vid", "v")
+    val queries = data.take(6).toDF("vid", "v")
+    val model = PqOps.pqTrain(df, "vid", "v", m = 4, nCodes = 8, iters = 1)
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-rerank").toString
+    PqOps.ivfPqWriteIndex(df, "vid", "v", model, nLists = 8, dir, iters = 1,
+      withVectors = true)
+    val k = 10
+    // ground truth: exact cosine brute force
+    val truth = SimilarityOps.bruteForceTopK(df, queries, "vid", "v", k)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    def recall(res: Map[Long, Set[Long]]): Double = {
+      val rs = truth.map { case (q, ids) =>
+        res.getOrElse(q, Set.empty).intersect(ids).size.toDouble / ids.size }
+      rs.sum / rs.size
+    }
+    val adc = PqOps.ivfPqProbeIndex(spark, dir, queries, "vid", "v", k, nProbe = 8)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val rr = PqOps.ivfPqProbeIndexRerank(spark, dir, queries, "vid", "v", k,
+      nProbe = 8, kCand = 120)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val (recAdc, recRr) = (recall(adc), recall(rr))
+    assert(recRr >= recAdc,
+      s"re-rank recall $recRr must not drop below ADC-only $recAdc")
+    // with candidates ≫ k over an exhaustive probe, the exact re-rank
+    // repairs quantization flips INSIDE the candidate pool: on this
+    // heavily-noised fixture ADC-only recall sits near 0.2, the refine
+    // pass must lift it several-fold (the whole point of the step)
+    assert(recRr > 0.8, s"re-rank recall too low: $recRr (ADC-only: $recAdc)")
+    assert(recRr >= recAdc + 0.3,
+      s"refine must lift recall substantially: $recRr vs $recAdc")
+    // fail fast when the index was built without the vectors layout
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfpq-novecs").toString
+    PqOps.ivfPqWriteIndex(df, "vid", "v", model, nLists = 8, dir2, iters = 1)
+    val e = intercept[IllegalArgumentException] {
+      PqOps.ivfPqProbeIndexRerank(spark, dir2, queries, "vid", "v", k,
+        nProbe = 8, kCand = 40)
+    }
+    assert(e.getMessage.contains("withVectors"))
+  }
+
   test("persisted index round trip; version mismatch fails fast") {
     val sp = spark
     import sp.implicits._

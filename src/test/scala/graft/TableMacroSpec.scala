@@ -52,6 +52,26 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(sql.count() == 14)
   }
 
+  test("typed STRUCT params == MAP params (named_struct and aliased struct forms)") {
+    // the reference accepts typed STRUCT param objects alongside MAP
+    // (ts_forecast_native.cpp:122-264, docs/API_REFERENCE.md:66-78);
+    // typed values ('7' vs 7) must land on the same parse
+    val viaMap = spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, " +
+      "'SeasonalNaive', 7, '1d', map('seasonal_period', '7'))")
+    val viaNamedStruct = spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, " +
+      "'SeasonalNaive', 7, '1d', named_struct('seasonal_period', 7))")
+    val viaStruct = spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, " +
+      "'SeasonalNaive', 7, '1d', struct(7 AS seasonal_period))")
+    assert(sortedRows(viaNamedStruct) == sortedRows(viaMap))
+    assert(sortedRows(viaStruct) == sortedRows(viaMap))
+    // double-typed value lands on the same parse as its string form
+    val mapLvl = spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, " +
+      "'SES', 7, '1d', map('confidence_level', '0.95'))")
+    val structLvl = spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, " +
+      "'SES', 7, '1d', named_struct('confidence_level', 0.95))")
+    assert(sortedRows(structLvl) == sortedRows(mapLvl))
+  }
+
   test("ts_stats_by / ts_fill_gaps_by / ts_backtest_auto_by SQL == Scala API") {
     val stats = spark.sql("SELECT * FROM ts_stats_by('series', g, ds, y, '1d')")
     assert(sortedRows(stats) ==

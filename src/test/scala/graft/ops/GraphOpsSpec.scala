@@ -76,6 +76,62 @@ class GraphOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  /** The dangling-redistribution recurrence, coded independently. */
+  private def naiveDangling(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val S = GraphOps.Scale
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct.sorted
+    val n = nodes.length
+    val outdeg = edges.groupBy(_._1).map { case (s, es) => s -> es.length.toLong }
+    var pr = nodes.map(_ -> S / n).toMap
+    for (_ <- 0 until iters) {
+      val in = edges.groupBy(_._2).map { case (d, es) =>
+        d -> es.map { case (s, _) => pr(s) / outdeg(s) }.sum
+      }
+      val dShare = nodes.filterNot(outdeg.contains).map(pr).sum / n
+      pr = nodes.map(v => v ->
+        ((15L * (S / n)) / 100 + 85L * (in.getOrElse(v, 0L) + dShare) / 100)).toMap
+    }
+    pr
+  }
+
+  test("dangling redistribution: sink mass returns uniformly; no-sink graphs unchanged") {
+    val sp = spark
+    import sp.implicits._
+    def runD(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] =
+      GraphOps.pageRank(edges.toDF("s", "d"), "s", "d", iters,
+          redistributeDangling = true)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // sink graph: 1→2, 3→2 (node 2 is a sink). With the drop default the
+    // total mass decays; with redistribution it stays ≈ SCALE (integer
+    // truncation loses < ~100 units per node per iteration)
+    val sinkEdges = Seq((1L, 2L), (3L, 2L))
+    val dropped = run(sinkEdges, iters = 8)
+    val redist = runD(sinkEdges, iters = 8)
+    val S = GraphOps.Scale
+    assert(dropped.values.sum < (S * 8) / 10,
+      s"drop mode must leak sink mass, total ${dropped.values.sum}")
+    val total = redist.values.sum
+    assert(math.abs(total - S) < 1000L,
+      s"redistributed total must stay ~= SCALE, got $total")
+    // parity with the independently-coded recurrence
+    assert(redist === naiveDangling(sinkEdges, iters = 8))
+    // random sink-bearing graphs: exact parity
+    val rnd = new scala.util.Random(47)
+    for (trial <- 0 until 3) {
+      val n = 6 + rnd.nextInt(10)
+      // only even nodes emit edges → odd destinations are sinks
+      val edges = (for {
+        s <- 0 until n if s % 2 == 0; _ <- 0 until (1 + rnd.nextInt(2))
+      } yield (s.toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty)
+        assert(runD(edges, iters = 6) === naiveDangling(edges, iters = 6),
+          s"trial $trial")
+    }
+    // a graph with NO sinks: both modes agree exactly (dShare = 0)
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 1L))
+    assert(runD(cyc, iters = 6) === run(cyc, iters = 6))
+  }
+
   test("partition invariance: the scaled ranks are identical longs") {
     val sp = spark
     import sp.implicits._
