@@ -51,6 +51,17 @@ object SparkEntryV32 {
       val merged = QuantileOps.mergeKllSummaries(
         QuantileOps.readKllSketch(s, skDir), Seq.empty, capacity = 16384)
       QuantileOps.quantilesFromSummary(merged, Qs)
+    }),
+    // the summary as a broadcast score→percentile gate (streaming shape):
+    // in the exact regime the estimated CDF IS cume_dist on the rounded
+    // score, so the oracle is a plain window replay
+    "score_percentile_from_sketch" -> ((s, dir) => {
+      import graft.llm.QuantileOps
+      val sc = scored(s, dir)
+      val summary = QuantileOps.sketchSummary(sc, "score", capacity = 16384)
+      QuantileOps.percentileFromSummary(
+          sc.select(col("doc_id"), col("score")), "score", summary)
+        .select(col("doc_id"), col("score_pct"))
     })
   )
 
@@ -67,6 +78,14 @@ object SparkEntryV32 {
 
   def oracleSql: Map[String, String] = Map(
     "score_quantiles_persisted" -> QuantilesSql,
+    "score_percentile_from_sketch" ->
+      """WITH s AS (
+        |  SELECT doc_id,
+        |         round(n_chars * 1.0 + (doc_id % 97) * 0.001, 6) AS v
+        |  FROM documents)
+        |SELECT doc_id,
+        |  round(CAST(cume_dist() OVER (ORDER BY v) AS DOUBLE), 6) AS score_pct
+        |FROM s""".stripMargin,
     "score_quantiles_sketch" ->
       """WITH s AS (
         |  SELECT round(n_chars * 1.0 + (doc_id % 97) * 0.001, 6) AS v

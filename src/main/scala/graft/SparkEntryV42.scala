@@ -95,6 +95,27 @@ object SparkEntryV42 {
     "pagerank_sink" -> ((s, dir) =>
       graft.ops.GraphOps.pageRank(sinkEdges(s, dir), "s", "d",
         iters = PrIters, redistributeDangling = true)),
+    // quality-aware canonical keep: per duplicate family keep the member
+    // with the best (rounded) score, ties to the smaller id — replicated
+    // docs carry DISTINCT deterministic scores so the winner is data-driven,
+    // not structurally the min id
+    "dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val aug = docs.filter(col("doc_id") < 15)
+      val tri = docs
+        .unionByName(aug.select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          col("n_chars")))
+        .unionByName(aug.select((col("doc_id") + lit(2000000L)).as("doc_id"),
+          col("n_chars")))
+        .withColumn("score",
+          col("n_chars") * lit(1.0) + pmod(col("doc_id"), lit(97)) * lit(0.001))
+      val pairs = aug.select(col("doc_id").as("id_a"),
+          (col("doc_id") + lit(1000000L)).as("id_b"))
+        .unionByName(aug.select(col("doc_id").as("id_a"),
+          (col("doc_id") + lit(2000000L)).as("id_b")))
+      graft.llm.TextOps.dedupKeepBest(tri, "doc_id", "score", pairs)
+        .select(col("doc_id"))
+    }),
     "ann_ivfpq_rerank_topk" -> ((s, dir) => {
       val c = corpus(s, dir)
       val model = PqOps.pqTrain(c, "vec_id", "embedding", M, NCodes, iters = 0)
@@ -103,8 +124,52 @@ object SparkEntryV42 {
         withVectors = true)
       PqOps.ivfPqProbeIndexRerank(s, idxDir, c.filter(col("vec_id") < 5),
         "vec_id", "embedding", K, nProbe = NLists, kCand = KCand)
+    }),
+    // embedding-space decontamination (every 100th vector = the benchmark
+    // set): exhaustive probing (nProbe = nLists) so the oracle is the
+    // brute-force threshold relation — the IvfSpec identity
+    "decontaminate_semantic" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val bench = c.filter(pmod(col("vec_id"), lit(100L)) === 0L)
+      val cents = graft.llm.SimilarityOps.ivfTrain(c, "vec_id", "embedding",
+        nLists = NLists, iters = 0)
+      graft.llm.SimilarityOps.semanticDecontaminate(c, "vec_id", "embedding",
+          bench, cents, minSim = SemTau, nProbe = NLists)
+        .select(col("vec_id"))
+    }),
+    // trigram stupid-backoff LM at oracle-replayable caps (the bigram
+    // row's discipline one context order up)
+    "lm_trigram_score" -> ((s, dir) =>
+      graft.llm.TextOps.trigramPerplexity(t(s, dir, "documents"),
+          "doc_id", "text", vocabSize = 256, bigramVocabSize = 512,
+          trigramVocabSize = 1024, alpha = 0.5, backoff = 0.4)
+        .select(col("doc_id"), col("n_tokens"), col("sum_logp"))),
+    // the disk round trip: fit once, persist all four tables + meta,
+    // load, score — shares lm_trigram_score's oracle byte-for-byte
+    "trigram_model_score" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val model = graft.llm.TextOps.trainTrigramLm(docs, "text",
+        vocabSize = 256, bigramVocabSize = 512, trigramVocabSize = 1024,
+        alpha = 0.5, backoff = 0.4)
+      val mdlDir = java.nio.file.Files.createTempDirectory("graft_tri_lm").toString
+      graft.llm.TextOps.writeTrigramLm(model, mdlDir)
+      graft.llm.TextOps.trigramScoreWithModel(docs, "doc_id", "text",
+          graft.llm.TextOps.loadTrigramLm(s, mdlDir))
+        .select(col("doc_id"), col("n_tokens"), col("sum_logp"))
+    }),
+    "decontaminate_semantic_flags" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val bench = c.filter(pmod(col("vec_id"), lit(100L)) === 0L)
+      val cents = graft.llm.SimilarityOps.ivfTrain(c, "vec_id", "embedding",
+        nLists = NLists, iters = 0)
+      graft.llm.SimilarityOps.semanticContaminationFlags(c, "vec_id",
+          "embedding", bench, cents, minSim = SemTau, nProbe = NLists)
+        .select(col("vec_id"), col("match_id"), col("match_sim"),
+          col("contaminated"))
     })
   )
+
+  private val SemTau = 0.35
 
   private val DynFieldsSql =
     """WITH g AS (SELECT DISTINCT event_type AS g FROM events),
@@ -190,8 +255,109 @@ object SparkEntryV42 {
        |  FROM ex WHERE NOT isnan(score))
        |SELECT qid, vid, score FROM r WHERE rk <= $K""".stripMargin
 
+  private val KeepBestSql =
+    """WITH tri AS (SELECT doc_id, n_chars FROM documents
+      |  UNION ALL SELECT doc_id + 1000000, n_chars FROM documents WHERE doc_id < 15
+      |  UNION ALL SELECT doc_id + 2000000, n_chars FROM documents WHERE doc_id < 15),
+      |sc AS (SELECT doc_id,
+      |    round(n_chars * 1.0 + (doc_id % 97) * 0.001, 6) AS s FROM tri),
+      |fam AS (SELECT doc_id, doc_id % 1000000 AS base, s FROM sc
+      |  WHERE doc_id % 1000000 < 15),
+      |win AS (SELECT doc_id FROM (
+      |    SELECT doc_id, row_number() OVER (PARTITION BY base
+      |      ORDER BY s DESC, doc_id) AS rk FROM fam) WHERE rk = 1),
+      |losers AS (SELECT doc_id FROM fam
+      |  WHERE doc_id NOT IN (SELECT doc_id FROM win))
+      |SELECT doc_id FROM tri
+      |WHERE doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin
+
+  private val SemDeconSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+       |bad AS (SELECT DISTINCT e.vec_id FROM e, b
+       |  WHERE list_dot_product(e.v, e.v) > 0
+       |    AND NOT isnan(list_cosine_similarity(e.v, b.v))
+       |    AND round(list_cosine_similarity(e.v, b.v), 6) >= $SemTau)
+       |SELECT vec_id FROM e
+       |WHERE vec_id NOT IN (SELECT vec_id FROM bad)""".stripMargin
+
+  private val SemFlagsSql =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |b AS (SELECT * FROM e WHERE vec_id % 100 = 0),
+       |q AS (SELECT e.vec_id AS ida, b.vec_id AS idb,
+       |    round(list_cosine_similarity(e.v, b.v), 6) AS sim
+       |  FROM e, b
+       |  WHERE list_dot_product(e.v, e.v) > 0
+       |    AND NOT isnan(list_cosine_similarity(e.v, b.v))
+       |    AND round(list_cosine_similarity(e.v, b.v), 6) >= $SemTau),
+       |best AS (SELECT ida, idb, sim FROM (
+       |    SELECT ida, idb, sim, row_number() OVER (PARTITION BY ida
+       |      ORDER BY sim DESC, idb) AS rk FROM q) WHERE rk = 1)
+       |SELECT e.vec_id, best.idb AS match_id, best.sim AS match_sim,
+       |  best.idb IS NOT NULL AS contaminated
+       |FROM e LEFT JOIN best ON best.ida = e.vec_id""".stripMargin
+
+  /** Full replay of the trigram stupid-backoff LM: top-256 vocab, top-512
+    * in-vocab-context bigrams, top-1024 trigrams restricted to stored
+    * bigram contexts (all with count-desc, gram-ascending tiebreaks), the
+    * three-tier CASE in the op's exact arithmetic order
+    * (c₃/c₂ → 0.4·(c₂/c₁) → 0.4·0.4·P_uni), rounded-DECIMAL sums. 0.4 and
+    * 0.5 parse to identical binary doubles in both engines. */
+  private val TrigramScoreSql =
+    """WITH tk AS (SELECT doc_id,
+      |       list_filter(string_split_regex(trim(text), '[ \t\n\r\f]+'),
+      |                   x -> len(x) > 0) AS toks
+      |     FROM documents),
+      |ex AS (SELECT doc_id, toks[p] AS w,
+      |         CASE WHEN p > 1 THEN toks[p - 1] END AS wp,
+      |         CASE WHEN p > 2 THEN toks[p - 2] END AS wpp
+      |       FROM (SELECT doc_id, toks, UNNEST(generate_series(1, len(toks))) AS p
+      |             FROM tk WHERE len(toks) > 0)),
+      |counts AS (SELECT w AS token, count(*) AS cnt FROM ex GROUP BY 1),
+      |n AS (SELECT sum(cnt) AS nn FROM counts),
+      |vocab AS (SELECT token, cnt FROM counts ORDER BY cnt DESC, token ASC LIMIT 256),
+      |big AS (SELECT b1, b2, cnt2 FROM
+      |          (SELECT wp AS b1, w AS b2, count(*) AS cnt2 FROM ex
+      |           WHERE wp IS NOT NULL GROUP BY 1, 2)
+      |        JOIN vocab cv ON b1 = cv.token
+      |        ORDER BY cnt2 DESC, b1 ASC, b2 ASC LIMIT 512),
+      |tri AS (SELECT t1, t2, t3, cnt3 FROM
+      |          (SELECT wpp AS t1, wp AS t2, w AS t3, count(*) AS cnt3 FROM ex
+      |           WHERE wpp IS NOT NULL GROUP BY 1, 2, 3)
+      |        JOIN big ON t1 = big.b1 AND t2 = big.b2
+      |        ORDER BY cnt3 DESC, t1 ASC, t2 ASC, t3 ASC LIMIT 1024),
+      |sc AS (SELECT e.doc_id,
+      |         CASE WHEN e.wp IS NULL THEN ln(puni)
+      |              WHEN e.wpp IS NULL THEN ln(s2)
+      |              ELSE ln(CASE WHEN tg.cnt3 IS NOT NULL
+      |                           THEN tg.cnt3 / bctx.cnt2
+      |                           ELSE 0.4 * s2 END)
+      |         END AS lp
+      |       FROM (SELECT e0.*,
+      |               (coalesce(v.cnt, 0) + 0.5) / (n.nn + 0.5 * 257) AS puni,
+      |               CASE WHEN bxy.cnt2 IS NOT NULL AND c1.cnt IS NOT NULL
+      |                    THEN bxy.cnt2 / c1.cnt
+      |                    ELSE 0.4 * ((coalesce(v.cnt, 0) + 0.5) / (n.nn + 0.5 * 257)) END AS s2
+      |             FROM ex e0
+      |             LEFT JOIN vocab v ON e0.w = v.token
+      |             LEFT JOIN vocab c1 ON e0.wp = c1.token
+      |             LEFT JOIN big bxy ON e0.wp = bxy.b1 AND e0.w = bxy.b2, n) e
+      |       LEFT JOIN big bctx ON e.wpp = bctx.b1 AND e.wp = bctx.b2
+      |       LEFT JOIN tri tg ON e.wpp = tg.t1 AND e.wp = tg.t2 AND e.w = tg.t3),
+      |agg AS (SELECT doc_id, count(*) AS n_tokens,
+      |          CAST(sum(CAST(round(lp, 6) AS DECIMAL(28,6))) AS DOUBLE) AS sum_logp
+      |        FROM sc GROUP BY 1)
+      |SELECT k.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+      |       coalesce(a.sum_logp, 0.0) AS sum_logp
+      |FROM tk k LEFT JOIN agg a USING (doc_id)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "ts_forecast_agg_dynfields" -> DynFieldsSql,
+    "dedup_keep_best" -> KeepBestSql,
+    "decontaminate_semantic" -> SemDeconSql,
+    "decontaminate_semantic_flags" -> SemFlagsSql,
+    "lm_trigram_score" -> TrigramScoreSql,
+    "trigram_model_score" -> TrigramScoreSql,
     "pagerank_sink" -> PageRankSinkSql,
     "ann_ivfpq_rerank_topk" -> RerankOracle
   )

@@ -352,6 +352,64 @@ object QuantileOps {
       col("_sk.err").as("err") :+ col("_sk.items").as("items")): _*)
   }
 
+  /** Score → percentile gate from a (possibly read-back, possibly merged)
+    * summary: each row gets the estimated CDF value of its score —
+    * `P(X ≤ x) = cumulative weight of summary items ≤ x, over n` — the
+    * FineWeb-style "filter on the crawl's own score distribution" knob in
+    * its STREAMING form. The exact path ([[percentileByGroup]]) needs the
+    * batch; here the standing summary collects ONCE into broadcast sorted
+    * arrays (bounded: O(capacity · log(n/capacity)) items) and every row
+    * scores in place with one binary search — no join, no aggregation,
+    * fully stateless, so the same call gates a micro-batch unchanged (the
+    * trained-gate broadcast-scorer discipline).
+    *
+    * Exactness contract: scores round to 6 decimals (the summary's
+    * `rankable` convention) before the lookup, and in the exact regime
+    * (err = 0) the result IS the batch `cume_dist` on the rounded score —
+    * hash-gateable; in the approximate regime the estimate's rank error
+    * is bounded by the summary's `err / n`. Null/NaN scores emit a null
+    * percentile. Output: input columns + `out` (the estimated CDF in
+    * (0, 1], one IEEE division, rounded to 6). */
+  def percentileFromSummary(df: DataFrame, scoreCol: String,
+                            summary: DataFrame,
+                            out: String = "score_pct"): DataFrame = {
+    val row = summary.select(col("n"), col("items")).collect()(0)
+    val n = row.getLong(0)
+    require(n > 0L, "summary is empty — fit it on at least one rankable row")
+    val items = row.getSeq[org.apache.spark.sql.Row](1)
+    val vs = new Array[Double](items.length)
+    val cum = new Array[Long](items.length)
+    var acc = 0L
+    var i = 0
+    while (i < items.length) {
+      vs(i) = items(i).getDouble(0)
+      acc += items(i).getLong(1)
+      cum(i) = acc
+      i += 1
+    }
+    val spark = df.sparkSession
+    val bcV = spark.sparkContext.broadcast(vs)
+    val bcC = spark.sparkContext.broadcast(cum)
+    val nn = n
+    val pctUdf = udf((x: java.lang.Double) => {
+      if (x == null || x.isNaN) null
+      else {
+        // last index with value <= x (items sorted ascending)
+        val v = bcV.value
+        var lo = 0; var hi = v.length - 1; var ans = -1
+        while (lo <= hi) {
+          val mid = (lo + hi) >>> 1
+          if (v(mid) <= x) { ans = mid; lo = mid + 1 } else hi = mid - 1
+        }
+        val c = if (ans < 0) 0L else bcC.value(ans)
+        java.lang.Double.valueOf(
+          BigDecimal(c.toDouble / nn).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+            .toDouble)
+      }
+    })
+    df.withColumn(out, pctUdf(round(col(scoreCol).cast("double"), 6)))
+  }
+
   /** Answer quantiles from a (possibly read-back, possibly merged)
     * summary — the query side of the persisted path; same output shape
     * as [[scoreQuantilesSketch]] (+ the carried group columns). */

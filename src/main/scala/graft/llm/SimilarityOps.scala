@@ -695,6 +695,56 @@ object SimilarityOps {
       .select(col("id_a"), col("id_b"), col("sim"))
   }
 
+  /** Embedding-space decontamination — the paraphrase-shaped complement
+    * to the verbatim n-gram scrub ([[TextOps]] decontaminate family):
+    * drop every corpus document whose embedding cosine against ANY
+    * benchmark/eval embedding reaches `minSim`. Lexical overlap tests
+    * miss a reworded eval item; its embedding does not move far.
+    *
+    * Scale shape: pure composition of [[similarityJoin]] — the corpus
+    * assigns to its nearest centroid once (map-only vs the broadcast
+    * centroid table), the BOUNDED benchmark side probes `nProbe` lists,
+    * the pair join is equi on centroid_id (never |corpus| × |bench|),
+    * and the only corpus-sized stages are that one assignment pass plus
+    * the final id-keyed anti join. With `nProbe` = nLists the candidate
+    * restriction is exhaustive (the oracle-replay mode; IvfSpec pins the
+    * brute-force-threshold identity). Returns the surviving corpus rows
+    * unchanged; [[semanticContaminationFlags]] returns ALL rows with the
+    * flag + best-match evidence for auditing a threshold before
+    * committing to it. */
+  def semanticDecontaminate(corpus: DataFrame, idCol: String, vecCol: String,
+                            bench: DataFrame, centroids: DataFrame,
+                            minSim: Double, nProbe: Int = 4): DataFrame = {
+    val bad = similarityJoin(corpus, bench, idCol, vecCol, centroids,
+        minSim, nProbe)
+      .select(col("id_a").as(idCol)).distinct()
+    corpus.join(bad, Seq(idCol), "left_anti")
+  }
+
+  /** Audit form of [[semanticDecontaminate]]: every corpus row with
+    * `contaminated` + the best matching benchmark id and its (rounded)
+    * cosine — null when no pair reached `minSim`. Same join shape; the
+    * per-corpus-row argmax is the bounded [[graft.functions.TopKByScore]]
+    * aggregate at k = 1 (score desc, id asc ties — the house rank
+    * discipline). */
+  def semanticContaminationFlags(corpus: DataFrame, idCol: String,
+                                 vecCol: String, bench: DataFrame,
+                                 centroids: DataFrame, minSim: Double,
+                                 nProbe: Int = 4): DataFrame = {
+    val pairs = similarityJoin(corpus, bench, idCol, vecCol, centroids,
+      minSim, nProbe)
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    val top1 = B.column(graft.functions.TopKByScore(
+      B.expression(col("id_b").cast(LongType)),
+      B.expression(col("sim")), 1).toAggregateExpression()).as("_top")
+    val best = pairs.groupBy(col("id_a")).agg(top1)
+      .select(col("id_a").as(idCol), explode(col("_top")).as("_b"))
+      .select(col(idCol), col("_b.vid").as("match_id"),
+        col("_b.sim").as("match_sim"))
+    corpus.join(best, Seq(idCol), "left")
+      .withColumn("contaminated", col("match_id").isNotNull)
+  }
+
   // ----------------------------------------------------------- MMR rerank
 
   /** The deterministic MMR greedy over one candidate list, extracted as an

@@ -675,6 +675,171 @@ object TextOps {
     bigramScoreWithModel(df, idCol, textCol,
       trainBigramLm(df, textCol, vocabSize, bigramVocabSize, alpha, lambda))
 
+  // ------------------------------------------------ trigram LM (stupid backoff)
+
+  /** A fitted trigram stupid-backoff LM (Brants et al. 2007, "Large
+    * Language Models in Machine Translation" §3 — the web-scale recipe:
+    * raw count ratios with a constant backoff multiplier instead of
+    * normalized discounting, because at corpus scale the ratios dominate
+    * and the score is used for RANKING, not sampling). Tables:
+    * top-V vocabulary (counts double as unigram numerators and tier-2
+    * denominators), top-B bigrams restricted to in-vocab contexts (tier-2
+    * numerators AND tier-3 denominators), top-T trigrams restricted to
+    * contexts PRESENT in the bigram table (so a stored trigram always has
+    * its denominator — the cap discipline that keeps every table bounded
+    * and broadcastable), one totals row, and the parameters. */
+  final case class TrigramLmModel(vocab: DataFrame, bigrams: DataFrame,
+                                  trigrams: DataFrame, totals: DataFrame,
+                                  vocabSize: Int, alpha: Double,
+                                  backoff: Double)
+
+  /** Fit the trigram stupid-backoff LM. Same scale shape as
+    * [[trainBigramLm]]: every count table is a map-side-combined
+    * aggregation and every cut is a bounded TakeOrdered (count desc, gram
+    * ascending ties) — never a global sort; the trigram table joins the
+    * (broadcast) bigram table before its cut so unscorable trigrams can
+    * never displace scorable ones. */
+  def trainTrigramLm(corpus: DataFrame, textCol: String,
+                     vocabSize: Int = 65536, bigramVocabSize: Int = 1 << 20,
+                     trigramVocabSize: Int = 1 << 22, alpha: Double = 0.5,
+                     backoff: Double = 0.4): TrigramLmModel = {
+    require(vocabSize >= 1 && bigramVocabSize >= 1 && trigramVocabSize >= 1,
+      "vocab sizes must be >= 1")
+    require(alpha > 0.0 && backoff > 0.0 && backoff <= 1.0,
+      "alpha > 0 and backoff in (0,1] required")
+    val toksC = filter(split(trim(col(textCol)), "[ \\t\\n\\r\\f]+"), t => length(t) > 0)
+    val base = corpus.select(toksC.as("_toks"))
+    val counts = base.select(explode(col("_toks")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+    val totals = counts.agg(sum(col("cnt")).as("_n"))
+    val vocab = counts.orderBy(col("cnt").desc, col("token").asc).limit(vocabSize)
+    // the when-guard against constraint-inlined descending sequence —
+    // the Catalyst trap pinned in trainBigramLm/bpeTrain
+    def grams(k: Int): DataFrame = base.filter(size(col("_toks")) >= k)
+      .select(explode(when(size(col("_toks")) >= k, transform(
+        sequence(lit(k - 1), size(col("_toks")) - 1),
+        i => struct((0 until k).map(j =>
+          get(col("_toks"), i - (k - 1) + j).as(s"_g$j")): _*)))
+        .otherwise(array().cast(ArrayType(
+          StructType((0 until k).map(j => StructField(s"_g$j", StringType))))))).as("_t"))
+      .select((0 until k).map(j => col(s"_t._g$j").as(s"_g$j")): _*)
+    val bigrams = grams(2)
+      .groupBy(col("_g0").as("_b1"), col("_g1").as("_b2"))
+      .agg(count(lit(1)).as("_cnt2"))
+      .join(broadcast(vocab.select(col("token").as("_b1"))), Seq("_b1"))
+      .orderBy(col("_cnt2").desc, col("_b1").asc, col("_b2").asc)
+      .limit(bigramVocabSize)
+    val trigrams = grams(3)
+      .groupBy(col("_g0").as("_t1"), col("_g1").as("_t2"), col("_g2").as("_t3"))
+      .agg(count(lit(1)).as("_cnt3"))
+      // a stored trigram must carry its denominator: (t1, t2) ∈ bigrams
+      .join(broadcast(bigrams.select(col("_b1").as("_t1"), col("_b2").as("_t2"))),
+        Seq("_t1", "_t2"))
+      .orderBy(col("_cnt3").desc, col("_t1").asc, col("_t2").asc, col("_t3").asc)
+      .limit(trigramVocabSize)
+    TrigramLmModel(vocab, bigrams, trigrams, totals, vocabSize, alpha, backoff)
+  }
+
+  /** Score documents under a [[trainTrigramLm]] model — stupid backoff:
+    * `S(w|w₋₂w₋₁) = c₃/c₂(w₋₂w₋₁)` when the trigram is stored, else
+    * `0.4·S(w|w₋₁)`; `S(w|w₋₁) = c₂/c₁(w₋₁)` when stored, else
+    * `0.4·P_uni(w)`; first tokens score `P_uni`, second tokens the bigram
+    * tier. All five model lookups are UNCONDITIONAL broadcasts (every
+    * table bounded by construction); the only shuffle is the per-doc
+    * aggregation on `idCol`, and no token string ever keys an exchange
+    * (the [[bigramScoreWithModel]] shape). `sum_logp` uses the
+    * rounded-DECIMAL discipline — order-independent and oracle-exact; the
+    * backoff constant parses to the identical binary double in any
+    * engine, so every tier's arithmetic replays bit-for-bit. */
+  def trigramScoreWithModel(df: DataFrame, idCol: String, textCol: String,
+                            model: TrigramLmModel): DataFrame = {
+    val toksC = filter(split(trim(col(textCol)), "[ \\t\\n\\r\\f]+"), t => length(t) > 0)
+    val base = df.select(col(idCol), col(textCol)).withColumn("_toks", toksC)
+    val denom = col("_n") + lit(model.alpha * (model.vocabSize + 1))
+    val bo = model.backoff
+    val ex = base.filter(size(col("_toks")) > 0)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), greatest(size(col("_toks")), lit(1))),
+        i => struct(get(col("_toks"), i - 1).as("w"),
+          when(i > 1, get(col("_toks"), i - 2)).as("wp"),
+          when(i > 2, get(col("_toks"), i - 3)).as("wpp")))).as("_t"))
+      .select(col(idCol), col("_t.w").as("_w"), col("_t.wp").as("_wp"),
+        col("_t.wpp").as("_wpp"))
+    val perDoc = ex
+      .join(broadcast(model.vocab.select(col("token").as("_w"), col("cnt").as("_cw"))),
+        Seq("_w"), "left")
+      .join(broadcast(model.vocab.select(col("token").as("_wp"), col("cnt").as("_cwp"))),
+        Seq("_wp"), "left")
+      .join(broadcast(model.bigrams.select(col("_b1").as("_wp"), col("_b2").as("_w"),
+        col("_cnt2").as("_c2xy"))), Seq("_wp", "_w"), "left")
+      .join(broadcast(model.bigrams.select(col("_b1").as("_wpp"), col("_b2").as("_wp"),
+        col("_cnt2").as("_c2ctx"))), Seq("_wpp", "_wp"), "left")
+      .join(broadcast(model.trigrams.select(col("_t1").as("_wpp"), col("_t2").as("_wp"),
+        col("_t3").as("_w"), col("_cnt3"))), Seq("_wpp", "_wp", "_w"), "left")
+      .crossJoin(broadcast(model.totals))
+      .withColumn("_puni", (coalesce(col("_cw"), lit(0L)) + lit(model.alpha)) / denom)
+      .withColumn("_s2",
+        when(col("_c2xy").isNotNull && col("_cwp").isNotNull,
+          col("_c2xy") / col("_cwp"))
+          .otherwise(lit(bo) * col("_puni")))
+      .withColumn("_s3",
+        when(col("_cnt3").isNotNull, col("_cnt3") / col("_c2ctx"))
+          .otherwise(lit(bo) * col("_s2")))
+      .withColumn("_lp",
+        when(col("_wp").isNull, log(col("_puni")))
+          .when(col("_wpp").isNull, log(col("_s2")))
+          .otherwise(log(col("_s3"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(round(col("_lp"), 6).cast(DecimalType(28, 6)))
+          .cast(DoubleType).as("sum_logp"))
+    base.select(col(idCol)).join(perDoc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("sum_logp"), lit(0.0)).as("sum_logp"))
+      .withColumn("mean_logp",
+        when(col("n_tokens") > 0, col("sum_logp") / col("n_tokens")))
+      .withColumn("perplexity",
+        when(col("n_tokens") > 0, exp(-col("sum_logp") / col("n_tokens"))))
+  }
+
+  /** Persist a fitted trigram LM (`path/vocab|bigrams|trigrams|totals|
+    * meta`) — the [[writeBigramLm]] discipline extended one order up. */
+  def writeTrigramLm(model: TrigramLmModel, path: String): Unit = {
+    val spark = model.vocab.sparkSession
+    import spark.implicits._
+    model.vocab.write.mode("overwrite").parquet(s"$path/vocab")
+    model.bigrams.write.mode("overwrite").parquet(s"$path/bigrams")
+    model.trigrams.write.mode("overwrite").parquet(s"$path/trigrams")
+    model.totals.write.mode("overwrite").parquet(s"$path/totals")
+    Seq((model.vocabSize, model.alpha, model.backoff))
+      .toDF("vocab_size", "alpha", "backoff")
+      .write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Load a [[writeTrigramLm]] layout. */
+  def loadTrigramLm(spark: org.apache.spark.sql.SparkSession,
+                    path: String): TrigramLmModel = {
+    val m = spark.read.parquet(s"$path/meta").collect()(0)
+    TrigramLmModel(spark.read.parquet(s"$path/vocab"),
+      spark.read.parquet(s"$path/bigrams"),
+      spark.read.parquet(s"$path/trigrams"),
+      spark.read.parquet(s"$path/totals"),
+      m.getInt(0), m.getDouble(1), m.getDouble(2))
+  }
+
+  /** Trigram stupid-backoff self-perplexity — train + score in one call
+    * (the [[bigramPerplexity]] shape, one context order up: templated
+    * three-word patterns score higher probability under the trigram tier
+    * than the bigram tier can represent). */
+  def trigramPerplexity(df: DataFrame, idCol: String, textCol: String,
+                        vocabSize: Int = 65536, bigramVocabSize: Int = 1 << 20,
+                        trigramVocabSize: Int = 1 << 22, alpha: Double = 0.5,
+                        backoff: Double = 0.4): DataFrame =
+    trigramScoreWithModel(df, idCol, textCol,
+      trainTrigramLm(df, textCol, vocabSize, bigramVocabSize,
+        trigramVocabSize, alpha, backoff))
+
   /** Character n-gram shingles of a normalized text, as a distinct array —
     * building block for MinHash / Jaccard dedup. */
   def shingles(textCol: Column, n: Int): Column = {
@@ -1358,6 +1523,44 @@ object TextOps {
                          idA: String = "id_a", idB: String = "id_b"): DataFrame = {
     val losers = dedupClusters(pairs, idA, idB)
       .filter(col("member_id") =!= col("cluster_id"))
+      .select(col("member_id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  /** Keep the BEST-SCORING row per duplicate cluster (plus every row that
+    * never appeared in a pair) — the quality-aware variant of
+    * [[dedupKeepCanonical]]: real pipelines keep the cleanest member of a
+    * near-dup family (longest extraction, highest classifier score), not
+    * the one with the smallest id. Ties on the 6-decimal-rounded score
+    * break by id ascending (the house rank discipline), so the kept set
+    * is unique and oracle-replayable.
+    *
+    * Scale shape: clusters come from [[dedupClusters]] (dup-bounded);
+    * the winner per cluster is the bounded native
+    * [[graft.functions.TopKByScore]] aggregate at k = 1 (map-side
+    * partial, no per-cluster window/sort); the only corpus-sized stage is
+    * the final id-keyed anti join. Null/NaN scores rank below every real
+    * score (the member still loses to any scored sibling but a whole-null
+    * cluster keeps its min id). */
+  def dedupKeepBest(df: DataFrame, idCol: String, scoreCol: String,
+                    pairs: DataFrame, idA: String = "id_a",
+                    idB: String = "id_b"): DataFrame = {
+    val clusters = dedupClusters(pairs, idA, idB)
+    val scored = clusters.join(
+      df.select(col(idCol).cast(LongType).as("member_id"),
+        round(col(scoreCol).cast(DoubleType), 6).as("_sc")),
+      Seq("member_id"))
+      // NaN/null sort below every real score; the id tiebreak still holds
+      .withColumn("_sc", when(col("_sc").isNull || isnan(col("_sc")),
+        lit(Double.MinValue)).otherwise(col("_sc")))
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    val top1 = B.column(graft.functions.TopKByScore(
+      B.expression(col("member_id")), B.expression(col("_sc")), 1)
+      .toAggregateExpression()).as("_top")
+    val winners = scored.groupBy(col("cluster_id")).agg(top1)
+      .select(explode(col("_top")).as("_w"))
+      .select(col("_w.vid").as("member_id"))
+    val losers = clusters.join(winners, Seq("member_id"), "left_anti")
       .select(col("member_id").as(idCol))
     df.join(losers, Seq(idCol), "left_anti")
   }

@@ -216,6 +216,10 @@ object TableMacros {
     "sample_weighted_k",
     // round-9 edit-distance record linkage
     "fuzzy_self_join",
+    // round-10 additions: quality-aware canonical keep, embedding-space
+    // decontamination, trigram stupid-backoff LM, sketch percentile gate
+    "dedup_keep_best", "semantic_decontaminate", "semantic_contamination_flags",
+    "lm_trigram_perplexity", "percentile_from_sketch",
     // round-9 event-analytics rollups
     "funnel", "funnel_counts", "retention",
     "c4_quality_filter", "gopher_quality_filter",
@@ -1087,6 +1091,36 @@ object TableMacros {
           ident(qid, "qid_col"), ident(vid, "vid_col"), ident(rel, "rel_col"),
           ident(id, "id_col"), ident(vec, "vec_col"), int(k, "k"),
           lambda = rest.headOption.map(dbl(_, "lambda")).getOrElse(0.7))
+      case ("dedup_keep_best", Seq(src, pairs, id, score, rest @ _*)) =>
+        if (rest.length > 2) fail("too many arguments")
+        graft.llm.TextOps.dedupKeepBest(source(src), ident(id, "id_col"),
+          ident(score, "score_col"), source(pairs),
+          idA = rest.headOption.map(ident(_, "id_a_col")).getOrElse("id_a"),
+          idB = rest.lift(1).map(ident(_, "id_b_col")).getOrElse("id_b"))
+      case ("semantic_decontaminate", Seq(csrc, bsrc, cents, id, vec, ms, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.SimilarityOps.semanticDecontaminate(source(csrc),
+          ident(id, "id_col"), ident(vec, "vec_col"), source(bsrc),
+          source(cents), dbl(ms, "min_sim"),
+          rest.headOption.map(int(_, "n_probe")).getOrElse(4))
+      case ("semantic_contamination_flags", Seq(csrc, bsrc, cents, id, vec, ms, rest @ _*)) =>
+        if (rest.length > 1) fail("too many arguments")
+        graft.llm.SimilarityOps.semanticContaminationFlags(source(csrc),
+          ident(id, "id_col"), ident(vec, "vec_col"), source(bsrc),
+          source(cents), dbl(ms, "min_sim"),
+          rest.headOption.map(int(_, "n_probe")).getOrElse(4))
+      case ("lm_trigram_perplexity", Seq(src, id, text, rest @ _*)) =>
+        if (rest.length > 5) fail("too many arguments")
+        graft.llm.TextOps.trigramPerplexity(source(src), ident(id, "id_col"),
+          ident(text, "text_col"),
+          vocabSize = rest.headOption.map(int(_, "vocab_size")).getOrElse(65536),
+          bigramVocabSize = rest.lift(1).map(int(_, "bigram_vocab_size")).getOrElse(1 << 20),
+          trigramVocabSize = rest.lift(2).map(int(_, "trigram_vocab_size")).getOrElse(1 << 22),
+          alpha = rest.lift(3).map(dbl(_, "alpha")).getOrElse(0.5),
+          backoff = rest.lift(4).map(dbl(_, "backoff")).getOrElse(0.4))
+      case ("percentile_from_sketch", Seq(src, sksrc, score)) =>
+        graft.llm.QuantileOps.percentileFromSummary(source(src),
+          ident(score, "score_col"), source(sksrc))
       case ("top_fraction_by_group", Seq(src, g, id, score, frac)) =>
         graft.llm.QuantileOps.filterTopFractionByGroup(source(src),
           ident(g, "group_col"), ident(id, "id_col"), ident(score, "score_col"),

@@ -1026,6 +1026,70 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
       Set((100L, 7L)))
   }
 
+  test("round-10 TVFs: dedup_keep_best / lm_trigram_perplexity / percentile_from_sketch SQL == Scala API") {
+    val sp = spark; import sp.implicits._
+    Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (4L, 1.0))
+      .toDF("id", "sc").createOrReplaceTempView("_tmb_kb")
+    Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+      .createOrReplaceTempView("_tmb_kb_pairs")
+    val kb = spark.sql(
+      "SELECT * FROM dedup_keep_best('_tmb_kb', '_tmb_kb_pairs', id, sc)")
+    assert(sortedRows(kb) == sortedRows(graft.llm.TextOps.dedupKeepBest(
+      spark.table("_tmb_kb"), "id", "sc", spark.table("_tmb_kb_pairs"))))
+    // cluster {1,2,3}: best score 9.0 ties 2 vs 3 → id 2; singleton 4 kept
+    assert(kb.select("id").collect().map(_.getLong(0)).toSet == Set(2L, 4L))
+
+    Seq((1L, "a b a b a"), (2L, "a b c"), (3L, "z z z"))
+      .toDF("id", "text").createOrReplaceTempView("_tmb_tri")
+    val tri = spark.sql(
+      "SELECT * FROM lm_trigram_perplexity('_tmb_tri', id, text, 8, 16, 32)")
+    assert(sortedRows(tri) == sortedRows(graft.llm.TextOps.trigramPerplexity(
+      spark.table("_tmb_tri"), "id", "text",
+      vocabSize = 8, bigramVocabSize = 16, trigramVocabSize = 32)))
+
+    (1L to 50L).map(i => (i, i.toDouble)).toDF("id", "sc")
+      .createOrReplaceTempView("_tmb_pfs")
+    graft.llm.QuantileOps.sketchSummary(spark.table("_tmb_pfs"), "sc",
+        capacity = 256)
+      .createOrReplaceTempView("_tmb_pfs_sk")
+    val pf = spark.sql(
+      "SELECT * FROM percentile_from_sketch('_tmb_pfs', '_tmb_pfs_sk', sc)")
+    assert(sortedRows(pf) == sortedRows(graft.llm.QuantileOps
+      .percentileFromSummary(spark.table("_tmb_pfs"), "sc",
+        spark.table("_tmb_pfs_sk"))))
+    // exact regime: percentile of the max is 1.0, of the min is 1/50
+    val byId = pf.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(byId(50L) == 1.0 && byId(1L) == 0.02)
+  }
+
+  test("round-10 TVFs: semantic_decontaminate / flags SQL == Scala API") {
+    val sp = spark; import sp.implicits._
+    val vecs = Seq(
+      (0L, Seq(1.0, 0.0)), (1L, Seq(0.9, 0.1)), (2L, Seq(0.0, 1.0)),
+      (3L, Seq(-1.0, 0.0)), (4L, Seq(1.0, 0.05)))
+    vecs.toDF("id", "v").createOrReplaceTempView("_tmb_sd_c")
+    Seq((100L, Seq(1.0, 0.0))).toDF("id", "v")
+      .createOrReplaceTempView("_tmb_sd_b")
+    graft.llm.SimilarityOps.ivfTrain(spark.table("_tmb_sd_c"), "id", "v",
+        nLists = 2, iters = 0)
+      .createOrReplaceTempView("_tmb_sd_cent")
+    val surv = spark.sql("SELECT * FROM semantic_decontaminate('_tmb_sd_c', " +
+      "'_tmb_sd_b', '_tmb_sd_cent', id, v, 0.8, 2)")
+    assert(sortedRows(surv) == sortedRows(graft.llm.SimilarityOps
+      .semanticDecontaminate(spark.table("_tmb_sd_c"), "id", "v",
+        spark.table("_tmb_sd_b"), spark.table("_tmb_sd_cent"), 0.8, 2)))
+    // exhaustive probe: ids 0, 1, 4 are near the benchmark vector → removed
+    assert(surv.select("id").collect().map(_.getLong(0)).toSet == Set(2L, 3L))
+    val flags = spark.sql("SELECT * FROM semantic_contamination_flags(" +
+      "'_tmb_sd_c', '_tmb_sd_b', '_tmb_sd_cent', id, v, 0.8, 2)")
+    assert(sortedRows(flags) == sortedRows(graft.llm.SimilarityOps
+      .semanticContaminationFlags(spark.table("_tmb_sd_c"), "id", "v",
+        spark.table("_tmb_sd_b"), spark.table("_tmb_sd_cent"), 0.8, 2)))
+    val fm = flags.collect().map(r =>
+      r.getLong(0) -> r.getBoolean(r.fieldIndex("contaminated"))).toMap
+    assert(fm == Map(0L -> true, 1L -> true, 2L -> false, 3L -> false, 4L -> true))
+  }
+
   test("bad arguments produce a clear error, not a planner crash") {
     val e1 = intercept[Exception] {
       spark.sql("SELECT * FROM ts_forecast_by('series', g, ds, y, 'Naive')").collect()
