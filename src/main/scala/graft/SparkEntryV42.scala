@@ -137,6 +137,25 @@ object SparkEntryV42 {
           bench, cents, minSim = SemTau, nProbe = NLists)
         .select(col("vec_id"))
     }),
+    // content-defined chunking: boundaries from the rolling window hash,
+    // greedy min/max rule — the full chunk table gates the whole chain
+    "cdc_chunks" -> ((s, dir) =>
+      graft.llm.TextOps.chunkContentDefined(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", window = CdcW, avgBits = CdcBits,
+        minLen = CdcMin, maxLen = CdcMax, seed = CdcSeed)),
+    // cross-document shared content at sub-document granularity: replicas
+    // of doc_id < 10 carry a PREFIX insertion, so fixed windows all shift
+    // but CDC chunks downstream of the first boundary still collide
+    "cdc_shared_chunks" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val aug = docs.filter(col("doc_id") < 10)
+        .select((col("doc_id") + lit(1000000L)).as("doc_id"),
+          concat(lit("zz "), col("text")).as("text"))
+      graft.llm.TextOps.cdcSharedChunks(docs.unionByName(aug), "doc_id",
+        "text", minDocs = 2, window = CdcW, avgBits = CdcBits,
+        minLen = CdcMin, maxLen = CdcMax, seed = CdcSeed)
+    }),
     // trigram stupid-backoff LM at oracle-replayable caps (the bigram
     // row's discipline one context order up)
     "lm_trigram_score" -> ((s, dir) =>
@@ -170,6 +189,70 @@ object SparkEntryV42 {
   )
 
   private val SemTau = 0.35
+
+  // CDC parameters: avg 64-char chunks keep the oracle's recursion shallow
+  private val CdcW = 8
+  private val CdcBits = 6
+  private val CdcMin = 16
+  private val CdcMax = 128
+  private val CdcSeed = 7L
+
+  /** The CDC chunk table replayed: per-position window folds select the
+    * candidates, a recursive CTE walks the greedy min/max rule (the MMR
+    * sequential-replay discipline), chunk hashes re-fold their slices. */
+  private def cdcChunksCte(fromSql: String): String = {
+    val P = 2147483647L
+    val avg = 1 << CdcBits
+    s"""cp AS (SELECT doc_id, length(text) AS n,
+       |    list_transform(range(1, length(text) + 1),
+       |      i -> CAST(ord(substr(text, i, 1)) AS BIGINT)) AS cps
+       |  FROM $fromSql WHERE length(text) > 0),
+       |cand AS (SELECT doc_id, CAST(i AS BIGINT) AS i
+       |  FROM (SELECT doc_id, cps, unnest(range($CdcW, n + 1)) AS i FROM cp)
+       |  WHERE list_reduce(list_prepend(CAST($CdcSeed AS BIGINT),
+       |      list_slice(cps, i - $CdcW + 1, i)), (a, c) -> (a * 131 + c) % $P)
+       |    % $avg = ${avg - 1}),
+       |ch AS (
+       |  SELECT doc_id, CAST(1 AS BIGINT) AS start,
+       |    LEAST(n, coalesce((SELECT min(c.i) FROM cand c
+       |        WHERE c.doc_id = cp.doc_id AND c.i >= $CdcMin AND c.i <= $CdcMax),
+       |      CAST($CdcMax AS BIGINT))) AS fin
+       |  FROM cp
+       |  UNION ALL
+       |  SELECT cp.doc_id, ch.fin + 1,
+       |    LEAST(cp.n, coalesce((SELECT min(c.i) FROM cand c
+       |        WHERE c.doc_id = cp.doc_id
+       |          AND c.i >= ch.fin + $CdcMin AND c.i <= ch.fin + $CdcMax),
+       |      ch.fin + $CdcMax)) AS fin
+       |  FROM ch JOIN cp ON cp.doc_id = ch.doc_id
+       |  WHERE ch.fin < cp.n
+       |),
+       |chunks AS (SELECT ch.doc_id,
+       |  CAST(row_number() OVER (PARTITION BY ch.doc_id ORDER BY ch.start) - 1
+       |    AS INT) AS chunk_idx,
+       |  CAST(ch.start AS INT) AS start,
+       |  CAST(ch.fin - ch.start + 1 AS INT) AS len,
+       |  list_reduce(list_prepend(CAST($CdcSeed AS BIGINT),
+       |    list_slice(cp.cps, ch.start, ch.fin)),
+       |    (a, c) -> (a * 131 + c) % $P) AS chunk_hash
+       |FROM ch JOIN cp USING (doc_id))""".stripMargin
+  }
+
+  private val CdcChunksSql =
+    s"""WITH RECURSIVE
+       |${cdcChunksCte("documents")}
+       |SELECT doc_id, chunk_idx, start, len, chunk_hash FROM chunks""".stripMargin
+
+  private val CdcSharedSql =
+    s"""WITH RECURSIVE
+       |${cdcChunksCte(
+      """(SELECT doc_id, text FROM documents
+        |   UNION ALL
+        |   SELECT doc_id + 1000000, 'zz ' || text FROM documents
+        |   WHERE doc_id < 10)""".stripMargin)}
+       |SELECT chunk_hash, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(count(*) AS BIGINT) AS n_occurrences
+       |FROM chunks GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin
 
   private val DynFieldsSql =
     """WITH g AS (SELECT DISTINCT event_type AS g FROM events),
@@ -358,6 +441,8 @@ object SparkEntryV42 {
     "decontaminate_semantic_flags" -> SemFlagsSql,
     "lm_trigram_score" -> TrigramScoreSql,
     "trigram_model_score" -> TrigramScoreSql,
+    "cdc_chunks" -> CdcChunksSql,
+    "cdc_shared_chunks" -> CdcSharedSql,
     "pagerank_sink" -> PageRankSinkSql,
     "ann_ivfpq_rerank_topk" -> RerankOracle
   )

@@ -1527,6 +1527,53 @@ object TextOps {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  // -------------------------------------------- content-defined chunking
+
+  /** Content-defined chunking (Rabin-boundary family; see
+    * [[graft.functions.CdcChunks]] for the contract and citations): cut
+    * documents where a rolling window hash hits a fixed bit pattern, so
+    * boundaries follow content rather than offsets — the shift-resilient
+    * sub-document unit for exact chunk-level dedup (a fixed-window
+    * n-gram scheme re-hashes everything after an insertion; CDC chunks
+    * downstream of it are untouched).
+    *
+    * Scale design: the whole chunker is ONE native codegen pass per
+    * document (constant-work rolling update); text dies map-side and
+    * only slim (id, idx, start, len, hash) rows ever shuffle. Output:
+    * (idCol, `chunk_idx` 0-based, `start` 1-based codepoint, `len`,
+    * `chunk_hash`). Empty/null text emits no rows. */
+  def chunkContentDefined(df: DataFrame, idCol: String, textCol: String,
+                          window: Int = 8, avgBits: Int = 8,
+                          minLen: Int = 32, maxLen: Int = 512,
+                          seed: Long = 7L): DataFrame = {
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    val chunks = B.column(graft.functions.CdcChunks(
+      B.expression(col(textCol)), window, avgBits, minLen, maxLen, seed))
+    df.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "_c")))
+      .select(col(idCol), col("chunk_idx").cast("int").as("chunk_idx"),
+        col("_c.start").as("start"), col("_c.len").as("len"),
+        col("_c.hash").as("chunk_hash"))
+  }
+
+  /** Cross-document shared-content report over [[chunkContentDefined]]:
+    * chunk hashes appearing in at least `minDocs` distinct documents,
+    * with their document and occurrence counts — the "which exact
+    * passages circulate" audit (quote mining, boilerplate fragments,
+    * syndicated paragraphs) at sub-document granularity. The only
+    * exchange carries (hash, id) pairs; text never leaves the chunking
+    * scan. Output: (`chunk_hash`, `n_docs`, `n_occurrences`). */
+  def cdcSharedChunks(df: DataFrame, idCol: String, textCol: String,
+                      minDocs: Int = 2, window: Int = 8, avgBits: Int = 8,
+                      minLen: Int = 32, maxLen: Int = 512,
+                      seed: Long = 7L): DataFrame = {
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    chunkContentDefined(df, idCol, textCol, window, avgBits, minLen, maxLen, seed)
+      .groupBy(col("chunk_hash"))
+      .agg(count_distinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs)
+  }
+
   /** Keep the BEST-SCORING row per duplicate cluster (plus every row that
     * never appeared in a pair) — the quality-aware variant of
     * [[dedupKeepCanonical]]: real pipelines keep the cleanest member of a

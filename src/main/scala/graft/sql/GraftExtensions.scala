@@ -220,6 +220,7 @@ object TableMacros {
     // decontamination, trigram stupid-backoff LM, sketch percentile gate
     "dedup_keep_best", "semantic_decontaminate", "semantic_contamination_flags",
     "lm_trigram_perplexity", "percentile_from_sketch",
+    "cdc_chunks", "cdc_shared_chunks",
     // round-9 event-analytics rollups
     "funnel", "funnel_counts", "retention",
     "c4_quality_filter", "gopher_quality_filter",
@@ -1121,6 +1122,24 @@ object TableMacros {
       case ("percentile_from_sketch", Seq(src, sksrc, score)) =>
         graft.llm.QuantileOps.percentileFromSummary(source(src),
           ident(score, "score_col"), source(sksrc))
+      case ("cdc_chunks", Seq(src, id, text, rest @ _*)) =>
+        if (rest.length > 5) fail("too many arguments")
+        graft.llm.TextOps.chunkContentDefined(source(src), ident(id, "id_col"),
+          ident(text, "text_col"),
+          window = rest.headOption.map(int(_, "window")).getOrElse(8),
+          avgBits = rest.lift(1).map(int(_, "avg_bits")).getOrElse(8),
+          minLen = rest.lift(2).map(int(_, "min_len")).getOrElse(32),
+          maxLen = rest.lift(3).map(int(_, "max_len")).getOrElse(512),
+          seed = rest.lift(4).map(lng(_, "seed")).getOrElse(7L))
+      case ("cdc_shared_chunks", Seq(src, id, text, minDocs, rest @ _*)) =>
+        if (rest.length > 5) fail("too many arguments")
+        graft.llm.TextOps.cdcSharedChunks(source(src), ident(id, "id_col"),
+          ident(text, "text_col"), int(minDocs, "min_docs"),
+          window = rest.headOption.map(int(_, "window")).getOrElse(8),
+          avgBits = rest.lift(1).map(int(_, "avg_bits")).getOrElse(8),
+          minLen = rest.lift(2).map(int(_, "min_len")).getOrElse(32),
+          maxLen = rest.lift(3).map(int(_, "max_len")).getOrElse(512),
+          seed = rest.lift(4).map(lng(_, "seed")).getOrElse(7L))
       case ("top_fraction_by_group", Seq(src, g, id, score, frac)) =>
         graft.llm.QuantileOps.filterTopFractionByGroup(source(src),
           ident(g, "group_col"), ident(id, "id_col"), ident(score, "score_col"),

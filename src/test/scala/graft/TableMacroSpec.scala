@@ -1062,6 +1062,23 @@ class TableMacroSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(byId(50L) == 1.0 && byId(1L) == 0.02)
   }
 
+  test("round-10 TVFs: cdc_chunks / cdc_shared_chunks SQL == Scala API") {
+    val sp = spark; import sp.implicits._
+    val rnd = new scala.util.Random(103)
+    val core = Seq.fill(500)(('a' + rnd.nextInt(26)).toChar).mkString
+    Seq((1L, core), (2L, "prefix >> " + core))
+      .toDF("id", "text").createOrReplaceTempView("_tmb_cdc")
+    val ch = spark.sql(
+      "SELECT * FROM cdc_chunks('_tmb_cdc', id, text, 8, 6, 16, 128, 7)")
+    assert(sortedRows(ch) == sortedRows(graft.llm.TextOps.chunkContentDefined(
+      spark.table("_tmb_cdc"), "id", "text", 8, 6, 16, 128, 7L)))
+    val sh = spark.sql(
+      "SELECT * FROM cdc_shared_chunks('_tmb_cdc', id, text, 2, 8, 6, 16, 128, 7)")
+    assert(sortedRows(sh) == sortedRows(graft.llm.TextOps.cdcSharedChunks(
+      spark.table("_tmb_cdc"), "id", "text", 2, 8, 6, 16, 128, 7L)))
+    assert(sh.count() >= 1, "the shifted copy must still share chunks")
+  }
+
   test("round-10 TVFs: semantic_decontaminate / flags SQL == Scala API") {
     val sp = spark; import sp.implicits._
     val vecs = Seq(
