@@ -241,7 +241,7 @@ object SparkEntryV13 {
       |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 15),
       |sh AS (
       |  SELECT doc_id, list_sort(list_distinct(list_transform(
-      |    range(1, greatest(length(n) - 4, 1)), i -> n[i:i+4]))) AS ss
+      |    range(1, greatest(length(n) - 3, 1)), i -> n[i:i+4]))) AS ss
       |  FROM (SELECT doc_id, lower(regexp_replace(text, '\s+', ' ', 'g')) AS n FROM aug))""".stripMargin
 
   /** conformalQuantile replay: ceil((n+1)(1−α))/n order statistic of |r|

@@ -158,7 +158,7 @@ object SparkEntryV18 {
     * as SparkEntryV2.DedupShingleEqualitySql). */
   private def shingleSetSql(from: String): String =
     s"""SELECT doc_id, list_sort(list_distinct(list_transform(
-       |    range(1, greatest(length(n) - 4, 1)), i -> n[i:i+4]))) AS ss
+       |    range(1, greatest(length(n) - 3, 1)), i -> n[i:i+4]))) AS ss
        |  FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n FROM $from)""".stripMargin
 
   private val DedupAgainstSql =

@@ -127,7 +127,7 @@ object SparkEntryV2 {
        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20),
        |sh AS (
        |  SELECT doc_id, list_sort(list_distinct(list_transform(
-       |    range(1, greatest(length(n) - 4, 1)), i -> n[i:i+4]))) AS ss
+       |    range(1, greatest(length(n) - 3, 1)), i -> n[i:i+4]))) AS ss
        |  FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n FROM aug))
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(1.0 AS DOUBLE) AS $simCol
        |FROM sh a JOIN sh b ON a.ss = b.ss AND a.doc_id < b.doc_id

@@ -82,7 +82,7 @@ object SparkEntryV33 {
        |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id < 15),
        |sh AS (
        |  SELECT doc_id, list_sort(list_distinct(list_transform(
-       |    range(1, greatest(length(n) - 4, 1)), i -> n[i:i+4]))) AS ss
+       |    range(1, greatest(length(n) - 3, 1)), i -> n[i:i+4]))) AS ss
        |  FROM (SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n FROM aug)),
        |g AS (SELECT doc_id,
        |        CASE WHEN len(ss) > 0 AND count(*) OVER (PARTITION BY ss) > 1

@@ -93,7 +93,7 @@ object SparkEntryV6 {
         |              FROM documents),
         |sh AS (SELECT doc_id,
         |              list_distinct([substr(norm, CAST(i AS INT), 5)
-        |                             for i in range(1, greatest(length(norm) - 5, 0) + 1)]) AS s
+        |                             for i in range(1, greatest(length(norm) - 4, 0) + 1)]) AS s
         |       FROM docs),
         |shn AS (SELECT doc_id, s FROM sh WHERE len(s) > 0),
         |ex AS (SELECT doc_id, unnest(s) AS sg FROM shn),

@@ -841,12 +841,21 @@ object TextOps {
         trigramVocabSize, alpha, backoff))
 
   /** Character n-gram shingles of a normalized text, as a distinct array —
-    * building block for MinHash / Jaccard dedup. */
+    * building block for MinHash / Jaccard dedup. FULL m−n+1 window
+    * coverage, matching the native [[graft.functions.ShingleHashes]] /
+    * ShingleHashSet family (an earlier form dropped the FINAL window,
+    * which silently disagreed with the native ops on texts differing only
+    * at the tail — caught at sf0.001 where two fixture docs differ in
+    * exactly one trailing repetition). The when-guard keeps the sequence
+    * total for sub-window texts (sequence(0, −1) DESCENDS — the Catalyst
+    * constraint-inlining trap in CLAUDE.md). */
   def shingles(textCol: Column, n: Int): Column = {
     val norm = lower(regexp_replace(textCol, "\\s+", " "))
-    array_distinct(transform(
-      sequence(lit(0), greatest(length(norm) - n, lit(0)) - 1),
-      i => norm.substr(i + 1, lit(n))))
+    array_distinct(
+      when(length(norm) >= n, transform(
+        sequence(lit(0), length(norm) - lit(n)),
+        i => norm.substr(i + 1, lit(n))))
+        .otherwise(array().cast(ArrayType(StringType))))
   }
 
   /** Deterministic 64-bit shingle hashes of normalized text (pure Scala —
