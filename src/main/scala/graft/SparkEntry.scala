@@ -28,15 +28,26 @@ object SparkEntry {
   /** Exact order-independent sum: per-row round to fixed decimals, cast to
     * DECIMAL, sum (exact), cast back to double. Per-row double arithmetic is
     * bitwise-identical across engines; only multi-row float summation order
-    * varies — this removes it from the oracle compare. */
+    * varies — this removes it from the oracle compare.
+    *
+    * The round+cast is the fused native [[graft.functions.RoundedDecimal]]
+    * (value-identical; see its doc): one shortest-decimal parse per row
+    * instead of two, and a COMPACT decimal into the sum so the aggregate
+    * adds stay on the long fast path — measured 2.06 s → 0.86 s on
+    * q1_pricing_summary's five exact sums at sf0.1. */
+  private[graft] def roundedDec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.RoundedDecimal(
+        org.apache.spark.sql.GraftExpressionBridge.expression(c.cast(DoubleType)), 6, 28))
+
   private def exactSum(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    sum(round(c, 6).cast(DecimalType(28, 6))).cast(DoubleType)
+    sum(roundedDec(c)).cast(DoubleType)
 
   /** Money sum rounded to 2 decimals in DECIMAL space: rounding a decimal is
     * well-defined half-up in both engines, whereas rounding the equivalent
     * double hits engine-specific halfway behavior (e.g. x.925 → .92 vs .93). */
   private def exactSum2(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    round(sum(round(c, 6).cast(DecimalType(28, 6))), 2).cast(DoubleType)
+    round(sum(roundedDec(c)), 2).cast(DoubleType)
 
   /** Daily value series per event_type: (g, ds DATE, y). */
   private def dailyEvents(s: SparkSession, dir: String): DataFrame =
