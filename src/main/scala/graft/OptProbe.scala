@@ -78,6 +78,79 @@ object OptProbe {
         "plans/r10/q3_segment_revenue_after.txt")
     }
 
+    if (which("fuzzy")) {
+      // the bench fixture: 10× replica-distinct 24-char prefixes
+      val docs = t("documents")
+      val docsM = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", translate(col("text"), "eE", s"$i$i")))
+        .reduce(_ unionByName _).coalesce(32)
+        .select(col("doc_id").as("id"), substring(col("text"), 1, 24).as("s"))
+        .cache()
+      println("[opt] fuzzy strings=" + docsM.count())
+      val d = 2; val q = 3
+      val slim = docsM
+        .filter(col("s").isNotNull && length(col("s")) > 0)
+        .select(col("id").cast("long").as("id"), col("s"),
+          length(col("s")).as("len"))
+      val grams = slim.select(col("id"), col("len"),
+        posexplode(
+          when(col("len") >= q,
+            transform(sequence(lit(0), col("len") - lit(q)),
+              i => xxhash64(col("s").substr(i + lit(1), lit(q)))))
+            .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "gh")))
+      med3("fz_grams_only")(grams)
+      med3("fz_gramdf")(grams.groupBy("gh").agg(count(lit(1)).as("__df")))
+      val gramDf = grams.groupBy("gh").agg(count(lit(1)).as("__df"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("__df").asc, col("gh").asc)
+      val prefix = grams.join(gramDf, "gh")
+        .withColumn("__vr", dense_rank().over(wRank))
+        .filter(col("__vr") <= d * q + 1)
+        .select("id", "len", "pos", "gh")
+      med3("fz_prefix")(prefix)
+      val w = d + 1
+      val left = prefix.select(col("id").as("id1"), col("len").as("len1"),
+        col("pos").as("p1"), col("gh"), (col("pos") / w).cast("int").as("band"))
+      val right = prefix.select(col("id").as("id2"), col("len").as("len2"),
+        col("pos").as("p2"), col("gh"),
+        explode(array((-1 to 1).map(delta => (col("pos") / w).cast("int") + delta): _*))
+          .as("band"))
+      val candA = left.join(right,
+          left("gh") === right("gh") && left("band") === right("band") &&
+            col("id1") < col("id2") &&
+            abs(col("p1") - col("p2")) <= d &&
+            abs(col("len1") - col("len2")) <= d,
+          "inner")
+        .filter(greatest(col("len1"), col("len2")) >= q * (d + 1))
+        .select("id1", "id2").distinct()
+      med3("fz_candA")(candA)
+      med3("fz_full")(llm.FuzzyJoinOps.fuzzySelfJoin(docsM, "id", "s", 2))
+      dumpPlan(llm.FuzzyJoinOps.fuzzySelfJoin(docsM, "id", "s", 2),
+        "plans/r10/fuzzy_join_pairs_after.txt")
+      println("[opt] prefix rows=" + prefix.count())
+      val joined = left.join(right,
+          left("gh") === right("gh") && left("band") === right("band") &&
+            col("id1") < col("id2") &&
+            abs(col("p1") - col("p2")) <= d &&
+            abs(col("len1") - col("len2")) <= d,
+          "inner")
+        .filter(greatest(col("len1"), col("len2")) >= q * (d + 1))
+      println("[opt] candA pre-distinct=" + joined.count() +
+        " distinct=" + candA.count())
+      val bucketTop = prefix.groupBy("gh").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc).limit(5).collect()
+      println("[opt] hottest prefix gram values: " +
+        bucketTop.map(r => r.getLong(1)).mkString(","))
+      println("[opt] output pairs=" +
+        llm.FuzzyJoinOps.fuzzySelfJoin(docsM, "id", "s", 2).count())
+      val sg = docsM.groupBy("s").agg(count(lit(1)).as("m"))
+      println("[opt] distinct strings=" + sg.count() +
+        " maxGroup=" + sg.agg(max(col("m"))).collect()(0).getLong(0) +
+        " sumSq=" + sg.agg(sum(col("m") * col("m"))).collect()(0).getLong(0))
+      docsM.unpersist()
+    }
+
     if (which("q1")) {
       val li = t("lineitem")
       println("[opt] lineitem rows=" + li.count() +

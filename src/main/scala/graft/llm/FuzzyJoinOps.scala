@@ -41,12 +41,17 @@ import org.apache.spark.sql.functions._
   * position band both enforces the position filter through an EQUI-key
   * (one side explodes into its 3 adjacent bands) and splits hot grams
   * ("the", "ing") across bands — the classic key salt, for free and
-  * without losing exactness. Shuffle volume is Σ(L) gram rows of three
-  * longs each: this is the SHORT-string op (names, titles, URLs, product
-  * keys; fixtures run 7-64 chars) — for document-scale near-duplication
-  * use the MinHash LSH family, whose shuffle is signature-bounded. The
-  * verify stage re-joins only the slim candidate ids against the strings
-  * (two id-keyed joins); strings never cross the gram exchange. No
+  * without losing exactness. This is the SHORT-string op (names, titles,
+  * URLs, product keys; fixtures run 7-64 chars) — for document-scale
+  * near-duplication use the MinHash LSH family, whose shuffle is
+  * signature-bounded. The strings DO ride the prefix exchange (a few
+  * dozen bytes per gram row next to its three longs) because verification
+  * runs INSIDE the band join: on natural-language prefixes the candidate
+  * blowup is orders of magnitude larger than the verified output
+  * (measured 22.5M candidates → 189k matches at 10× bench scale), so
+  * shuffling candidate-pair ids to a distinct + two verify joins — the
+  * previous shape — moved far more bytes than the strings themselves.
+  * Only verified, output-owed pairs reach the final dedup exchange. No
   * cartesian or nested-loop join anywhere (PlanGuardSpec pins this). */
 object FuzzyJoinOps {
 
@@ -84,49 +89,66 @@ object FuzzyJoinOps {
       .partitionBy("id").orderBy(col("__df").asc, col("gh").asc)
     // prefix = ALL positional copies of the d*q+1 rarest gram VALUES
     // (value-granularity keeps the repeated-gram case exact: the matched
-    // copy's twins share its value, so they enter the prefix with it)
-    val prefix = grams.join(gramDf, "gh")
+    // copy's twins share its value, so they enter the prefix with it).
+    // The STRING rides along: verification happens INSIDE the band join
+    // (below) instead of re-joining a candidate-pair table against the
+    // strings — measured at 10× bench scale the old shape materialized
+    // 22.5M distinct candidate pairs (0.84% verify selectivity on natural-
+    // language 24-char prefixes) and then paid a distinct exchange plus TWO
+    // id-keyed joins over them; the banded levenshtein itself is O(d·L)
+    // per pair and strictly cheaper than shuffling the pair. PINNED
+    // (lshNearPairs discipline) because both join sides read it — unpinned,
+    // the gramDf aggregate + rank window re-executed per side.
+    val prefix = Pin(grams.join(gramDf, "gh")
       .withColumn("__vr", dense_rank().over(wRank))
       .filter(col("__vr") <= d * q + 1)
-      .select("id", "len", "pos", "gh")
+      .join(slim.select(col("id"), col("s")), Seq("id"))
+      .select(col("id"), col("len"), col("pos"), col("gh"), col("s"))).df
 
     val left = prefix.select(col("id").as("id1"), col("len").as("len1"),
+      col("s").as("__s1"),
       col("pos").as("p1"), col("gh"), (col("pos") / w).cast("int").as("band"))
     // the right side explodes into its 3 adjacent bands so the position
     // filter rides the equi-key; a qualifying (p1, p2) pair matches on
     // exactly one emitted band (= p1's own band)
     val right = prefix.select(col("id").as("id2"), col("len").as("len2"),
+      col("s").as("__s2"),
       col("pos").as("p2"), col("gh"),
       explode(array((-1 to 1).map(delta => (col("pos") / w).cast("int") + delta): _*))
         .as("band"))
 
-    val candA = left.join(right,
+    // candidate generation + banded verify in ONE stage: the join's
+    // residual filters prune by position/length, then the threshold
+    // levenshtein verifies in place — only VERIFIED pairs (output-sized)
+    // reach the dedup exchange, never the candidate blowup
+    val pairsA = left.join(right,
         left("gh") === right("gh") && left("band") === right("band") &&
           col("id1") < col("id2") &&
           abs(col("p1") - col("p2")) <= d &&
           abs(col("len1") - col("len2")) <= d,
         "inner")
       .filter(greatest(col("len1"), col("len2")) >= minLong)
-      .select("id1", "id2").distinct()
+      .withColumn("dist", levenshtein(col("__s1"), col("__s2"), d))
+      .filter(col("dist") >= 0)
+      .select("id1", "id2", "dist")
 
     // --- branch B: the short pool (both lengths < q*(d+1)) ---------------
     val shortL = slim.filter(col("len") < minLong)
     val shortKeys = shortL.select(col("id").as("id2"), col("len").as("len2"),
+      col("s").as("__s2"),
       explode(array((-d to d).map(delta => col("len") + delta): _*)).as("lk"))
-    val candB = shortL
-      .select(col("id").as("id1"), col("len").as("len1"), col("len").as("lk"))
+    val pairsB = shortL
+      .select(col("id").as("id1"), col("len").as("len1"),
+        col("s").as("__s1"), col("len").as("lk"))
       .join(shortKeys, Seq("lk"))
       .filter(col("id1") < col("id2") && abs(col("len1") - col("len2")) <= d)
-      .select("id1", "id2").distinct()
-
-    // --- verify ----------------------------------------------------------
-    val cands = candA.unionByName(candB)
-    val s1 = slim.select(col("id").as("id1"), col("s").as("__s1"))
-    val s2 = slim.select(col("id").as("id2"), col("s").as("__s2"))
-    cands.join(s1, "id1").join(s2, "id2")
       .withColumn("dist", levenshtein(col("__s1"), col("__s2"), d))
       .filter(col("dist") >= 0)
-      .select(col("id1"), col("id2"), col("dist"))
+      .select("id1", "id2", "dist")
+
+    // branches are disjoint by the length rule; a pair can still verify in
+    // several gram buckets, so dedup the (deterministic) verified rows
+    pairsA.unionByName(pairsB).distinct()
   }
 
   /** Two-table variant: `(leftId, rightId, dist)` for every cross pair
