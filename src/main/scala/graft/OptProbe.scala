@@ -78,6 +78,56 @@ object OptProbe {
         "plans/r10/q3_segment_revenue_after.txt")
     }
 
+    if (which("knn")) {
+      val emb1 = t("embeddings")
+      val n1 = emb1.count()
+      val emb10 = (0 until 10).map(i =>
+          emb1.withColumn("vec_id", col("vec_id") + lit(i * 100000000L)))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      emb10.count()
+      val centroids10 = llm.SimilarityOps.ivfTrain(emb10, "vec_id", "embedding", 32)
+      println("[opt] knn vectors=" + (n1 * 10) + " dim=" +
+        emb1.select(size(col("embedding"))).collect()(0).getInt(0))
+      med3("knn_assign_only")(llm.SimilarityOps.ivfAssign(emb10, "vec_id", "embedding", centroids10))
+      med3("knn_probesel_only")(llm.SimilarityOps.probeSelection(emb10, "vec_id", "embedding", 8, centroids10))
+      med3("knn_full")(llm.SimilarityOps.knnGraphWithCentroids(
+        emb10, "vec_id", "embedding", k = 10, centroids10, nProbe = 8))
+      dumpPlan(llm.SimilarityOps.knnGraphWithCentroids(
+        emb10, "vec_id", "embedding", k = 10, centroids10, nProbe = 8),
+        "plans/r10/knn_graph_after.txt")
+      // stage bisection of the probe join
+      val B = org.apache.spark.sql.GraftExpressionBridge
+      def chunkTopK(qid: org.apache.spark.sql.Column, qv: org.apache.spark.sql.Column,
+                    ids: org.apache.spark.sql.Column, norms: org.apache.spark.sql.Column,
+                    vecsFlat: org.apache.spark.sql.Column, lens: org.apache.spark.sql.Column) =
+        B.column(graft.functions.ChunkTopK(B.expression(qid), B.expression(qv),
+          B.expression(ids), B.expression(norms), B.expression(vecsFlat),
+          B.expression(lens), 10, true))
+      val assigned = llm.SimilarityOps.ivfAssign(emb10, "vec_id", "embedding", centroids10)
+      val hist = assigned.groupBy(col("centroid_id")).agg(count(lit(1)).as("_ln"))
+      val packed = assigned
+        .filter(col("_cv").isNotNull)
+        .withColumn("_vl", col("vid").cast("long"))
+        .join(broadcast(hist), Seq("centroid_id"))
+        .withColumn("_chunk", llm.SampleOps.hashBucket(col("_vl"), 0xc4a11L) %
+          ceil(col("_ln").cast("double") / 1024).cast("long"))
+        .groupBy(col("centroid_id"), col("_chunk"))
+        .agg(collect_list(struct(col("_vl").as("vid"),
+          sqrt(llm.SimilarityOps.dot(col("_cv"), col("_cv"))).as("nrm"),
+          col("_cv").as("vec"))).as("_pk"))
+        .select(col("centroid_id"), col("_pk.vid").as("_pids"),
+          col("_pk.nrm").as("_pnrms"), flatten(col("_pk.vec")).as("_pflat"),
+          transform(col("_pk.vec"), v => size(v)).as("_plens"))
+      med3("knn_pack_only")(packed)
+      val probes = llm.SimilarityOps.probeSelection(emb10, "vec_id", "embedding", 8, centroids10)
+      val exploded = probes.join(packed, Seq("centroid_id"))
+        .select(col("qid"), explode(chunkTopK(col("qid").cast("long"), col("_qv"),
+          col("_pids"), col("_pnrms"), col("_pflat"), col("_plens"))).as("_h"))
+        .select(col("qid"), col("_h.vid").as("vid"), col("_h.sim").as("sim"))
+      med3("knn_join_chunk_only")(exploded)
+      emb10.unpersist()
+    }
+
     if (which("fuzzy")) {
       // the bench fixture: 10× replica-distinct 24-char prefixes
       val docs = t("documents")

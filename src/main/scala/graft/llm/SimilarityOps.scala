@@ -387,7 +387,7 @@ object SimilarityOps {
   /** Per-query probe-list selection — a zero-shuffle array expression:
     * score the packed centroids per query, sort desc, take nProbe, explode.
     * Output: (qid, _qv, centroid_id). */
-  private[llm] def probeSelection(queries: DataFrame, idCol: String, vecCol: String,
+  private[graft] def probeSelection(queries: DataFrame, idCol: String, vecCol: String,
                                   nProbe: Int, centroids: DataFrame): DataFrame = {
     val q = queries.select(col(idCol).as("qid"),
       col(vecCol).cast(ArrayType(DoubleType)).as("_qv"))
@@ -401,12 +401,14 @@ object SimilarityOps {
       .select(col("qid"), col("_qv"), col("_pp.cid").as("centroid_id"))
   }
 
-  /** [[graft.functions.ChunkTopK]] as a Column. */
-  private def chunkTopK(qid: Column, qv: Column, ids: Column, norms: Column,
-                        vecs: Column, k: Int, excludeSelf: Boolean): Column = {
+  /** [[graft.functions.ChunkPairTopK]] as a Column. */
+  private def chunkPairTopK(qids: Column, qvsFlat: Column, qlens: Column,
+                            ids: Column, norms: Column, vecsFlat: Column,
+                            lens: Column, k: Int, excludeSelf: Boolean): Column = {
     val B = org.apache.spark.sql.GraftExpressionBridge
-    B.column(graft.functions.ChunkTopK(B.expression(qid), B.expression(qv),
-      B.expression(ids), B.expression(norms), B.expression(vecs), k, excludeSelf))
+    B.column(graft.functions.ChunkPairTopK(B.expression(qids), B.expression(qvsFlat),
+      B.expression(qlens), B.expression(ids), B.expression(norms),
+      B.expression(vecsFlat), B.expression(lens), k, excludeSelf))
   }
 
   /** Probe the inverted lists and reduce to per-query top-k — block-at-a-
@@ -424,9 +426,22 @@ object SimilarityOps {
     * stay hash-exact. */
   private def probeJoin(assigned: DataFrame, probes: DataFrame, k: Int,
                         vidType: DataType, excludeSelf: Boolean = false): DataFrame = {
+    val qidType = probes.schema("qid").dataType
     // list histogram is ≤ nLists rows (bounded like the centroid table)
     val hist = assigned.groupBy(col("centroid_id")).agg(count(lit(1)).as("_ln"))
+    // BOTH sides pack into bounded chunks, and the struct arrays split into
+    // parallel flat arrays HERE, on the aggregate output — never at the
+    // join output. With only the list side packed, the probe⋈chunk join
+    // materialized one row per (probe, chunk) each copying the whole
+    // ~320 KB chunk payload through the join/generate row buffer (51 GB of
+    // pure row copying for the 20k-node kNN graph at 10× bench scale,
+    // dwarfing the arithmetic). Chunk × chunk join output moves each heavy
+    // byte once per CHUNK PAIR. Vectors pack FLATTENED + per-vector lengths
+    // (ChunkPairTopK doc). Null vectors drop BEFORE packing — their norm is
+    // null, so the scorer skipped them anyway, and flatten() would null the
+    // whole chunk.
     val packed = assigned
+      .filter(col("_cv").isNotNull)
       .withColumn("_vl", col("vid").cast(LongType))
       .join(broadcast(hist), Seq("centroid_id"))
       .withColumn("_chunk", SampleOps.hashBucket(col("_vl"), 0xc4a11L) %
@@ -435,15 +450,35 @@ object SimilarityOps {
       .agg(collect_list(struct(col("_vl").as("vid"),
         sqrt(dot(col("_cv"), col("_cv"))).as("nrm"),
         col("_cv").as("vec"))).as("_pk"))
-    probes.join(packed, Seq("centroid_id"))
-      .select(col("qid"), explode(chunkTopK(col("qid").cast(LongType), col("_qv"),
-        col("_pk.vid"), col("_pk.nrm"), col("_pk.vec"), k, excludeSelf)).as("_h"))
-      .select(col("qid"), col("_h.vid").as("vid"), col("_h.sim").as("sim"))
-      .groupBy(col("qid"))
+      .select(col("centroid_id"), col("_pk.vid").as("_pids"),
+        col("_pk.nrm").as("_pnrms"), flatten(col("_pk.vec")).as("_pflat"),
+        transform(col("_pk.vec"), v => size(v)).as("_plens"))
+    val probeHist = probes.groupBy(col("centroid_id")).agg(count(lit(1)).as("_qn"))
+    val qpacked = probes
+      .filter(col("_qv").isNotNull)
+      .withColumn("_ql", col("qid").cast(LongType))
+      .join(broadcast(probeHist), Seq("centroid_id"))
+      .withColumn("_qchunk", SampleOps.hashBucket(col("_ql"), 0x9b0b5L) %
+        ceil(col("_qn").cast(DoubleType) / ProbeChunkSize).cast(LongType))
+      .groupBy(col("centroid_id"), col("_qchunk"))
+      .agg(collect_list(struct(col("_ql").as("qid"), col("_qv").as("qv"))).as("_qp"))
+      .select(col("centroid_id"), col("_qp.qid").as("_qids"),
+        flatten(col("_qp.qv")).as("_qflat"),
+        transform(col("_qp.qv"), v => size(v)).as("_qlens"))
+    qpacked.join(packed, Seq("centroid_id"))
+      .select(explode(chunkPairTopK(col("_qids"), col("_qflat"), col("_qlens"),
+        col("_pids"), col("_pnrms"), col("_pflat"), col("_plens"), k,
+        excludeSelf)).as("_h"))
+      .select(col("_h.qid").as("_qidL"), col("_h.vid").as("vid"), col("_h.sim").as("sim"))
+      .groupBy(col("_qidL"))
       .agg(topKAgg(col("vid"), col("sim"), k).as("_top"))
-      .select(col("qid"), explode(col("_top")).as("_t"))
-      .select(col("qid"), col("_t.vid").cast(vidType).as("vid"), col("_t.sim").as("sim"))
+      .select(col("_qidL"), explode(col("_top")).as("_t"))
+      .select(col("_qidL").cast(qidType).as("qid"),
+        col("_t.vid").cast(vidType).as("vid"), col("_t.sim").as("sim"))
   }
+
+  /** Max probes per packed probe chunk (see [[probeJoin]]). */
+  private val ProbeChunkSize = 256
 
   /** Max vectors per packed inverted-list chunk: bounds the packed row size
     * (and therefore executor memory per row) regardless of list skew. */

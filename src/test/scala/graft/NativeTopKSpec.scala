@@ -72,9 +72,12 @@ class NativeTopKSpec extends AnyFunSuite with BeforeAndAfterAll {
       .withColumn("norms", transform(col("vecs"), v =>
         sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))))
     val df = q.crossJoin(packed)
+      .withColumn("flat", flatten(col("vecs")))
+      .withColumn("lens", transform(col("vecs"), v => size(v)))
     def chunk(excludeSelf: Boolean) = B.column(graft.functions.ChunkTopK(
       B.expression(col("qid")), B.expression(col("qv")), B.expression(col("ids")),
-      B.expression(col("norms")), B.expression(col("vecs")), 3, excludeSelf))
+      B.expression(col("norms")), B.expression(col("flat")), B.expression(col("lens")),
+      3, excludeSelf))
     val withSelf = df.select(explode(chunk(excludeSelf = false)).as("_t"))
       .select(col("_t.vid"), round(col("_t.sim"), 9).as("sim"))
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
@@ -83,6 +86,31 @@ class NativeTopKSpec extends AnyFunSuite with BeforeAndAfterAll {
     val noSelf = df.select(explode(chunk(excludeSelf = true)).as("_t"))
       .select(col("_t.vid")).collect().map(_.getLong(0)).toSeq
     assert(noSelf == Seq(1L, 4L, 2L), s"self (qid=7) must be excluded, got $noSelf")
+  }
+
+  test("ChunkTopK: a ragged (wrong-dim) vector is skipped and later candidates stay aligned") {
+    val sp = spark
+    import sp.implicits._
+    val q = Seq((7L, Seq(1.0, 0.0))).toDF("qid", "qv")
+    // candidate 2 has dim 3 (≠ query dim 2): must be skipped, and candidate
+    // 4's components must still be read from ITS OWN flat offset
+    val packed = Seq((
+      Seq(1L, 2L, 4L),
+      Seq(Seq(1.0, 0.0), Seq(9.0, 9.0, 9.0), Seq(1.0, 1.0))
+    )).toDF("ids", "vecs")
+      .withColumn("norms", transform(col("vecs"), v =>
+        sqrt(aggregate(v, lit(0.0), (a, x) => a + x * x))))
+    val df = q.crossJoin(packed)
+      .withColumn("flat", flatten(col("vecs")))
+      .withColumn("lens", transform(col("vecs"), v => size(v)))
+    val chunk = B.column(graft.functions.ChunkTopK(
+      B.expression(col("qid")), B.expression(col("qv")), B.expression(col("ids")),
+      B.expression(col("norms")), B.expression(col("flat")), B.expression(col("lens")),
+      3, false))
+    val out = df.select(explode(chunk).as("_t"))
+      .select(col("_t.vid"), round(col("_t.sim"), 9).as("sim"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(out == Seq((1L, 1.0), (4L, 0.707106781)), s"got $out")
   }
 
   test("SortedArrayContains: binary search agrees with array_contains") {
