@@ -78,6 +78,105 @@ object OptProbe {
         "plans/r10/q3_segment_revenue_after.txt")
     }
 
+    if (which("bm25")) {
+      val docs = t("documents")
+      val nQ = 20L
+      val docs10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", concat(col("text"), lit(s" r$i"))))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      println("[opt] bm25 docs=" + docs10.count())
+      val queries = docs.filter(col("doc_id") < nQ)
+        .select(col("doc_id").as("qid"), col("text"))
+      med3("bm25_topk_full")(llm.RetrievalOps.bm25TopK(
+        docs10, "doc_id", "text", queries, "qid", "text", k = 10))
+      // stage: the one-row stats aggregate (tokenize pass #1)
+      val toks = filter(split(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+"),
+        x => length(x) > 0)
+      med3("bm25_stats_only")(docs10.agg(
+        count(lit(1)).as("_n"),
+        coalesce(avg(size(toks)), lit(0.0)).as("_avgdl")))
+      // stage: the TokenTfEntries scan + qvocab broadcast join (pass #2)
+      val entries = org.apache.spark.sql.GraftExpressionBridge.column(
+        graft.functions.TokenTfEntries(
+          org.apache.spark.sql.GraftExpressionBridge.expression(
+            lower(trim(col("text"))))))
+      val qv = queries.select(explode(filter(split(lower(trim(col("text"))),
+        "[ \\t\\n\\r\\f]+"), x => length(x) > 0)).as("_term")).distinct()
+      med3("bm25_tf_scan_only")(docs10
+        .select(col("doc_id").as("_doc"), entries.as("_e"))
+        .withColumn("_dl", aggregate(col("_e"), lit(0L),
+          (a, e) => a + e.getField("tf").cast("long")))
+        .select(col("_doc"), col("_dl"), explode(col("_e")).as("_te"))
+        .select(col("_doc"), col("_te.term").as("_term"),
+          col("_te.tf").cast("long").as("_tf"), col("_dl"))
+        .join(broadcast(qv), Seq("_term")))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_opt_bm25").toString
+      llm.RetrievalOps.bm25BuildIndex(docs10, "doc_id", "text", idxDir, nTermBuckets = 64)
+      med3("bm25_index_query")(llm.RetrievalOps.bm25QueryIndex(
+        spark, idxDir, queries, "qid", "text", k = 10))
+      med3("bm25_postings_scan")(spark.read.parquet(s"$idxDir/postings"))
+      dumpPlan(llm.RetrievalOps.bm25TopKUnpinned(docs10, "doc_id", "text",
+        queries, "qid", "text", k = 10), "plans/r10/bm25_topk_after.txt")
+      // the r9 scoring chain (3 broadcast probes per hit row) — before-plan
+      locally {
+        val qterms = queries.select(col("qid").as("_qid"),
+            explode(filter(split(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+"),
+              x => length(x) > 0)).as("_term")).distinct()
+        val qvb = qterms.select(col("_term")).distinct()
+        val stats = docs10.agg(count(lit(1)).as("_n"),
+          coalesce(avg(size(filter(split(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+"),
+            x => length(x) > 0))), lit(0.0)).as("_avgdl"))
+        val tf = docs10
+          .select(col("doc_id").as("_doc"), entries.as("_e"))
+          .withColumn("_dl", aggregate(col("_e"), lit(0L),
+            (a, e) => a + e.getField("tf").cast("long")))
+          .select(col("_doc"), col("_dl"), explode(col("_e")).as("_te"))
+          .select(col("_doc"), col("_te.term").as("_term"),
+            col("_te.tf").cast("long").as("_tf"), col("_dl"))
+          .join(broadcast(qvb), Seq("_term"))
+        val dfreq = tf.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
+        val scored = tf.join(broadcast(dfreq), Seq("_term"))
+          .crossJoin(broadcast(stats))
+          .withColumn("_idf", log(lit(1.0) +
+            (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5))))
+          .withColumn("_w", col("_idf") * (col("_tf") * lit(2.2)) /
+            (col("_tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("_dl") / col("_avgdl"))))
+        val perQuery = scored.join(broadcast(qterms), Seq("_term"))
+          .groupBy(col("_qid"), col("_doc"))
+          .agg(round(sum(col("_w")), 6).as("_score"))
+        dumpPlan(perQuery, "plans/r10/bm25_topk_before.txt")
+        med3("bm25_before_chain")(perQuery)
+      }
+      dumpPlan(llm.RetrievalOps.bm25QueryIndex(spark, idxDir, queries,
+        "qid", "text", k = 10), "plans/r10/bm25_index_topk_after.txt")
+      docs10.unpersist()
+    }
+
+    if (which("lm")) {
+      val docs = t("documents")
+      val docs10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", concat(col("text"), lit(s" r$i"))))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      println("[opt] lm docs=" + docs10.count())
+      med3("lm_bigram_full")(llm.TextOps.bigramPerplexity(docs10, "doc_id", "text",
+        vocabSize = 65536, bigramVocabSize = 1 << 20))
+      val model = llm.TextOps.trainBigramLm(docs10, "text",
+        vocabSize = 65536, bigramVocabSize = 1 << 20)
+      med3("lm_train_vocab_only")(model.vocab)
+      med3("lm_train_bigrams_only")(model.bigrams)
+      val pinned = llm.TextOps.BigramLmModel(
+        llm.Pin(model.vocab).df, llm.Pin(model.bigrams).df,
+        llm.Pin(model.totals).df, 65536, 0.5, 0.75)
+      med3("lm_score_only")(llm.TextOps.bigramScoreWithModel(
+        docs10, "doc_id", "text", pinned))
+      dumpPlan(llm.TextOps.bigramPerplexity(docs10, "doc_id", "text",
+        vocabSize = 65536, bigramVocabSize = 1 << 20),
+        "plans/r10/lm_bigram_after.txt")
+      docs10.unpersist()
+    }
+
     if (which("knn")) {
       val emb1 = t("embeddings")
       val n1 = emb1.count()

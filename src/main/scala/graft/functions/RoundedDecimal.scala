@@ -61,6 +61,16 @@ case class RoundedDecimal(child: Expression, scale: Int, precision: Int)
 }
 
 object RoundedDecimal {
+  /** `round(c, scale).cast(DECIMAL(precision, scale))` — and equally the
+    * bare `c.cast(DECIMAL(precision, scale))`, whose ANSI double→decimal
+    * cast is the same shortest-decimal parse + HALF_UP — as one fused
+    * Column. */
+  def column(c: org.apache.spark.sql.Column, scale: Int = 6,
+             precision: Int = 28): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      RoundedDecimal(org.apache.spark.sql.GraftExpressionBridge.expression(
+        c.cast(DoubleType)), scale, precision))
+
   /** `round(x, scale)` semantics = HALF_UP on the SHORTEST-DECIMAL
     * representation of x (`BigDecimal.valueOf` goes through
     * `Double.toString`). The fast path avoids that per-row string parse:

@@ -116,7 +116,7 @@ object ClassifierOps {
       .withColumn("_llr", coalesce(col("llr"), col("_fb")))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        sum(col("_llr").cast(DecimalType(28, 6))).as("_sum"))
+        sum(graft.functions.RoundedDecimal.column(col("_llr"))).as("_sum"))
     base.select(col(idCol)).crossJoin(broadcast(prior))
       .join(perDoc, Seq(idCol), "left")
       .select(col(idCol),

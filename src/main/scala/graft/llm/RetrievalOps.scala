@@ -127,15 +127,25 @@ object RetrievalOps {
     // document frequency per query term (≤ |query vocab| rows)
     val dfreq = tf.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
 
-    val scored = tf
+    // ONE broadcast per tf row: the per-term query metadata (df → idf is a
+    // per-TERM value, computed here on the bounded term table instead of
+    // once per hit row; the qid fan-out list and the corpus stats ride the
+    // same row). The previous chain probed THREE broadcasts per hit (dfreq,
+    // stats, qterms) — measured, the scoring fan-out dominated both bm25
+    // paths while the corpus/postings scans were <20% of the op.
+    val qmeta = qterms.groupBy(col("_term"))
+      .agg(collect_list(col("_qid")).as("_qids"))
       .join(broadcast(dfreq), Seq("_term"))
       .crossJoin(broadcast(stats))
       .withColumn("_idf",
         log(lit(1.0) + (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5))))
+      .select(col("_term"), col("_qids"), col("_idf"), col("_avgdl"))
+    val perQuery = tf
+      .join(broadcast(qmeta), Seq("_term"))
       .withColumn("_w",
         col("_idf") * (col("_tf") * lit(k1 + 1.0)) /
           (col("_tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("_dl") / col("_avgdl"))))
-    val perQuery = scored.join(broadcast(qterms), Seq("_term"))
+      .select(explode(col("_qids")).as("_qid"), col("_doc"), col("_w"))
       .groupBy(col("_qid"), col("_doc"))
       .agg(round(sum(col("_w")), 6).as("_score"))
 
@@ -214,18 +224,25 @@ object RetrievalOps {
       .filter(col("term_bucket").isin(buckets: _*))
       .select(col("term"), col("df"))
     val stats = spark.read.parquet(s"$path/stats")
-    val scored = postings
-      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+    // ONE broadcast per posting row (the bm25TopK discipline): per-term
+    // (qids, idf) + the corpus stats pre-joined on the bounded query-term
+    // table — the posting stream probes a single hash relation that both
+    // FILTERS to query-vocabulary hits and carries everything scoring needs
+    val qmeta = qterms.groupBy(col("term"))
+      .agg(collect_list(col("_qid")).as("_qids"))
       .join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("_idf",
         log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .select(col("term"), col("_qids"), col("_idf"), col("avgdl"))
+    val docIdType = postings.schema("doc").dataType
+    requireIntegralId("doc", docIdType)
+    postings
+      .join(broadcast(qmeta), Seq("term"))
       .withColumn("_w",
         col("_idf") * (col("tf") * lit(k1 + 1.0)) /
           (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
-    val docIdType = postings.schema("doc").dataType
-    requireIntegralId("doc", docIdType)
-    scored.join(broadcast(qterms), Seq("term"))
+      .select(explode(col("_qids")).as("_qid"), col("doc"), col("_w"))
       .groupBy(col("_qid"), col("doc"))
       .agg(round(sum(col("_w")), 6).as("_score"))
       .select(col("_qid"), col("doc").cast(LongType).as("_docL"), col("_score"))

@@ -414,7 +414,7 @@ object TextOps {
       .withColumn("_lp", coalesce(col("logp"), col("_oov")))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        sum(round(col("_lp"), 6).cast(DecimalType(28, 6)))
+        sum(graft.functions.RoundedDecimal.column(col("_lp")))
           .cast(DoubleType).as("sum_logp"))
     base.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
@@ -548,7 +548,7 @@ object TextOps {
           .otherwise(log(lit(lambda) * col("_pbi") + lit(1.0 - lambda) * col("_puni"))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        sum(round(col("_lp"), 6).cast(DecimalType(28, 6)))
+        sum(graft.functions.RoundedDecimal.column(col("_lp")))
           .cast(DoubleType).as("sum_logp"))
     base.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
@@ -791,7 +791,7 @@ object TextOps {
           .otherwise(log(col("_s3"))))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tokens"),
-        sum(round(col("_lp"), 6).cast(DecimalType(28, 6)))
+        sum(graft.functions.RoundedDecimal.column(col("_lp")))
           .cast(DoubleType).as("sum_logp"))
     base.select(col(idCol)).join(perDoc, Seq(idCol), "left")
       .select(col(idCol),
