@@ -153,6 +153,64 @@ object OptProbe {
       docs10.unpersist()
     }
 
+    if (which("minhash")) {
+      val docs = t("documents")
+      val docs10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", concat(col("text"), lit(s" r$i"))))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      println("[opt] minhash docs=" + docs10.count())
+      med3("minhash_pairs")(llm.TextOps.minHashLshPairs(docs10, "doc_id", "text"))
+      docs10.unpersist()
+    }
+
+    if (which("dedupagainst")) {
+      val docs = t("documents")
+      val docs10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", concat(col("text"), lit(s" r$i"))))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      docs10.count()
+      val ref = docs10.filter(col("doc_id") >= 100000000L)
+      val inc = docs10.filter(col("doc_id") < 100000000L)
+      val idx = llm.TextOps.buildDedupIndex(ref, "doc_id", "text", threshold = 0.9)
+      med3("da_full")(llm.TextOps.dedupAgainstIndex(inc, idx, "doc_id", "text",
+        threshold = 0.9))
+      med3("da_candidates_only")(llm.TextOps.crossCorpusCandidatesWithIndex(
+        inc, idx, "doc_id", "text"))
+      dumpPlan(llm.TextOps.dedupAgainstIndex(inc, idx, "doc_id", "text",
+        threshold = 0.9), "plans/r10/dedup_against_after.txt")
+      // the r9 chain: per-batch ref-side histogram + ref-side shuffles
+      locally {
+        val inB = llm.TextOps.bandedTable(inc, "doc_id", "text",
+            idx.numHashes, idx.bands, idx.shingleSize)
+          .select(col("doc_id").as("id_in"), col("band"), col("bucket"))
+        val refB = idx.banded
+        val okBuckets = inB.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("_ni"))
+          .join(refB.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("_nr")),
+            Seq("band", "bucket"))
+          .filter(col("_ni") + col("_nr") <= 1000)
+          .select(col("band"), col("bucket"))
+        val pairs = inB.join(okBuckets, Seq("band", "bucket"))
+          .join(refB, Seq("band", "bucket"))
+          .select(col("id_in"), col("id_ref"))
+          .distinct()
+        val shIn = inc.select(col("doc_id").as("id_in"),
+          llm.TextOps.shingleHashSetCol(col("text"), idx.shingleSize).as("_sh_in"))
+        val dupIds = pairs
+          .join(shIn, Seq("id_in")).join(idx.shingleSets, Seq("id_ref"))
+          .withColumn("_j", llm.TextOps.hashSetJaccard(col("_sh_in"), col("_sh_ref")))
+          .filter(col("_j") >= 0.9)
+          .select(col("id_in").as("doc_id")).distinct()
+        dumpPlan(inc.join(dupIds, Seq("doc_id"), "left_anti"),
+          "plans/r10/dedup_against_before.txt")
+      }
+      println("[opt] cand rows=" + llm.TextOps.crossCorpusCandidatesWithIndex(
+        inc, idx, "doc_id", "text").count())
+      idx.release()
+      docs10.unpersist()
+    }
+
     if (which("lm")) {
       val docs = t("documents")
       val docs10 = (0 until 10).map(i => docs

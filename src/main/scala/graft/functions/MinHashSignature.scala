@@ -144,20 +144,42 @@ object MinHashSignature {
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, P)
     val nSh = m - shingleSize + 1
+    // duplicate shingles produce the same base, so they cannot change any
+    // lane's min — dedup the bases first (open-addressing int set; a base
+    // is < P < 2^31) and run the numHashes-wide lane loop only on DISTINCT
+    // shingles. Natural text repeats 5-grams heavily, so this removes a
+    // measurable fraction of the 64-multiply inner loops; the signature is
+    // bit-identical (min over a multiset equals min over its support).
+    val target = math.min(nSh.toLong * 2, 1L << 30)
+    var cap = 8
+    while (cap < target) cap <<= 1
+    val seen = new Array[Int](cap)
+    java.util.Arrays.fill(seen, -1)
+    val mask = cap - 1
+    val shift = 32 - java.lang.Integer.numberOfTrailingZeros(cap)
     var j = 0
     while (j < nSh) {
       val h = windowHash64(cs, j, shingleSize)
       val base = java.lang.Long.remainderUnsigned(h, P)
-      var t = 0
-      while (t < numHashes) {
-        // (base·a + b) mod P via Mersenne folding: x < 2^62, two folds + one
-        // conditional subtract land exactly on x % P
-        val x = base * as(t) + bs(t)
-        var y = (x >>> 31) + (x & P)
-        y = (y >>> 31) + (y & P)
-        if (y >= P) y -= P
-        if (y < sig(t)) sig(t) = y
-        t += 1
+      val bi = base.toInt // base < P = 2^31 − 1, so the int is non-negative
+      var slot = (bi * 0x9e3779b1) >>> shift // fibonacci hash → [0, cap)
+      var dup = false
+      while (seen(slot) != -1 && !dup) {
+        if (seen(slot) == bi) dup = true else slot = (slot + 1) & mask
+      }
+      if (!dup) {
+        seen(slot) = bi
+        var t = 0
+        while (t < numHashes) {
+          // (base·a + b) mod P via Mersenne folding: x < 2^62, two folds +
+          // one conditional subtract land exactly on x % P
+          val x = base * as(t) + bs(t)
+          var y = (x >>> 31) + (x & P)
+          y = (y >>> 31) + (y & P)
+          if (y >= P) y -= P
+          if (y < sig(t)) sig(t) = y
+          t += 1
+        }
       }
       j += 1
     }

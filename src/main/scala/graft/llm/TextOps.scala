@@ -1054,6 +1054,7 @@ object TextOps {
     * next to the corpus, ~tens of bytes/doc); every incoming batch then
     * pays only its OWN signatures. */
   final case class CorpusDedupIndex(banded: DataFrame, shingleSets: DataFrame,
+                                    bucketHist: DataFrame,
                                     numHashes: Int, bands: Int, shingleSize: Int,
                                     release: () => Unit)
 
@@ -1071,8 +1072,14 @@ object TextOps {
         .select(col(idCol).as("id_ref"), col("band"), col("bucket")))
     val shPin = Pin(reference.select(col(idCol).as("id_ref"),
       shingleHashSetCol(col(textCol), shingleSize).as("_sh_ref")))
-    CorpusDedupIndex(bandedPin.df, shPin.df, numHashes, b, shingleSize,
-      () => { bandedPin.release(); shPin.release() })
+    // the per-(band, bucket) reference population is a property of the
+    // corpus version, not of an incoming batch — computing it here (pinned,
+    // ≤ |banded| slim rows) keeps the reference-sized aggregate out of
+    // every batch's timed path
+    val histPin = Pin(bandedPin.df.groupBy(col("band"), col("bucket"))
+      .agg(count(lit(1)).as("_nr")))
+    CorpusDedupIndex(bandedPin.df, shPin.df, histPin.df, numHashes, b, shingleSize,
+      () => { bandedPin.release(); shPin.release(); histPin.release() })
   }
 
   /** Persist the cross-corpus dedup index to storage: `path/banded`
@@ -1100,6 +1107,7 @@ object TextOps {
       shingleSize, threshold)
     idx.banded.write.mode("overwrite").parquet(s"$path/banded")
     idx.shingleSets.write.mode("overwrite").parquet(s"$path/shingles")
+    idx.bucketHist.write.mode("overwrite").parquet(s"$path/bucket_hist")
     import spark.implicits._
     Seq((idx.numHashes, idx.bands, idx.shingleSize, DedupIndexFormatVersion))
       .toDF("num_hashes", "bands", "shingle_size", "format_version")
@@ -1123,9 +1131,15 @@ object TextOps {
     require(m.getInt(3) == DedupIndexFormatVersion,
       s"dedup index at $path is format_version ${m.getInt(3)}, this build " +
         s"requires $DedupIndexFormatVersion — rebuild it with writeDedupIndex")
+    val banded = spark.read.parquet(s"$path/banded")
+    val hist =
+      try spark.read.parquet(s"$path/bucket_hist")
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        banded.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("_nr")) }
     CorpusDedupIndex(
-      spark.read.parquet(s"$path/banded"),
+      banded,
       spark.read.parquet(s"$path/shingles"),
+      hist,
       m.getInt(0), m.getInt(1), m.getInt(2), () => ())
   }
 
@@ -1152,13 +1166,19 @@ object TextOps {
       index.numHashes, index.bands, index.shingleSize))
     val inB = inPin.df.select(col(idCol).as("id_in"), col("band"), col("bucket"))
     val refB = index.banded
-    val okBuckets = inB.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("_ni"))
-      .join(refB.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("_nr")),
-        Seq("band", "bucket"))
+    // incoming batch is bounded by contract, so every incoming-derived
+    // table broadcasts and the REFERENCE tables are never shuffled per
+    // batch (previously the ref banded table re-aggregated AND re-shuffled
+    // on (band, bucket) for every incoming batch — reference-sized work in
+    // the steady-state path). The cap join keys on the index's persisted
+    // per-bucket histogram.
+    val okBuckets = broadcast(
+        inB.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("_ni")))
+      .join(index.bucketHist, Seq("band", "bucket"))
       .filter(col("_ni") + col("_nr") <= maxBucketSize)
       .select(col("band"), col("bucket"))
-    val pairs = inB.join(okBuckets, Seq("band", "bucket"))
-      .join(refB, Seq("band", "bucket"))
+    val inOk = inB.join(broadcast(okBuckets), Seq("band", "bucket"))
+    val pairs = refB.join(broadcast(inOk), Seq("band", "bucket"))
       .select(col("id_in"), col("id_ref"))
       .distinct()
     val result = Pin(pairs)
@@ -1204,8 +1224,9 @@ object TextOps {
       maxBucketSize)
     val shInPin = Pin(incoming.select(col(idCol).as("id_in"),
       shingleHashSetCol(col(textCol), index.shingleSize).as("_sh_in")))
-    val dupIds = cand
-      .join(shInPin.df, Seq("id_in")).join(index.shingleSets, Seq("id_ref"))
+    val dupIds = index.shingleSets
+      .join(broadcast(cand), Seq("id_ref"))
+      .join(broadcast(shInPin.df), Seq("id_in"))
       .withColumn("_j", hashSetJaccard(col("_sh_in"), col("_sh_ref")))
       .filter(col("_j") >= threshold)
       .select(col("id_in").as(idCol)).distinct()
@@ -1303,7 +1324,7 @@ object TextOps {
     * bit-identical to the size(array_intersect)/size(array_union) form it
     * replaced — without materializing the two intermediate arrays per
     * candidate pair. */
-  private def hashSetJaccard(a: Column, b: Column): Column = {
+  private[graft] def hashSetJaccard(a: Column, b: Column): Column = {
     val B = org.apache.spark.sql.GraftExpressionBridge
     val inter = B.column(graft.functions.HashIntersectCount(
       B.expression(a), B.expression(b)))
@@ -1397,7 +1418,7 @@ object TextOps {
   /** The native distinct shingle-hash-set column
     * ([[graft.functions.ShingleHashSet]]); null text → empty set, matching
     * the UDF guard it replaced. */
-  private def shingleHashSetCol(textCol: Column, shingleSize: Int): Column = {
+  private[graft] def shingleHashSetCol(textCol: Column, shingleSize: Int): Column = {
     val B = org.apache.spark.sql.GraftExpressionBridge
     B.column(graft.functions.ShingleHashSet(
       B.expression(coalesce(textCol, lit(""))), shingleSize))
