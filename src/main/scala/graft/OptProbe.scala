@@ -153,6 +153,21 @@ object OptProbe {
       docs10.unpersist()
     }
 
+    if (which("ivfprobe")) {
+      val emb1 = t("embeddings")
+      val emb10 = (0 until 10).map(i =>
+          emb1.withColumn("vec_id", col("vec_id") + lit(i * 100000000L)))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      emb10.count()
+      val centroids10 = llm.SimilarityOps.ivfTrain(emb10, "vec_id", "embedding", 32)
+      val assigned10 = llm.SimilarityOps.ivfAssign(emb10, "vec_id", "embedding", centroids10)
+        .localCheckpoint(true)
+      med3("ivf_probe_20q")(llm.SimilarityOps.ivfProbeLists(assigned10,
+        emb1.filter(col("vec_id") < 20), "vec_id", "embedding", k = 10,
+        nProbe = 8, centroids10, emb1.schema("vec_id").dataType))
+      emb10.unpersist()
+    }
+
     if (which("minhash")) {
       val docs = t("documents")
       val docs10 = (0 until 10).map(i => docs

@@ -401,6 +401,16 @@ object SimilarityOps {
       .select(col("qid"), col("_qv"), col("_pp.cid").as("centroid_id"))
   }
 
+  /** [[graft.functions.ChunkTopK]] as a Column (the unpacked-probe path). */
+  private def chunkTopK(qid: Column, qv: Column, ids: Column, norms: Column,
+                        vecsFlat: Column, lens: Column, k: Int,
+                        excludeSelf: Boolean): Column = {
+    val B = org.apache.spark.sql.GraftExpressionBridge
+    B.column(graft.functions.ChunkTopK(B.expression(qid), B.expression(qv),
+      B.expression(ids), B.expression(norms), B.expression(vecsFlat),
+      B.expression(lens), k, excludeSelf))
+  }
+
   /** [[graft.functions.ChunkPairTopK]] as a Column. */
   private def chunkPairTopK(qids: Column, qvsFlat: Column, qlens: Column,
                             ids: Column, norms: Column, vecsFlat: Column,
@@ -425,7 +435,8 @@ object SimilarityOps {
     * pair pipeline (ChunkTopK doc), so the exhaustive-probe oracle rows
     * stay hash-exact. */
   private def probeJoin(assigned: DataFrame, probes: DataFrame, k: Int,
-                        vidType: DataType, excludeSelf: Boolean = false): DataFrame = {
+                        vidType: DataType, excludeSelf: Boolean = false,
+                        packProbes: Boolean = true): DataFrame = {
     val qidType = probes.schema("qid").dataType
     // list histogram is ≤ nLists rows (bounded like the centroid table)
     val hist = assigned.groupBy(col("centroid_id")).agg(count(lit(1)).as("_ln"))
@@ -453,6 +464,24 @@ object SimilarityOps {
       .select(col("centroid_id"), col("_pk.vid").as("_pids"),
         col("_pk.nrm").as("_pnrms"), flatten(col("_pk.vec")).as("_pflat"),
         transform(col("_pk.vec"), v => size(v)).as("_plens"))
+    // A BOUNDED query batch (ivfProbeLists / ivfProbeIndex: eval/probe sets
+    // by contract) skips the probe-side packing: two extra aggregations are
+    // pure fixed cost when |probes| is tiny, and the per-(probe, chunk)
+    // chunk-payload copies that packing exists to amortize are |probes|-
+    // proportional — negligible for a batch. The corpus-as-queries kNN
+    // graph keeps packProbes = true, where the copies were 51 GB.
+    if (!packProbes) {
+      return probes.join(packed, Seq("centroid_id"))
+        .select(col("qid"), explode(chunkTopK(col("qid").cast(LongType),
+          col("_qv"), col("_pids"), col("_pnrms"), col("_pflat"),
+          col("_plens"), k, excludeSelf)).as("_h"))
+        .select(col("qid"), col("_h.vid").as("vid"), col("_h.sim").as("sim"))
+        .groupBy(col("qid"))
+        .agg(topKAgg(col("vid"), col("sim"), k).as("_top"))
+        .select(col("qid"), explode(col("_top")).as("_t"))
+        .select(col("qid"), col("_t.vid").cast(vidType).as("vid"),
+          col("_t.sim").as("sim"))
+    }
     val probeHist = probes.groupBy(col("centroid_id")).agg(count(lit(1)).as("_qn"))
     val qpacked = probes
       .filter(col("_qv").isNotNull)
@@ -491,7 +520,7 @@ object SimilarityOps {
                     k: Int, nProbe: Int, centroids: DataFrame,
                     vidType: DataType): DataFrame =
     probeJoin(assigned, probeSelection(queries, idCol, vecCol, nProbe, centroids),
-      k, vidType)
+      k, vidType, packProbes = false)
 
   /** Persist an IVF index as a centroid_id-PARTITIONED parquet layout:
     * `path/centroids` (nLists rows) + `path/lists/centroid_id=N/…`. This is
@@ -518,7 +547,8 @@ object SimilarityOps {
       .collect().map(_.get(0))
     val lists = spark.read.parquet(s"$path/lists")
       .where(col("centroid_id").isin(probedIds: _*))
-    probeJoin(lists, probes, k, queries.schema(idCol).dataType)
+    probeJoin(lists, probes, k, queries.schema(idCol).dataType,
+      packProbes = false)
   }
 
   /** Symmetric int8 quantization of an embedding column: per-vector scale
