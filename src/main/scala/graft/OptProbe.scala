@@ -346,6 +346,42 @@ object OptProbe {
           "inner")
         .filter(greatest(col("len1"), col("len2")) >= q * (d + 1))
         .select("id1", "id2").distinct()
+      // current-pipeline stage isolation: strings ride the prefix; join with
+      // residual filters only vs + levenshtein
+      locally {
+        val prefixS = llm.Pin(grams.join(gramDf, "gh")
+          .withColumn("__vr", dense_rank().over(wRank))
+          .filter(col("__vr") <= d * q + 1)
+          .join(slim.select(col("id"), col("s")), Seq("id"))
+          .select(col("id"), col("len"), col("pos"), col("gh"), col("s"))).df
+        val l2 = prefixS.select(col("id").as("id1"), col("len").as("len1"),
+          col("s").as("__s1"), col("pos").as("p1"), col("gh"),
+          (col("pos") / w).cast("int").as("band"))
+        val r2 = prefixS.select(col("id").as("id2"), col("len").as("len2"),
+          col("s").as("__s2"), col("pos").as("p2"), col("gh"),
+          explode(array((-1 to 1).map(dd => (col("pos") / w).cast("int") + dd): _*))
+            .as("band"))
+        val joined2 = l2.join(r2,
+            l2("gh") === r2("gh") && l2("band") === r2("band") &&
+              col("id1") < col("id2") &&
+              abs(col("p1") - col("p2")) <= d &&
+              abs(col("len1") - col("len2")) <= d, "inner")
+          .filter(greatest(col("len1"), col("len2")) >= q * (d + 1))
+        med3("fz_join_nolev")(joined2.groupBy().count())
+        med3("fz_join_strread")(joined2
+          .select((length(col("__s1")) + length(col("__s2"))).as("_l"))
+          .groupBy().sum("_l"))
+        med3("fz_join_lev")(joined2
+          .withColumn("dist", levenshtein(col("__s1"), col("__s2"), d))
+          .filter(col("dist") >= 0).select("id1", "id2", "dist"))
+        val blev = org.apache.spark.sql.GraftExpressionBridge.column(
+          graft.functions.BoundedLevenshtein(
+            org.apache.spark.sql.GraftExpressionBridge.expression(col("__s1")),
+            org.apache.spark.sql.GraftExpressionBridge.expression(col("__s2")), d))
+        med3("fz_join_blev")(joined2
+          .withColumn("dist", blev)
+          .filter(col("dist") >= 0).select("id1", "id2", "dist"))
+      }
       med3("fz_candA")(candA)
       med3("fz_full")(llm.FuzzyJoinOps.fuzzySelfJoin(docsM, "id", "s", 2))
       dumpPlan(llm.FuzzyJoinOps.fuzzySelfJoin(docsM, "id", "s", 2),

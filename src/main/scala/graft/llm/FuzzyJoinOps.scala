@@ -55,6 +55,16 @@ import org.apache.spark.sql.functions._
   * cartesian or nested-loop join anywhere (PlanGuardSpec pins this). */
 object FuzzyJoinOps {
 
+  /** Spark's 3-arg `levenshtein` semantics through the fast
+    * [[graft.functions.BoundedLevenshtein]] (same integer for every input —
+    * LevenshteinParitySpec fuzzes the equality). */
+  private def boundedLev(a: Column, b: Column, d: Int): Column =
+    org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.BoundedLevenshtein(
+        org.apache.spark.sql.GraftExpressionBridge.expression(a),
+        org.apache.spark.sql.GraftExpressionBridge.expression(b), d))
+
+
   /** All unordered pairs `(id1 < id2, dist)` with
     * `levenshtein(s1, s2) <= maxDist`. Null/empty strings never pair;
     * duplicate ids must not occur (standard id contract). Output:
@@ -75,7 +85,7 @@ object FuzzyJoinOps {
     // --- branch A: positional q-gram candidates --------------------------
     // 0-based gram position i -> hash of substr(s, i+1, q); the sequence is
     // guarded (it DESCENDS when len < q — the house pitfall).
-    val grams = slim.select(col("id"), col("len"),
+    val grams = slim.select(col("id"), col("len"), col("s"),
       posexplode(
         when(col("len") >= q,
           transform(sequence(lit(0), col("len") - lit(q)),
@@ -85,25 +95,37 @@ object FuzzyJoinOps {
     // global canonical gram order: document frequency asc, hash asc —
     // rarest values first, so hot grams fall out of every prefix
     val gramDf = grams.groupBy("gh").agg(count(lit(1)).as("__df"))
-    val wRank = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("__df").asc, col("gh").asc)
     // prefix = ALL positional copies of the d*q+1 rarest gram VALUES
     // (value-granularity keeps the repeated-gram case exact: the matched
     // copy's twins share its value, so they enter the prefix with it).
+    // Selection runs as a PER-STRING ARRAY expression over a regular
+    // groupBy(id) — a string's grams are contiguous map-side (one
+    // posexplode row each), so collect_list partial-aggregates complete
+    // per-id entry lists before the exchange and ONE slim row per string
+    // crosses it; the former dense_rank window paid an id exchange + sort
+    // + WindowGroupLimit over every gram row and then re-joined the
+    // strings by id. Value-rank-≤-(d·q+1) is expressed as
+    // (df, gh) ≤ the (d·q+1)-th distinct sorted value — identical set.
     // The STRING rides along: verification happens INSIDE the band join
     // (below) instead of re-joining a candidate-pair table against the
     // strings — measured at 10× bench scale the old shape materialized
-    // 22.5M distinct candidate pairs (0.84% verify selectivity on natural-
-    // language 24-char prefixes) and then paid a distinct exchange plus TWO
-    // id-keyed joins over them; the banded levenshtein itself is O(d·L)
-    // per pair and strictly cheaper than shuffling the pair. PINNED
-    // (lshNearPairs discipline) because both join sides read it — unpinned,
-    // the gramDf aggregate + rank window re-executed per side.
-    val prefix = Pin(grams.join(gramDf, "gh")
-      .withColumn("__vr", dense_rank().over(wRank))
-      .filter(col("__vr") <= d * q + 1)
-      .join(slim.select(col("id"), col("s")), Seq("id"))
-      .select(col("id"), col("len"), col("pos"), col("gh"), col("s"))).df
+    // 22.5M distinct candidate pairs (0.84% verify selectivity) and then
+    // paid a distinct exchange plus TWO id-keyed joins over them. PINNED
+    // (lshNearPairs discipline) because both band-join sides read it.
+    val entryVal = (e: Column) =>
+      struct(e.getField("__df").as("__df"), e.getField("gh").as("gh"))
+    val perId = grams.join(gramDf, "gh")
+      .groupBy(col("id"))
+      .agg(first(col("len")).as("len"), first(col("s")).as("s"),
+        sort_array(collect_list(
+          struct(col("__df"), col("gh"), col("pos")))).as("_g"))
+    val dv = slice(array_distinct(transform(col("_g"), entryVal)), 1, d * q + 1)
+    val bound = element_at(dv, size(dv))
+    val prefix = Pin(perId
+      .withColumn("_pref", filter(col("_g"), e => entryVal(e) <= bound))
+      .select(col("id"), col("len"), col("s"), explode(col("_pref")).as("_e"))
+      .select(col("id"), col("len"), col("_e.pos").as("pos"),
+        col("_e.gh").as("gh"), col("s"))).df
 
     val left = prefix.select(col("id").as("id1"), col("len").as("len1"),
       col("s").as("__s1"),
@@ -128,7 +150,7 @@ object FuzzyJoinOps {
           abs(col("len1") - col("len2")) <= d,
         "inner")
       .filter(greatest(col("len1"), col("len2")) >= minLong)
-      .withColumn("dist", levenshtein(col("__s1"), col("__s2"), d))
+      .withColumn("dist", boundedLev(col("__s1"), col("__s2"), d))
       .filter(col("dist") >= 0)
       .select("id1", "id2", "dist")
 
@@ -142,7 +164,7 @@ object FuzzyJoinOps {
         col("s").as("__s1"), col("len").as("lk"))
       .join(shortKeys, Seq("lk"))
       .filter(col("id1") < col("id2") && abs(col("len1") - col("len2")) <= d)
-      .withColumn("dist", levenshtein(col("__s1"), col("__s2"), d))
+      .withColumn("dist", boundedLev(col("__s1"), col("__s2"), d))
       .filter(col("dist") >= 0)
       .select("id1", "id2", "dist")
 
