@@ -300,6 +300,19 @@ object OptProbe {
       emb10.unpersist()
     }
 
+    if (which("fuzzyplan")) {
+      // regenerate the committed plan artifact only (no timings)
+      val docs = t("documents")
+      val docsM = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", translate(col("text"), "eE", s"$i$i")))
+        .reduce(_ unionByName _).coalesce(32)
+        .select(col("doc_id").as("id"), substring(col("text"), 1, 24).as("s"))
+      dumpPlan(llm.FuzzyJoinOps.fuzzySelfJoin(docsM, "id", "s", 2),
+        "plans/r10/fuzzy_join_pairs_after.txt")
+      println("[opt] fuzzy plan dumped")
+    }
+
     if (which("fuzzy")) {
       // the bench fixture: 10× replica-distinct 24-char prefixes
       val docs = t("documents")

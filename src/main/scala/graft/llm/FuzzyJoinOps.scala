@@ -85,7 +85,7 @@ object FuzzyJoinOps {
     // --- branch A: positional q-gram candidates --------------------------
     // 0-based gram position i -> hash of substr(s, i+1, q); the sequence is
     // guarded (it DESCENDS when len < q — the house pitfall).
-    val grams = slim.select(col("id"), col("len"), col("s"),
+    val grams = slim.select(col("id"), col("len"),
       posexplode(
         when(col("len") >= q,
           transform(sequence(lit(0), col("len") - lit(q)),
@@ -98,34 +98,24 @@ object FuzzyJoinOps {
     // prefix = ALL positional copies of the d*q+1 rarest gram VALUES
     // (value-granularity keeps the repeated-gram case exact: the matched
     // copy's twins share its value, so they enter the prefix with it).
-    // Selection runs as a PER-STRING ARRAY expression over a regular
-    // groupBy(id) — a string's grams are contiguous map-side (one
-    // posexplode row each), so collect_list partial-aggregates complete
-    // per-id entry lists before the exchange and ONE slim row per string
-    // crosses it; the former dense_rank window paid an id exchange + sort
-    // + WindowGroupLimit over every gram row and then re-joined the
-    // strings by id. Value-rank-≤-(d·q+1) is expressed as
-    // (df, gh) ≤ the (d·q+1)-th distinct sorted value — identical set.
     // The STRING rides along: verification happens INSIDE the band join
     // (below) instead of re-joining a candidate-pair table against the
     // strings — measured at 10× bench scale the old shape materialized
     // 22.5M distinct candidate pairs (0.84% verify selectivity) and then
     // paid a distinct exchange plus TWO id-keyed joins over them. PINNED
     // (lshNearPairs discipline) because both band-join sides read it.
-    val entryVal = (e: Column) =>
-      struct(e.getField("__df").as("__df"), e.getField("gh").as("gh"))
-    val perId = grams.join(gramDf, "gh")
-      .groupBy(col("id"))
-      .agg(first(col("len")).as("len"), first(col("s")).as("s"),
-        sort_array(collect_list(
-          struct(col("__df"), col("gh"), col("pos")))).as("_g"))
-    val dv = slice(array_distinct(transform(col("_g"), entryVal)), 1, d * q + 1)
-    val bound = element_at(dv, size(dv))
-    val prefix = Pin(perId
-      .withColumn("_pref", filter(col("_g"), e => entryVal(e) <= bound))
-      .select(col("id"), col("len"), col("s"), explode(col("_pref")).as("_e"))
-      .select(col("id"), col("len"), col("_e.pos").as("pos"),
-        col("_e.gh").as("gh"), col("s"))).df
+    // (A groupBy(id)+collect_list array-expression variant of this
+    // selection measured equal in isolation but 2× slower inside the
+    // long-lived bench JVM — the object-hash aggregate falls back to
+    // sort-based under memory pressure — so the WindowGroupLimit form
+    // stays.)
+    val wRank = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("__df").asc, col("gh").asc)
+    val prefix = Pin(grams.join(gramDf, "gh")
+      .withColumn("__vr", dense_rank().over(wRank))
+      .filter(col("__vr") <= d * q + 1)
+      .join(slim.select(col("id"), col("s")), Seq("id"))
+      .select(col("id"), col("len"), col("pos"), col("gh"), col("s"))).df
 
     val left = prefix.select(col("id").as("id1"), col("len").as("len1"),
       col("s").as("__s1"),
