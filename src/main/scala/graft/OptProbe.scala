@@ -247,6 +247,51 @@ object OptProbe {
       dumpPlan(llm.TextOps.bigramPerplexity(docs10, "doc_id", "text",
         vocabSize = 65536, bigramVocabSize = 1 << 20),
         "plans/r10/lm_bigram_after.txt")
+      // broadcast-scorer A/B: per-token BigDecimal chain (r9) vs the
+      // RoundedDecimal.scaledLong guard-banded fast path
+      med3("lm_score_broadcast")(llm.TextOps.bigramScoreBroadcast(
+        docs10, "text", pinned))
+      locally {
+        val vocabMap = pinned.vocab.collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val bigramMap = pinned.bigrams.collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        val n = pinned.totals.collect()(0).getLong(0)
+        val denom = n + pinned.alpha * (pinned.vocabSize + 1)
+        val alpha = pinned.alpha; val lambda = pinned.lambda
+        val bcV = spark.sparkContext.broadcast(vocabMap)
+        val bcB = spark.sparkContext.broadcast(bigramMap)
+        val oldUdf = udf((toks: Seq[String]) => {
+          var s = 0L; var i = 0
+          while (i < toks.length) {
+            val w2 = toks(i)
+            val cw = bcV.value.getOrElse(w2, 0L)
+            val puni = (cw + alpha) / denom
+            val cwp = if (i == 0) None else bcV.value.get(toks(i - 1))
+            val lp = cwp match {
+              case None => math.log(puni)
+              case Some(c1) =>
+                val pbi = bcB.value.get((toks(i - 1), w2)) match {
+                  case Some(c2) => c2.toDouble / c1.toDouble
+                  case None => 0.0
+                }
+                math.log(lambda * pbi + (1.0 - lambda) * puni)
+            }
+            s += java.math.BigDecimal.valueOf(lp)
+              .setScale(6, java.math.RoundingMode.HALF_UP)
+              .movePointRight(6).longValueExact()
+            i += 1
+          }
+          new java.math.BigDecimal(java.math.BigInteger.valueOf(s), 6).doubleValue()
+        })
+        val toksC = filter(split(trim(coalesce(col("text"), lit(""))),
+          "[ \\t\\n\\r\\f]+"), tt => length(tt) > 0)
+        med3("lm_score_broadcast_r9udf")(docs10
+          .withColumn("_toks", toksC)
+          .withColumn("n_tokens", size(col("_toks")).cast("long"))
+          .withColumn("sum_logp", oldUdf(col("_toks")))
+          .drop("_toks"))
+      }
       docs10.unpersist()
     }
 
@@ -420,6 +465,36 @@ object OptProbe {
         " maxGroup=" + sg.agg(max(col("m"))).collect()(0).getLong(0) +
         " sumSq=" + sg.agg(sum(col("m") * col("m"))).collect()(0).getLong(0))
       docsM.unpersist()
+    }
+
+    if (which("unimax")) {
+      val docs = t("documents")
+      val docs10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", concat(col("text"), lit(s" r$i"))))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      println("[opt] unimax docs=" + docs10.count())
+      med3("unimax_full")(llm.MixOps.unimaxSelect(docs10, "doc_id", "lang",
+        "n_chars", totalBudget = 2000000L, maxEpochs = 0.5, seed = 9))
+      med3("unimax_alloc_only")(llm.MixOps.unimaxAllocations(docs10, "lang",
+        "n_chars", totalBudget = 2000000L, maxEpochs = 0.5))
+      val width = llm.SampleOps.P / 4096 + 1
+      val base = docs10.filter(col("n_chars") > 0)
+        .withColumn("_b", llm.SampleOps.hashBucket(col("doc_id"), 9))
+        .withColumn("_coarse", (col("_b") / width).cast("long"))
+      med3("unimax_hist_only")(base.groupBy(col("lang"), col("_coarse"))
+        .agg(sum(col("n_chars")).as("_t")))
+      med3("unimax_base_only")(base)
+      println("[opt] unimax kept=" + llm.MixOps.unimaxSelect(docs10, "doc_id",
+        "lang", "n_chars", 2000000L, 0.5, 9).count())
+      // A shared-histogram restructure (totals for the allocation windows
+      // derived from the selection's own (strata, coarse) histogram, budget
+      // riding the cum broadcast) was A/B-measured here at 1.60 s vs the
+      // shipped chain's 1.03 s and REJECTED: exchange reuse does not fire
+      // across broadcast subquery builds, and nesting the budget broadcast
+      // inside the cum build serializes two builds the shipped plan runs in
+      // parallel. See OPTIMIZATION_r10.md §unimax.
+      docs10.unpersist()
     }
 
     if (which("q1")) {

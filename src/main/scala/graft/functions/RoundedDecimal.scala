@@ -107,6 +107,32 @@ object RoundedDecimal {
     slow(x, scale, precision)
   }
 
+  /** The scaled-long form of the same rounding — `BigDecimal.valueOf(x)
+    * .setScale(scale, HALF_UP).movePointRight(scale).longValueExact()` with
+    * the identical guard-band fast path as [[compute]] (same derivation:
+    * outside the ~1e-15-relative band around the .5 tie the printed and
+    * binary readings round identically; inside it the exact BigDecimal
+    * chain runs). Used by the streaming broadcast scorers, whose
+    * order-independent sums accumulate these scaled longs directly. */
+  def scaledLong(x: Double, scale: Int): Long = {
+    if (!java.lang.Double.isNaN(x) && !java.lang.Double.isInfinite(x) &&
+        scale < POW10D.length) {
+      val r = x * POW10D(scale)
+      val a = java.lang.Math.abs(r)
+      if (a < (1L << 50).toDouble) {
+        val n = java.lang.Math.floor(a)
+        val frac = a - n
+        if (java.lang.Math.abs(frac - 0.5) > GuardRel * a + java.lang.Double.MIN_NORMAL) {
+          val u = n.toLong + (if (frac > 0.5) 1L else 0L)
+          return if (x < 0) -u else u
+        }
+      }
+    }
+    java.math.BigDecimal.valueOf(x)
+      .setScale(scale, java.math.RoundingMode.HALF_UP)
+      .movePointRight(scale).longValueExact()
+  }
+
   private val POW10D: Array[Double] =
     Array.tabulate(19)(i => java.lang.Math.pow(10, i)) // 10^k exact for k ≤ 22
 

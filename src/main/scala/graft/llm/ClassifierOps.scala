@@ -92,16 +92,31 @@ object ClassifierOps {
 
   /** Score documents under a [[nbTrain]] model: per document the token
     * count, the accumulated LLR `score = prior + Σ_tokens llr(bucket(tok))`
-    * (DECIMAL-space sum of the model's 6-decimal LLRs — order-independent),
-    * and `pred = score > 0`.
+    * (6-decimal fixed-point — order-independent), and `pred = score > 0`.
     *
-    * The bucket→llr lookup IS a broadcast hash join (the model is bounded
-    * by `numBuckets`); unseen buckets fall back to the NULL-row LLR. Pure
-    * codegen end to end — no UDF. `numBuckets`/`seed` must match the
-    * training call (they define the feature space). */
+    * Production shape (r10): ONE map-only pass through the broadcast
+    * scaled-long scorer ([[nbScoreBroadcast]]) — the model is bounded by
+    * `numBuckets`, so it collects into a broadcast bucket→LLR map and every
+    * document scores in place: no token explode, no join, no per-doc
+    * aggregation exchange. Bit-parity with the broadcast-join DECIMAL-sum
+    * form is pinned in ClassifierOpsSpec; that form stays below as
+    * [[nbScoreJoins]], the executable specification. `numBuckets`/`seed`
+    * must match the training call (they define the feature space). */
   def nbScore(df: DataFrame, idCol: String, textCol: String, model: DataFrame,
               numBuckets: Int = 1 << 20, seed: Long = 0L,
-              scoreOut: String = "nb_score", predOut: String = "nb_pred"): DataFrame = {
+              scoreOut: String = "nb_score", predOut: String = "nb_pred"): DataFrame =
+    nbScoreBroadcast(df.select(col(idCol), col(textCol)), textCol, model,
+      numBuckets, seed, scoreOut, predOut)
+      .select(col(idCol), col("n_tokens"), col(scoreOut), col(predOut))
+
+  /** The broadcast-join DECIMAL-sum form of [[nbScore]] — kept as the
+    * executable specification: the bucket→llr lookup IS a broadcast hash
+    * join; unseen buckets fall back to the NULL-row LLR; the only shuffle
+    * is the per-doc aggregation keyed on `idCol`. Pure codegen end to end. */
+  private[graft] def nbScoreJoins(df: DataFrame, idCol: String, textCol: String,
+                                  model: DataFrame, numBuckets: Int = 1 << 20,
+                                  seed: Long = 0L, scoreOut: String = "nb_score",
+                                  predOut: String = "nb_pred"): DataFrame = {
     val fallback = model.filter(col("bucket").isNull)
       .select(col("llr").as("_fb"))
     val prior = model.filter(col("bucket") === -1L)

@@ -509,19 +509,37 @@ object TextOps {
     BigramLmModel(vocab, bigrams, totals, vocabSize, alpha, lambda)
   }
 
-  /** Score documents under a [[trainBigramLm]] model with UNCONDITIONAL
-    * broadcasts of every model table (all bounded by construction): the
-    * exploded (w, w₋₁) rows broadcast-join the vocabulary twice (word and
-    * context side) and the bigram table once, then reduce per document —
-    * the only shuffle in the plan is the per-doc aggregation keyed on
-    * `idCol`; no token string ever keys an exchange (PlanGuardSpec pins
-    * this). First tokens and OOV-CONTEXT tokens score by the unigram tier
-    * alone; in-vocabulary contexts interpolate
-    * λ·c(w₋₁w)/c(w₋₁) + (1−λ)·P_uni(w). `sum_logp` uses the
+  /** Score documents under a [[trainBigramLm]] model. Production shape
+    * (r10): ONE map-only pass through the broadcast scaled-long scorer
+    * ([[bigramScoreBroadcast]]) — the model tables are bounded by
+    * construction (V + B + 1 rows), so they collect into broadcast lookup
+    * maps and every document scores in place: no token explode, no joins,
+    * no per-doc aggregation exchange (the r9 broadcast-join plan paid an
+    * explode to |tokens| rows, three broadcast probes per token, a two-phase
+    * per-doc aggregate and a re-attach join — measured 1.39 s vs 0.37 s at
+    * 10× bench scale, model collection included). Bit-parity with the
+    * DECIMAL-sum joins form is pinned in QualityCurationSpec; that form
+    * stays below as [[bigramScoreWithModelJoins]], the executable
+    * specification (the MinHashParity discipline). First tokens and
+    * OOV-CONTEXT tokens score by the unigram tier alone; in-vocabulary
+    * contexts interpolate λ·c(w₋₁w)/c(w₋₁) + (1−λ)·P_uni(w). */
+  def bigramScoreWithModel(df: DataFrame, idCol: String, textCol: String,
+                           model: BigramLmModel): DataFrame =
+    bigramScoreBroadcast(df.select(col(idCol), col(textCol)), textCol, model)
+      .select(col(idCol), col("n_tokens"), col("sum_logp"),
+        col("mean_logp"), col("perplexity"))
+
+  /** The broadcast-join DECIMAL-sum form of [[bigramScoreWithModel]] — kept
+    * as the executable specification of the scoring semantics: the exploded
+    * (w, w₋₁) rows broadcast-join the vocabulary twice (word and context
+    * side) and the bigram table once, then reduce per document; the only
+    * shuffle is the per-doc aggregation keyed on `idCol`; no token string
+    * ever keys an exchange (PlanGuardSpec pins this). `sum_logp` uses the
     * rounded-DECIMAL discipline of [[lmScore]] — order-independent and
     * oracle-exact. */
-  def bigramScoreWithModel(df: DataFrame, idCol: String, textCol: String,
-                           model: BigramLmModel): DataFrame = {
+  private[graft] def bigramScoreWithModelJoins(df: DataFrame, idCol: String,
+                                               textCol: String,
+                                               model: BigramLmModel): DataFrame = {
     val toksC = filter(split(trim(col(textCol)), "[ \\t\\n\\r\\f]+"), t => length(t) > 0)
     val base = df.select(col(idCol), col(textCol)).withColumn("_toks", toksC)
     val denom = col("_n") + lit(model.alpha * (model.vocabSize + 1))
@@ -601,10 +619,9 @@ object TextOps {
             }
             math.log(lambda * pbi + (1.0 - lambda) * puni)
         }
-        // Spark's round(double, 6): BigDecimal.valueOf + HALF_UP — mirror it
-        s += java.math.BigDecimal.valueOf(lp)
-          .setScale(6, java.math.RoundingMode.HALF_UP)
-          .movePointRight(6).longValueExact()
+        // Spark's round(double, 6): BigDecimal.valueOf + HALF_UP — mirrored
+        // by the guard-banded fast path (exact BigDecimal only at the tie)
+        s += graft.functions.RoundedDecimal.scaledLong(lp, 6)
         i += 1
       }
       // exact decimal→double, identical to the DECIMAL(28,6) cast

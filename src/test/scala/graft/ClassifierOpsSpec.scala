@@ -95,13 +95,17 @@ class ClassifierOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     def snap(df: org.apache.spark.sql.DataFrame) =
       df.select("id", "n_tokens", "nb_score", "nb_pred").collect()
         .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getBoolean(3))).toMap
-    val batch = snap(ClassifierOps.nbScore(docs, "id", "text", model, 128, 7))
+    // the joins form is the executable SPECIFICATION; the public nbScore
+    // delegates to the broadcast scorer, so pin all three pairwise
+    val batch = snap(ClassifierOps.nbScoreJoins(docs, "id", "text", model, 128, 7))
     // the broadcast scorer used to NPE here (null Seq into the scalar UDF —
     // a streaming micro-batch crash); it must emit the batch path's
     // empty-document score instead
     val stream = snap(ClassifierOps.nbScoreBroadcast(docs, "text", model, 128, 7)
       .select(col("id"), col("n_tokens"), col("nb_score"), col("nb_pred")))
-    assert(stream == batch, s"batch $batch vs broadcast $stream")
+    assert(stream == batch, s"joins $batch vs broadcast $stream")
+    val public = snap(ClassifierOps.nbScore(docs, "id", "text", model, 128, 7))
+    assert(public == batch, s"public $public vs joins $batch")
     assert(batch(2L)._1 == 0L && batch(2L) == batch(3L),
       "null text ≡ empty text ≡ zero tokens (score = prior)")
   }

@@ -356,13 +356,19 @@ class QualityCurationSpec extends AnyFunSuite with BeforeAndAfterAll {
     TextOps.writeBigramLm(model, dir)
     val loaded = TextOps.loadBigramLm(sp, dir)
     assert(loaded.vocabSize == 4 && loaded.alpha == 0.5 && loaded.lambda == 0.75)
-    val batch = TextOps.bigramScoreWithModel(docs, "id", "text", model)
+    // the joins form is the executable SPECIFICATION; the public batch path
+    // delegates to the broadcast scorer, so pin all three pairwise
+    val batch = TextOps.bigramScoreWithModelJoins(docs, "id", "text", model)
       .select("id", "n_tokens", "sum_logp")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
     val stream = TextOps.bigramScoreBroadcast(docs, "text", loaded)
       .select("id", "n_tokens", "sum_logp")
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    assert(batch == stream, s"batch $batch vs broadcast $stream")
+    assert(batch == stream, s"joins $batch vs broadcast $stream")
+    val public = TextOps.bigramScoreWithModel(docs, "id", "text", model)
+      .select("id", "n_tokens", "sum_logp")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(public == batch, s"public $public vs joins $batch")
     assert(batch(3L) == ((0L, 0.0)))
     // null text: batch's left-join+coalesce and the broadcast scorer's
     // coalesced tokenizer must both yield the empty-document score (the

@@ -100,6 +100,18 @@ class RoundedDecimalParitySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("scaledLong == BigDecimal setScale/movePointRight chain (broadcast scorers)") {
+    adversarial.filter(d => !d.isNaN && !d.isInfinite && math.abs(d) < 1e12)
+      .foreach { x =>
+        val fast = graft.functions.RoundedDecimal.scaledLong(x, 6)
+        val exact = java.math.BigDecimal.valueOf(x)
+          .setScale(6, java.math.RoundingMode.HALF_UP)
+          .movePointRight(6).longValueExact()
+        assert(fast == exact,
+          s"scaledLong mismatch at x=$x (bits=${java.lang.Double.doubleToRawLongBits(x)}): fast=$fast exact=$exact")
+      }
+  }
+
   test("sum over RoundedDecimal equals the composed exact sum") {
     val sp = spark
     import sp.implicits._

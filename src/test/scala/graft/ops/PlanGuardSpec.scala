@@ -411,7 +411,8 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.llm.TextOps.trainBigramLm(docs, "text", vocabSize = 8,
         bigramVocabSize = 16), dir)
     val model = graft.llm.TextOps.loadBigramLm(spark, dir)
-    val df = graft.llm.TextOps.bigramScoreWithModel(docs, "id", "text", model)
+    // the executable-specification joins form keeps the r9 shape guards
+    val df = graft.llm.TextOps.bigramScoreWithModelJoins(docs, "id", "text", model)
     val plan = df.queryExecution.executedPlan
     // the one scale-killer shape this op used to have: a shuffle join keyed
     // by the previous-token column (stop-word contexts concentrate a huge
@@ -432,6 +433,36 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     // broadcast unconditionally (the tables are bounded by construction)
     assert(plan.collect { case b: BroadcastExchangeExec => b }.length >= 3,
       "the model tables must sit under BroadcastExchange nodes")
+    // the PRODUCTION batch path (r10) routes through the broadcast
+    // scaled-long scorer: one map-only pass — no exchange, no join of any
+    // kind; the bounded model rides Spark broadcast variables, not the plan
+    val prod = graft.llm.TextOps.bigramScoreWithModel(docs, "id", "text", model)
+      .queryExecution.executedPlan
+    assert(prod.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"bigram scoring must be map-only, found exchanges:\n$prod")
+    assert(prod.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty,
+      s"bigram scoring must not join — the model is a broadcast map:\n$prod")
+  }
+
+  test("NB gate scoring: the production path is one map-only pass (no exchange, no join)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val sp = spark
+    import sp.implicits._
+    val labeled = (0L until 40L)
+      .map(i => (i, s"tok${i % 5} tok${(i + 1) % 5}", i % 2 == 0))
+      .toDF("id", "text", "label")
+    val docs = (0L until 60L).map(i => (i, s"tok${i % 5} tok${(i + 2) % 5}"))
+      .toDF("id", "text")
+    val model = graft.llm.ClassifierOps.nbTrain(labeled, "text", "label",
+      numBuckets = 128, seed = 7)
+    val prod = graft.llm.ClassifierOps.nbScore(docs, "id", "text", model, 128, 7)
+      .queryExecution.executedPlan
+    assert(prod.collect { case s: ShuffleExchangeExec => s }.isEmpty,
+      s"NB scoring must be map-only, found exchanges:\n$prod")
+    assert(prod.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.isEmpty,
+      s"NB scoring must not join — the model is a broadcast map:\n$prod")
   }
 
   test("jaccard verify: candidates verify on native hash sets, no string-shingle HOF") {
