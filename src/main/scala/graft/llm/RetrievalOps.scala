@@ -14,14 +14,17 @@ import org.apache.spark.sql.types.LongType
   * nearest-neighbor corpus audits without an embedding model.
   *
   * Scale design (100 TB corpus, bounded query set): the query side is the
-  * SMALL side by construction (a benchmark / probe set) and is broadcast
-  * everywhere. The corpus-sized stages are (a) one scan that explodes
-  * tokens and immediately drops every non-query term via a broadcast
-  * semi-join — the surviving (doc, term) stream is proportional to query
-  * vocabulary hits, not corpus vocabulary — and (b) a groupBy (doc, term)
-  * with map-side combine. Per-query top-k is the bounded native
-  * [[graft.functions.TopKByScore]] aggregate (primitive-array heap state,
-  * no per-query sort). No corpus-sized window, no global sort.
+  * SMALL side by construction (a benchmark / probe set). The corpus-sized
+  * stages are (a) one scan feeding the bounded per-term metadata (dfreq
+  * restricted to query-vocabulary hits map-side, one-row stats) and (b) ONE
+  * map-only scoring pass in which every document scores all queries in one
+  * traversal of its native [[graft.functions.TokenTfEntries]] array against
+  * a broadcast term → (idf, qid-fanout) LUT — emitting one row per nonzero
+  * (query, doc) intersection; no per-hit explode, no (qid, doc) exchange.
+  * Per-query top-k is the bounded native [[graft.functions.TopKByScore]]
+  * aggregate (primitive-array heap state, no per-query sort); the only
+  * scoring-side exchange carries its per-query heap partials. No
+  * corpus-sized window, no global sort.
   */
 object RetrievalOps {
 
@@ -81,12 +84,13 @@ object RetrievalOps {
     bm25Build(corpus, docIdCol, textCol, queries, qidCol, qtextCol,
       k, k1, b, pin = true)
 
-  /** The same DAG with NO pin — the plan-inspection hook: the public
-    * entry localCheckpoints its result, so its executedPlan collapses to
-    * `Scan ExistingRDD` and join-strategy regressions become invisible to
-    * PlanDump/PlanGuard (the r9 audit's blind spot). Tests pin the join
-    * shape here; production calls keep the pinned path (the unpinned DAG
-    * re-tokenizes the corpus for each of the three reads). */
+  /** The same DAG with NO result pin — the plan-inspection hook: the
+    * public entry localCheckpoints its result, so its executedPlan
+    * collapses to `Scan ExistingRDD` and plan regressions become invisible
+    * to PlanDump/PlanGuard (the r9 audit's blind spot). Tests pin the
+    * scorer-path shape here and the qmeta build via [[bm25Qmeta]];
+    * production calls keep the pinned path (multi-consumer callers like
+    * hybridTopK otherwise re-run the scorer scan). */
   private[graft] def bm25TopKUnpinned(corpus: DataFrame, docIdCol: String,
                                       textCol: String, queries: DataFrame,
                                       qidCol: String, qtextCol: String,
@@ -94,15 +98,17 @@ object RetrievalOps {
     bm25Build(corpus, docIdCol, textCol, queries, qidCol, qtextCol,
       k, 1.2, 0.75, pin = false)
 
-  private def bm25Build(corpus: DataFrame, docIdCol: String, textCol: String,
-                        queries: DataFrame, qidCol: String, qtextCol: String,
-                        k: Int, k1: Double, b: Double, pin: Boolean): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(k1 >= 0.0, s"k1 must be >= 0, got $k1")
-    require(b >= 0.0 && b <= 1.0, s"b must be in [0,1], got $b")
-    val docIdType = corpus.schema(docIdCol).dataType
-    requireIntegralId(docIdCol, docIdType)
-
+  /** The bounded per-term query metadata: (term → qid fan-out list,
+    * PRE-COMPUTED idf, avgdl). df → idf is a per-TERM value, computed here
+    * on the bounded term table; one corpus scan (restricted to
+    * query-vocabulary hits map-side) feeds dfreq, one one-row aggregate the
+    * stats. ≤ |query vocab| rows by construction — this is what
+    * [[bm25Build]] collects into the scorer LUT, and what PlanGuard pins
+    * (every join a requested broadcast, no corpus shuffle beyond the
+    * bounded per-term count). */
+  private[graft] def bm25Qmeta(corpus: DataFrame, docIdCol: String,
+                               textCol: String, queries: DataFrame,
+                               qidCol: String, qtextCol: String): DataFrame = {
     // distinct query terms (small, broadcast): the early corpus-side filter
     val qterms = queries.select(col(qidCol).as("_qid"),
         explode(toks(col(qtextCol))).as("_term"))
@@ -114,32 +120,41 @@ object RetrievalOps {
       count(lit(1)).as("_n"),
       coalesce(avg(size(toks(col(textCol)))), lit(0.0)).as("_avgdl"))
 
-    // (doc, term, tf, dl): tf counted map-side per document (docTermTf),
-    // then restricted to query-vocabulary hits — no corpus-sized groupBy.
-    // PINNED: both the dfreq build and the scoring pass read it, which
-    // otherwise re-tokenized the corpus once each (three full scans per
-    // call, counting stats). The pin is query-vocab-hit-sized, not
-    // corpus-sized. (The persisted-index path remains the steady state.)
-    val tfBase = docTermTf(corpus, docIdCol, textCol)
+    // document frequency per query term (≤ |query vocab| rows): tf counted
+    // map-side per document (docTermTf), restricted to query-vocabulary
+    // hits — no corpus-sized groupBy
+    val dfreq = docTermTf(corpus, docIdCol, textCol)
       .join(broadcast(qvocab), Seq("_term"))
-    val tfPin = if (pin) Some(Pin(tfBase)) else None
-    val tf = tfPin.map(_.df).getOrElse(tfBase)
-    // document frequency per query term (≤ |query vocab| rows)
-    val dfreq = tf.groupBy(col("_term")).agg(count(lit(1)).as("_df"))
+      .groupBy(col("_term")).agg(count(lit(1)).as("_df"))
 
-    // ONE broadcast per tf row: the per-term query metadata (df → idf is a
-    // per-TERM value, computed here on the bounded term table instead of
-    // once per hit row; the qid fan-out list and the corpus stats ride the
-    // same row). The previous chain probed THREE broadcasts per hit (dfreq,
-    // stats, qterms) — measured, the scoring fan-out dominated both bm25
-    // paths while the corpus/postings scans were <20% of the op.
-    val qmeta = qterms.groupBy(col("_term"))
+    qterms.groupBy(col("_term"))
       .agg(collect_list(col("_qid")).as("_qids"))
       .join(broadcast(dfreq), Seq("_term"))
       .crossJoin(broadcast(stats))
       .withColumn("_idf",
         log(lit(1.0) + (col("_n") - col("_df") + lit(0.5)) / (col("_df") + lit(0.5))))
       .select(col("_term"), col("_qids"), col("_idf"), col("_avgdl"))
+  }
+
+  /** The broadcast-join form of [[bm25TopK]] — kept as the executable
+    * specification of the scoring semantics (the MinHashParity /
+    * bigramScoreWithModelJoins discipline): query-vocab-hit tf rows probe
+    * ONE per-term qmeta broadcast, explode to their qid fan-out, and reduce
+    * through a (qid, doc)-keyed DECIMAL-free double sum rounded at 6
+    * decimals. Bit-parity with the production per-doc scorer is pinned in
+    * DsirRetrievalSpec. */
+  private[graft] def bm25TopKJoins(corpus: DataFrame, docIdCol: String,
+                                   textCol: String, queries: DataFrame,
+                                   qidCol: String, qtextCol: String, k: Int,
+                                   k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val docIdType = corpus.schema(docIdCol).dataType
+    requireIntegralId(docIdCol, docIdType)
+    val qvocab = queries.select(
+        explode(toks(col(qtextCol))).as("_term")).distinct()
+    val tf = docTermTf(corpus, docIdCol, textCol)
+      .join(broadcast(qvocab), Seq("_term"))
+    val qmeta = bm25Qmeta(corpus, docIdCol, textCol, queries, qidCol, qtextCol)
     val perQuery = tf
       .join(broadcast(qmeta), Seq("_term"))
       .withColumn("_w",
@@ -148,21 +163,146 @@ object RetrievalOps {
       .select(explode(col("_qids")).as("_qid"), col("_doc"), col("_w"))
       .groupBy(col("_qid"), col("_doc"))
       .agg(round(sum(col("_w")), 6).as("_score"))
-
-    // the top-k result is (queries × k) rows — pin it eagerly so the
-    // tf blocks can be freed deterministically before returning
-    val resBase = perQuery
+    perQuery
       .select(col("_qid"), col("_doc").cast(LongType).as("_docL"), col("_score"))
       .groupBy(col("_qid"))
       .agg(topKAgg(col("_docL"), col("_score"), k).as("_top"))
       .select(col("_qid"), posexplode(col("_top")))
       .select(col("_qid").as(qidCol), (col("pos") + 1).cast("int").as("rank"),
         col("col.vid").cast(docIdType).as(docIdCol), col("col.sim").as("score"))
-    if (pin) {
-      val result = Pin(resBase)
-      tfPin.foreach(_.release())
-      result.df
-    } else resBase
+  }
+
+  private def bm25Build(corpus: DataFrame, docIdCol: String, textCol: String,
+                        queries: DataFrame, qidCol: String, qtextCol: String,
+                        k: Int, k1: Double, b: Double, pin: Boolean): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k1 >= 0.0, s"k1 must be >= 0, got $k1")
+    require(b >= 0.0 && b <= 1.0, s"b must be in [0,1], got $b")
+    val spark = corpus.sparkSession
+    val docIdType = corpus.schema(docIdCol).dataType
+    requireIntegralId(docIdCol, docIdType)
+    val qidField = queries.schema(qidCol)
+
+    // Per-doc multi-query scorer (r10 round 2): the r9→r10-round-1 chain
+    // still paid, per query-vocabulary hit row, an explode to its qid
+    // fan-out plus a (qid, doc)-pair-keyed hash-aggregate exchange. The
+    // qmeta table is BOUNDED (≤ |query vocab| rows), so it collects into a
+    // broadcast term → (idf, qid-fanout) LUT and every document scores ALL
+    // queries in ONE pass over its TokenTfEntries array (the
+    // bigramScoreBroadcast discipline) — emitting exactly one (query, doc,
+    // score) row per nonzero intersection. The fan-out explode and the
+    // (qid, doc) exchange are gone; the only remaining exchange carries the
+    // bounded per-query top-k heap partials.
+    //
+    // Bit-exactness vs the joins form (pinned in DsirRetrievalSpec): idf
+    // doubles come from the SAME collected qmeta plan; per-entry _w applies
+    // the identical double ops in the identical order (the length
+    // normalization is hoisted per doc — same operands, same order); the
+    // per-(query, doc) sum accumulates in TokenTfEntries array order, which
+    // is exactly the joins form's stream order (one partial per key — a
+    // doc's hit rows never split); the final round is the same
+    // BigDecimal-valueOf HALF_UP chain via RoundedDecimal.scaledLong.
+    val metaRows = bm25Qmeta(corpus, docIdCol, textCol,
+      queries, qidCol, qtextCol).collect()
+    val qidIdx = new java.util.LinkedHashMap[Any, Integer]()
+    metaRows.foreach(_.getSeq[Any](1).foreach { q =>
+      if (!qidIdx.containsKey(q)) qidIdx.put(q, Integer.valueOf(qidIdx.size())) })
+    val nQ = qidIdx.size()
+    val termLut = new java.util.HashMap[String, (Double, Array[Int])](metaRows.length * 2)
+    metaRows.foreach { r =>
+      termLut.put(r.getString(0),
+        (r.getDouble(2), r.getSeq[Any](1).map(q => qidIdx.get(q).intValue()).toArray))
+    }
+    val avgdl = if (metaRows.nonEmpty) metaRows(0).getDouble(3) else 0.0
+    val bcLut = spark.sparkContext.broadcast(termLut)
+    val k1p1 = k1 + 1.0
+    val oneMb = 1.0 - b
+    val scoreUdf = udf((terms: Seq[String], tfs: Seq[Int]) => {
+      if (terms == null || terms.isEmpty) Seq.empty[(Int, Double)]
+      else {
+        val lut = bcLut.value
+        var dl = 0L
+        var i = 0
+        while (i < tfs.length) { dl += tfs(i); i += 1 }
+        // per-doc length normalization, hoisted: identical operand order to
+        // the per-row column form k1 * ((1-b) + (b * dl) / avgdl)
+        val dnorm = k1 * (oneMb + (b * dl.toDouble) / avgdl)
+        val sums = new Array[Double](nQ)
+        val hit = new Array[Boolean](nQ)
+        var any = false
+        i = 0
+        while (i < terms.length) {
+          val m = lut.get(terms(i))
+          if (m != null) {
+            val tfd = tfs(i).toDouble
+            val w = m._1 * (tfd * k1p1) / (tfd + dnorm)
+            val idxs = m._2
+            var j = 0
+            while (j < idxs.length) {
+              sums(idxs(j)) += w; hit(idxs(j)) = true; j += 1
+            }
+            any = true
+          }
+          i += 1
+        }
+        if (!any) Seq.empty[(Int, Double)]
+        else {
+          val out = Seq.newBuilder[(Int, Double)]
+          var q = 0
+          while (q < nQ) {
+            if (hit(q)) out += ((q, new java.math.BigDecimal(
+              java.math.BigInteger.valueOf(
+                graft.functions.RoundedDecimal.scaledLong(sums(q), 6)),
+              6).doubleValue()))
+            q += 1
+          }
+          out.result()
+        }
+      }
+    })
+
+    // idx → qid: a tiny local relation restoring the caller's qid values
+    // (and type) after the per-query top-k — broadcast by construction
+    val qidArr = {
+      val a = new Array[Any](nQ)
+      val it = qidIdx.keySet().iterator()
+      var i = 0
+      while (it.hasNext) { a(i) = it.next(); i += 1 }
+      a
+    }
+    val idxRows = new java.util.ArrayList[org.apache.spark.sql.Row](nQ)
+    qidArr.zipWithIndex.foreach { case (q, i) =>
+      idxRows.add(org.apache.spark.sql.Row(i, q))
+    }
+    val idxDf = spark.createDataFrame(idxRows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_qidx",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("_qid",
+          qidField.dataType, qidField.nullable))))
+
+    val entries = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.TokenTfEntries(
+        org.apache.spark.sql.GraftExpressionBridge.expression(
+          lower(trim(col(textCol))))))
+    val perQuery = corpus
+      .select(col(docIdCol).as("_doc"), entries.as("_e"))
+      .select(col("_doc"), explode(scoreUdf(
+        transform(col("_e"), e => e.getField("term")),
+        transform(col("_e"), e => e.getField("tf")))).as("_qs"))
+      .select(col("_qs._1").as("_qidx"),
+        col("_doc").cast(LongType).as("_docL"), col("_qs._2").as("_score"))
+
+    // the top-k result is (queries × k) rows — pin it eagerly so the
+    // scorer scan's blocks are freed deterministically before returning
+    val resBase = perQuery
+      .groupBy(col("_qidx"))
+      .agg(topKAgg(col("_docL"), col("_score"), k).as("_top"))
+      .join(broadcast(idxDf), Seq("_qidx"))
+      .select(col("_qid"), posexplode(col("_top")))
+      .select(col("_qid").as(qidCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.vid").cast(docIdType).as(docIdCol), col("col.sim").as("score"))
+    if (pin) Pin(resBase).df else resBase
   }
 
   // ------------------------------------------------- persisted BM25 index

@@ -228,6 +228,30 @@ class DsirRetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(run(1) == run(7))
   }
 
+  test("bm25TopK equals the broadcast-join executable specification bit for bit") {
+    val sp = spark
+    import sp.implicits._
+    // richer fixture than bmCorpus: shared terms across many docs/queries,
+    // repeated tokens (tf>1), a doc with no query hits, an empty doc, and
+    // a query with no corpus hits — exercised multi-partition
+    val corpus = Seq(
+      (1L, "x x y q"), (2L, "x z"), (3L, "z z z w"), (4L, "p p q r"),
+      (5L, ""), (6L, "y y y x w q"), (7L, "unique only")
+    ).toDF("doc_id", "text").repartition(5)
+    val queries = Seq((10L, "x z"), (11L, "w q y"), (12L, "absentterm"),
+      (13L, "p")).toDF("qid", "text").repartition(3)
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        java.lang.Double.doubleToRawLongBits(r.getDouble(3)))).toSet
+    val prod = snap(RetrievalOps.bm25TopK(corpus, "doc_id", "text",
+      queries, "qid", "text", k = 5))
+    val spec = snap(RetrievalOps.bm25TopKJoins(corpus, "doc_id", "text",
+      queries, "qid", "text", k = 5))
+    assert(prod == spec, s"production $prod vs joins spec $spec")
+    assert(prod.nonEmpty && !prod.exists(_._3 == 7L),
+      "no-hit docs must not surface")
+  }
+
   test("bm25QueryIndex over a persisted index equals direct bm25TopK") {
     val sp = spark
     import sp.implicits._

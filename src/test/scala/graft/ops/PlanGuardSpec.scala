@@ -798,7 +798,7 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"every window must partition by the query id:\n$plan")
   }
 
-  test("bm25 top-k: every join is a requested broadcast; no corpus window, sort, or text shuffle") {
+  test("bm25 top-k: map-only per-doc scoring; every join a requested broadcast; no corpus window, sort, or text shuffle") {
     import org.apache.spark.sql.execution.SortExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
@@ -806,26 +806,44 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val qs = docs.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("qid"), col("text"))
-    // the UNPINNED DAG: the public entry localCheckpoints, which collapses
-    // executedPlan to Scan ExistingRDD and blinds this guard (r9 audit)
+    // the qmeta build (executed eagerly at call time to fill the scorer
+    // LUT): every join carries a bounded query-side table (vocab, dfreq,
+    // stats) — a shuffle join here keys a corpus-sized exchange on terms
+    val qplan = graft.llm.RetrievalOps.bm25Qmeta(docs, "doc_id", "text",
+      qs, "qid", "text").queryExecution.executedPlan
+    assert(qplan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"no sort-merge join may appear in the bm25 qmeta build:\n$qplan")
+    assert(qplan.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"no shuffled hash join may appear in the bm25 qmeta build:\n$qplan")
+    assert(qplan.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+      s"the query-side tables must broadcast:\n$qplan")
+    assert(qplan.collect { case s: ShuffleExchangeExec => s }
+        .forall(_.child.output.forall(_.name != "text")),
+      s"document text must never cross an exchange in the qmeta build:\n$qplan")
+    // the UNPINNED scoring DAG: the public entry localCheckpoints, which
+    // collapses executedPlan to Scan ExistingRDD and blinds this guard
+    // (r9 audit). r10 round 2: ONE map-only scorer pass — the only join is
+    // the tiny idx→qid broadcast after the top-k, the only exchange carries
+    // the bounded per-query heap partials.
     val df = graft.llm.RetrievalOps.bm25TopKUnpinned(docs, "doc_id", "text",
       qs, "qid", "text", k = 10)
     val plan = df.queryExecution.executedPlan
-    // every join carries a bounded query-side table (vocab, dfreq, stats,
-    // qterms) — a shuffle join here keys a corpus-sized exchange on terms
     assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
       s"no sort-merge join may appear in the bm25 scoring path:\n$plan")
     assert(plan.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
       s"no shuffled hash join may appear in the bm25 scoring path:\n$plan")
     assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
-      s"the query-side tables must broadcast:\n$plan")
+      s"the idx→qid restore must broadcast:\n$plan")
     // per-query ranking is the bounded top-k aggregate, never a window/sort
     assert(plan.collect { case w: WindowExec => w }.isEmpty,
       s"no window may rank bm25 results:\n$plan")
     assert(plan.collect { case s: SortExec => s }.isEmpty,
       s"no sort may appear (ranking is the bounded heap aggregate):\n$plan")
-    // document text dies map-side in the tf pass
+    // document text dies map-side in the scorer pass; the heap-partial
+    // exchange is the ONLY shuffle in the scoring plan
     val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.length <= 1,
+      s"the scoring path must have at most the top-k partial exchange:\n$plan")
     assert(shuffles.forall(_.child.output.forall(_.name != "text")),
       s"document text must never cross an exchange:\n$plan")
   }
