@@ -345,6 +345,62 @@ object OptProbe {
       emb10.unpersist()
     }
 
+    if (which("fzprefix")) {
+      // prefix-selection A/B: V0 = shipped (join gramDf -> window -> rejoin
+      // slim for the string), V1 = carry the string through the gram rows
+      // (drops the slim re-join at the cost of ~24 B extra per gram row on
+      // the gh and id exchanges)
+      val docs = t("documents")
+      val docsM = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", translate(col("text"), "eE", s"$i$i")))
+        .reduce(_ unionByName _).coalesce(32)
+        .select(col("doc_id").as("id"), substring(col("text"), 1, 24).as("s"))
+        .cache()
+      println("[opt] fzprefix strings=" + docsM.count())
+      val d = 2; val q = 3
+      val slim = docsM
+        .filter(col("s").isNotNull && length(col("s")) > 0)
+        .select(col("id").cast("long").as("id"), col("s"),
+          length(col("s")).as("len"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("__df").asc, col("gh").asc)
+      locally {
+        val grams = slim.select(col("id"), col("len"),
+          posexplode(
+            when(col("len") >= q,
+              transform(sequence(lit(0), col("len") - lit(q)),
+                i => xxhash64(col("s").substr(i + lit(1), lit(q)))))
+              .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "gh")))
+        val gramDf = grams.groupBy("gh").agg(count(lit(1)).as("__df"))
+        val v0 = grams.join(gramDf, "gh")
+          .withColumn("__vr", dense_rank().over(wRank))
+          .filter(col("__vr") <= d * q + 1)
+          .join(slim.select(col("id"), col("s")), Seq("id"))
+          .select(col("id"), col("len"), col("pos"), col("gh"), col("s"))
+        med3("fzprefix_v0_shipped")(v0)
+        println("[opt] v0 rows=" + v0.count())
+      }
+      locally {
+        val grams = slim.select(col("id"), col("len"), col("s"),
+          posexplode(
+            when(col("len") >= q,
+              transform(sequence(lit(0), col("len") - lit(q)),
+                i => xxhash64(col("s").substr(i + lit(1), lit(q)))))
+              .otherwise(array().cast("array<bigint>"))).as(Seq("pos", "gh")))
+        val gramDf = grams.groupBy("gh").agg(count(lit(1)).as("__df"))
+        val v1 = grams.join(gramDf, "gh")
+          .withColumn("__vr", dense_rank().over(wRank))
+          .filter(col("__vr") <= d * q + 1)
+          .select(col("id"), col("len"), col("pos"), col("gh"), col("s"))
+        med3("fzprefix_v1_carry_s")(v1)
+        println("[opt] v1 rows=" + v1.count())
+        println("[opt] v1 plan windowgrouplimit=" +
+          v1.queryExecution.executedPlan.toString.contains("WindowGroupLimit"))
+      }
+      docsM.unpersist()
+    }
+
     if (which("fuzzyplan")) {
       // regenerate the committed plan artifact only (no timings)
       val docs = t("documents")
