@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked run output through UNPREFIXED: the bench contract is one bare
+// JSON line on stdout, and sbt's default logger prefix ("[info] ") makes
+// every line non-JSON for a per-line parser (two rounds of driver bench
+// artifacts were unparseable for exactly this).
+outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

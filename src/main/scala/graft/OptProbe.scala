@@ -179,6 +179,164 @@ object OptProbe {
       docs10.unpersist()
     }
 
+    if (which("mhlanes")) {
+      // r11: dedup_minhash is compute-bound in the 64-lane signature fold —
+      // time the fold variants DIRECTLY on real corpus text (driver-side
+      // loop; the op spends its wall in exactly this kernel), asserting
+      // per-document bit-equality as we go.
+      import org.apache.spark.unsafe.types.UTF8String
+      val texts = t("documents").select(col("text")).collect()
+        .map(r => UTF8String.fromString(r.getString(0)))
+      println(s"[opt] mhlanes docs=${texts.length}")
+      // equality gate: all three variants must agree on every document
+      texts.foreach { s =>
+        val a = graft.functions.MinHashSignature.signatureCurrent(s, 64, 5)
+        val b = graft.functions.MinHashSignature.signatureUnrolled(s, 64, 5)
+        val c = graft.functions.MinHashSignature.signatureByLane(s, 64, 5)
+        require(java.util.Arrays.equals(a, b) && java.util.Arrays.equals(a, c),
+          "lane-variant signature mismatch")
+      }
+      println("[opt] mhlanes equality: all variants bit-identical")
+      def kbench(tag: String)(f: UTF8String => Array[Long]): Unit = {
+        var sink = 0L
+        (0 until 2).foreach(_ => texts.foreach { s =>
+          val a = f(s); if (a.nonEmpty) sink ^= a(0) })
+        val runs = (0 until 5).map { _ =>
+          val t0 = System.nanoTime()
+          texts.foreach { s => val a = f(s); if (a.nonEmpty) sink ^= a(0) }
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        println(f"[opt] $tag%-30s median=${runs(2)}%.3f all=${runs.map(x => f"$x%.3f")} sink=$sink")
+      }
+      kbench("mh_current")(s => graft.functions.MinHashSignature.signatureCurrent(s, 64, 5))
+      kbench("mh_unrolled")(s => graft.functions.MinHashSignature.signatureUnrolled(s, 64, 5))
+      kbench("mh_bylane")(s => graft.functions.MinHashSignature.signatureByLane(s, 64, 5))
+      kbench("mh_current_2nd")(s => graft.functions.MinHashSignature.signatureCurrent(s, 64, 5))
+    }
+
+    if (which("fc")) {
+      // r11: bisect fc_autoets_users (the largest main-section item) into
+      // input-prep (userSeries agg) / gather / kernel stages
+      val ev = t("events")
+      val us = ev.groupBy(col("user_id").as("g"), col("ts").cast(DateType).as("ds"))
+        .agg(sum("value").as("y"))
+      println("[opt] fc series=" + us.select(col("g")).distinct().count())
+      med3("fc_userseries_only")(us)
+      med3("fc_gather_only")(ops.Series.gather(us, "g", "ds", "y"))
+      med3("fc_snaive_full")(ops.TsForecastOp.forecastBy(us, "g", "ds", "y",
+        "SeasonalNaive", 14, "1d", Map("seasonal_period" -> "7")))
+      med3("fc_autoets_full")(ops.TsForecastOp.forecastBy(us, "g", "ds", "y",
+        "AutoETS", 14, "1d", Map("seasonal_period" -> "7")))
+      // kernel-only: the gather output pinned, so the timed run pays just
+      // kernel UDF + explode + projection
+      val gPin = llm.Pin(ops.Series.gather(us, "g", "ds", "y"))
+      val opts = graft.kernels.Forecast.optionsFromParams("AutoETS", 14,
+        Map("seasonal_period" -> "7"))
+      val fcU = udf((ts: Seq[Long], vs: Seq[Double], nu: Seq[Boolean]) => {
+        try {
+          val outk = graft.kernels.Forecast.forecast(vs.toArray, nu.map(!_).toArray, opts)
+          Some((0 until outk.point.length).map(i =>
+            (i + 1, outk.point(i), outk.lower(i), outk.upper(i), outk.modelName)))
+        } catch { case _: graft.kernels.Forecast.InsufficientData |
+                       _: graft.kernels.Forecast.ComputationError => None }
+      })
+      med3("fc_autoets_kernel_only")(gPin.df
+        .select(col("g"), explode(fcU(col("_ts"), col("_vs"), col("_nu"))).as("_r"))
+        .select(col("g"), col("_r._1").as("step"), col("_r._2").as("yhat"),
+          col("_r._3").as("lo"), col("_r._4").as("hi"), col("_r._5").as("model")))
+      gPin.release()
+    }
+
+    if (which("spans")) {
+      // r11: bisect dedup_spans_docs (never examined in an optimization
+      // pass): window generation vs repeated-gram agg vs coverage agg
+      val docs = t("documents")
+      val docsSpan10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", translate(col("text"), "eE", s"$i$i")))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      println("[opt] spans docs=" + docsSpan10.count())
+      med3("spans_full")(llm.TextOps.removeDuplicatedSpans(docsSpan10,
+        "doc_id", "text", gramLen = 20))
+      val B = org.apache.spark.sql.GraftExpressionBridge
+      val wg = B.column(graft.functions.WordGrams(
+        B.expression(col("text")), 20, false, true))
+      val occ = docsSpan10
+        .select(col("doc_id"), posexplode(wg))
+        .withColumnRenamed("pos", "_p")
+        .select(col("doc_id"), col("_p"), xxhash64(col("col")).as("_gh"))
+      med3("spans_occ_only")(occ)
+      val repeated = occ.groupBy(col("_gh"))
+        .agg(min(struct(col("doc_id"), col("_p"))).as("_first"),
+          count(lit(1)).as("_cnt"))
+        .filter(col("_cnt") >= 2)
+      med3("spans_repeated_only")(repeated)
+      val dups = occ.join(repeated, Seq("_gh"))
+        .filter(struct(col("doc_id"), col("_p")) =!= col("_first"))
+      val covered = dups
+        .select(col("doc_id"), explode(sequence(col("_p"), col("_p") + 19)).as("_idx"))
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_set(col("_idx").cast("long"))).as("_cov"))
+      med3("spans_covered_only")(covered)
+      docsSpan10.unpersist()
+    }
+
+    if (which("funnel")) {
+      // r11: funnel_events at 10× — m chained entity-keyed aggs/joins; A/B
+      // a single up-front repartition(keys) all downstream stages share
+      // (guide §2.4: operations keyed the same way share one exchange)
+      val ev1 = t("events")
+      val ev10 = (0 until 10).map(i =>
+          ev1.withColumn("user_id", col("user_id") + lit(i * 100000000L)))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      println("[opt] funnel events=" + ev10.count())
+      val steps = Seq("view", "click", "purchase")
+      val win = Some(7L * 86400L * 1000000L)
+      med3("funnel_full_shipped")(ops.CohortOps.funnelCounts(ev10,
+        Seq("user_id"), "ts", "event_type", steps, win))
+      // shipped funnel() stage bisect: the anchor agg alone
+      med3("funnel_anchor_only")(ev10
+        .filter(col("ts").isNotNull && col("event_type").isin(steps.map(lit): _*))
+        .filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("t1")))
+      // candidate: one shared repartition — replicate funnel() inline with
+      // e pre-partitioned on the entity key
+      locally {
+        val e = ev10
+          .filter(col("ts").isNotNull && col("event_type").isin(steps.map(lit): _*))
+          .select(col("user_id"), col("event_type").as("__s"),
+            unix_micros(col("ts")).as("__t"))
+          .repartition(col("user_id"))
+        var acc = e.filter(col("__s") === steps.head)
+          .groupBy(col("user_id")).agg(min(col("__t")).as("t1"))
+        var i = 2
+        while (i <= steps.length) {
+          val prev = s"t${i - 1}"
+          val stepEvents = e.filter(col("__s") === steps(i - 1))
+          val gate = win.map(w => col("__t") <= col("t1") + lit(w)).getOrElse(lit(true))
+          val next = acc.join(stepEvents, Seq("user_id"), "inner")
+            .filter(col("__t") >= col(prev) && gate)
+            .groupBy(col("user_id")).agg(min(col("__t")).as(s"t$i"))
+          acc = acc.join(next, Seq("user_id"), "left")
+          i += 1
+        }
+        val perStep = (1 to steps.length).map(j =>
+          sum(when(col(s"t$j").isNotNull, 1L).otherwise(0L)).as(s"n$j"))
+        val totals = acc.agg(perStep.head, perStep.tail: _*)
+        val counts = totals.select(
+            posexplode(array((1 to steps.length).map(j => col(s"n$j")): _*))
+              .as(Seq("__i", "n_entities")))
+          .select((col("__i") + 1).cast("long").as("step_idx"),
+            element_at(array(steps.map(lit): _*), col("__i") + 1).as("step"),
+            col("n_entities"))
+        med3("funnel_shared_repart")(counts)
+        counts.collect().foreach(r => println("[opt] funnel_repart row " + r))
+      }
+      ops.CohortOps.funnelCounts(ev10, Seq("user_id"), "ts", "event_type",
+        steps, win).collect().foreach(r => println("[opt] funnel_shipped row " + r))
+      ev10.unpersist()
+    }
+
     if (which("dedupagainst")) {
       val docs = t("documents")
       val docs10 = (0 until 10).map(i => docs
@@ -521,6 +679,30 @@ object OptProbe {
         " maxGroup=" + sg.agg(max(col("m"))).collect()(0).getLong(0) +
         " sumSq=" + sg.agg(sum(col("m") * col("m"))).collect()(0).getLong(0))
       docsM.unpersist()
+    }
+
+    if (which("plans11")) {
+      // r11 after-plans for the two ops whose r10 "before" dumps were
+      // mislabeled (verdict item 2): the honest before-plans were dumped
+      // from a worktree at ebef7dd (the r10 baseline commit); these are the
+      // current-tree partners on the same bench fixtures.
+      val docs = t("documents")
+      val docsM = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", translate(col("text"), "eE", s"$i$i")))
+        .reduce(_ unionByName _).coalesce(32)
+        .select(col("doc_id").as("id"), substring(col("text"), 1, 24).as("s"))
+      dumpPlan(llm.FuzzyJoinOps.fuzzySelfJoin(docsM, "id", "s", 2),
+        "plans/r11/fuzzy_join_pairs_after.txt")
+      val emb1 = t("embeddings")
+      val emb10 = (0 until 10).map(i =>
+          emb1.withColumn("vec_id", col("vec_id") + lit(i * 100000000L)))
+        .reduce(_ unionByName _).coalesce(32)
+      val centroids10 = llm.SimilarityOps.ivfTrain(emb10, "vec_id", "embedding", 32)
+      dumpPlan(llm.SimilarityOps.knnGraphWithCentroids(
+        emb10, "vec_id", "embedding", k = 10, centroids10, nProbe = 8),
+        "plans/r11/knn_graph_after.txt")
+      println("[opt] r11 after-plans dumped")
     }
 
     if (which("unimax")) {

@@ -185,6 +185,136 @@ object MinHashSignature {
     }
     sig
   }
+
+  // --------------------------------------------------------------- r11 A/B
+  // Lane-batching variants of the signature fold (probe-only: OptProbe
+  // `mhlanes` times them against `signature` on real corpus text and
+  // asserts per-document equality; the winner replaces the production body
+  // and the losers are deleted). Both are bit-identical to `signature` by
+  // construction: the per-lane operation sequence is unchanged (unrolled
+  // variant), or only reordered ACROSS shingles (by-lane variant — each
+  // lane's min ranges over the same value set, and min is order-free).
+
+  /** Variant A: the 64-lane inner loop 4-way unrolled (pure instruction-
+    * level parallelism — four independent fold chains in flight). */
+  private[graft] def signatureUnrolled(s: UTF8String, numHashes: Int,
+                                       shingleSize: Int): Array[Long] = {
+    val (cs, m) = normalizedChars(s)
+    if (m < shingleSize) return Array.emptyLongArray
+    val (as, bs) = coeffs(numHashes)
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, P)
+    val nSh = m - shingleSize + 1
+    val target = math.min(nSh.toLong * 2, 1L << 30)
+    var cap = 8
+    while (cap < target) cap <<= 1
+    val seen = new Array[Int](cap)
+    java.util.Arrays.fill(seen, -1)
+    val mask = cap - 1
+    val shift = 32 - java.lang.Integer.numberOfTrailingZeros(cap)
+    var j = 0
+    while (j < nSh) {
+      val h = windowHash64(cs, j, shingleSize)
+      val base = java.lang.Long.remainderUnsigned(h, P)
+      val bi = base.toInt
+      var slot = (bi * 0x9e3779b1) >>> shift
+      var dup = false
+      while (seen(slot) != -1 && !dup) {
+        if (seen(slot) == bi) dup = true else slot = (slot + 1) & mask
+      }
+      if (!dup) {
+        seen(slot) = bi
+        var t = 0
+        val n4 = numHashes - 3
+        while (t < n4) {
+          val x0 = base * as(t) + bs(t)
+          val x1 = base * as(t + 1) + bs(t + 1)
+          val x2 = base * as(t + 2) + bs(t + 2)
+          val x3 = base * as(t + 3) + bs(t + 3)
+          var y0 = (x0 >>> 31) + (x0 & P); y0 = (y0 >>> 31) + (y0 & P)
+          var y1 = (x1 >>> 31) + (x1 & P); y1 = (y1 >>> 31) + (y1 & P)
+          var y2 = (x2 >>> 31) + (x2 & P); y2 = (y2 >>> 31) + (y2 & P)
+          var y3 = (x3 >>> 31) + (x3 & P); y3 = (y3 >>> 31) + (y3 & P)
+          if (y0 >= P) y0 -= P
+          if (y1 >= P) y1 -= P
+          if (y2 >= P) y2 -= P
+          if (y3 >= P) y3 -= P
+          if (y0 < sig(t)) sig(t) = y0
+          if (y1 < sig(t + 1)) sig(t + 1) = y1
+          if (y2 < sig(t + 2)) sig(t + 2) = y2
+          if (y3 < sig(t + 3)) sig(t + 3) = y3
+          t += 4
+        }
+        while (t < numHashes) {
+          val x = base * as(t) + bs(t)
+          var y = (x >>> 31) + (x & P)
+          y = (y >>> 31) + (y & P)
+          if (y >= P) y -= P
+          if (y < sig(t)) sig(t) = y
+          t += 1
+        }
+      }
+      j += 1
+    }
+    sig
+  }
+
+  /** Variant B: loop interchange — collect the distinct bases once, then
+    * sweep each lane over the base array (per-lane constants hoisted to
+    * locals; the only loop-carried dependence is the running min). */
+  private[graft] def signatureByLane(s: UTF8String, numHashes: Int,
+                                     shingleSize: Int): Array[Long] = {
+    val (cs, m) = normalizedChars(s)
+    if (m < shingleSize) return Array.emptyLongArray
+    val (as, bs) = coeffs(numHashes)
+    val nSh = m - shingleSize + 1
+    val target = math.min(nSh.toLong * 2, 1L << 30)
+    var cap = 8
+    while (cap < target) cap <<= 1
+    val seen = new Array[Int](cap)
+    java.util.Arrays.fill(seen, -1)
+    val mask = cap - 1
+    val shift = 32 - java.lang.Integer.numberOfTrailingZeros(cap)
+    val bases = new Array[Long](nSh)
+    var nb = 0
+    var j = 0
+    while (j < nSh) {
+      val h = windowHash64(cs, j, shingleSize)
+      val base = java.lang.Long.remainderUnsigned(h, P)
+      val bi = base.toInt
+      var slot = (bi * 0x9e3779b1) >>> shift
+      var dup = false
+      while (seen(slot) != -1 && !dup) {
+        if (seen(slot) == bi) dup = true else slot = (slot + 1) & mask
+      }
+      if (!dup) { seen(slot) = bi; bases(nb) = base; nb += 1 }
+      j += 1
+    }
+    val sig = new Array[Long](numHashes)
+    var t = 0
+    while (t < numHashes) {
+      val a = as(t)
+      val b = bs(t)
+      var mn = P
+      var i = 0
+      while (i < nb) {
+        val x = bases(i) * a + b
+        var y = (x >>> 31) + (x & P)
+        y = (y >>> 31) + (y & P)
+        if (y >= P) y -= P
+        if (y < mn) mn = y
+        i += 1
+      }
+      sig(t) = mn
+      t += 1
+    }
+    sig
+  }
+
+  /** Probe access to the production fold (it is private[functions]). */
+  private[graft] def signatureCurrent(s: UTF8String, numHashes: Int,
+                                      shingleSize: Int): Array[Long] =
+    signature(s, numHashes, shingleSize)
 }
 
 /** Native LSH banding fused with the MinHash signature: emits the `bands`

@@ -1181,26 +1181,37 @@ object TextOps {
                                      maxBucketSize: Int = 1000): DataFrame = {
     val inPin = Pin(bandedTable(incoming, idCol, textCol,
       index.numHashes, index.bands, index.shingleSize))
-    val inB = inPin.df.select(col(idCol).as("id_in"), col("band"), col("bucket"))
+    val result = Pin(crossCorpusCandidatePairs(inPin.df, index, idCol, maxBucketSize))
+    inPin.release()
+    result.df
+  }
+
+  /** The candidate-pair DAG over an already-pinned incoming banded table —
+    * the plan-inspection hook (the bm25TopKUnpinned discipline: the public
+    * entry Pins its result, which collapses executedPlan to `Scan
+    * ExistingRDD` and blinds PlanGuard). Production calls this through
+    * [[crossCorpusCandidatesWithIndex]]; PlanGuard pins the shape here:
+    * incoming batch is bounded by contract, so every incoming-derived
+    * table broadcasts and the REFERENCE tables are never shuffled per
+    * batch (previously the ref banded table re-aggregated AND re-shuffled
+    * on (band, bucket) for every incoming batch — reference-sized work in
+    * the steady-state path). The cap join keys on the index's persisted
+    * per-bucket histogram. */
+  private[graft] def crossCorpusCandidatePairs(inBanded: DataFrame,
+                                               index: CorpusDedupIndex,
+                                               idCol: String,
+                                               maxBucketSize: Int): DataFrame = {
+    val inB = inBanded.select(col(idCol).as("id_in"), col("band"), col("bucket"))
     val refB = index.banded
-    // incoming batch is bounded by contract, so every incoming-derived
-    // table broadcasts and the REFERENCE tables are never shuffled per
-    // batch (previously the ref banded table re-aggregated AND re-shuffled
-    // on (band, bucket) for every incoming batch — reference-sized work in
-    // the steady-state path). The cap join keys on the index's persisted
-    // per-bucket histogram.
     val okBuckets = broadcast(
         inB.groupBy(col("band"), col("bucket")).agg(count(lit(1)).as("_ni")))
       .join(index.bucketHist, Seq("band", "bucket"))
       .filter(col("_ni") + col("_nr") <= maxBucketSize)
       .select(col("band"), col("bucket"))
     val inOk = inB.join(broadcast(okBuckets), Seq("band", "bucket"))
-    val pairs = refB.join(broadcast(inOk), Seq("band", "bucket"))
+    refB.join(broadcast(inOk), Seq("band", "bucket"))
       .select(col("id_in"), col("id_ref"))
       .distinct()
-    val result = Pin(pairs)
-    inPin.release()
-    result.df
   }
 
   /** Deduplicate an incoming batch AGAINST a reference corpus: drop incoming
@@ -1241,18 +1252,27 @@ object TextOps {
       maxBucketSize)
     val shInPin = Pin(incoming.select(col(idCol).as("id_in"),
       shingleHashSetCol(col(textCol), index.shingleSize).as("_sh_in")))
-    val dupIds = index.shingleSets
-      .join(broadcast(cand), Seq("id_ref"))
-      .join(broadcast(shInPin.df), Seq("id_in"))
-      .withColumn("_j", hashSetJaccard(col("_sh_in"), col("_sh_ref")))
-      .filter(col("_j") >= threshold)
-      .select(col("id_in").as(idCol)).distinct()
+    val dupIds = dedupAgainstDupIds(cand, shInPin.df, index, idCol, threshold)
     // the drop-set is ids-only (tiny); pinning it lets the incoming-side
     // shingle blocks free before the caller's anti-join materializes
     val dropPin = Pin(dupIds)
     shInPin.release()
     incoming.join(dropPin.df, Seq(idCol), "left_anti")
   }
+
+  /** The verify DAG over pinned candidate pairs and the pinned incoming
+    * shingle sets — the plan-inspection hook for [[dedupAgainstIndex]]
+    * (both batch-derived inputs are bounded by contract and broadcast;
+    * the reference shingle-set table is scan-only, never shuffled). */
+  private[graft] def dedupAgainstDupIds(cand: DataFrame, shIn: DataFrame,
+                                        index: CorpusDedupIndex, idCol: String,
+                                        threshold: Double): DataFrame =
+    index.shingleSets
+      .join(broadcast(cand), Seq("id_ref"))
+      .join(broadcast(shIn), Seq("id_in"))
+      .withColumn("_j", hashSetJaccard(col("_sh_in"), col("_sh_ref")))
+      .filter(col("_j") >= threshold)
+      .select(col("id_in").as(idCol)).distinct()
 
   /** Exact all-pairs n-gram Jaccard self-join via prefix filtering (the
     * AllPairs/PPJoin family — Bayardo et al. WWW'07, Xiao et al. — public

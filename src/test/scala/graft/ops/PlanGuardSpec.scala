@@ -848,6 +848,61 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"document text must never cross an exchange:\n$plan")
   }
 
+  test("dedup-against index: reference tables never shuffle per batch; every incoming-derived table broadcasts") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val ref = docs.filter(col("doc_id") % 10 =!= 0)
+    val inc = docs.filter(col("doc_id") % 10 === 0)
+    val idx = graft.llm.TextOps.buildDedupIndex(ref, "doc_id", "text",
+      threshold = 0.9)
+    try {
+      // candidate stage (the UNPINNED DAG — the public entry Pins its
+      // result, which collapses executedPlan to Scan ExistingRDD and blinds
+      // this guard, the r10 verdict's evidence gap): the reference banded
+      // table must stream scan-only into broadcast joins; the only shuffles
+      // carry incoming-side aggregates or the bounded candidate pairs.
+      val inPin = graft.llm.Pin(graft.llm.TextOps.bandedTable(inc, "doc_id",
+        "text", idx.numHashes, idx.bands, idx.shingleSize))
+      val candPlan = graft.llm.TextOps.crossCorpusCandidatePairs(inPin.df, idx,
+        "doc_id", maxBucketSize = 1000).queryExecution.executedPlan
+      assert(candPlan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"no sort-merge join may appear in the candidate stage:\n$candPlan")
+      assert(candPlan.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+        s"no shuffled hash join may appear in the candidate stage:\n$candPlan")
+      assert(candPlan.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+        s"the incoming-derived tables must broadcast:\n$candPlan")
+      // the reference banded table is (id_ref, band, bucket): no exchange
+      // may carry id_ref TOGETHER WITH bucket (the candidate-pair distinct
+      // legitimately shuffles (id_in, id_ref); incoming aggregates shuffle
+      // (band, bucket, _ni) — both batch-bounded)
+      val candShuffles = candPlan.collect { case s: ShuffleExchangeExec => s }
+      assert(candShuffles.forall(s => !(s.child.output.exists(_.name == "id_ref") &&
+          s.child.output.exists(_.name == "bucket"))),
+        s"the reference banded table must never shuffle per batch:\n$candPlan")
+      // verify stage: candidate pairs and incoming shingle sets broadcast;
+      // the reference shingle-set table streams scan-only
+      val shInPin = graft.llm.Pin(inc.select(col("doc_id").as("id_in"),
+        graft.llm.TextOps.shingleHashSetCol(col("text"),
+          idx.shingleSize).as("_sh_in")))
+      val cand = graft.llm.TextOps.crossCorpusCandidatesWithIndex(inc, idx,
+        "doc_id", "text")
+      val dupPlan = graft.llm.TextOps.dedupAgainstDupIds(cand, shInPin.df, idx,
+        "doc_id", 0.9).queryExecution.executedPlan
+      assert(dupPlan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+        s"no sort-merge join may appear in the verify stage:\n$dupPlan")
+      assert(dupPlan.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+        s"no shuffled hash join may appear in the verify stage:\n$dupPlan")
+      assert(dupPlan.collect { case b: BroadcastExchangeExec => b }.size >= 2,
+        s"candidate pairs AND incoming shingle sets must broadcast:\n$dupPlan")
+      val dupShuffles = dupPlan.collect { case s: ShuffleExchangeExec => s }
+      assert(dupShuffles.forall(_.child.output.forall(_.name != "_sh_ref")),
+        s"reference shingle sets must never shuffle per batch:\n$dupPlan")
+      inPin.release(); shInPin.release()
+    } finally idx.release()
+  }
+
   test("decontaminate spans: benchmark grams broadcast; gram text never crosses an exchange") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
