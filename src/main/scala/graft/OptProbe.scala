@@ -188,15 +188,10 @@ object OptProbe {
       val texts = t("documents").select(col("text")).collect()
         .map(r => UTF8String.fromString(r.getString(0)))
       println(s"[opt] mhlanes docs=${texts.length}")
-      // equality gate: all three variants must agree on every document
-      texts.foreach { s =>
-        val a = graft.functions.MinHashSignature.signatureCurrent(s, 64, 5)
-        val b = graft.functions.MinHashSignature.signatureUnrolled(s, 64, 5)
-        val c = graft.functions.MinHashSignature.signatureByLane(s, 64, 5)
-        require(java.util.Arrays.equals(a, b) && java.util.Arrays.equals(a, c),
-          "lane-variant signature mismatch")
-      }
-      println("[opt] mhlanes equality: all variants bit-identical")
+      // (r11 A/B already landed: the production fold is the 4-way-unrolled
+      // winner — current 0.209/0.245 s vs unrolled 0.190 vs by-lane 0.189
+      // per 5k-doc sweep, bit-equality asserted across every document
+      // before the swap. This probe now times the production fold only.)
       def kbench(tag: String)(f: UTF8String => Array[Long]): Unit = {
         var sink = 0L
         (0 until 2).foreach(_ => texts.foreach { s =>
@@ -208,10 +203,7 @@ object OptProbe {
         }.sorted
         println(f"[opt] $tag%-30s median=${runs(2)}%.3f all=${runs.map(x => f"$x%.3f")} sink=$sink")
       }
-      kbench("mh_current")(s => graft.functions.MinHashSignature.signatureCurrent(s, 64, 5))
-      kbench("mh_unrolled")(s => graft.functions.MinHashSignature.signatureUnrolled(s, 64, 5))
-      kbench("mh_bylane")(s => graft.functions.MinHashSignature.signatureByLane(s, 64, 5))
-      kbench("mh_current_2nd")(s => graft.functions.MinHashSignature.signatureCurrent(s, 64, 5))
+      kbench("mh_production")(s => graft.functions.MinHashSignature.signatureCurrent(s, 64, 5))
     }
 
     if (which("fc")) {
@@ -230,6 +222,7 @@ object OptProbe {
       // kernel-only: the gather output pinned, so the timed run pays just
       // kernel UDF + explode + projection
       val gPin = llm.Pin(ops.Series.gather(us, "g", "ds", "y"))
+      println("[opt] fc gather partitions=" + gPin.df.rdd.getNumPartitions)
       val opts = graft.kernels.Forecast.optionsFromParams("AutoETS", 14,
         Map("seasonal_period" -> "7"))
       val fcU = udf((ts: Seq[Long], vs: Seq[Double], nu: Seq[Boolean]) => {
@@ -244,6 +237,28 @@ object OptProbe {
         .select(col("g"), explode(fcU(col("_ts"), col("_vs"), col("_nu"))).as("_r"))
         .select(col("g"), col("_r._1").as("step"), col("_r._2").as("yhat"),
           col("_r._3").as("lo"), col("_r._4").as("hi"), col("_r._5").as("model")))
+      // pure-kernel sweep over EVERY series, single driver thread: total
+      // kernel CPU vs the Spark wall, and the per-series skew (a handful of
+      // slow series = one straggler partition owns the stage)
+      locally {
+        val sample = gPin.df.collect()
+        def sweepAll(): Array[Double] = sample.map { r =>
+          val vs = r.getSeq[Double](2).toArray
+          val valid = r.getSeq[Boolean](3).map(!_).toArray
+          val t0 = System.nanoTime()
+          try graft.kernels.Forecast.forecast(vs, valid, opts)
+          catch { case _: Throwable => () }
+          (System.nanoTime() - t0) / 1e6
+        }
+        sweepAll(); sweepAll() // JIT warmup
+        val ms = sweepAll()
+        val obs = sample.map(_.getSeq[Double](2).length)
+        val order = ms.zip(obs).sortBy(-_._1)
+        println(f"[opt] fc_autoets_driver_kernel n=${sample.length} total_ms=${ms.sum}%.1f " +
+          f"mean_ms=${ms.sum / ms.length}%.3f max_ms=${ms.max}%.2f " +
+          f"top5=${order.take(5).map { case (m, o) => f"$m%.1fms@${o}obs" }.mkString(",")} " +
+          f"obs[min=${obs.min},max=${obs.max}]")
+      }
       gPin.release()
     }
 
@@ -298,14 +313,14 @@ object OptProbe {
       med3("funnel_anchor_only")(ev10
         .filter(col("ts").isNotNull && col("event_type").isin(steps.map(lit): _*))
         .filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("t1")))
+        .groupBy(col("user_id")).agg(min(unix_micros(col("ts").cast("timestamp"))).as("t1")))
       // candidate: one shared repartition — replicate funnel() inline with
       // e pre-partitioned on the entity key
       locally {
         val e = ev10
           .filter(col("ts").isNotNull && col("event_type").isin(steps.map(lit): _*))
           .select(col("user_id"), col("event_type").as("__s"),
-            unix_micros(col("ts")).as("__t"))
+            unix_micros(col("ts").cast("timestamp")).as("__t"))
           .repartition(col("user_id"))
         var acc = e.filter(col("__s") === steps.head)
           .groupBy(col("user_id")).agg(min(col("__t")).as("t1"))
@@ -703,6 +718,123 @@ object OptProbe {
         emb10, "vec_id", "embedding", k = 10, centroids10, nProbe = 8),
         "plans/r11/knn_graph_after.txt")
       println("[opt] r11 after-plans dumped")
+    }
+
+    if (which("plans11b")) {
+      // r11 after-plans for this round's op changes (before-plans dumped
+      // from a worktree at the pre-change commit): dedup_spans start-array
+      // coverage, bm25 index doc-grouped path, fc_autoets pinned-partition
+      // gather.
+      val docs = t("documents")
+      val docsSpan10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", translate(col("text"), "eE", s"$i$i")))
+        .reduce(_ unionByName _).coalesce(32)
+      dumpPlan(llm.TextOps.removeDuplicatedSpans(docsSpan10, "doc_id", "text",
+        gramLen = 20), "plans/r11/dedup_spans_after.txt")
+      val docs10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", concat(col("text"), lit(s" r$i"))))
+        .reduce(_ unionByName _).coalesce(32)
+      val queries = docs.filter(col("doc_id") < 20L)
+        .select(col("doc_id").as("qid"), col("text"))
+      val idxDir = java.nio.file.Files.createTempDirectory("graft_r11_bm25").toString
+      llm.RetrievalOps.bm25BuildIndex(docs10, "doc_id", "text", idxDir,
+        nTermBuckets = 64)
+      dumpPlan(llm.RetrievalOps.bm25QueryIndex(spark, idxDir, queries,
+        "qid", "text", k = 10), "plans/r11/bm25_index_topk_after.txt")
+      med3("bm25_index_query_docgrouped")(llm.RetrievalOps.bm25QueryIndex(
+        spark, idxDir, queries, "qid", "text", k = 10))
+      med3("bm25_index_query_pruned_path")(llm.RetrievalOps.bm25QueryIndexPruned(
+        spark, idxDir, queries, "qid", "text", k = 10))
+      // bisect the doc-grouped path: scan cost vs qmeta prep vs scorer core
+      val dgRead = spark.read.parquet(s"$idxDir/docgroup")
+      println("[opt] docgroup scan partitions=" + dgRead.rdd.getNumPartitions)
+      med3("bm25_docgroup_scan_only")(dgRead.select(col("doc"), col("terms"), col("tfs")))
+      med3("bm25_postings_scan_only")(spark.read.parquet(s"$idxDir/postings"))
+      locally {
+        val tokq = filter(split(lower(trim(col("text"))), "[ \\t\\n\\r\\f]+"),
+          x => length(x) > 0)
+        val qterms = queries.select(col("qid").as("_qid"),
+          explode(tokq).as("term")).distinct()
+        val dfreq = spark.read.parquet(s"$idxDir/dfreq")
+          .select(col("term"), col("df"))
+        val stats = spark.read.parquet(s"$idxDir/stats")
+        val qmeta = qterms.groupBy(col("term"))
+          .agg(collect_list(col("_qid")).as("_qids"))
+          .join(broadcast(dfreq), Seq("term"))
+          .crossJoin(broadcast(stats))
+          .withColumn("_idf", log(lit(1.0) +
+            (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+          .select(col("term"), col("_qids"), col("_idf"), col("avgdl"))
+        med3("bm25_dg_qmeta_prep_only")(qmeta)
+        val metaRows = qmeta.collect()
+        val qidField = queries.schema("qid")
+        val scan = dgRead.select(col("doc").as("_doc"),
+          col("terms").as("_terms"), col("tfs").as("_tfs"))
+        med3("bm25_dg_score_core_only")(llm.RetrievalOps.multiQueryScore(
+          scan, metaRows, qidField, org.apache.spark.sql.types.LongType,
+          "qid", "doc_id", 10, 1.2, 0.75))
+        med3("bm25_dg_score_core_repart32")(llm.RetrievalOps.multiQueryScore(
+          scan.repartition(32), metaRows, qidField,
+          org.apache.spark.sql.types.LongType, "qid", "doc_id", 10, 1.2, 0.75))
+        // the path's own prep, replicated end-to-end: meta read + bucket
+        // collect + bucket-pruned dfreq qmeta + collect
+        def timeIt(tag: String)(f: => Unit): Unit = {
+          f
+          val ts = Seq.fill(3) {
+            val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+          }.sorted
+          println(f"[opt] $tag%-40s median=${ts(1)}%.3f all=${ts.map(x => f"$x%.3f")}")
+        }
+        timeIt("bm25_real_prep_only") {
+          llm.RetrievalOps.indexQueryPrep(spark, idxDir, queries, "qid", "text")
+          ()
+        }
+        locally {
+          val prep = llm.RetrievalOps.indexQueryPrep(spark, idxDir, queries,
+            "qid", "text")
+          println(s"[opt] bm25 prep: buckets=${prep.buckets.length} " +
+            s"nBuckets=${prep.nBuckets} hasDocGroup=${prep.hasDocGroup} " +
+            s"picksDocGrouped=${prep.hasDocGroup && prep.buckets.length * 8 >= prep.nBuckets}")
+          med3("bm25_real_dgcore_only")(llm.RetrievalOps.docGroupedCore(
+            spark, idxDir, queries, "qid", prep.qmeta, 10, 1.2, 0.75))
+          med3("bm25_real_prunedcore_only")(llm.RetrievalOps.prunedCore(
+            spark, idxDir, "qid", prep.qmeta, prep.buckets, 10, 1.2, 0.75))
+        }
+        med3("bm25_index_query_docgrouped_2nd")(llm.RetrievalOps.bm25QueryIndex(
+          spark, idxDir, queries, "qid", "text", k = 10))
+        med3("bm25_index_query_pruned_2nd")(llm.RetrievalOps.bm25QueryIndexPruned(
+          spark, idxDir, queries, "qid", "text", k = 10))
+        timeIt("bm25_dg_prep_full") {
+          val meta = spark.read.parquet(s"$idxDir/meta")
+          val nb = meta.select(col("n_term_buckets")).collect()(0).getInt(0)
+          meta.columns.contains("has_docgroup") &&
+            meta.select(col("has_docgroup")).collect()(0).getBoolean(0)
+          val qt = queries.select(col("qid").as("_qid"),
+            explode(tokq).as("term")).distinct()
+          val bks = qt.select(pmod(xxhash64(col("term")), lit(nb.toLong)).as("_b"))
+            .distinct().collect().map(_.getLong(0)).toSeq
+          val dfreqF = spark.read.parquet(s"$idxDir/dfreq")
+            .filter(col("term_bucket").isin(bks: _*))
+            .select(col("term"), col("df"))
+          val qmetaF = qt.groupBy(col("term"))
+            .agg(collect_list(col("_qid")).as("_qids"))
+            .join(broadcast(dfreqF), Seq("term"))
+            .crossJoin(broadcast(stats))
+            .withColumn("_idf", log(lit(1.0) +
+              (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+            .select(col("term"), col("_qids"), col("_idf"), col("avgdl"))
+          qmetaF.collect()
+          ()
+        }
+      }
+      val us = t("events")
+        .groupBy(col("user_id").as("g"), col("ts").cast(DateType).as("ds"))
+        .agg(sum("value").as("y"))
+      dumpPlan(ops.TsForecastOp.forecastBy(us, "g", "ds", "y", "AutoETS", 14,
+        "1d", Map("seasonal_period" -> "7")), "plans/r11/fc_autoets_after.txt")
+      println("[opt] r11b after-plans dumped")
     }
 
     if (which("unimax")) {

@@ -204,6 +204,38 @@ object RetrievalOps {
     // BigDecimal-valueOf HALF_UP chain via RoundedDecimal.scaledLong.
     val metaRows = bm25Qmeta(corpus, docIdCol, textCol,
       queries, qidCol, qtextCol).collect()
+    val entries = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.TokenTfEntries(
+        org.apache.spark.sql.GraftExpressionBridge.expression(
+          lower(trim(col(textCol))))))
+    val docTermArrays = corpus
+      .select(col(docIdCol).as("_doc"),
+        transform(entries, e => e.getField("term")).as("_terms"),
+        transform(entries, e => e.getField("tf")).as("_tfs"))
+    val resBase = multiQueryScore(docTermArrays, metaRows, qidField,
+      docIdType, qidCol, docIdCol, k, k1, b)
+    // the top-k result is (queries × k) rows — pin it eagerly so the
+    // scorer scan's blocks are freed deterministically before returning
+    if (pin) Pin(resBase).df else resBase
+  }
+
+  /** The shared per-doc multi-query scorer behind [[bm25TopK]] and the
+    * doc-grouped [[bm25QueryIndex]] path: the bounded qmeta rows collect
+    * into a broadcast term → (idf, qid-fanout) LUT, every document scores
+    * ALL queries in one pass over its (term, tf) arrays, and per-query
+    * top-k is the bounded heap aggregate — one map-only corpus pass, one
+    * heap-partial exchange, one tiny idx→qid broadcast join.
+    *
+    * @param docTermArrays (_doc, _terms ARRAY<STRING>, _tfs ARRAY<INT>) —
+    *        parallel per-document term/tf arrays in TokenTfEntries order
+    * @param metaRows collected qmeta rows (term, qid list, idf, avgdl) */
+  private[graft] def multiQueryScore(docTermArrays: DataFrame,
+                              metaRows: Array[org.apache.spark.sql.Row],
+                              qidField: org.apache.spark.sql.types.StructField,
+                              docIdType: org.apache.spark.sql.types.DataType,
+                              qidOutCol: String, docOutCol: String, k: Int,
+                              k1: Double, b: Double): DataFrame = {
+    val spark = docTermArrays.sparkSession
     val qidIdx = new java.util.LinkedHashMap[Any, Integer]()
     metaRows.foreach(_.getSeq[Any](1).foreach { q =>
       if (!qidIdx.containsKey(q)) qidIdx.put(q, Integer.valueOf(qidIdx.size())) })
@@ -281,53 +313,66 @@ object RetrievalOps {
         org.apache.spark.sql.types.StructField("_qid",
           qidField.dataType, qidField.nullable))))
 
-    val entries = org.apache.spark.sql.GraftExpressionBridge.column(
-      graft.functions.TokenTfEntries(
-        org.apache.spark.sql.GraftExpressionBridge.expression(
-          lower(trim(col(textCol))))))
-    val perQuery = corpus
-      .select(col(docIdCol).as("_doc"), entries.as("_e"))
-      .select(col("_doc"), explode(scoreUdf(
-        transform(col("_e"), e => e.getField("term")),
-        transform(col("_e"), e => e.getField("tf")))).as("_qs"))
+    val perQuery = docTermArrays
+      .select(col("_doc"), explode(scoreUdf(col("_terms"), col("_tfs"))).as("_qs"))
       .select(col("_qs._1").as("_qidx"),
         col("_doc").cast(LongType).as("_docL"), col("_qs._2").as("_score"))
-
-    // the top-k result is (queries × k) rows — pin it eagerly so the
-    // scorer scan's blocks are freed deterministically before returning
-    val resBase = perQuery
+    perQuery
       .groupBy(col("_qidx"))
       .agg(topKAgg(col("_docL"), col("_score"), k).as("_top"))
       .join(broadcast(idxDf), Seq("_qidx"))
       .select(col("_qid"), posexplode(col("_top")))
-      .select(col("_qid").as(qidCol), (col("pos") + 1).cast("int").as("rank"),
-        col("col.vid").cast(docIdType).as(docIdCol), col("col.sim").as("score"))
-    if (pin) Pin(resBase).df else resBase
+      .select(col("_qid").as(qidOutCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.vid").cast(docIdType).as(docOutCol), col("col.sim").as("score"))
   }
 
   // ------------------------------------------------- persisted BM25 index
 
-  /** Build and persist the BM25 index: `path/postings` — (term, doc, tf,
-    * dl) rows PARTITIONED BY a term hash bucket so a query's scan prunes to
-    * its own terms' directories (the ann_ivf_index discipline applied to an
-    * inverted text index); `path/dfreq` — per-term document frequencies
-    * (same bucket partitioning); `path/stats` — the one-row (N, avgdl);
-    * `path/meta` — the bucket count. Built once per corpus version; query
-    * batches then score WITHOUT touching corpus text. */
+  /** Build and persist the BM25 index: `path/docgroup` — per-document
+    * (doc, dl, terms, tfs) rows — parallel flat arrays in TokenTfEntries
+    * order (the
+    * map-only scoring layout — the r11 addition: grouping postings by doc
+    * costs an exchange exactly once, at index-WRITE time, where it is
+    * amortized over every query batch); `path/postings` — (term, doc, tf,
+    * dl) rows PARTITIONED BY a term hash bucket so a selective query's scan
+    * prunes to its own terms' directories (the ann_ivf_index discipline
+    * applied to an inverted text index — derived from the stored docgroup,
+    * so corpus TEXT tokenizes once); `path/dfreq` — per-term document
+    * frequencies (same bucket partitioning); `path/stats` — the one-row
+    * (N, avgdl); `path/meta` — the bucket count + layout flag. Built once
+    * per corpus version; query batches then score WITHOUT touching corpus
+    * text. */
   def bm25BuildIndex(corpus: DataFrame, docIdCol: String, textCol: String,
                      path: String, nTermBuckets: Int = 256): Unit = {
     require(nTermBuckets >= 1, s"nTermBuckets must be >= 1, got $nTermBuckets")
     val spark = corpus.sparkSession
     import spark.implicits._
-    // tf counted map-side per document — the index build has NO corpus
-    // shuffle at all before the partitioned write
-    val tf = docTermTf(corpus, docIdCol, textCol)
-      .select(col("_doc").as("doc"), col("_term").as("term"),
-        col("_tf").as("tf"), col("_dl").as("dl"))
+    // the ONE corpus-text pass: per-doc (term, tf) entries, map-only.
+    // Stored as two parallel FLAT arrays (terms, tfs), not ARRAY<STRUCT>:
+    // the nested-struct parquet decode plus a per-row transform() to split
+    // it measurably dominated the doc-grouped scoring scan.
+    val entries = org.apache.spark.sql.GraftExpressionBridge.column(
+      graft.functions.TokenTfEntries(
+        org.apache.spark.sql.GraftExpressionBridge.expression(
+          lower(trim(col(textCol))))))
+    corpus.select(col(docIdCol).as("doc"), entries.as("_e"))
+      .select(col("doc"),
+        aggregate(col("_e"), lit(0L),
+          (a, e) => a + e.getField("tf").cast(LongType)).as("dl"),
+        transform(col("_e"), e => e.getField("term")).as("terms"),
+        transform(col("_e"), e => e.getField("tf")).as("tfs"))
+      .write.mode("overwrite").parquet(s"$path/docgroup")
+    // term-partitioned postings derived from the STORED docgroup (no second
+    // tokenize; same (doc, term, tf, dl) rows as the direct derivation)
+    val dg = spark.read.parquet(s"$path/docgroup")
+    dg.select(col("doc"), col("dl"),
+        posexplode(col("terms")).as(Seq("_i", "term")),
+        col("tfs"))
+      .select(col("doc"),  col("term"),
+        element_at(col("tfs"), col("_i") + 1).cast(LongType).as("tf"), col("dl"))
       .withColumn("term_bucket", pmod(xxhash64(col("term")), lit(nTermBuckets.toLong)))
-    tf.write.mode("overwrite").partitionBy("term_bucket").parquet(s"$path/postings")
-    // df over the WHOLE vocabulary (bounded by vocab size, not the corpus;
-    // read back from the just-written postings so the corpus scans once)
+      .write.mode("overwrite").partitionBy("term_bucket").parquet(s"$path/postings")
+    // df over the WHOLE vocabulary (bounded by vocab size, not the corpus)
     val stored = spark.read.parquet(s"$path/postings")
     stored.groupBy(col("term"), col("term_bucket"))
       .agg(count(lit(1)).as("df"))
@@ -335,46 +380,150 @@ object RetrievalOps {
     corpus.agg(count(lit(1)).as("n"),
         coalesce(avg(size(toks(col(textCol)))), lit(0.0)).as("avgdl"))
       .write.mode("overwrite").parquet(s"$path/stats")
-    Seq(nTermBuckets).toDF("n_term_buckets")
+    Seq((nTermBuckets, true)).toDF("n_term_buckets", "has_docgroup")
       .write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Query a [[bm25BuildIndex]] layout: the postings/dfreq scans carry a
-    * LITERAL `term_bucket isin (…)` filter derived from the query terms, so
-    * static partition pruning limits the read to the query vocabulary's
-    * directories — the corpus-sized index is never scanned in full. Query
-    * terms are collected to build that literal (bounded: a query batch is
-    * an eval/probe set by contract). Same ranking contract as [[bm25TopK]]:
-    * 6-decimal-rounded scores, doc-id tiebreak. */
+  /** Query a [[bm25BuildIndex]] layout. Two scoring paths, picked by the
+    * batch's term-bucket fan-out (r11):
+    *
+    *  - **doc-grouped** (broad batches — e.g. full-document probe queries
+    *    whose vocabulary hits most term buckets, where partition pruning
+    *    buys nothing): the per-doc multi-query scorer over `path/docgroup`
+    *    — ONE map-only scan, bounded per-query top-k heap partials, no
+    *    posting⋈qmeta explode and no (qid, doc) exchange (the bm25TopK
+    *    round-2 shape, now reading pre-tokenized entries instead of text);
+    *  - **term-pruned** (selective batches): the postings/dfreq scans carry
+    *    a LITERAL `term_bucket isin (…)` filter derived from the query
+    *    terms, so static partition pruning limits the read to the query
+    *    vocabulary's directories — the corpus-sized index is never scanned
+    *    in full.
+    *
+    * Query terms are collected to build the bucket literal (bounded: a
+    * query batch is an eval/probe set by contract). Same ranking contract
+    * as [[bm25TopK]]: 6-decimal-rounded scores, doc-id tiebreak — the two
+    * paths agree (DsirRetrievalSpec pins it). */
   def bm25QueryIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                      queries: DataFrame, qidCol: String, qtextCol: String,
                      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val nBuckets = spark.read.parquet(s"$path/meta").collect()(0).getInt(0)
-    val qterms = queries.select(col(qidCol).as("_qid"),
+    val prep = indexQueryPrep(spark, path, queries, qidCol, qtextCol)
+    // Cost-based path choice. The pruned path's only advantage is reading
+    // fewer bytes (its bucket fan-out fraction of the postings); its
+    // per-entry cost is a broadcast probe + qid-fanout explode + a
+    // (qid, doc) hash-aggregate exchange — measured ~3-5× the doc-grouped
+    // scorer's per-entry cost (prunedCore 1.45 s vs docGroupedCore 0.49 s
+    // on the SAME prep at 22/64 bucket coverage, OptProbe plans11b), and
+    // the docgroup layout is ~half the bytes per entry (no per-term
+    // doc/dl repetition). Break-even is therefore around 1/8 coverage:
+    // prune only when the batch is genuinely selective.
+    if (prep.hasDocGroup && prep.buckets.length * 8 >= prep.nBuckets)
+      docGroupedCore(spark, path, queries, qidCol, prep.qmeta, k, k1, b)
+    else
+      prunedCore(spark, path, qidCol, prep.qmeta, prep.buckets, k, k1, b)
+  }
+
+  /** A query batch that no longer looks like an eval/probe set: the qmeta
+    * LUT and the (qid, term) prep are collected to the driver BY CONTRACT
+    * (bounded query batch) — a caller passing a corpus as `queries` would
+    * otherwise silently OOM the driver (r10 verdict item 4). */
+  private[graft] val MaxCollectedQueryTerms: Int = 2000000
+
+  private def requireBoundedQueryBatch(n: Int, what: String): Unit =
+    require(n <= MaxCollectedQueryTerms,
+      s"$what has $n rows — the query side must be a BOUNDED eval/probe " +
+        s"batch (≤ $MaxCollectedQueryTerms distinct (qid, term) pairs); " +
+        "this looks like a corpus passed as queries")
+
+  private[graft] final case class IndexQueryPrep(nBuckets: Int, hasDocGroup: Boolean,
+                                          buckets: Seq[Long], qmeta: DataFrame)
+
+  /** The per-batch prep, in exactly TWO driver jobs (a third of the
+    * per-batch fixed cost used to be redundant prep jobs): one tiny meta
+    * collect, then ONE bounded collect of the distinct (qid, term) pairs —
+    * which feeds the bucket literal (computed on a LocalRelation, so the
+    * xxhash64 constant-folds driver-side with Spark's own hash), the
+    * adaptive path decision, AND the local qterms relation the qmeta build
+    * joins (no second query-side shuffle job). */
+  private[graft] def indexQueryPrep(spark: org.apache.spark.sql.SparkSession,
+                             path: String, queries: DataFrame, qidCol: String,
+                             qtextCol: String): IndexQueryPrep = {
+    val metaRow = spark.read.parquet(s"$path/meta").collect()(0)
+    val nBuckets = metaRow.getInt(metaRow.fieldIndex("n_term_buckets"))
+    val hasDocGroup = metaRow.schema.fieldNames.contains("has_docgroup") &&
+      metaRow.getBoolean(metaRow.fieldIndex("has_docgroup"))
+    val qidField = queries.schema(qidCol)
+    val qtPairs = queries.select(col(qidCol).as("_qid"),
         explode(toks(col(qtextCol))).as("term"))
-      .distinct()
-    // bounded collect: distinct term buckets of the query batch
-    val buckets = qterms
+      .distinct().collect()
+    requireBoundedQueryBatch(qtPairs.length, "the distinct (qid, term) batch")
+    val qtLocal = spark.createDataFrame(
+      java.util.Arrays.asList(qtPairs: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("_qid", qidField.dataType,
+          qidField.nullable),
+        org.apache.spark.sql.types.StructField("term",
+          org.apache.spark.sql.types.StringType, nullable = false))))
+    // Project-over-LocalRelation constant-folds: Spark's own xxhash64 runs
+    // driver-side, no job — and it cannot drift from the write-side hash
+    val buckets = qtLocal
       .select(pmod(xxhash64(col("term")), lit(nBuckets.toLong)).as("_b"))
-      .distinct().collect().map(_.getLong(0)).toSeq
-    val postings = spark.read.parquet(s"$path/postings")
-      .filter(col("term_bucket").isin(buckets: _*))
+      .collect().map(_.getLong(0)).distinct.toSeq
     val dfreq = spark.read.parquet(s"$path/dfreq")
       .filter(col("term_bucket").isin(buckets: _*))
       .select(col("term"), col("df"))
     val stats = spark.read.parquet(s"$path/stats")
-    // ONE broadcast per posting row (the bm25TopK discipline): per-term
-    // (qids, idf) + the corpus stats pre-joined on the bounded query-term
-    // table — the posting stream probes a single hash relation that both
-    // FILTERS to query-vocabulary hits and carries everything scoring needs
-    val qmeta = qterms.groupBy(col("term"))
+    // per-term (qids, idf, avgdl) — the same qmeta both scoring paths
+    // consume (identical idf doubles whichever path runs)
+    val qmeta = qtLocal.groupBy(col("term"))
       .agg(collect_list(col("_qid")).as("_qids"))
       .join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))
       .withColumn("_idf",
         log(lit(1.0) + (col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .select(col("term"), col("_qids"), col("_idf"), col("avgdl"))
+    IndexQueryPrep(nBuckets, hasDocGroup, buckets, qmeta)
+  }
+
+  /** The doc-grouped scoring core (broad batches): ONE map-only scan of
+    * `path/docgroup` through the per-doc multi-query scorer, bounded heap
+    * partials, tiny idx→qid broadcast — no posting⋈qmeta explode, no
+    * (qid, doc) exchange. */
+  private[graft] def docGroupedCore(spark: org.apache.spark.sql.SparkSession,
+                             path: String, queries: DataFrame, qidCol: String,
+                             qmeta: DataFrame, k: Int, k1: Double,
+                             b: Double): DataFrame = {
+    val qidField = queries.schema(qidCol)
+    val metaRows = qmeta.collect()
+    val dg = spark.read.parquet(s"$path/docgroup")
+    val docIdType = dg.schema("doc").dataType
+    requireIntegralId("doc", docIdType)
+    // parallelism floor for the scorer (the Series.gather lesson, scan
+    // flavor): the scorer's cost is CPU per entry, not bytes, but split
+    // packing sizes the scan by BYTES — a small index collapses to a few
+    // splits and the whole scoring pass runs on a fraction of the cluster.
+    // Repartition ONLY when the scan is under one task-wave
+    // (splits < shuffle.partitions), so the extra exchange is bounded by
+    // shuffle.partitions × maxPartitionBytes; at real index sizes the scan
+    // has thousands of splits and this is a no-op.
+    val scan = dg.select(col("doc").as("_doc"),
+      col("terms").as("_terms"), col("tfs").as("_tfs"))
+    val nPar = spark.sessionState.conf.numShufflePartitions
+    val scanP = if (scan.rdd.getNumPartitions < nPar) scan.repartition(nPar)
+                else scan
+    multiQueryScore(scanP, metaRows, qidField, docIdType, qidCol, "doc_id",
+      k, k1, b)
+  }
+
+  /** The term-pruned scoring core (selective batches): postings scan pruned
+    * to the batch's term-bucket directories, ONE qmeta broadcast per
+    * posting row, (qid, doc) aggregation, bounded top-k. */
+  private[graft] def prunedCore(spark: org.apache.spark.sql.SparkSession,
+                         path: String, qidCol: String, qmeta: DataFrame,
+                         buckets: Seq[Long], k: Int, k1: Double,
+                         b: Double): DataFrame = {
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("term_bucket").isin(buckets: _*))
     val docIdType = postings.schema("doc").dataType
     requireIntegralId("doc", docIdType)
     postings
@@ -391,6 +540,25 @@ object RetrievalOps {
       .select(col("_qid"), posexplode(col("_top")))
       .select(col("_qid").as(qidCol), (col("pos") + 1).cast("int").as("rank"),
         col("col.vid").cast(docIdType).as("doc_id"), col("col.sim").as("score"))
+  }
+
+  /** Self-contained doc-grouped entry — the test/PlanGuard hook (the public
+    * entry picks its path adaptively; this forces doc-grouped). */
+  private[graft] def bm25QueryIndexDocGrouped(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val prep = indexQueryPrep(spark, path, queries, qidCol, qtextCol)
+    docGroupedCore(spark, path, queries, qidCol, prep.qmeta, k, k1, b)
+  }
+
+  /** Self-contained term-pruned entry — the test hook. */
+  private[graft] def bm25QueryIndexPruned(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, qidCol: String, qtextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val prep = indexQueryPrep(spark, path, queries, qidCol, qtextCol)
+    prunedCore(spark, path, qidCol, prep.qmeta, prep.buckets, k, k1, b)
   }
 
   // ------------------------------------------------ hybrid (lexical+dense)

@@ -264,10 +264,11 @@ object TextOps {
     *  2. per-hash `min(struct(id, pos))` + count ≥ 2 marks every non-first
     *     occurrence — no self-join, no m² term (a gram occurring m times
     *     contributes m rows, not m²);
-    *  3. duplicated windows expand to their covered token positions,
-    *     `collect_set` per document (bounded by document length), and the
-    *     rebuild keeps tokens whose position is not covered — membership
-    *     via binary search over the sorted covered set.
+    *  3. duplicated-window STARTS `collect_set` per document (bounded by
+    *     document length; never the gramLen-fold position expansion), and
+    *     the rebuild keeps a token at position i unless a start exists in
+    *     [i − (gramLen−1), i] — one binary-search range probe over the
+    *     sorted start array per token.
     *
     * Output: (id, `out` = rebuilt text, `out`_tokens_removed). Documents
     * shorter than `gramLen` tokens pass through (canonicalized) untouched. */
@@ -279,6 +280,54 @@ object TextOps {
     // native window build (WordGrams, empty-token-dropping mode); the gram
     // TEXT dies right here — xxhash64 runs codegen on the exploded rows and
     // only (id, pos, hash) continues into the shuffle
+    val occ = base
+      .select(col(idCol), posexplode(
+        wordGramsCol(col(textCol), gramLen, distinct = false, dropEmpty = true)))
+      .withColumnRenamed("pos", "_p")
+      .select(col(idCol), col("_p"), xxhash64(col("col")).as("_gh"))
+    val repeated = occ.groupBy(col("_gh"))
+      .agg(min(struct(col(idCol), col("_p"))).as("_first"), count(lit(1)).as("_cnt"))
+      .filter(col("_cnt") >= 2)
+    val dups = occ.join(repeated, Seq("_gh"))
+      .filter(struct(col(idCol), col("_p")) =!= col("_first"))
+    // r11 (guide §2.3 shuffle fewer bytes): the coverage exchange carries
+    // dup-window STARTS, not their gramLen-fold position expansion — the
+    // exploded form (kept below as removeDuplicatedSpansExploded, the
+    // executable specification) generated gramLen rows per duplicated
+    // window into the per-document collect_set. A token at position i is
+    // covered iff a start exists in [i − (gramLen−1), i]: one binary-search
+    // range probe against the sorted start array (SortedArrayAnyInRange)
+    // per kept-token decision, bit-identical by the interval identity
+    // i ∈ ∪[p, p+g−1] ⟺ ∃ p ∈ [i−(g−1), i].
+    val covered = dups
+      .select(col(idCol), col("_p"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("_p").cast(LongType))).as("_cov"))
+    def anyInRange(arr: Column, lo: Column, hi: Column): Column = {
+      val B = org.apache.spark.sql.GraftExpressionBridge
+      B.column(graft.functions.SortedArrayAnyInRange(B.expression(arr),
+        B.expression(lo), B.expression(hi)))
+    }
+    base.join(covered, Seq(idCol), "left")
+      .withColumn("_kept", when(col("_cov").isNull, col("_toks")).otherwise(
+        filter(col("_toks"), (t, i) => !anyInRange(col("_cov"),
+          i.cast(LongType) - lit((gramLen - 1).toLong), i.cast(LongType)))))
+      .select(col(idCol), array_join(col("_kept"), " ").as(out),
+        (size(col("_toks")) - size(col("_kept"))).cast(LongType)
+          .as(s"${out}_tokens_removed"))
+  }
+
+  /** The exploded-coverage form of [[removeDuplicatedSpans]] — kept as the
+    * executable specification (the MinHashParity discipline): every covered
+    * position materializes through explode(sequence)+collect_set and the
+    * rebuild probes exact membership. DedupSpanParity pins output equality
+    * with the production start-array form. */
+  private[graft] def removeDuplicatedSpansExploded(df: DataFrame, idCol: String,
+                                                   textCol: String, gramLen: Int = 50,
+                                                   out: String = "text_clean"): DataFrame = {
+    require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
+    val toks = filter(split(trim(col(textCol)), "[ \\t\\n\\r\\f]+"), t => length(t) > 0)
+    val base = df.select(col(idCol), col(textCol)).withColumn("_toks", toks)
     val occ = base
       .select(col(idCol), posexplode(
         wordGramsCol(col(textCol), gramLen, distinct = false, dropEmpty = true)))

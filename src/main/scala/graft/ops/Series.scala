@@ -46,10 +46,26 @@ object Series {
   }
 
   /** Gather each group into parallel arrays `(_ts, _vs, _nu)` sorted by time:
-    * epoch-micros timestamps, values (NaN where null), null mask. */
+    * epoch-micros timestamps, values (NaN where null), null mask.
+    *
+    * Partitioning (r11): the gather output feeds PER-SERIES KERNELS
+    * (forecast optimizers, stats, changepoints) whose downstream cost is
+    * CPU per row, not bytes — exactly the case AQE's byte-based partition
+    * coalescing cannot see. At bench scale the gathered table is ~1 MB, so
+    * AQE collapsed the agg exchange to ONE partition and the whole AutoETS
+    * pass ran on a single core (measured: 2.2 s kernel stage ≈ the 2.3 s
+    * single-thread kernel CPU of all 1,500 series). The fix keys the ONE
+    * exchange with an EXPLICIT partition count (`repartition(n, g)` before
+    * the groupBy — the aggregate reuses that partitioning, so no second
+    * exchange, same bytes on the wire): a REPARTITION_BY_NUM shuffle is
+    * never coalesced by AQE, and `n` comes from spark.sql.shuffle.partitions
+    * — the standard cluster-sized knob (the bench sets it to
+    * SPARK_GRAFT_CPUS), never a local constant. */
   def gather(df: DataFrame, groupCol: String, dsCol: String, yCol: String): DataFrame = {
     val dsType = df.schema(dsCol).dataType
+    val n = df.sparkSession.sessionState.conf.numShufflePartitions
     df.filter(col(dsCol).isNotNull)
+      .repartition(n, col(groupCol))
       .groupBy(col(groupCol))
       .agg(sort_array(collect_list(struct(
         toMicros(col(dsCol), dsType).as("t"),

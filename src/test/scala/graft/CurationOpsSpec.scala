@@ -117,6 +117,36 @@ class CurationOpsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(repOut.getLong(2) == 5L)
   }
 
+  test("removeDuplicatedSpans: start-array form == exploded-coverage specification (DedupSpanParity)") {
+    // r11: the production rebuild probes dup-window STARTS with a binary-
+    // search range query; this pins output equality with the exploded-
+    // coverage executable specification on adversarial overlap shapes plus
+    // the real sf0.001 corpus, at two gram lengths.
+    val sp = spark
+    import sp.implicits._
+    val plant = "alpha beta gamma delta epsilon"
+    val inline = Seq(
+      (1000000L, s"zero unique words here $plant trailing tail"),
+      (1000001L, s"one other opening $plant closing words"),
+      (1000002L, s"two begins $plant and again $plant ends"),
+      (1000003L, plant),                                 // doc IS one window
+      (1000004L, s"$plant $plant $plant"),               // back-to-back overlap
+      (1000005L, "x"),                                   // sub-gram
+      (1000006L, s"lead $plant mid $plant aft $plant"),  // interleaved
+      (1000007L, null.asInstanceOf[String])              // null text
+    ).toDF("doc_id", "text")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"), col("text")).unionByName(inline)
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)),
+        if (r.isNullAt(2)) Long.MinValue else r.getLong(2))).toSet
+    for (g <- Seq(3, 20)) {
+      val prod = snap(TextOps.removeDuplicatedSpans(corpus, "doc_id", "text", gramLen = g))
+      val spec = snap(TextOps.removeDuplicatedSpansExploded(corpus, "doc_id", "text", gramLen = g))
+      assert(prod == spec, s"start-array form diverged from the spec at gramLen=$g")
+    }
+  }
+
   test("decontaminateSpans: quoted eval items scrubbed, clean text and short docs untouched") {
     val sp = spark
     import sp.implicits._

@@ -266,6 +266,35 @@ class DsirRetrievalSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(viaIdx == direct)
   }
 
+  test("bm25QueryIndex: doc-grouped and term-pruned paths agree, and match bm25TopK") {
+    // r11: the index gains a doc-grouped layout and the query entry picks a
+    // path by term-bucket fan-out — both paths must produce the identical
+    // ranked set on a fixture with tf>1, no-hit docs/queries and empty text
+    val sp = spark
+    import sp.implicits._
+    val corpus = Seq(
+      (1L, "x x y q"), (2L, "x z"), (3L, "z z z w"), (4L, "p p q r"),
+      (5L, ""), (6L, "y y y x w q"), (7L, "unique only")
+    ).toDF("doc_id", "text").repartition(5)
+    val queries = Seq((10L, "x z"), (11L, "w q y"), (12L, "absentterm"),
+      (13L, "p")).toDF("qid", "text").repartition(3)
+    val dir = java.nio.file.Files.createTempDirectory("bm25_idx_paths").toString
+    RetrievalOps.bm25BuildIndex(corpus, "doc_id", "text", dir, nTermBuckets = 4)
+    def snap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaDg = snap(RetrievalOps.bm25QueryIndexDocGrouped(spark, dir,
+      queries, "qid", "text", k = 5))
+    val viaPruned = snap(RetrievalOps.bm25QueryIndexPruned(spark, dir,
+      queries, "qid", "text", k = 5))
+    val direct = snap(RetrievalOps.bm25TopK(corpus, "doc_id", "text",
+      queries, "qid", "text", k = 5))
+    assert(viaDg == viaPruned, s"doc-grouped $viaDg vs pruned $viaPruned")
+    assert(viaDg == direct, s"doc-grouped $viaDg vs direct $direct")
+    val adaptive = snap(RetrievalOps.bm25QueryIndex(spark, dir,
+      queries, "qid", "text", k = 5))
+    assert(adaptive == direct)
+  }
+
   // -------------------------------------------------------------- UniMax
 
   test("unimaxAllocations waterfills: caps small strata, shares the rest") {

@@ -848,6 +848,44 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
       s"document text must never cross an exchange:\n$plan")
   }
 
+  test("bm25 index query, doc-grouped path: map-only scorer over the docgroup scan, one heap-partial exchange, no window/sort") {
+    import org.apache.spark.sql.execution.SortExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    import org.apache.spark.sql.functions.col
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val qs = docs.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("qid"), col("text"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_pg_bm25idx").toString
+    graft.llm.RetrievalOps.bm25BuildIndex(docs, "doc_id", "text", dir,
+      nTermBuckets = 8)
+    val plan = graft.llm.RetrievalOps.bm25QueryIndexDocGrouped(spark, dir,
+      qs, "qid", "text", k = 10).queryExecution.executedPlan
+    assert(plan.collect { case j: SortMergeJoinExec => j }.isEmpty,
+      s"no sort-merge join on the doc-grouped index path:\n$plan")
+    assert(plan.collect { case j: ShuffledHashJoinExec => j }.isEmpty,
+      s"no shuffled hash join on the doc-grouped index path:\n$plan")
+    assert(plan.collect { case b: BroadcastExchangeExec => b }.nonEmpty,
+      s"the idx→qid restore must broadcast:\n$plan")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      s"no window may rank index results:\n$plan")
+    assert(plan.collect { case s: SortExec => s }.isEmpty,
+      s"no sort may appear (ranking is the bounded heap aggregate):\n$plan")
+    // allowed exchanges: the bounded REPARTITION_BY_NUM parallelism floor
+    // (fires only when the scan is under one task-wave of splits; it may
+    // carry the term arrays) and the top-k heap-partial exchange — the
+    // heap partials must never carry the arrays
+    import org.apache.spark.sql.execution.exchange.REPARTITION_BY_NUM
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s }
+    val floor = shuffles.filter(_.shuffleOrigin == REPARTITION_BY_NUM)
+    val rest = shuffles.filterNot(_.shuffleOrigin == REPARTITION_BY_NUM)
+    assert(floor.length <= 1 && rest.length <= 1,
+      s"only the parallelism floor + the top-k partial exchange may appear:\n$plan")
+    assert(rest.forall(_.child.output.forall(a =>
+        a.name != "entries" && a.name != "_terms" && a.name != "_tfs")),
+      s"per-doc term arrays must die in the scorer, never reach the heap exchange:\n$plan")
+  }
+
   test("dedup-against index: reference tables never shuffle per batch; every incoming-derived table broadcasts") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
@@ -974,5 +1012,15 @@ class PlanGuardSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = df.queryExecution.executedPlan
     assert(!plan.toString.contains("CartesianProduct"),
       "per-series forecasting must never cross-join")
+    // r11: the gather exchange must carry an EXPLICIT partition count
+    // (REPARTITION_BY_NUM) — AQE's byte-based coalescing otherwise folds
+    // the tiny gathered-series table to ONE partition and the whole
+    // per-series kernel stage runs on a single core (measured: the AutoETS
+    // bench stage at 2.2 s wall ≈ its 2.3 s single-thread kernel CPU).
+    import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_NUM, ShuffleExchangeExec}
+    assert(plan.collect {
+        case s: ShuffleExchangeExec if s.shuffleOrigin == REPARTITION_BY_NUM => s
+      }.nonEmpty,
+      s"the series gather must pin its partition count against AQE coalescing:\n$plan")
   }
 }
