@@ -352,6 +352,40 @@ object OptProbe {
       ev10.unpersist()
     }
 
+    if (which("mh2")) {
+      // r11: the driver-side fold sweep (mhlanes) proved the signature fold
+      // is only ~2.1 s single-thread for the WHOLE 10× corpus (~65 ms over
+      // 32 cores) — so dedup_minhash_docs' 3.2 s is NOT the fold. Bisect
+      // the op: banded table (signature+banding scan) vs bucket aggregate
+      // vs pair explode+distinct.
+      val docs = t("documents")
+      val docs10 = (0 until 10).map(i => docs
+          .withColumn("doc_id", col("doc_id") + lit(i * 100000000L))
+          .withColumn("text", concat(col("text"), lit(s" r$i"))))
+        .reduce(_ unionByName _).coalesce(32).cache()
+      println("[opt] mh2 docs=" + docs10.count())
+      val B = org.apache.spark.sql.GraftExpressionBridge
+      val banded = llm.TextOps.bandedTable(docs10, "doc_id", "text", 64, 16, 5)
+      med3("mh2_banded_only")(banded)
+      val buckets = banded.groupBy(col("band"), col("bucket"))
+        .agg(B.column(graft.functions.BoundedIdSet(
+          B.expression(col("doc_id")), 1000).toAggregateExpression()).as("_ids"))
+        .filter(size(col("_ids")) >= 2)
+      med3("mh2_buckets_only")(buckets)
+      println("[opt] mh2 nonsingleton buckets=" + buckets.count())
+      val pairStructs = flatten(transform(col("_ids"), (a, i) =>
+        transform(slice(col("_ids"), i + 2, size(col("_ids"))),
+          bb => struct(a.as("id_a"), bb.as("id_b")))))
+      val prePairs = buckets.select(explode(pairStructs).as("_p"))
+        .select(col("_p.id_a").as("id_a"), col("_p.id_b").as("id_b"))
+      med3("mh2_pairs_nodistinct")(prePairs)
+      println("[opt] mh2 pairs pre-distinct=" + prePairs.count())
+      med3("mh2_full")(llm.TextOps.minHashLshPairs(docs10, "doc_id", "text"))
+      println("[opt] mh2 pairs distinct=" +
+        llm.TextOps.minHashLshPairs(docs10, "doc_id", "text").count())
+      docs10.unpersist()
+    }
+
     if (which("dedupagainst")) {
       val docs = t("documents")
       val docs10 = (0 until 10).map(i => docs
